@@ -1,0 +1,55 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local testing runs on ``local[N]`` but every config here is chosen for the
+1000-executor / 100 TB case and merely *parameterized* down for local runs:
+
+- AQE on (runtime partition coalescing, skew-join splitting, dynamic join
+  strategy switch) — the main line of defense against skew at scale.
+- ``spark.sql.shuffle.partitions`` sized to cores locally; on a real cluster
+  AQE's coalescing makes the initial number mostly a ceiling.
+- Arrow enabled for the one pandas_udf boundary (phone normalization).
+- Session timezone pinned to UTC so timestamp semantics match the DuckDB
+  oracle and are cluster-invariant.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "drive-health-etl-spark", cpus: int | None = None) -> SparkSession:
+    cpus = cpus or DEFAULT_CPUS
+    # Python workers (pandas_udf) are separate processes that resolve imports
+    # via PYTHONPATH, not the driver's sys.path — make the package importable
+    # for them no matter the caller's cwd. (On a real cluster you'd ship a
+    # wheel via --py-files / pip instead.)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Broadcast threshold: dims (region/nation/customer/supplier/part at
+        # test SF) stay broadcastable; at 100 TB the fact side never broadcasts
+        # and explicit broadcast() hints on true dims still apply.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # Driver testdata stores TIMESTAMP(NANOS) which Spark's vectorized
+        # reader rejects; read as long and convert in the loader (tables.py).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,58 @@
+"""Parquet table loaders for the driver star schema (TESTDATA.md).
+
+Scans stay fully declarative so Catalyst pushes filters and prunes columns
+into the parquet reader — at 100 TB the scan *is* the query cost, so nothing
+here materializes or caches eagerly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# True dimension tables: always broadcastable regardless of fact-table scale.
+DIM_TABLES = ("region", "nation", "supplier", "part")
+
+
+# Timestamp columns per table. The driver writes parquet TIMESTAMP(NANOS),
+# which Spark reads as long (via spark.sql.legacy.parquet.nanosAsLong); we
+# convert to proper timestamps here. Integer `div` (not `/`) — int64 nanos
+# exceed double's 53-bit mantissa.
+_TS_COLUMNS = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _TS_COLUMNS.get(name, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all tables as temp views for the SQL API surface."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
