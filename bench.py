@@ -1,0 +1,82 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced through the noop sink (full computation, zero
+collect/serialization cost) so timings measure the engine, not the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from drive_health_etl_spark.plans.registry import REGISTRY
+from drive_health_etl_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Headline set: the flagship agg, the heaviest joins/windows, the pipeline
+# E2E, and the LLM-ops (dedup/similarity/text) — the queries whose scaling
+# behavior matters most.
+HEADLINE = [
+    "q1_pricing_summary",
+    "j1_inner_equi",
+    "j6_star_join",
+    "j5_range_join",
+    "w1_first_write_wins",
+    "w4_running_sum",
+    "st8_session_window",
+    "a1_group_count",
+    "o8_projection_rename",
+    "text_word_freq",
+    "text_quality",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "sim_cosine_topk",
+    "pipeline_ingest_e2e",
+]
+
+
+def run_one(spark, name: str, sf_dir: str) -> float:
+    fn = REGISTRY[name][0]
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    spark = get_spark("dhe-bench", cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    # Warm the JVM/parquet footers once so timings measure steady state.
+    run_one(spark, "a1_group_count", SF_DIR)
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(run_one(spark, name, SF_DIR), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

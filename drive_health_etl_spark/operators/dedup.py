@@ -1,0 +1,171 @@
+"""Duplicate-detection operators over ``documents`` (north-star extension):
+
+- exact dedup: content-hash groupBy (one shuffle on the hash — the 100 TB
+  pattern; hash first so the shuffle carries 32-byte keys, not documents).
+- MinHash + LSH near-dup: token-set minhash signatures -> banded LSH ->
+  candidate pairs via per-band equi-join (shuffle on band hash), NOT an O(n^2)
+  cross join — this is the scale path.
+- n-gram Jaccard: exact set similarity on LSH-style blocked candidate pairs.
+
+Hash parity: h_i(tok) = int64 of the first 15 hex chars of md5(i || ':' || tok)
+— md5 is identical across Spark/DuckDB and 15 hex digits (60 bits) fit a
+signed int64 in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from drive_health_etl_spark.operators.text import TOKENS_SQL, tokens_col
+from drive_health_etl_spark.sources.tables import load_table
+
+N_HASHES = 8
+N_BANDS = 4  # bands of 2 hashes each
+
+
+def _minhash_expr(i: int) -> Column:
+    """min over tokens of the i-th hash function (portable md5-based)."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("token"))), 1, 15), 16, 10).cast(
+        "long"
+    )
+    return F.min(h).alias(f"mh{i}")
+
+
+def _minhash_sql(i: int) -> str:
+    return f"MIN(('0x' || substr(md5('{i}:' || token), 1, 15))::BIGINT) AS mh{i}"
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content hash: canonical doc = min doc_id per distinct
+    normalized text; n_copies counts collapsed duplicates."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.array_join(tokens_col(), " "))
+    return (
+        docs.select(F.col("doc_id"), fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("canonical_doc"), F.count("*").alias("n_copies"))
+    )
+
+
+DEDUP_EXACT_SQL = f"""
+SELECT md5(array_to_string({TOKENS_SQL}, ' ')) AS fingerprint,
+       MIN(doc_id) AS canonical_doc, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MinHash signature (8 hash functions over the distinct
+    token set). Explode + 8 min-aggs: one shuffle on doc_id with map-side
+    partial mins — signature computation is linear in corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    exploded = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
+    return exploded.groupBy("doc_id").agg(*[_minhash_expr(i) for i in range(N_HASHES)])
+
+
+MINHASH_SIG_SQL = f"""
+SELECT doc_id, {', '.join(_minhash_sql(i) for i in range(N_HASHES))}
+FROM (SELECT doc_id, unnest({TOKENS_SQL}) AS token FROM documents)
+GROUP BY doc_id
+"""
+
+
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: docs agreeing on any band of 2 consecutive
+    minhashes. Scale path: explode signatures into (band_idx, h1, h2) keys and
+    self-join per band — the shuffle key is the band hash, never a cross
+    join. Output: distinct (doc_a, doc_b), doc_a < doc_b."""
+    sigs = minhash_signatures(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.col(f"mh{2 * b}").alias("h1"),
+                        F.col(f"mh{2 * b + 1}").alias("h2"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.h1", "bs.h2")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h1") == F.col("b.h1"))
+            & (F.col("a.h2") == F.col("b.h2"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+DEDUP_MINHASH_PAIRS_SQL = f"""
+WITH sigs AS (
+  SELECT doc_id, {', '.join(_minhash_sql(i) for i in range(N_HASHES))}
+  FROM (SELECT doc_id, unnest({TOKENS_SQL}) AS token FROM documents)
+  GROUP BY doc_id
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE (a.mh0 = b.mh0 AND a.mh1 = b.mh1)
+   OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3)
+   OR (a.mh4 = b.mh4 AND a.mh5 = b.mh5)
+   OR (a.mh6 = b.mh6 AND a.mh7 = b.mh7)
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard similarity over distinct-token sets for blocked candidate
+    pairs (blocking key = first token — an LSH-style band that bounds the
+    pair count; at scale the blocking key would be a minhash band). Emits
+    pairs with similarity >= 0.5."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.array_distinct(tokens_col()).alias("tok_set"),
+        tokens_col().getItem(0).alias("block"),
+    )
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.tok_set"), F.col("b.tok_set")))
+    union = F.size(F.col("a.tok_set")) + F.size(F.col("b.tok_set")) - inter
+    jac = F.round(inter.cast("double") / union.cast("double"), 6)
+    return (
+        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+DEDUP_NGRAM_JACCARD_SQL = f"""
+WITH t AS (
+  SELECT doc_id, list_distinct({TOKENS_SQL}) AS tok_set, {TOKENS_SQL}[1] AS block
+  FROM documents
+)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         ROUND(CAST(len(list_intersect(a.tok_set, b.tok_set)) AS DOUBLE)
+               / (len(a.tok_set) + len(b.tok_set) - len(list_intersect(a.tok_set, b.tok_set))), 6) AS jaccard
+  FROM t a JOIN t b ON a.block = b.block AND a.doc_id < b.doc_id
+) WHERE jaccard >= 0.5
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_minhash_signatures": (minhash_signatures, MINHASH_SIG_SQL),
+    "dedup_minhash_pairs": (dedup_minhash_pairs, DEDUP_MINHASH_PAIRS_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
+}

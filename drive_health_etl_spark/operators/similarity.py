@@ -1,0 +1,107 @@
+"""Similarity search over ``embeddings`` (north-star extension).
+
+Brute-force cosine top-k as the correctness baseline: broadcast the (small)
+query set against the full corpus — a narrow map over candidates, no shuffle
+until the per-query top-k (window over ~n_queries * k rows). At 100 TB the
+candidate scan is embarrassingly parallel; the LSH/IVF bucketed variant
+(round 2) cuts the scanned fraction.
+
+Float policy: all math in double with a left-to-right fold (Spark
+``aggregate``), mirrored in DuckDB by ``list_dot_product`` on DOUBLE[];
+outputs rounded to 6 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from drive_health_etl_spark.sources.tables import load_table
+
+N_QUERIES = 8
+TOP_K = 5
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = N_QUERIES,
+    top_k: int = TOP_K,
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    pairs = emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(_dot(F.col("qe"), F.col("e")) / (_norm(F.col("qe")) * _norm(F.col("e"))), 6).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_topk(spark, sf_dir)
+
+
+SIM_COSINE_TOPK_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.emb, c.emb)
+               / (sqrt(list_dot_product(q.emb, q.emb)) * sqrt(list_dot_product(c.emb, c.emb))), 6) AS cosine
+  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
+def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding statistics: count, mean L2 norm, mean of the first
+    component — the sanity profile run before any ANN indexing."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(_norm(F.col("e"))), 6).alias("avg_norm"),
+        F.round(F.avg(F.col("e").getItem(0)), 6).alias("avg_first_dim"),
+    )
+
+
+EMB_NORM_STATS_SQL = """
+SELECT label, COUNT(*) AS n,
+       ROUND(AVG(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm,
+       ROUND(AVG((embedding::DOUBLE[])[1]), 6) AS avg_first_dim
+FROM embeddings GROUP BY label
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "sim_cosine_topk": (sim_cosine_topk, SIM_COSINE_TOPK_SQL),
+    "emb_norm_stats": (emb_norm_stats, EMB_NORM_STATS_SQL),
+}

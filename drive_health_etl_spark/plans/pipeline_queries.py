@@ -1,0 +1,267 @@
+"""Pipeline operators re-expressed as oracle-checkable queries over ``events``
+(SURVEY.md §2.2/2.3).
+
+The full envelope pipeline runs on generated fixtures (tests + the rows-only
+``pipeline_ingest_e2e`` entry); these queries prove the *semantics* of each
+pipeline stage on driver-provided data so the DuckDB oracle can hash-check
+them: required-field filter (O1), key coalesce (O3), deterministic sampling
+(O6), row construction with casts/defaults (S4), status routing (O4/O5),
+error-string matching (F12), JSON extraction (F7), date bucketing (F9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from drive_health_etl_spark.functions.sampling import sample_hash_ratio, sample_hash_ratio_sql
+from drive_health_etl_spark.sources.tables import load_table
+
+
+def a1_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's verification aggregate (``src/load-test.js:135``):
+    GROUP BY tenant, event_type COUNT(*) — tenant derived as in the ingest
+    fixture mapping."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.concat(F.lit("org-"), (F.col("user_id") % 5).cast("string")).alias("tenant_id"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("event_count"))
+    )
+
+
+A1_SQL = """
+SELECT 'org-' || CAST(user_id % 5 AS VARCHAR) AS tenant_id, event_type,
+       COUNT(*) AS event_count
+FROM events GROUP BY 1, 2
+"""
+
+
+def a2_dup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotency invariant check (``scripts/02_idempotency_test.js:170-173``):
+    per-key row counts; on a deduped table every row_count is 1."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("event_id").alias("idempotency_key"))
+        .agg(F.count("*").alias("row_count"))
+        .filter(F.col("row_count") >= 1)
+    )
+
+
+A2_SQL = """
+SELECT event_id AS idempotency_key, COUNT(*) AS row_count
+FROM events GROUP BY 1 HAVING COUNT(*) >= 1
+"""
+
+
+def o1_required_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Required-field conjunction (O1, ``src/validation.js:12-25``): presence =
+    truthiness (non-null AND non-empty)."""
+    e = load_table(spark, sf_dir, "events")
+    valid = (
+        F.col("event_type").isNotNull()
+        & (F.col("event_type") != "")
+        & F.col("ts").isNotNull()
+        & F.col("props").isNotNull()
+        & (F.col("props") != "")
+        & F.col("user_id").isNotNull()
+    )
+    return e.filter(valid).groupBy("event_type").agg(F.count("*").alias("n_valid"))
+
+
+O1_SQL = """
+SELECT event_type, COUNT(*) AS n_valid FROM events
+WHERE event_type IS NOT NULL AND event_type <> ''
+  AND ts IS NOT NULL AND props IS NOT NULL AND props <> '' AND user_id IS NOT NULL
+GROUP BY event_type
+"""
+
+
+def o3_key_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way key precedence (O3, ``src/validation.js:33-42``) over JSON props:
+    $.call_id > $.message_id > trace fallback."""
+    e = load_table(spark, sf_dir, "events")
+    key = F.coalesce(
+        F.get_json_object("props", "$.call_id"),
+        F.get_json_object("props", "$.message_id"),
+        F.concat(F.lit("trace-"), F.col("event_id").cast("string")),
+    )
+    return e.select("event_id", key.alias("idempotency_key"))
+
+
+O3_SQL = """
+SELECT event_id,
+       COALESCE(json_extract_string(props, '$.call_id'),
+                json_extract_string(props, '$.message_id'),
+                'trace-' || CAST(event_id AS VARCHAR)) AS idempotency_key
+FROM events
+"""
+
+
+def o6_sampling_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-sampling filter at rate 0.25 (O6,
+    ``src/sampling.js:15-24``) — bit-exact sha256/0xffffffff semantics in both
+    engines."""
+    e = load_table(spark, sf_dir, "events")
+    key = F.concat(F.lit("ev-"), F.col("event_id").cast("string"))
+    return e.filter(sample_hash_ratio(key) < 0.25).select("event_id", "event_type")
+
+
+O6_SQL = f"""
+SELECT event_id, event_type FROM events
+WHERE {sample_hash_ratio_sql("'ev-' || CAST(event_id AS VARCHAR)")} < 0.25
+"""
+
+
+def s4_row_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse row construction (S4, ``src/bq.js:20-35``): casts, defaults
+    (source -> 'unknown'), derived tenant, payload passthrough."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        F.concat(F.lit("org-"), (F.col("user_id") % 5).cast("string")).alias("tenant_id"),
+        "event_type",
+        F.lit(1).cast("long").alias("schema_version"),
+        F.lit(1).cast("long").alias("envelope_version"),
+        F.concat(F.lit("trace-"), F.col("event_id").cast("string")).alias("trace_id"),
+        F.col("ts").alias("occurred_at"),
+        F.coalesce(F.get_json_object("props", "$.source"), F.lit("unknown")).alias("source"),
+        F.col("props").alias("payload"),
+    )
+
+
+S4_SQL = """
+SELECT 'org-' || CAST(user_id % 5 AS VARCHAR) AS tenant_id,
+       event_type,
+       CAST(1 AS BIGINT) AS schema_version,
+       CAST(1 AS BIGINT) AS envelope_version,
+       'trace-' || CAST(event_id AS VARCHAR) AS trace_id,
+       ts AS occurred_at,
+       COALESCE(json_extract_string(props, '$.source'), 'unknown') AS source,
+       props AS payload
+FROM events
+"""
+
+
+def o4_status_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error categorization as a when/otherwise status column (O4/O5,
+    ``src/handler.js:16-32``, ``src/batchProcessor.js:22-36``) — thresholds
+    picked so all three routes are exercised on driver data."""
+    e = load_table(spark, sf_dir, "events")
+    status = (
+        F.when(F.col("value") > 300.0, F.lit("TRANSIENT_ERROR"))
+        .when(F.col("value") < 1.0, F.lit("TERMINAL_ERROR"))
+        .otherwise(F.lit("OK"))
+    )
+    return e.withColumn("status", status).groupBy("status").agg(F.count("*").alias("n"))
+
+
+O4_SQL = """
+SELECT CASE WHEN value > 300.0 THEN 'TRANSIENT_ERROR'
+            WHEN value < 1.0 THEN 'TERMINAL_ERROR'
+            ELSE 'OK' END AS status,
+       COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+def f12_error_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lower()+contains error-string classification (F12,
+    ``src/handler.js:23-29``)."""
+    e = load_table(spark, sf_dir, "events")
+    cls = (
+        F.when(F.lower("event_type").contains("err"), F.lit("terminal"))
+        .when(F.lower("event_type").contains("sign"), F.lit("auth"))
+        .otherwise(F.lit("ok"))
+    )
+    return e.withColumn("error_class", cls).groupBy("error_class").agg(F.count("*").alias("n"))
+
+
+F12_SQL = """
+SELECT CASE WHEN contains(lower(event_type), 'err') THEN 'terminal'
+            WHEN contains(lower(event_type), 'sign') THEN 'auth'
+            ELSE 'ok' END AS error_class,
+       COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+def f7_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction + typed agg (F7, the
+    ``JSON_EXTRACT_SCALAR(payload,'$.x')`` pattern of ``scripts/01:143-148``)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count(k).alias("n_with_k"),
+        F.sum(k).alias("sum_k"),
+        F.round(F.sum(k).cast("double") / F.count(k), 6).alias("avg_k"),
+    )
+
+
+F7_SQL = """
+SELECT event_type,
+       COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       ROUND(CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+             / COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
+FROM events GROUP BY event_type
+"""
+
+
+def f9_date_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATE(occurred_at) bucketing (F9, ``scripts/01:152``) — the predicate
+    shape that partition pruning serves on the warehouse table."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.to_date("ts").alias("event_date"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias("sum_value"),
+        )
+    )
+
+
+F9_SQL = """
+SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+def a4_sampling_rate_observed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observed-sampling-rate monitor (A4, ``docs/monitoring.md:36-86``):
+    ratio of sampled rows over total per event_type, sampled = the
+    deterministic rate-0.5 decision."""
+    e = load_table(spark, sf_dir, "events")
+    key = F.concat(F.lit("ev-"), F.col("event_id").cast("string"))
+    sampled = (sample_hash_ratio(key) < 0.5).cast("long")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("total"),
+        F.sum(sampled).alias("n_sampled"),
+        F.round(F.sum(sampled).cast("double") / F.count("*"), 6).alias("observed_rate"),
+    )
+
+
+A4_SQL = f"""
+SELECT event_type, COUNT(*) AS total,
+       SUM(CASE WHEN {sample_hash_ratio_sql("'ev-' || CAST(event_id AS VARCHAR)")} < 0.5 THEN 1 ELSE 0 END) AS n_sampled,
+       ROUND(CAST(SUM(CASE WHEN {sample_hash_ratio_sql("'ev-' || CAST(event_id AS VARCHAR)")} < 0.5 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS observed_rate
+FROM events GROUP BY event_type
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "a1_group_count": (a1_group_count, A1_SQL),
+    "a2_dup_check": (a2_dup_check, A2_SQL),
+    "a4_sampling_rate_observed": (a4_sampling_rate_observed, A4_SQL),
+    "o1_required_filter": (o1_required_filter, O1_SQL),
+    "o3_key_coalesce": (o3_key_coalesce, O3_SQL),
+    "o6_sampling_filter": (o6_sampling_filter, O6_SQL),
+    "s4_row_construct": (s4_row_construct, S4_SQL),
+    "o4_status_router": (o4_status_router, O4_SQL),
+    "f12_error_match": (f12_error_match, F12_SQL),
+    "f7_json_extract": (f7_json_extract, F7_SQL),
+    "f9_date_group": (f9_date_group, F9_SQL),
+}

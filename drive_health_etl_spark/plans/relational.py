@@ -1,0 +1,655 @@
+"""Relational query layer over the star schema (SURVEY.md §2.2/2.4-2.7).
+
+Generalizes the verification SQL the reference embeds
+(``src/load-test.js:135``, ``scripts/01..04``) to the full relational
+operator set. Every query here is a (Spark callable, DuckDB oracle SQL)
+pair registered in ``plans.registry``.
+
+Cross-engine float policy: double summation order differs between Spark
+(partition-parallel) and DuckDB, so any SUM/AVG over doubles casts elements
+to DECIMAL first (exact, order-independent) and converts back to DOUBLE for
+output; AVGs divide the exact decimal sum by the count and round. MIN/MAX and
+raw column values are bitwise-stable and need no treatment.
+
+Scale notes are per-query; the common ones: dimension joins use explicit
+``broadcast()``; aggregations rely on Spark's partial (map-side) aggregation;
+no query collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from drive_health_etl_spark.sources.tables import load_table
+
+
+def _dsum(col, scale: int, out: str):
+    """Order-independent exact sum of a double column: cast each element to
+    decimal(18,scale), sum exactly, emit double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c.cast(f"decimal(18,{scale})")).cast("double"), scale).alias(out)
+
+
+def _davg(col, scale: int, out: str, round_to: int = 6):
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(
+        F.sum(c.cast(f"decimal(18,{scale})")).cast("double") / F.count(c), round_to
+    ).alias(out)
+
+
+def _sql_dsum(expr: str, scale: int, out: str) -> str:
+    return f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE), {scale}) AS {out}"
+
+
+def _sql_davg(expr: str, scale: int, out: str, round_to: int = 6) -> str:
+    return (
+        f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+        f" / COUNT({expr}), {round_to}) AS {out}"
+    )
+
+
+# --- A1/A5: the flagship aggregation (TPC-H Q1 shape) ----------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-agg flagship (A1 generalized; reference ``src/load-test.js:135``
+    is the 2-key COUNT(*) special case). Scale: partial agg map-side; the
+    shuffle carries only (2 keys x handful of partial states)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2000-09-02"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity", 2, "sum_qty"),
+            _dsum("l_extendedprice", 2, "sum_base_price"),
+            _dsum(disc_price, 4, "sum_disc_price"),
+            _dsum(charge, 6, "sum_charge"),
+            _davg("l_quantity", 2, "avg_qty"),
+            _davg("l_extendedprice", 2, "avg_price"),
+            _davg("l_discount", 2, "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {_sql_dsum('l_quantity', 2, 'sum_qty')},
+       {_sql_dsum('l_extendedprice', 2, 'sum_base_price')},
+       {_sql_dsum('l_extendedprice * (1 - l_discount)', 4, 'sum_disc_price')},
+       {_sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6, 'sum_charge')},
+       {_sql_davg('l_quantity', 2, 'avg_qty')},
+       {_sql_davg('l_extendedprice', 2, 'avg_price')},
+       {_sql_davg('l_discount', 2, 'avg_disc')},
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --- O7/O8: filters and projections ---------------------------------------
+
+
+def o7_filter_conj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive predicates (reference ``scripts/01_smoke_publish.js:151-152``
+    shape). All three predicates push down to the parquet scan."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01"))
+            & (F.col("o_totalprice") > 150000.0)
+        )
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    )
+
+
+O7_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+FROM orders
+WHERE o_orderstatus = 'F'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND o_totalprice > 150000.0
+"""
+
+
+def o8_projection_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection with rename/computed columns (``scripts/01:142-149``)."""
+    return load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_linenumber").alias("line_no"),
+        F.round((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)").cast("double"), 4).alias("net_price"),
+        F.concat_ws("/", "l_returnflag", "l_linestatus").alias("flag_status"),
+    )
+
+
+O8_SQL = """
+SELECT l_orderkey AS order_id,
+       l_linenumber AS line_no,
+       ROUND(CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS DOUBLE), 4) AS net_price,
+       l_returnflag || '/' || l_linestatus AS flag_status
+FROM lineitem
+"""
+
+
+# --- A5: aggregation suite --------------------------------------------------
+
+
+def a5_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        _dsum("l_quantity", 2, "sum_qty"),
+        _davg("l_extendedprice", 2, "avg_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+A5_SQL = f"""
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       {_sql_dsum('l_quantity', 2, 'sum_qty')},
+       {_sql_davg('l_extendedprice', 2, 'avg_price')},
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price,
+       MIN(l_shipdate) AS first_ship,
+       MAX(l_shipdate) AS last_ship
+FROM lineitem
+"""
+
+
+def a5_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), _dsum("l_quantity", 2, "sum_qty"))
+    )
+
+
+A5_ROLLUP_SQL = f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {_sql_dsum('l_quantity', 2, 'sum_qty')}
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def a5_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), _dsum("o_totalprice", 2, "sum_price"))
+    )
+
+
+A5_CUBE_SQL = f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, {_sql_dsum('o_totalprice', 2, 'sum_price')}
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# --- J1-J6: joins -----------------------------------------------------------
+
+
+def j1_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join orders x customer. At scale: both sides large ->
+    sort-merge on the shuffled key; at test SF AQE converts to broadcast."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), _dsum("o_totalprice", 2, "revenue"))
+    )
+
+
+J1_SQL = f"""
+SELECT c_mktsegment, COUNT(*) AS n_orders, {_sql_dsum('o_totalprice', 2, 'revenue')}
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def j2_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension joins with explicit broadcast (region/nation are true dims —
+    broadcastable at any fact scale)."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_customers"), _davg("c_acctbal", 2, "avg_acctbal"))
+    )
+
+
+J2_SQL = f"""
+SELECT r_name, COUNT(*) AS n_customers, {_sql_davg('c_acctbal', 2, 'avg_acctbal')}
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def j3_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer: every customer, order count possibly 0."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+J3_SQL = """
+SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+def j3_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two per-day aggregates (click vs view counts)."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count("*").alias("click_cnt"))
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count("*").alias("view_cnt"))
+    )
+    return (
+        clicks.join(views, "d", "full")
+        .select(
+            F.col("d").alias("event_date"),
+            F.coalesce("click_cnt", F.lit(0)).alias("click_cnt"),
+            F.coalesce("view_cnt", F.lit(0)).alias("view_cnt"),
+        )
+    )
+
+
+J3_FULL_SQL = """
+SELECT COALESCE(c.d, v.d) AS event_date,
+       COALESCE(click_cnt, 0) AS click_cnt,
+       COALESCE(view_cnt, 0) AS view_cnt
+FROM (SELECT CAST(ts AS DATE) AS d, COUNT(*) AS click_cnt FROM events WHERE event_type = 'click' GROUP BY 1) c
+FULL OUTER JOIN (SELECT CAST(ts AS DATE) AS d, COUNT(*) AS view_cnt FROM events WHERE event_type = 'view' GROUP BY 1) v
+ON c.d = v.d
+"""
+
+
+def j4_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi — 'keys that already exist' relation (the insertId dedup
+    check, ``scripts/02_idempotency_test.js:170-173``)."""
+    customer = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000.0)
+    return customer.join(big, customer.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+J4_SEMI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 250000.0)
+"""
+
+
+def j4_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+J4_ANTI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def j5_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range predicate: lineitems shipped within 90 days of the order
+    date. The equi key carries the join (hash/SMJ); the range is a post-filter
+    — scale-safe, no BNLJ."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cond = (
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate >= orders.o_orderdate)
+        & (li.l_shipdate <= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+    )
+    return (
+        li.join(orders, cond)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_within_90d"), _dsum("l_extendedprice", 2, "sum_price"))
+    )
+
+
+J5_SQL = f"""
+SELECT l_returnflag, COUNT(*) AS n_within_90d, {_sql_dsum('l_extendedprice', 2, 'sum_price')}
+FROM lineitem JOIN orders
+  ON l_orderkey = o_orderkey
+ AND l_shipdate >= o_orderdate
+ AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+GROUP BY l_returnflag
+"""
+
+
+def j6_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join: fact -> orders -> customer -> nation -> region.
+    nation/region broadcast; AQE reorders/joins the big pair optimally."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", F.year("o_orderdate").alias("order_year"))
+        .agg(_dsum(revenue, 4, "revenue"), F.count("*").alias("n_lineitems"))
+    )
+
+
+J6_SQL = f"""
+SELECT r_name, YEAR(o_orderdate) AS order_year,
+       {_sql_dsum('l_extendedprice * (1 - l_discount)', 4, 'revenue')},
+       COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, YEAR(o_orderdate)
+"""
+
+
+# --- T1-T3: sorts / limits / set ops ---------------------------------------
+
+
+def t1_sort_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-first inspection (``scripts/01:153``). Deterministic tiebreak on
+    event_id. Spark plans this as TakeOrderedAndProject — no full sort."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .orderBy(F.col("ts").desc(), F.col("event_id").asc())
+        .select("event_id", "ts", "event_type", "value")
+        .limit(50)
+    )
+
+
+T1_SQL = """
+SELECT event_id, ts, event_type, value FROM events
+ORDER BY ts DESC, event_id ASC LIMIT 50
+"""
+
+
+def t2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+T2_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def _seg_and_big(spark, sf_dir):
+    seg = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    big = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000.0)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return seg, big
+
+
+_T3_CTE = """
+WITH seg AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+     big AS (SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000.0)
+"""
+
+
+def t3_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seg, big = _seg_and_big(spark, sf_dir)
+    return seg.union(big).distinct()
+
+
+T3_UNION_SQL = _T3_CTE + "SELECT c_custkey FROM seg UNION SELECT c_custkey FROM big"
+
+
+def t3_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seg, big = _seg_and_big(spark, sf_dir)
+    return seg.intersect(big)
+
+
+T3_INTERSECT_SQL = _T3_CTE + "SELECT c_custkey FROM seg INTERSECT SELECT c_custkey FROM big"
+
+
+def t3_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seg, big = _seg_and_big(spark, sf_dir)
+    return seg.subtract(big)
+
+
+T3_EXCEPT_SQL = _T3_CTE + "SELECT c_custkey FROM seg EXCEPT SELECT c_custkey FROM big"
+
+
+# --- W1-W4: window functions ------------------------------------------------
+
+
+def w1_first_write_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-write-wins dedup (the insertId semantics of ``src/bq.js:49``)
+    applied to events keyed by (user_id, event_type). One shuffle on the key;
+    at 100 TB this is the canonical dedup pattern."""
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        load_table(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+
+
+W1_SQL = """
+SELECT user_id, event_type, event_id, ts
+FROM (SELECT user_id, event_type, event_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
+def w2_rank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by value (rank with deterministic tiebreak)."""
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+W2_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rnk
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+      FROM orders)
+WHERE rnk <= 3
+"""
+
+
+def w3_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap per user via lag; exact integer microsecond arithmetic
+    (no float drift across engines)."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    events = load_table(spark, sf_dir, "events")
+    gaps = events.withColumn(
+        "gap_us", F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.sum("gap_us").alias("total_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+    )
+
+
+W3_SQL = """
+SELECT user_id, COUNT(gap_us) AS n_gaps, SUM(gap_us) AS total_gap_us, MAX(gap_us) AS max_gap_us
+FROM (SELECT user_id,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap_us
+      FROM events)
+GROUP BY user_id
+"""
+
+
+def w4_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-frame cumulative sum per user (exact decimal accumulation)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double"), 2).alias(
+            "running_value"
+        ),
+    )
+
+
+W4_SQL = """
+SELECT event_id, user_id,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+         PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_value
+FROM events
+"""
+
+
+# --- ST8 [ext]: event-time windows (batch twins of the streaming ops) -------
+
+
+def st8_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window agg — the batch twin of the streaming windowed
+    agg; epoch-aligned so date_trunc is the oracle."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), _dsum("value", 2, "sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+ST8_TUMBLING_SQL = f"""
+SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n,
+       {_sql_dsum('value', 2, 'sum_value')}
+FROM events GROUP BY 1, 2
+"""
+
+
+def st8_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 30 min (each event in 2 windows)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+
+
+ST8_SLIDING_SQL = """
+SELECT window_start, COUNT(*) AS n FROM (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS window_start FROM events
+) GROUP BY window_start
+"""
+
+
+def st8_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user — batch twin of streaming
+    sessionization; oracle is the lag/cumsum islands construction."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+ST8_SESSION_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL '30 minutes'
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM marked
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+FROM numbered GROUP BY user_id, sess_id
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "o7_filter_conj": (o7_filter_conj, O7_SQL),
+    "o8_projection_rename": (o8_projection_rename, O8_SQL),
+    "a5_agg_suite": (a5_agg_suite, A5_SQL),
+    "a5_rollup": (a5_rollup, A5_ROLLUP_SQL),
+    "a5_cube": (a5_cube, A5_CUBE_SQL),
+    "j1_inner_equi": (j1_inner_equi, J1_SQL),
+    "j2_broadcast_dims": (j2_broadcast_dims, J2_SQL),
+    "j3_left_outer": (j3_left_outer, J3_SQL),
+    "j3_full_outer": (j3_full_outer, J3_FULL_SQL),
+    "j4_semi": (j4_semi, J4_SEMI_SQL),
+    "j4_anti": (j4_anti, J4_ANTI_SQL),
+    "j5_range_join": (j5_range_join, J5_SQL),
+    "j6_star_join": (j6_star_join, J6_SQL),
+    "t1_sort_desc": (t1_sort_desc, T1_SQL),
+    "t2_topk": (t2_topk, T2_SQL),
+    "t3_union": (t3_union, T3_UNION_SQL),
+    "t3_intersect": (t3_intersect, T3_INTERSECT_SQL),
+    "t3_except": (t3_except, T3_EXCEPT_SQL),
+    "w1_first_write_wins": (w1_first_write_wins, W1_SQL),
+    "w2_rank_topn": (w2_rank_topn, W2_SQL),
+    "w3_lag_gap": (w3_lag_gap, W3_SQL),
+    "w4_running_sum": (w4_running_sum, W4_SQL),
+    "st8_tumbling_window": (st8_tumbling_window, ST8_TUMBLING_SQL),
+    "st8_sliding_window": (st8_sliding_window, ST8_SLIDING_SQL),
+    "st8_session_window": (st8_session_window, ST8_SESSION_SQL),
+}

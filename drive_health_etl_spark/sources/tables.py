@@ -41,6 +41,11 @@ _TS_COLUMNS = {
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The driver may hand us a session without our defaults; these two are
+    # required for correct reads of the testdata (nanos timestamps) and for
+    # UTC-stable date semantics. Both are runtime-settable SQL confs.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _TS_COLUMNS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":

@@ -1,0 +1,109 @@
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+For every entry in the registry with an oracle: run the Spark query and the
+DuckDB SQL on the same parquet tables, then compare row count, column names,
+and the order-insensitive multiset of row values (exact — floats must match
+bitwise, which the decimal-sum/round policy guarantees).
+
+Usage: python tests/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from drive_health_etl_spark.plans.registry import REGISTRY
+from drive_health_etl_spark.session import get_spark
+from drive_health_etl_spark.sources.tables import TABLES
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("float", "nan")
+        return ("float", repr(v))
+    if isinstance(v, dt.datetime):
+        return ("ts", v.replace(tzinfo=None).isoformat())
+    if isinstance(v, dt.date):
+        return ("date", v.isoformat())
+    if isinstance(v, bool):
+        return ("bool", v)
+    if isinstance(v, int):
+        return ("int", v)
+    if v is None:
+        return ("null",)
+    return ("str", str(v))
+
+
+def _canon(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    return sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
+
+
+def compare_query(spark, con, name, fn, sql, sf_dir):
+    sdf = fn(spark, sf_dir)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+    try:
+        res = con.execute(sql)
+        d_cols = [c[0] for c in res.description]
+        d_rows = res.fetchall()
+    except Exception as e:  # oracle itself failed
+        return {"name": name, "ok": False, "why": f"oracle error: {e}"}
+
+    problems = []
+    if sorted(s_cols) != sorted(d_cols):
+        problems.append(f"columns differ: spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+    if len(s_rows) != len(d_rows):
+        problems.append(f"row count: spark={len(s_rows)} duckdb={len(d_rows)}")
+    if not problems:
+        cs, cd = _canon(s_rows, s_cols), _canon(d_rows, d_cols)
+        if cs != cd:
+            diff = next(
+                (i, a, b) for i, (a, b) in enumerate(zip(cs, cd)) if a != b
+            )
+            problems.append(f"values differ at sorted row {diff[0]}:\n  spark={diff[1]}\n  duck ={diff[2]}")
+    return {"name": name, "ok": not problems, "why": "; ".join(problems), "rows": len(s_rows)}
+
+
+def main():
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
+    only = set(args[1:] if args and os.path.isdir(args[0]) else args)
+
+    spark = get_spark("oracle-check", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    n_pass = n_fail = 0
+    for name, (fn, sql) in sorted(REGISTRY.items()):
+        if only and name not in only:
+            continue
+        if sql is None:
+            df = fn(spark, sf_dir)
+            print(f"ROWS-ONLY {name}: {df.count()} rows")
+            continue
+        try:
+            r = compare_query(spark, con, name, fn, sql, sf_dir)
+        except Exception as e:
+            r = {"name": name, "ok": False, "why": f"spark error: {e}"}
+        if r["ok"]:
+            n_pass += 1
+            print(f"PASS {name} ({r['rows']} rows)")
+        else:
+            n_fail += 1
+            print(f"FAIL {name}: {r['why']}")
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
