@@ -7,9 +7,14 @@
   cross join — this is the scale path.
 - n-gram Jaccard: exact set similarity on LSH-style blocked candidate pairs.
 
-Hash parity: h_i(tok) = int64 of the first 15 hex chars of md5(i || ':' || tok)
+Hash parity: h_i(s) = int64 of the first 15 hex chars of md5(i || ':' || s)
 — md5 is identical across Spark/DuckDB and 15 hex digits (60 bits) fit a
 signed int64 in both engines.
+
+MinHash runs over 3-gram token shingles, not unigrams: this corpus has a
+tiny vocabulary, so unigram token sets collide pathologically (one LSH
+bucket held 63%% of all docs -> ~10M candidate pairs at sf0.1); the shingle
+space is |V|^3 and only genuinely similar documents share bands (826 pairs).
 """
 
 from __future__ import annotations
@@ -25,15 +30,34 @@ N_BANDS = 4  # bands of 2 hashes each
 
 
 def _minhash_expr(i: int) -> Column:
-    """min over tokens of the i-th hash function (portable md5-based)."""
-    h = F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("token"))), 1, 15), 16, 10).cast(
-        "long"
-    )
+    """min over shingles of the i-th hash function (portable md5-based)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))), 1, 15), 16, 10
+    ).cast("long")
     return F.min(h).alias(f"mh{i}")
 
 
 def _minhash_sql(i: int) -> str:
-    return f"MIN(('0x' || substr(md5('{i}:' || token), 1, 15))::BIGINT) AS mh{i}"
+    return f"MIN(('0x' || substr(md5('{i}:' || shingle), 1, 15))::BIGINT) AS mh{i}"
+
+
+def shingles_col() -> Column:
+    """3-gram token shingles from a ``toks`` column (docs with <3 tokens have
+    no shingles and drop out of near-dup detection — consistent with the
+    DuckDB ``range()`` construction)."""
+    return F.when(
+        F.size("toks") >= 3,
+        F.expr(
+            "transform(sequence(0, size(toks)-3),"
+            " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+SHINGLES_SQL = (
+    f"list_transform(range(1, len({TOKENS_SQL})-1),"
+    f" i -> {TOKENS_SQL}[i] || ' ' || {TOKENS_SQL}[i+1] || ' ' || {TOKENS_SQL}[i+2])"
+)
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -56,17 +80,23 @@ FROM documents GROUP BY 1
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document MinHash signature (8 hash functions over the distinct
-    token set). Explode + 8 min-aggs: one shuffle on doc_id with map-side
+    """Per-document MinHash signature (8 hash functions over the 3-gram
+    shingle set). Explode + 8 min-aggs: one shuffle on doc_id with map-side
     partial mins — signature computation is linear in corpus size."""
-    docs = load_table(spark, sf_dir, "documents")
-    exploded = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
+    # Repartition after the single-file scan so the md5 hashing (8 x shingles)
+    # runs on all cores, not the one scan partition.
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    exploded = docs.withColumn("toks", tokens_col()).select(
+        "doc_id", F.explode(shingles_col()).alias("shingle")
+    )
     return exploded.groupBy("doc_id").agg(*[_minhash_expr(i) for i in range(N_HASHES)])
 
 
 MINHASH_SIG_SQL = f"""
 SELECT doc_id, {', '.join(_minhash_sql(i) for i in range(N_HASHES))}
-FROM (SELECT doc_id, unnest({TOKENS_SQL}) AS token FROM documents)
+FROM (SELECT doc_id, unnest({SHINGLES_SQL}) AS shingle FROM documents)
 GROUP BY doc_id
 """
 
@@ -92,25 +122,33 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bs"),
     ).select("doc_id", "bs.band", "bs.h1", "bs.h2")
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.h1") == F.col("b.h1"))
-            & (F.col("a.h2") == F.col("b.h2"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    # Group docs per LSH bucket and emit in-bucket pairs, instead of a
+    # self-join: signatures are computed ONCE (a self-join would recompute
+    # the whole minhash subtree for each side) and the shuffle carries
+    # (band, h1, h2) -> [doc_id] buckets. A pathological bucket (everything
+    # identical) costs |bucket|^2 pairs — at production scale cap bucket
+    # size or pre-collapse exact duplicates first (dedup_exact).
+    buckets = (
+        bands.groupBy("band", "h1", "h2")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) ->"
+                " transform(slice(ids, i + 2, size(ids)), y ->"
+                " struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.doc_a", "p.doc_b").distinct()
 
 
 DEDUP_MINHASH_PAIRS_SQL = f"""
 WITH sigs AS (
   SELECT doc_id, {', '.join(_minhash_sql(i) for i in range(N_HASHES))}
-  FROM (SELECT doc_id, unnest({TOKENS_SQL}) AS token FROM documents)
+  FROM (SELECT doc_id, unnest({SHINGLES_SQL}) AS shingle FROM documents)
   GROUP BY doc_id
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -123,20 +161,22 @@ WHERE (a.mh0 = b.mh0 AND a.mh1 = b.mh1)
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Jaccard similarity over distinct-token sets for blocked candidate
-    pairs (blocking key = first token — an LSH-style band that bounds the
-    pair count; at scale the blocking key would be a minhash band). Emits
-    pairs with similarity >= 0.5."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
+    """Exact Jaccard similarity over distinct 3-gram shingle sets for blocked
+    candidate pairs (blocking key = first token — an LSH-style band that
+    bounds the pair count; at scale the blocking key would be a minhash
+    band). Emits pairs with similarity >= 0.2."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = docs.withColumn("toks", tokens_col()).select(
         "doc_id",
-        F.array_distinct(tokens_col()).alias("tok_set"),
-        tokens_col().getItem(0).alias("block"),
+        F.array_distinct(shingles_col()).alias("sh_set"),
+        F.col("toks").getItem(0).alias("block"),
     )
     a = toks.alias("a")
     b = toks.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.tok_set"), F.col("b.tok_set")))
-    union = F.size(F.col("a.tok_set")) + F.size(F.col("b.tok_set")) - inter
+    inter = F.size(F.array_intersect(F.col("a.sh_set"), F.col("b.sh_set")))
+    union = F.size(F.col("a.sh_set")) + F.size(F.col("b.sh_set")) - inter
     jac = F.round(inter.cast("double") / union.cast("double"), 6)
     return (
         a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -145,21 +185,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             jac.alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= 0.5)
+        .filter(F.col("jaccard") >= 0.2)
     )
 
 
 DEDUP_NGRAM_JACCARD_SQL = f"""
 WITH t AS (
-  SELECT doc_id, list_distinct({TOKENS_SQL}) AS tok_set, {TOKENS_SQL}[1] AS block
+  SELECT doc_id, list_distinct({SHINGLES_SQL}) AS sh_set, {TOKENS_SQL}[1] AS block
   FROM documents
 )
 SELECT doc_a, doc_b, jaccard FROM (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         ROUND(CAST(len(list_intersect(a.tok_set, b.tok_set)) AS DOUBLE)
-               / (len(a.tok_set) + len(b.tok_set) - len(list_intersect(a.tok_set, b.tok_set))), 6) AS jaccard
+         ROUND(CAST(len(list_intersect(a.sh_set, b.sh_set)) AS DOUBLE)
+               / (len(a.sh_set) + len(b.sh_set) - len(list_intersect(a.sh_set, b.sh_set))), 6) AS jaccard
   FROM t a JOIN t b ON a.block = b.block AND a.doc_id < b.doc_id
-) WHERE jaccard >= 0.5
+) WHERE jaccard >= 0.2
 """
 
 

@@ -36,8 +36,11 @@ def cosine_topk(
     n_queries: int = N_QUERIES,
     top_k: int = TOP_K,
 ) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        # single-file scan -> spread the dot-product evaluation across cores
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
     )
     queries = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")

@@ -46,6 +46,12 @@ def get_spark(app_name: str = "drive-health-etl-spark", cpus: int | None = None)
         # and explicit broadcast() hints on true dims still apply.
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Testdata tables are single parquet files (a few MB-30 MB); the
+        # default 128 MB split size would put each whole table in ONE input
+        # partition, serializing every narrow stage. 4 MB splits restore
+        # parallelism locally; on a real cluster inputs are many files and
+        # this knob is irrelevant.
+        .config("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
         # Driver testdata stores TIMESTAMP(NANOS) which Spark's vectorized
         # reader rejects; read as long and convert in the loader (tables.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -159,7 +159,12 @@ def messages_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from drive_health_etl_spark.sources.tables import load_table
 
-    events = load_table(spark, sf_dir, "events")
+    # Testdata is one single-row-group parquet file -> one scan partition;
+    # spread the (CPU-bound) JSON/base64 assembly across cores. At production
+    # scale the source arrives in many splits and this repartition goes away.
+    events = load_table(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     envelope = F.to_json(
         F.struct(
             F.lit("1").alias("envelope_version"),
