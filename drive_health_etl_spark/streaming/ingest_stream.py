@@ -1,0 +1,162 @@
+"""Structured Streaming wrapper around the batch ingest chain (SURVEY.md §2.8).
+
+The reference's micro-batcher (``src/batchProcessor.js:108-119``: flush at
+MAX_BATCH_SIZE or MAX_BATCH_WAIT_MS) *is* Structured Streaming's execution
+model — triggers control latency/size (ST1), checkpoints give at-least-once
+replay of failed micro-batches (ST4), ``query.stop()`` replaces the SIGTERM
+flush (ST2). Per-request promises vanish; per-row outcomes are columns.
+
+Exactly-once (ST3, the BigQuery insertId semantics of ``src/bq.js:49``):
+in-batch first-write-wins dedup (the batch chain's window) plus a
+cross-batch anti-join against warehouse keys already written for the
+incoming batch's *event-time range* (± ``dedup_horizon_days`` slack). A
+redelivered message carries its original ``occurred_at``, so only warehouse
+day-partitions overlapping the batch's event dates can contain its key —
+the anti-join build side is partition-pruned to those days (watermark-style
+bounded state; at 100 TB the read never touches cold partitions).
+
+DLQ branch (ST5): terminal rows append to a side parquet sink in the same
+``foreachBatch`` transaction scope. Replay (ST6/ST7) is the batch job in
+``operators.dlq`` pointed at the DLQ directory.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from drive_health_etl_spark.operators.ingest import ingest
+from drive_health_etl_spark.schemas import RAW_MESSAGE_SCHEMA
+
+
+@dataclass
+class StreamIngestConfig:
+    input_path: str
+    warehouse_path: str
+    dlq_path: str
+    checkpoint_path: str
+    audit_rate: float = 1.0
+    normalize_phones: bool = True
+    dedup_horizon_days: int = 7
+    max_files_per_trigger: int | None = None  # backpressure (ST1 size trigger)
+
+
+def _existing_keys(
+    spark: SparkSession, cfg: StreamIngestConfig, rows: DataFrame
+) -> DataFrame | None:
+    """Warehouse idempotency keys for the incoming batch's event-date range
+    (partition-pruned read; ± horizon days of slack for clock skew)."""
+    try:
+        wh = spark.read.parquet(cfg.warehouse_path)
+    except Exception:
+        return None  # first batch: warehouse doesn't exist yet
+    bounds = rows.agg(
+        F.min("event_date").alias("lo"), F.max("event_date").alias("hi")
+    ).collect()[0]
+    if bounds["lo"] is None:
+        return None  # empty batch
+    lo = F.date_sub(F.lit(bounds["lo"]), cfg.dedup_horizon_days)
+    hi = F.date_add(F.lit(bounds["hi"]), cfg.dedup_horizon_days)
+    return (
+        wh.filter((F.col("event_date") >= lo) & (F.col("event_date") <= hi))
+        .select("idempotency_key")
+        .distinct()
+    )
+
+
+def _process_batch(cfg: StreamIngestConfig):
+    def inner(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        # Multi-sink foreachBatch: persist so decode/validate runs once for
+        # warehouse + DLQ branches, not once per sink.
+        batch.persist()
+        rows = None
+        try:
+            res = ingest(batch, audit_rate=cfg.audit_rate, normalize_phones=cfg.normalize_phones)
+            rows = res.warehouse.withColumn("event_date", F.to_date("occurred_at"))
+            rows.persist()
+            existing = _existing_keys(spark, cfg, rows)
+            if existing is not None:
+                rows = rows.join(existing, "idempotency_key", "left_anti")
+            (
+                rows.repartition("event_date")
+                .sortWithinPartitions("tenant_id", "event_type")
+                .write.mode("append")
+                .partitionBy("event_date")
+                .parquet(cfg.warehouse_path)
+            )
+            if res.dlq.limit(1).count() > 0:
+                res.dlq.withColumn("epoch_id", F.lit(epoch_id)).write.mode("append").parquet(
+                    cfg.dlq_path
+                )
+        finally:
+            batch.unpersist()
+            if rows is not None:
+                rows.unpersist()
+
+    return inner
+
+
+def start_stream_ingest(spark: SparkSession, cfg: StreamIngestConfig, available_now: bool = True) -> StreamingQuery:
+    """Start the streaming ingest. ``available_now=True`` processes the
+    backlog then stops (batch-replay mode — also what tests use); otherwise
+    the query follows new files indefinitely."""
+    reader = (
+        spark.readStream.schema(RAW_MESSAGE_SCHEMA)
+        .format("parquet")
+    )
+    if cfg.max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", cfg.max_files_per_trigger)
+    raw = reader.load(cfg.input_path)
+
+    writer = (
+        raw.writeStream.foreachBatch(_process_batch(cfg))
+        .option("checkpointLocation", cfg.checkpoint_path)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_stream_ingest_blocking(spark: SparkSession, cfg: StreamIngestConfig) -> None:
+    """Process everything currently in input_path and return (ST2's graceful
+    drain: availableNow + awaitTermination)."""
+    q = start_stream_ingest(spark, cfg, available_now=True)
+    q.awaitTermination()
+
+
+def streaming_windowed_counts(
+    spark: SparkSession,
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """ST8 [ext]: watermarked tumbling-window aggregation over an event-time
+    stream — late rows beyond the watermark are dropped, state is bounded.
+    Pass a streaming DataFrame with (ts, event_type, value)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+def streaming_session_counts(
+    spark: SparkSession,
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """ST8 [ext]: watermarked session windows per user."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
