@@ -58,12 +58,22 @@ def main() -> None:
 
     # Warm the JVM/parquet footers once so timings measure steady state.
     run_one(spark, "a1_group_count", SF_DIR)
+    run_one(spark, "a5_agg_suite", SF_DIR)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         timings[name] = round(run_one(spark, name, SF_DIR), 3)
 
     total = round(sum(timings.values()), 3)
+
+    # Ingest throughput (rows/sec through decode->validate->sample->dedup->
+    # row-construction) — the figure comparable to BASELINE.md's
+    # messages/minute targets.
+    from drive_health_etl_spark.sources.tables import load_table
+
+    n_events = load_table(spark, SF_DIR, "events").count()
+    ingest_rows_per_sec = round(n_events / timings["pipeline_ingest_e2e"], 1)
+
     print(
         json.dumps(
             {
@@ -73,6 +83,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cpus": CPUS,
+                "ingest_rows_per_sec": ingest_rows_per_sec,
             }
         )
     )

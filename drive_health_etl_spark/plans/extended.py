@@ -1,0 +1,323 @@
+"""Extended operator coverage (SURVEY.md §2 rows not in relational.py):
+
+- F1/F2 phone normalization through the real pandas UDF, oracle-checked
+  against a SQL spec of the normalizer's rules on synthesized inputs.
+- Pivot / unpivot (stack).
+- GROUPING SETS via the SQL API (temp views), proving the spark.sql surface.
+- S9 table-metadata stats.
+- ST6 DLQ replay routing through ``operators.dlq.route_dlq``, oracle-checked
+  against an independent SQL statement of the routing contract.
+- Random-hyperplane LSH bucketing + bucketed ANN (the scale path for
+  similarity search: candidates share a bucket, so the scan is 1/|buckets|
+  of brute force). Plane weights are Python-computed float64 literals
+  embedded identically on both engines — no cross-engine math on weights.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from drive_health_etl_spark.functions.phone import normalize_phone_udf
+from drive_health_etl_spark.operators.dlq import route_dlq
+from drive_health_etl_spark.sources.tables import load_table, register_views
+
+# --- F1/F2: phone normalization (the one real UDF) --------------------------
+
+
+def f1_phone_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E.164 normalization via the pandas UDF over synthesized phone strings
+    (``src/phone.js:15-29``; golden formats from ``scripts/01:156-161``).
+    The oracle states the normalizer's contract in SQL; the Spark side must
+    reproduce it through the actual UDF path (Arrow batches and all)."""
+    e = load_table(spark, sf_dir, "events")
+    last4 = F.lpad((F.col("event_id") % 10000).cast("string"), 4, "0")
+    raw_phone = (
+        F.when(F.col("event_id") % 4 == 0, F.concat(F.lit("(415) 555-"), last4))
+        .when(F.col("event_id") % 4 == 1, F.concat(F.lit("415-555-"), last4))
+        .when(F.col("event_id") % 4 == 2, F.concat(F.lit("+44 20 7123 "), last4))
+        .otherwise(F.lit("not-a-phone"))
+    )
+    return e.select(
+        "event_id",
+        raw_phone.alias("raw_phone"),
+        normalize_phone_udf(raw_phone).alias("e164"),
+    )
+
+
+F1_SQL = """
+SELECT event_id,
+       CASE WHEN event_id % 4 = 0 THEN '(415) 555-' || lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0')
+            WHEN event_id % 4 = 1 THEN '415-555-' || lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0')
+            WHEN event_id % 4 = 2 THEN '+44 20 7123 ' || lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0')
+            ELSE 'not-a-phone' END AS raw_phone,
+       CASE WHEN event_id % 4 IN (0, 1) THEN '+1415555' || lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0')
+            WHEN event_id % 4 = 2 THEN '+44207123' || lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0')
+            ELSE NULL END AS e164
+FROM events
+"""
+
+
+# --- T4: pivot / unpivot ----------------------------------------------------
+
+EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def t4_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event counts per day into one column per event type."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.to_date("ts").alias("event_date"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+    )
+
+
+T4_PIVOT_SQL = f"""
+SELECT CAST(ts AS DATE) AS event_date,
+       {', '.join(f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}" for t in EVENT_TYPES)}
+FROM events GROUP BY 1
+"""
+
+
+def t4_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (stack) two measures of lineitem into rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(2, 'extendedprice', l_extendedprice, 'tax_rate', l_tax)"
+        ).alias("measure_name", "measure_value"),
+    )
+
+
+T4_UNPIVOT_SQL = """
+SELECT l_orderkey, l_linenumber, 'extendedprice' AS measure_name, l_extendedprice AS measure_value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'tax_rate' AS measure_name, l_tax AS measure_value FROM lineitem
+"""
+
+
+# --- A5: grouping sets via the SQL API --------------------------------------
+
+
+def a5_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS through spark.sql over registered temp views — the SQL
+    entry point of the engine (same Catalyst plan as the DataFrame API)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+A5_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+# --- S9: table metadata scan ------------------------------------------------
+
+
+def s9_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """numRows/key-range/cardinality monitoring scan (``src/bq.js:116-134``)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count("*").alias("num_rows"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+S9_SQL = """
+SELECT COUNT(*) AS num_rows, COUNT(DISTINCT o_custkey) AS n_customers,
+       MIN(o_orderdate) AS first_order, MAX(o_orderdate) AS last_order,
+       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+FROM orders
+"""
+
+
+# --- ST6: replay routing through the real operator --------------------------
+
+
+def st6_replay_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DLQ replay/parking routing (``src/replay-dlq-job.js:81-92``) exercised
+    through ``route_dlq`` on a synthesized DLQ; the oracle is an independent
+    SQL statement of the routing contract (attempts<3 -> replay with +1 and
+    hygiene-cleaned attributes; else parked)."""
+    e = load_table(spark, sf_dir, "events")
+    dlq = e.select(
+        F.lit("x").alias("data"),
+        F.create_map(
+            F.lit("googclient_delivery"), F.lit("t"),
+            F.lit("x-replay-attempts"), (F.col("event_id") % 5).cast("string"),
+        ).alias("attributes"),
+        F.concat(F.lit("m-"), F.col("event_id").cast("string")).alias("message_id"),
+        F.lit(None).cast("string").alias("ordering_key"),
+        F.lit("VALIDATION_ERROR").alias("status"),
+    )
+    routed = route_dlq(dlq)
+    replay = routed.replay.select(
+        "message_id",
+        F.lit("replay").alias("destination"),
+        F.col("attempts").alias("attempts_out"),
+        F.array_contains(F.map_keys("attributes"), "googclient_delivery").alias("kept_googclient"),
+    )
+    parked = routed.parked.select(
+        "message_id",
+        F.lit("parked").alias("destination"),
+        F.col("attempts").alias("attempts_out"),
+        F.array_contains(F.map_keys("attributes"), "googclient_delivery").alias("kept_googclient"),
+    )
+    return replay.union(parked)
+
+
+ST6_SQL = """
+SELECT 'm-' || CAST(event_id AS VARCHAR) AS message_id,
+       CASE WHEN event_id % 5 >= 3 THEN 'parked' ELSE 'replay' END AS destination,
+       CAST(CASE WHEN event_id % 5 >= 3 THEN event_id % 5 ELSE event_id % 5 + 1 END AS INTEGER) AS attempts_out,
+       FALSE AS kept_googclient
+FROM events
+"""
+
+
+# --- LSH-bucketed similarity (the ANN scale path) ---------------------------
+
+N_PLANES = 4
+DIM = 64
+
+
+def _plane_weights() -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1]^64, derived from
+    md5 so both engines receive IDENTICAL float64 literals (no cross-engine
+    arithmetic on weights)."""
+    planes = []
+    for p in range(N_PLANES):
+        row = []
+        for d in range(DIM):
+            h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16)
+            row.append(h / 0xFFFFFFFF * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+_PLANES = _plane_weights()
+
+
+def _dot_lit(e: Column, weights: list[float]) -> Column:
+    arr = F.array(*[F.lit(w) for w in weights])
+    return F.aggregate(F.zip_with(e, arr, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+
+
+def _bucket_expr(e: Column) -> Column:
+    code = F.lit(0)
+    for p, w in enumerate(_PLANES):
+        code = code + F.when(_dot_lit(e, w) > 0, F.lit(2**p)).otherwise(F.lit(0))
+    return code
+
+
+def _sql_weights(weights: list[float]) -> str:
+    return "[" + ", ".join(repr(w) for w in weights) + "]::DOUBLE[]"
+
+
+def _sql_bucket(col: str) -> str:
+    terms = [
+        f"(CASE WHEN list_dot_product({col}, {_sql_weights(w)}) > 0 THEN {2**p} ELSE 0 END)"
+        for p, w in enumerate(_PLANES)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket assignment + occupancy histogram."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    )
+    return (
+        emb.select(_bucket_expr(F.col("e")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"))
+    )
+
+
+SIM_LSH_BUCKETS_SQL = f"""
+SELECT {_sql_bucket('embedding::DOUBLE[]')} AS bucket, COUNT(*) AS n_vectors
+FROM embeddings GROUP BY 1
+"""
+
+
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN: per query (vec_id < 8), rank only same-bucket candidates
+    by cosine — the candidate scan is ~1/2^planes of brute force; recall
+    trades off via N_PLANES (multi-probe would union adjacent buckets)."""
+    from drive_health_etl_spark.operators.similarity import _dot, _norm
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .withColumn("bucket", _bucket_expr(F.col("e")))
+    )
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("bucket").alias("qb")
+    )
+    cand = emb.join(
+        F.broadcast(q), (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("query_id"))
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(_dot(F.col("qe"), F.col("e")) / (_norm(F.col("qe")) * _norm(F.col("e"))), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+SIM_ANN_LSH_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb, {_sql_bucket('embedding::DOUBLE[]')} AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.emb, c.emb)
+               / (sqrt(list_dot_product(q.emb, q.emb)) * sqrt(list_dot_product(c.emb, c.emb))), 6) AS cosine
+  FROM e q JOIN e c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < 8
+)
+SELECT query_id, neighbor_id, cosine, rnk FROM (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= 3
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "f1_phone_normalize": (f1_phone_normalize, F1_SQL),
+    "t4_pivot": (t4_pivot, T4_PIVOT_SQL),
+    "t4_unpivot": (t4_unpivot, T4_UNPIVOT_SQL),
+    "a5_grouping_sets": (a5_grouping_sets, A5_GROUPING_SETS_SQL),
+    "s9_table_stats": (s9_table_stats, S9_SQL),
+    "st6_replay_routing": (st6_replay_routing, ST6_SQL),
+    "sim_lsh_buckets": (sim_lsh_buckets, SIM_LSH_BUCKETS_SQL),
+    "sim_ann_lsh": (sim_ann_lsh, SIM_ANN_LSH_SQL),
+}

@@ -16,6 +16,7 @@ from drive_health_etl_spark.operators import dedup as _dedup
 from drive_health_etl_spark.operators import multimodal as _multimodal
 from drive_health_etl_spark.operators import similarity as _similarity
 from drive_health_etl_spark.operators import text as _text
+from drive_health_etl_spark.plans import extended as _extended
 from drive_health_etl_spark.plans import pipeline_queries as _pipeline
 from drive_health_etl_spark.plans import relational as _relational
 
@@ -42,6 +43,7 @@ def pipeline_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     **_relational.QUERIES,
     **_pipeline.QUERIES,
+    **_extended.QUERIES,
     **_text.QUERIES,
     **_dedup.QUERIES,
     **_similarity.QUERIES,
