@@ -203,9 +203,106 @@ SELECT doc_a, doc_b, jaccard FROM (
 """
 
 
+N_SIMHASH_BITS = 16
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document signatures: per token-hash bit position, majority
+    vote weighted +1/-1 across the document's tokens; identical signatures =
+    near-dup candidates. 16-bit variant (16 aggregates per doc — each a sum
+    over the exploded token hashes, all map-side combinable)."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    exploded = docs.select("doc_id", F.explode(tokens_col()).alias("token")).withColumn(
+        "h",
+        F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10).cast("long"),
+    )
+    votes = [
+        F.sum(2 * F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) - 1).alias(f"v{i}")
+        for i in range(N_SIMHASH_BITS)
+    ]
+    sig = exploded.groupBy("doc_id").agg(*votes)
+    code = sig.select(
+        "doc_id",
+        sum(
+            (F.when(F.col(f"v{i}") > 0, F.lit(2**i)).otherwise(F.lit(0)))
+            for i in range(N_SIMHASH_BITS)
+        ).alias("simhash"),
+    )
+    return code
+
+
+_SIMHASH_VOTES_SQL = ", ".join(
+    f"SUM(2 * ((h >> {i}) & 1) - 1) AS v{i}" for i in range(N_SIMHASH_BITS)
+)
+_SIMHASH_CODE_SQL = " + ".join(
+    f"(CASE WHEN v{i} > 0 THEN {2**i} ELSE 0 END)" for i in range(N_SIMHASH_BITS)
+)
+
+DEDUP_SIMHASH_SQL = f"""
+WITH hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, unnest({TOKENS_SQL}) AS token FROM documents)
+), votes AS (
+  SELECT doc_id, {_SIMHASH_VOTES_SQL} FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({_SIMHASH_CODE_SQL} AS BIGINT) AS simhash FROM votes
+"""
+
+
+def dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-blocked: only vectors in
+    the same random-hyperplane bucket are compared (the scale path — the
+    full cross join never materializes), then exact cosine above the
+    near-dup threshold (0.4 here — this corpus plants no vector dups, max
+    pairwise cosine ~0.51; production near-dup would use ~0.95)."""
+    from drive_health_etl_spark.operators.similarity import _dot, _norm
+    from drive_health_etl_spark.plans.extended import _bucket_expr
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .withColumn("bucket", _bucket_expr(F.col("e")))
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = F.round(
+        _dot(F.col("a.e"), F.col("b.e")) / (_norm(F.col("a.e")) * _norm(F.col("b.e"))), 6
+    )
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.4)
+    )
+
+
+def _dedup_embedding_near_sql() -> str:
+    from drive_health_etl_spark.plans.extended import _sql_bucket
+
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb, {_sql_bucket('embedding::DOUBLE[]')} AS bucket
+  FROM embeddings
+)
+SELECT vec_a, vec_b, cosine FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         ROUND(list_dot_product(a.emb, b.emb)
+               / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cosine
+  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+) WHERE cosine >= 0.4
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_signatures": (minhash_signatures, MINHASH_SIG_SQL),
     "dedup_minhash_pairs": (dedup_minhash_pairs, DEDUP_MINHASH_PAIRS_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
+    "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
+    "dedup_embedding_near": (dedup_embedding_near, _dedup_embedding_near_sql()),
 }

@@ -311,8 +311,75 @@ SELECT query_id, neighbor_id, cosine, rnk FROM (
 """
 
 
+# --- F5: base64 encode/decode roundtrip -------------------------------------
+
+
+def f5_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base64 encode/decode (F5, ``src/handler.js:44``/``replay-dlq-job.js:28``)
+    — the message-data codec of the ingest path, roundtripped."""
+    e = load_table(spark, sf_dir, "events")
+    encoded = F.base64(F.encode(F.col("props"), "utf-8"))
+    return e.select(
+        "event_id",
+        encoded.alias("b64"),
+        F.unbase64(encoded).cast("string").alias("decoded"),
+        (F.unbase64(encoded).cast("string") == F.col("props")).alias("roundtrip_ok"),
+    )
+
+
+F5_SQL = """
+SELECT event_id,
+       to_base64(encode(props)) AS b64,
+       decode(from_base64(to_base64(encode(props)))) AS decoded,
+       decode(from_base64(to_base64(encode(props)))) = props AS roundtrip_ok
+FROM events
+"""
+
+
+# --- W2b: rank / dense_rank -------------------------------------------------
+
+
+def w2b_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank + dense_rank over a key with real ties (order priority within
+    status) — distinguishes the three ranking functions."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(F.col("o_orderpriority").asc())
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+W2B_SQL = """
+SELECT o_orderkey, o_orderstatus, o_orderpriority,
+       RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority ASC) AS rnk,
+       DENSE_RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority ASC) AS drnk
+FROM orders
+"""
+
+
+# --- A5c: approximate aggregates (rows-only: sketch implementations differ) --
+
+
+def a5_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct + approximate percentiles. No DuckDB oracle —
+    sketch algorithms differ by design; pytest asserts <5%% error vs exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("p50_price"),
+        F.percentile_approx("l_extendedprice", 0.95).alias("p95_price"),
+    )
+
+
 QUERIES: dict[str, tuple] = {
     "f1_phone_normalize": (f1_phone_normalize, F1_SQL),
+    "f5_base64_roundtrip": (f5_base64_roundtrip, F5_SQL),
+    "w2b_rank_dense": (w2b_rank_dense, W2B_SQL),
+    "a5_approx_stats": (a5_approx_stats, None),
     "t4_pivot": (t4_pivot, T4_PIVOT_SQL),
     "t4_unpivot": (t4_unpivot, T4_UNPIVOT_SQL),
     "a5_grouping_sets": (a5_grouping_sets, A5_GROUPING_SETS_SQL),
