@@ -151,7 +151,86 @@ FROM documents
 """
 
 
+# Marker-word profiles for the n-gram/stopword language-ID heuristic. On this
+# synthetic corpus (shared English-ish vocab across lang labels) predictions
+# are uniform — the operator's value is the deterministic, oracle-checkable
+# scoring machinery, which transfers unchanged to real corpora.
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and"),
+    "es": ("el", "la", "de", "que"),
+    "de": ("der", "die", "und", "das"),
+    "fr": ("le", "la", "et", "les"),
+}
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: score = |doc tokens ∩ marker words| per
+    language; argmax via reverse struct-sort (score desc, lang desc on ties
+    — struct comparison is field-by-field in both engines, so the oracle
+    tiebreak matches). Pure array expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(tokens_col())
+    scores = F.array(
+        *[
+            F.struct(
+                F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in ms]))).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, ms in sorted(LANG_MARKERS.items())
+        ]
+    )
+    # argmax: sort by (-score, lang) and take the head
+    best = F.sort_array(scores, asc=False).getItem(0)
+    return docs.select(
+        "doc_id",
+        best.getField("lang").alias("predicted_lang"),
+        best.getField("score").alias("marker_hits"),
+    )
+
+
+def _langid_sql() -> str:
+    structs = ", ".join(
+        f"{{'score': len(list_intersect(toks, {list(ms)!r})), 'lang': '{lang}'}}"
+        for lang, ms in sorted(LANG_MARKERS.items())
+    )
+    return f"""
+WITH t AS (SELECT doc_id, list_distinct({TOKENS_SQL}) AS toks FROM documents),
+scored AS (SELECT doc_id, list_reverse_sort([{structs}]) AS s FROM t)
+SELECT doc_id, s[1].lang AS predicted_lang, CAST(s[1].score AS INTEGER) AS marker_hits
+FROM scored
+"""
+
+
+BPE_ISH_REGEX = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-cost estimation with a GPT-2-style regex pre-tokenizer
+    (letters / digits / punctuation runs with leading-space affinity) —
+    the standard 'how many tokens is this corpus' pipeline stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = F.expr(f"regexp_extract_all(text, '{BPE_ISH_REGEX}', 0)")
+    n_pieces = F.size(pieces)
+    return docs.select(
+        "doc_id",
+        n_pieces.alias("n_bpe_pieces"),
+        F.length("text").alias("n_chars"),
+        F.round(F.length("text").cast("double") / n_pieces, 6).alias("chars_per_piece"),
+    )
+
+
+TEXT_BPE_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{BPE_ISH_REGEX}')) AS n_bpe_pieces,
+       length(text) AS n_chars,
+       ROUND(CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, '{BPE_ISH_REGEX}')), 6) AS chars_per_piece
+FROM documents
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "text_langid": (text_langid, _langid_sql()),
+    "text_bpe_token_count": (text_bpe_token_count, TEXT_BPE_SQL),
     "text_tokens": (text_tokens, TEXT_TOKENS_SQL),
     "text_word_freq": (text_word_freq, TEXT_WORD_FREQ_SQL),
     "text_lang_dist": (text_lang_dist, TEXT_LANG_DIST_SQL),

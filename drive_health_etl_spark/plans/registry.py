@@ -40,7 +40,59 @@ def pipeline_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def st_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful streaming (applyInPandasWithState) driven to
+    completion: per-user running counters accumulated across TWO micro-batches
+    (maxFilesPerTrigger=1), final snapshot per user. The oracle is the plain
+    batch aggregate — state accumulation across batches must converge to it."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from drive_health_etl_spark.sources.tables import load_table
+    from drive_health_etl_spark.streaming.stateful import stateful_user_counters
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    src = tempfile.mkdtemp(prefix="dhe_stateful_src_")
+    events.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    events.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(src)
+    )
+    sink = f"stateful_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        stateful_user_counters(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"""
+        SELECT user_id, n_events, ROUND(total_value, 6) AS total_value FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n_events DESC) AS rn
+          FROM {sink}
+        ) WHERE rn = 1
+        """
+    )
+
+
+ST_STATEFUL_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS total_value
+FROM events GROUP BY user_id
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "st_stateful_counters": (st_stateful_counters, ST_STATEFUL_SQL),
     **_relational.QUERIES,
     **_pipeline.QUERIES,
     **_extended.QUERIES,

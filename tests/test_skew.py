@@ -1,0 +1,63 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from drive_health_etl_spark.operators.skew import salted_join, skewed_key_profile
+from drive_health_etl_spark.sources.tables import load_table
+
+
+def _skewed_events(spark, sf_dir):
+    # 90% of rows collapse onto one hot tenant
+    e = load_table(spark, sf_dir, "events")
+    return e.withColumn(
+        "tenant",
+        F.when(F.col("event_id") % 10 < 9, F.lit("hot-tenant")).otherwise(
+            F.concat(F.lit("t-"), (F.col("event_id") % 50).cast("string"))
+        ),
+    )
+
+
+def _tenant_dim(spark, events):
+    return (
+        events.select("tenant").distinct().withColumn("region", F.substring("tenant", 1, 1))
+    )
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    events = _skewed_events(spark, sf_dir)
+    dim = _tenant_dim(spark, events)
+    plain = events.join(dim, "tenant").groupBy("tenant", "region").count()
+    salted = salted_join(events, dim, "tenant", n_salts=8).groupBy("tenant", "region").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_outer_matches(spark, sf_dir):
+    events = _skewed_events(spark, sf_dir)
+    # dim missing the hot tenant -> left join keeps unmatched rows
+    dim = _tenant_dim(spark, events).filter(F.col("tenant") != "hot-tenant")
+    plain = events.join(dim, "tenant", "left").groupBy("region").count()
+    salted = salted_join(events, dim, "tenant", n_salts=8, how="left").groupBy("region").count()
+    key = lambda t: tuple(map(str, t))
+    assert sorted(map(tuple, plain.collect()), key=key) == sorted(
+        map(tuple, salted.collect()), key=key
+    )
+
+
+def test_salted_join_spreads_hot_key(spark, sf_dir):
+    events = _skewed_events(spark, sf_dir)
+    dim = _tenant_dim(spark, events)
+    salted_big = events.withColumn(
+        "_salt", F.pmod(F.hash(*[F.col(c) for c in events.columns]), F.lit(8))
+    )
+    # the hot key's rows actually land on multiple salts
+    n_salts_used = (
+        salted_big.filter(F.col("tenant") == "hot-tenant").select("_salt").distinct().count()
+    )
+    assert n_salts_used == 8
+
+
+def test_skewed_key_profile(spark, sf_dir):
+    events = _skewed_events(spark, sf_dir)
+    prof = skewed_key_profile(events, "tenant", top=3).collect()
+    assert prof[0]["tenant"] == "hot-tenant"
+    assert prof[0]["fraction"] > 0.85
