@@ -79,6 +79,30 @@ GROUP BY event_type
 """
 
 
+def o2_timestamp_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp-validity predicate (O2, ``src/validation.js:20-22``):
+    ISO strings (one in seven corrupted) -> try-parse -> validity split
+    counts. try_to_timestamp/TRY_CAST are the engine-native Date.parse."""
+    e = load_table(spark, sf_dir, "events")
+    iso = F.when(
+        F.col("event_id") % 7 == 0, F.lit("not-a-date")
+    ).otherwise(F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+    parsed = F.try_to_timestamp(iso)
+    return (
+        e.select(parsed.isNotNull().alias("ts_valid"))
+        .groupBy("ts_valid")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+O2_SQL = """
+SELECT TRY_CAST(CASE WHEN event_id % 7 = 0 THEN 'not-a-date'
+                     ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS TIMESTAMP) IS NOT NULL AS ts_valid,
+       COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
+
 def o3_key_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-way key precedence (O3, ``src/validation.js:33-42``) over JSON props:
     $.call_id > $.message_id > trace fallback."""
@@ -257,6 +281,7 @@ QUERIES: dict[str, tuple] = {
     "a2_dup_check": (a2_dup_check, A2_SQL),
     "a4_sampling_rate_observed": (a4_sampling_rate_observed, A4_SQL),
     "o1_required_filter": (o1_required_filter, O1_SQL),
+    "o2_timestamp_validity": (o2_timestamp_validity, O2_SQL),
     "o3_key_coalesce": (o3_key_coalesce, O3_SQL),
     "o6_sampling_filter": (o6_sampling_filter, O6_SQL),
     "s4_row_construct": (s4_row_construct, S4_SQL),
