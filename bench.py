@@ -38,7 +38,10 @@ HEADLINE = [
     "text_quality",
     "dedup_exact",
     "dedup_minhash_pairs",
+    "dedup_simhash",
     "sim_cosine_topk",
+    "sim_ann_lsh",
+    "text_bpe_token_count",
     "pipeline_ingest_e2e",
 ]
 
