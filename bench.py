@@ -59,9 +59,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 
-    # Warm the JVM/parquet footers once so timings measure steady state.
+    # Warm the JVM/parquet footers AND the ingest chain's generated code once
+    # so timings measure steady state (first ingest run pays ~10s of codegen
+    # + C2 compilation that a long-running cluster never re-pays).
     run_one(spark, "a1_group_count", SF_DIR)
     run_one(spark, "a5_agg_suite", SF_DIR)
+    run_one(spark, "pipeline_ingest_e2e", SF_DIR)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

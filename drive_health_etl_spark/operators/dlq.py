@@ -42,6 +42,14 @@ class ReplayResult:
     parked: DataFrame  # attempts >= MAX -> parking lot with reason attrs
 
 
+@dataclass
+class ReplayJobStats:
+    n_replayed: int
+    n_parked: int
+    n_recovered: int  # replayed rows that ingested successfully this cycle
+    n_requeued: int  # replayed rows that failed again -> back in DLQ
+
+
 def route_dlq(dlq: DataFrame, max_attempts: int = MAX_REPLAY_ATTEMPTS) -> ReplayResult:
     """Split DLQ into replayable vs parked (``src/replay-dlq-job.js:81-92``).
 
@@ -84,3 +92,63 @@ def route_dlq(dlq: DataFrame, max_attempts: int = MAX_REPLAY_ATTEMPTS) -> Replay
         .drop("_attempts")
     )
     return ReplayResult(replay=replay, parked=parked)
+
+
+def run_replay_job(
+    spark,
+    dlq_path: str,
+    warehouse_path: str,
+    parking_path: str,
+    max_attempts: int = MAX_REPLAY_ATTEMPTS,
+    audit_rate: float = 1.0,
+) -> ReplayJobStats:
+    """The full replay cycle of ``src/replay-dlq-job.js:121-147`` as one batch
+    job: read DLQ -> route (attempts cap) -> re-ingest replayable messages
+    through the SAME ingest chain -> append recovered rows to the warehouse,
+    requeue still-failing ones (attempt counter kept), park the rest.
+
+    The reference acks a DLQ message only after successful republish
+    (no-loss, ``docs/dlq-replay.md:13``); batch-side the equivalent is: the
+    DLQ dir is rewritten LAST, only after warehouse/parking appends land.
+    """
+    from drive_health_etl_spark.operators.ingest import ingest
+
+    dlq = spark.read.parquet(dlq_path)
+    routed = route_dlq(dlq, max_attempts=max_attempts)
+    routed.replay.persist()
+    routed.parked.persist()
+
+    res = ingest(
+        routed.replay.select("data", "attributes", "message_id", "ordering_key"),
+        audit_rate=audit_rate,
+    )
+    res.warehouse.persist()
+    n_replayed = routed.replay.count()
+    n_parked = routed.parked.count()
+    n_recovered = res.warehouse.count()
+
+    if n_recovered:
+        (
+            res.warehouse.withColumn("event_date", F.to_date("occurred_at"))
+            .write.mode("append")
+            .partitionBy("event_date")
+            .parquet(warehouse_path)
+        )
+    if n_parked:
+        routed.parked.write.mode("append").parquet(parking_path)
+
+    # still-terminal messages go back to the DLQ with their incremented
+    # attempt counters (next cycle parks them once they hit the cap)
+    requeued = routed.replay.join(res.dlq.select("message_id"), "message_id", "left_semi")
+    n_requeued = requeued.count()
+    requeued = requeued.localCheckpoint(eager=True)  # DLQ dir is about to be rewritten
+    requeued.write.mode("overwrite").parquet(dlq_path)
+
+    for df in (routed.replay, routed.parked, res.warehouse):
+        df.unpersist()
+    return ReplayJobStats(
+        n_replayed=n_replayed,
+        n_parked=n_parked,
+        n_recovered=n_recovered,
+        n_requeued=n_requeued,
+    )
