@@ -233,6 +233,64 @@ FROM events GROUP BY event_type
 """
 
 
+def f6_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType path for semi-structured payloads (SURVEY.md §1.2):
+    parse_json once -> typed try_variant_get extraction — the binary-encoded
+    upgrade over per-path get_json_object string re-parsing. Oracle: plain
+    JSON extraction (same values, different engine internals)."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "long")
+    return e.groupBy("event_type").agg(
+        F.count(k).alias("n"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.sum(k).alias("sum_k"),
+    )
+
+
+F6_VARIANT_SQL = """
+SELECT event_type,
+       COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+FROM events GROUP BY event_type
+"""
+
+
+def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile (expectations-suite shape): per-column null
+    counts, distinct cardinality, and range bounds for orders — the check
+    run before promoting a batch into the warehouse."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("null_custkey"),
+        F.sum(F.col("o_totalprice").isNull().cast("long")).alias("null_totalprice"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("nonpositive_price"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.sum((F.col("o_orderdate") > F.current_timestamp()).cast("long")).alias("future_dates"),
+    )
+
+
+DQ_PROFILE_SQL = """
+SELECT COUNT(*) AS n_rows,
+       SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_custkey,
+       SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS null_totalprice,
+       SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS nonpositive_price,
+       COUNT(DISTINCT o_orderstatus) AS n_statuses,
+       COUNT(DISTINCT o_orderpriority) AS n_priorities,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price,
+       SUM(CASE WHEN o_orderdate > now() THEN 1 ELSE 0 END) AS future_dates
+FROM orders
+"""
+
+
 def f9_date_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DATE(occurred_at) bucketing (F9, ``scripts/01:152``) — the predicate
     shape that partition pruning serves on the warehouse table."""
@@ -287,6 +345,8 @@ QUERIES: dict[str, tuple] = {
     "s4_row_construct": (s4_row_construct, S4_SQL),
     "o4_status_router": (o4_status_router, O4_SQL),
     "f12_error_match": (f12_error_match, F12_SQL),
+    "f6_variant_json": (f6_variant_json, F6_VARIANT_SQL),
     "f7_json_extract": (f7_json_extract, F7_SQL),
+    "dq_profile": (dq_profile, DQ_PROFILE_SQL),
     "f9_date_group": (f9_date_group, F9_SQL),
 }
