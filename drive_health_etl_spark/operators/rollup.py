@@ -1,0 +1,66 @@
+"""Incremental materialized rollup maintenance.
+
+The reference's monitoring layer repeatedly re-runs
+``GROUP BY tenant_id, event_type`` aggregates over the warehouse
+(``src/load-test.js:135``, ``docs/monitoring.md``); at 100 TB those become
+full-table scans. The standard fix: maintain a day-grained rollup table
+(tenant_id, event_type, event_date, n_events, sum-state) and refresh ONLY
+the partitions a new batch touched — count/sum states are decomposable, so
+per-day partials recomputed from one day's data replace that day's rollup
+rows exactly (dynamic partition overwrite again).
+
+Any coarser aggregate (per-tenant totals, monthly counts) folds from the
+rollup without touching the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ROLLUP_KEYS = ("event_date", "tenant_id", "event_type")
+
+
+def _day_rollup(rows: DataFrame) -> DataFrame:
+    return rows.groupBy(*ROLLUP_KEYS).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("sampled").cast("long")).alias("n_sampled"),
+        F.countDistinct("idempotency_key").alias("n_keys"),
+    )
+
+
+def refresh_rollup(
+    spark: SparkSession,
+    warehouse_path: str,
+    rollup_path: str,
+    touched_dates: list | None = None,
+) -> int:
+    """Refresh the rollup for ``touched_dates`` (None = detect nothing and
+    rebuild everything — first run). Returns number of refreshed partitions.
+
+    Reading the fact table prunes to the touched day-partitions; the rewrite
+    replaces only those rollup partitions."""
+    wh = spark.read.parquet(warehouse_path)
+    if touched_dates is not None:
+        wh = wh.filter(F.col("event_date").isin(touched_dates))
+    rolled = _day_rollup(wh).localCheckpoint(eager=True)
+    n_parts = rolled.select("event_date").distinct().count()
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    mode = "overwrite"
+    (
+        rolled.repartition("event_date")
+        .write.mode(mode)
+        .partitionBy("event_date")
+        .parquet(rollup_path)
+    )
+    return n_parts
+
+
+def rollup_totals(spark: SparkSession, rollup_path: str) -> DataFrame:
+    """The reference's verification aggregate served FROM the rollup —
+    per-(tenant, event_type) totals without scanning the fact table."""
+    r = spark.read.parquet(rollup_path)
+    return r.groupBy("tenant_id", "event_type").agg(
+        F.sum("n_events").alias("event_count"),
+        F.sum("n_sampled").alias("sampled_count"),
+    )
