@@ -19,6 +19,7 @@ from drive_health_etl_spark.operators import text as _text
 from drive_health_etl_spark.plans import extended as _extended
 from drive_health_etl_spark.plans import pipeline_queries as _pipeline
 from drive_health_etl_spark.plans import relational as _relational
+from drive_health_etl_spark.plans import scalar_suite as _scalar
 
 
 def pipeline_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -96,6 +97,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     **_relational.QUERIES,
     **_pipeline.QUERIES,
     **_extended.QUERIES,
+    **_scalar.QUERIES,
     **_text.QUERIES,
     **_dedup.QUERIES,
     **_similarity.QUERIES,

@@ -1,0 +1,213 @@
+"""Scalar-function breadth suite (SURVEY.md §2.3 generalized): string, date,
+math functions, subquery forms, and null semantics — each as one wide
+oracle-checked query so the function surface is hash-verified, not assumed.
+
+Engine-parity notes baked in:
+- ``dayofweek`` origins differ (Spark 1=Sun, DuckDB 0=Sun) -> use Spark
+  ``weekday`` (0=Mon) vs DuckDB ``isodow - 1``.
+- Transcendentals (exp/ln/pow) agree through libm but outputs round to 6dp
+  anyway under the global float policy.
+- ``initcap`` doesn't exist in DuckDB -> not used.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from drive_health_etl_spark.sources.tables import load_table, register_views
+
+
+def f_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_head"),
+        F.trim(F.lit("  x  ")).alias("trimmed"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("key_padded"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.translate("p_type", "aeiou", "AEIOU").alias("type_caps_vowels"),
+        F.levenshtein("p_brand", F.lit("Brand#00")).alias("brand_dist"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.split(F.col("p_type"), " ").getItem(0).alias("type_first_word"),
+    )
+
+
+F_STRING_SQL = """
+SELECT p_partkey,
+       upper(p_brand) AS brand_upper,
+       lower(p_type) AS type_lower,
+       length(p_name) AS name_len,
+       substr(p_name, 1, 5) AS name_head,
+       trim('  x  ') AS trimmed,
+       lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+       reverse(p_brand) AS brand_rev,
+       translate(p_type, 'aeiou', 'AEIOU') AS type_caps_vowels,
+       levenshtein(p_brand, 'Brand#00') AS brand_dist,
+       p_brand || '|' || p_type AS brand_type,
+       string_split(p_type, ' ')[1] AS type_first_word
+FROM part
+"""
+
+
+def f_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("y"),
+        F.month(d).alias("m"),
+        F.dayofmonth(d).alias("dom"),
+        F.weekday(d).alias("wd"),
+        F.quarter(d).alias("q"),
+        F.date_add(d, 30).alias("plus30"),
+        F.add_months(d, 2).alias("plus2m"),
+        F.last_day(d).alias("month_end"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d).alias("days_to_2002"),
+        # date_trunc returns TIMESTAMP in Spark but DATE in DuckDB — align
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+    )
+
+
+F_DATE_SQL = """
+SELECT o_orderkey,
+       year(o_orderdate) AS y,
+       month(o_orderdate) AS m,
+       dayofmonth(o_orderdate) AS dom,
+       isodow(o_orderdate) - 1 AS wd,
+       quarter(o_orderdate) AS q,
+       CAST(o_orderdate AS DATE) + 30 AS plus30,
+       CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus2m,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start
+FROM orders
+"""
+
+
+def f_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    x = F.col("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        F.abs(x * -1).alias("abs_price"),
+        F.round(F.sqrt(x), 6).alias("sqrt_price"),
+        F.round(F.log(x), 6).alias("ln_price"),
+        F.round(F.log10(x), 6).alias("log10_price"),
+        F.round(F.exp(F.col("l_discount")), 6).alias("exp_disc"),
+        F.round(F.pow(F.col("l_quantity"), F.lit(1.5)), 6).alias("qty_pow"),
+        F.floor(x).cast("long").alias("floor_price"),
+        F.ceil(x).cast("long").alias("ceil_price"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).alias("key_mod7"),
+        F.greatest(F.col("l_discount"), F.col("l_tax")).alias("max_rate"),
+        F.least(F.col("l_discount"), F.col("l_tax")).alias("min_rate"),
+        F.sign(F.col("l_discount") - 0.05).alias("disc_sign"),
+    )
+
+
+F_MATH_SQL = """
+SELECT l_orderkey,
+       abs(l_extendedprice * -1) AS abs_price,
+       round(sqrt(l_extendedprice), 6) AS sqrt_price,
+       round(ln(l_extendedprice), 6) AS ln_price,
+       round(log10(l_extendedprice), 6) AS log10_price,
+       round(exp(l_discount), 6) AS exp_disc,
+       round(pow(l_quantity, 1.5), 6) AS qty_pow,
+       CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+       CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+       l_orderkey % 7 AS key_mod7,
+       greatest(l_discount, l_tax) AS max_rate,
+       least(l_discount, l_tax) AS min_rate,
+       CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
+FROM lineitem WHERE l_linenumber = 1
+"""
+
+
+def sub_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery via the SQL API: orders above the global mean price."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > (SELECT ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                                           / COUNT(*), 6) FROM orders)
+        """
+    )
+
+
+SUB_SCALAR_SQL = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice > (SELECT ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                                   / COUNT(*), 6) FROM orders)
+"""
+
+
+def sub_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated IN subquery via the SQL API."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        """
+    )
+
+
+SUB_IN_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling corners: COUNT(col) vs COUNT(*), null-safe equality,
+    COALESCE/NULLIF, null grouping key — with nulls injected 1-in-5."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(F.col("value"))
+    t = F.when(F.col("event_id") % 3 == 0, F.lit(None)).otherwise(F.col("event_type"))
+    return (
+        e.select(
+            t.alias("t"),
+            v.alias("v"),
+            v.eqNullSafe(F.lit(None).cast("double")).alias("is_null_nullsafe"),
+            F.nullif(F.col("event_type"), F.lit("error")).alias("type_or_null"),
+        )
+        .groupBy("t")
+        .agg(
+            F.count("*").alias("n_all"),
+            F.count("v").alias("n_nonnull"),
+            F.sum(F.col("is_null_nullsafe").cast("long")).alias("n_nullsafe_true"),
+            F.count("type_or_null").alias("n_not_error"),
+        )
+    )
+
+
+NULL_SEMANTICS_SQL = """
+SELECT t, COUNT(*) AS n_all, COUNT(v) AS n_nonnull,
+       SUM(CASE WHEN v IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS n_nullsafe_true,
+       COUNT(type_or_null) AS n_not_error
+FROM (
+  SELECT CASE WHEN event_id % 3 = 0 THEN NULL ELSE event_type END AS t,
+         CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v,
+         NULLIF(event_type, 'error') AS type_or_null
+  FROM events
+)
+GROUP BY t
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "f_string_suite": (f_string_suite, F_STRING_SQL),
+    "f_date_suite": (f_date_suite, F_DATE_SQL),
+    "f_math_suite": (f_math_suite, F_MATH_SQL),
+    "sub_scalar_subquery": (sub_scalar_subquery, SUB_SCALAR_SQL),
+    "sub_in_subquery": (sub_in_subquery, SUB_IN_SQL),
+    "null_semantics": (null_semantics, NULL_SEMANTICS_SQL),
+}
