@@ -203,7 +203,79 @@ GROUP BY t
 """
 
 
+def a5_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: exact percentiles (linear interpolation in
+    both engines), stddev/variance, correlation/covariance, skewness/
+    kurtosis (rounded to 4 — accumulation formulas differ in the last ulp)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias("p99"),
+        F.round(F.stddev_samp(x), 4).alias("sd"),
+        F.round(F.var_samp(x), 2).alias("var"),
+        F.round(F.corr(x, y), 6).alias("price_qty_corr"),
+        F.round(F.covar_samp(x, y), 2).alias("price_qty_cov"),
+        F.round(F.skewness(x), 4).alias("skew"),
+        F.round(F.kurtosis(x), 4).alias("kurt"),
+    )
+
+
+A5_STATS_SQL = """
+SELECT round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+       round(quantile_cont(l_extendedprice, 0.99), 6) AS p99,
+       round(stddev_samp(l_extendedprice), 4) AS sd,
+       round(var_samp(l_extendedprice), 2) AS var,
+       round(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr,
+       round(covar_samp(l_extendedprice, l_quantity), 2) AS price_qty_cov,
+       round(skewness(l_extendedprice), 4) AS skew,
+       round(kurtosis(l_extendedprice), 4) AS kurt
+FROM lineitem
+"""
+
+
+def f_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface over the embedding vectors: slice, element
+    access, sort, distinct count, position, sequence/zip arithmetic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id",
+        F.size(e).alias("dim"),
+        F.round(F.element_at(e, 1), 6).alias("first"),
+        F.round(F.element_at(e, -1), 6).alias("last"),
+        F.round(F.array_max(e), 6).alias("vmax"),
+        F.round(F.array_min(e), 6).alias("vmin"),
+        F.round(F.element_at(F.slice(e, 1, 4), 2), 6).alias("slice_2nd"),
+        F.round(F.element_at(F.sort_array(e), 3), 6).alias("third_smallest"),
+        F.size(F.array_distinct(e)).alias("n_distinct"),
+        F.round(
+            F.aggregate(F.zip_with(e, e, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v),
+            6,
+        ).alias("self_dot"),
+    )
+
+
+F_ARRAY_SQL = """
+SELECT vec_id,
+       len(embedding) AS dim,
+       round((embedding::DOUBLE[])[1], 6) AS first,
+       round((embedding::DOUBLE[])[-1], 6) AS last,
+       round(list_max(embedding::DOUBLE[]), 6) AS vmax,
+       round(list_min(embedding::DOUBLE[]), 6) AS vmin,
+       round((embedding::DOUBLE[])[1:4][2], 6) AS slice_2nd,
+       round(list_sort(embedding::DOUBLE[])[3], 6) AS third_smallest,
+       len(list_distinct(embedding::DOUBLE[])) AS n_distinct,
+       round(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]), 6) AS self_dot
+FROM embeddings
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "a5_stats_suite": (a5_stats_suite, A5_STATS_SQL),
+    "f_array_suite": (f_array_suite, F_ARRAY_SQL),
     "f_string_suite": (f_string_suite, F_STRING_SQL),
     "f_date_suite": (f_date_suite, F_DATE_SQL),
     "f_math_suite": (f_math_suite, F_MATH_SQL),
