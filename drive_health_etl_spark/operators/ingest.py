@@ -147,6 +147,12 @@ def ingest(raw: DataFrame, audit_rate: float = 1.0, normalize_phones: bool = Tru
     normalization so sampled-out rows never pay the UDF (the reference's
     early-exit, ``src/handler.js:50-60`` — here it's explicit operator order).
     """
+    # ingest may receive DataFrames that never went through load_table
+    # (fixtures, streams) — make sure workers can import the phone UDF module
+    from drive_health_etl_spark.session import ship_package
+
+    ship_package(raw.sparkSession)
+
     validated = validate_envelopes(decode_messages(raw))
 
     dlq = validated.filter(F.col("status").isin(*schemas.TERMINAL_STATUSES)).select(

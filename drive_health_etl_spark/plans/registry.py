@@ -75,6 +75,9 @@ def st_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    import shutil
+
+    shutil.rmtree(src, ignore_errors=True)  # snapshots live in the memory sink now
     return spark.sql(
         f"""
         SELECT user_id, n_events, ROUND(total_value, 6) AS total_value FROM (

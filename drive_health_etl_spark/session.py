@@ -20,6 +20,38 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+_SHIPPED_APP_IDS: set[str] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on Python WORKERS of an
+    already-running SparkSession (pandas UDFs / applyInPandasWithState
+    pickle references to our modules).
+
+    PYTHONPATH only helps if set before the JVM launches; a caller-provided
+    session (the driver's) may exist already — so zip the package and
+    ``addPyFile`` it, which distributes to workers at runtime. Idempotent
+    per app."""
+    app_id = spark.sparkContext.applicationId
+    if app_id in _SHIPPED_APP_IDS:
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    # fresh zip per process (a cached /tmp zip could ship stale code)
+    fd, zip_path = tempfile.mkstemp(prefix="dhe_pkg_", suffix=".zip")
+    os.close(fd)
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    rel = os.path.join("drive_health_etl_spark", os.path.relpath(full, pkg_dir))
+                    zf.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED_APP_IDS.add(app_id)
+
 
 def get_spark(app_name: str = "drive-health-etl-spark", cpus: int | None = None) -> SparkSession:
     cpus = cpus or DEFAULT_CPUS

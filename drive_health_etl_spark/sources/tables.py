@@ -46,6 +46,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # UTC-stable date semantics. Both are runtime-settable SQL confs.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # And ship the package to Python workers (pandas UDFs downstream) — a
+    # no-op after the first call per app.
+    from drive_health_etl_spark.session import ship_package
+
+    ship_package(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _TS_COLUMNS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":
