@@ -190,6 +190,36 @@ FROM events GROUP BY 1
 """
 
 
+def o5_sink_error_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row sink-error routing (O5, ``src/batchProcessor.js:22-36``):
+    BQ insert error reason -> duplicate(=success) / invalid(terminal) /
+    transient(retry). Reasons synthesized deterministically from events."""
+    e = load_table(spark, sf_dir, "events")
+    reason = (
+        F.when(F.col("event_id") % 11 == 0, F.lit("duplicate"))
+        .when(F.col("event_id") % 11 == 1, F.lit("invalid"))
+        .when(F.col("event_id") % 11 == 2, F.lit("backendError"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    outcome = (
+        F.when(reason == "duplicate", F.lit("SUCCESS_DEDUP"))
+        .when(reason == "invalid", F.lit("TERMINAL_422"))
+        .when(reason.isNotNull(), F.lit("TRANSIENT_503"))
+        .otherwise(F.lit("SUCCESS_INSERT"))
+    )
+    return e.select(outcome.alias("outcome")).groupBy("outcome").agg(F.count("*").alias("n"))
+
+
+O5_SQL = """
+SELECT CASE WHEN event_id % 11 = 0 THEN 'SUCCESS_DEDUP'
+            WHEN event_id % 11 = 1 THEN 'TERMINAL_422'
+            WHEN event_id % 11 = 2 THEN 'TRANSIENT_503'
+            ELSE 'SUCCESS_INSERT' END AS outcome,
+       COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
+
 def f12_error_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lower()+contains error-string classification (F12,
     ``src/handler.js:23-29``)."""
@@ -299,14 +329,14 @@ def f9_date_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.to_date("ts").alias("event_date"))
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
     )
 
 
 F9_SQL = """
 SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS n,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1
 """
 
@@ -344,6 +374,7 @@ QUERIES: dict[str, tuple] = {
     "o6_sampling_filter": (o6_sampling_filter, O6_SQL),
     "s4_row_construct": (s4_row_construct, S4_SQL),
     "o4_status_router": (o4_status_router, O4_SQL),
+    "o5_sink_error_router": (o5_sink_error_router, O5_SQL),
     "f12_error_match": (f12_error_match, F12_SQL),
     "f6_variant_json": (f6_variant_json, F6_VARIANT_SQL),
     "f7_json_extract": (f7_json_extract, F7_SQL),

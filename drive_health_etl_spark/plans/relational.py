@@ -26,26 +26,32 @@ from drive_health_etl_spark.sources.tables import load_table
 
 def _dsum(col, scale: int, out: str):
     """Order-independent exact sum of a double column: cast each element to
-    decimal(18,scale), sum exactly, emit double."""
+    decimal(18,scale), sum exactly, emit double.
+
+    NO final round: the decimal sums are bit-identical across engines and so
+    is the decimal->double conversion (correctly rounded in both), whereas
+    round-on-double DIVERGES near double's precision edge — DuckDB's
+    multiply/divide round corrupts the 16th significant digit when
+    |x| * 10^scale approaches 2^53 (observed on sum_charge at sf0.1)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(F.sum(c.cast(f"decimal(18,{scale})")).cast("double"), scale).alias(out)
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double").alias(out)
 
 
-def _davg(col, scale: int, out: str, round_to: int = 6):
+def _davg(col, scale: int, out: str):
+    """Exact decimal sum -> double, divided by count. Division of identical
+    doubles is identical (IEEE); no round for the same reason as _dsum."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(
-        F.sum(c.cast(f"decimal(18,{scale})")).cast("double") / F.count(c), round_to
-    ).alias(out)
+    return (F.sum(c.cast(f"decimal(18,{scale})")).cast("double") / F.count(c)).alias(out)
 
 
 def _sql_dsum(expr: str, scale: int, out: str) -> str:
-    return f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE), {scale}) AS {out}"
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE) AS {out}"
 
 
-def _sql_davg(expr: str, scale: int, out: str, round_to: int = 6) -> str:
+def _sql_davg(expr: str, scale: int, out: str) -> str:
     return (
-        f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
-        f" / COUNT({expr}), {round_to}) AS {out}"
+        f"(CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+        f" / COUNT({expr})) AS {out}"
     )
 
 
@@ -602,6 +608,31 @@ WHERE rnk <= 3
 """
 
 
+def w5_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile quartiles, percent_rank,
+    cume_dist over order values per status (deterministic tiebreak)."""
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+W5_SQL = """
+SELECT o_orderkey, o_orderstatus,
+       NTILE(4) OVER w AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey ASC)
+"""
+
+
 def w3_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-event gap per user via lag; exact integer microsecond arithmetic
     (no float drift across engines)."""
@@ -636,7 +667,7 @@ def w4_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
-        F.round(F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double"), 2).alias(
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias(
             "running_value"
         ),
     )
@@ -644,9 +675,9 @@ def w4_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 W4_SQL = """
 SELECT event_id, user_id,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
          PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_value
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
 FROM events
 """
 
@@ -746,6 +777,7 @@ QUERIES: dict[str, tuple] = {
     "t3_except": (t3_except, T3_EXCEPT_SQL),
     "w1_first_write_wins": (w1_first_write_wins, W1_SQL),
     "w2_rank_topn": (w2_rank_topn, W2_SQL),
+    "w5_distribution_funcs": (w5_distribution_funcs, W5_SQL),
     "w3_lag_gap": (w3_lag_gap, W3_SQL),
     "w4_running_sum": (w4_running_sum, W4_SQL),
     "st8_tumbling_window": (st8_tumbling_window, ST8_TUMBLING_SQL),

@@ -78,6 +78,17 @@ def test_sampling_drops_rows_deterministically(spark):
     assert kept_twice[0] == kept_twice[1]
 
 
+def test_ordering_key_preserved_through_replay(spark):
+    # ST7 (src/replay-dlq-job.js:49-51): orderingKey survives DLQ -> replay
+    rows = [("d", {"x-replay-attempts": "1"}, "m-1", "tenant-42-stream", "VALIDATION_ERROR", 1)]
+    dlq = spark.createDataFrame(
+        rows,
+        "data string, attributes map<string,string>, message_id string, ordering_key string, status string, attempts int",
+    )
+    routed = route_dlq(dlq)
+    assert routed.replay.first()["ordering_key"] == "tenant-42-stream"
+
+
 def test_dlq_replay_routing(spark):
     # FIXTURES A3.5: attempts 0,1,2 -> replay with +1; 3 -> parking lot
     rows = [
