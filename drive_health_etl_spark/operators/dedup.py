@@ -298,8 +298,36 @@ SELECT vec_a, vec_b, cosine FROM (
 """
 
 
+def dedup_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup materialization: keep exactly the canonical document row per
+    distinct content fingerprint (min doc_id wins) — the corpus a training
+    pipeline actually emits after exact dedup."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.array_join(tokens_col(), " "))
+    w = Window.partitionBy("fingerprint").orderBy(F.col("doc_id").asc())
+    return (
+        docs.withColumn("fingerprint", fp)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+DEDUP_COLLAPSE_SQL = f"""
+SELECT doc_id, lang, source, n_chars FROM (
+  SELECT doc_id, lang, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY md5(array_to_string({TOKENS_SQL}, ' '))
+                            ORDER BY doc_id ASC) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_collapse": (dedup_collapse, DEDUP_COLLAPSE_SQL),
     "dedup_minhash_signatures": (minhash_signatures, MINHASH_SIG_SQL),
     "dedup_minhash_pairs": (dedup_minhash_pairs, DEDUP_MINHASH_PAIRS_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),

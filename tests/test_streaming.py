@@ -105,6 +105,35 @@ def test_streaming_windowed_counts_match_batch(spark, sf_dir, tmp_path):
     assert got == expected
 
 
+def test_rate_limited_multi_trigger(spark, sf_dir, tmp_path):
+    """ST1 size-based trigger: maxFilesPerTrigger=1 over 3 input files must
+    process as 3 micro-batches (the reference's MAX_BATCH_SIZE knob)."""
+    src = str(tmp_path / "rl_src")
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    for i in range(3):
+        events.filter(F.col("user_id") % 3 == i).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(src)
+    )
+    q = (
+        stream.groupBy("user_id")
+        .count()
+        .writeStream.format("memory")
+        .queryName("rl_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    batches = {p["batchId"] for p in q.recentProgress if p["numInputRows"] > 0}
+    assert len(batches) == 3
+    total = spark.sql("SELECT SUM(count) AS s FROM rl_out").collect()[0]["s"]
+    assert total == events.count()
+
+
 def test_streaming_session_counts(spark, sf_dir, tmp_path):
     stream, batch = _stream_events(spark, sf_dir, tmp_path)
     agg = streaming_session_counts(spark, stream)
