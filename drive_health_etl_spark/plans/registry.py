@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from drive_health_etl_spark.operators import dedup as _dedup
+from drive_health_etl_spark.operators import grouped_pandas as _grouped
 from drive_health_etl_spark.operators import multimodal as _multimodal
 from drive_health_etl_spark.operators import similarity as _similarity
 from drive_health_etl_spark.operators import text as _text
@@ -105,6 +106,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     **_dedup.QUERIES,
     **_similarity.QUERIES,
     **_multimodal.QUERIES,
+    **_grouped.QUERIES,
     "pipeline_ingest_e2e": (pipeline_ingest_e2e, None),
 }
 
