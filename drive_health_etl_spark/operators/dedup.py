@@ -7,9 +7,9 @@
   cross join — this is the scale path.
 - n-gram Jaccard: exact set similarity on LSH-style blocked candidate pairs.
 
-Hash parity: h_i(s) = int64 of the first 15 hex chars of md5(i || ':' || s)
-— md5 is identical across Spark/DuckDB and 15 hex digits (60 bits) fit a
-signed int64 in both engines.
+Hash parity: one md5 per shingle (identical across Spark/DuckDB), split into
+two 28-bit chunks feeding an 8-member 2-universal family (see below) — all
+arithmetic in int64 range in both engines.
 
 MinHash runs over 3-gram token shingles, not unigrams: this corpus has a
 tiny vocabulary, so unigram token sets collide pathologically (one LSH
@@ -28,17 +28,45 @@ from drive_health_etl_spark.sources.tables import load_table
 N_HASHES = 8
 N_BANDS = 4  # bands of 2 hashes each
 
+# 2-universal hash family over ONE md5 per shingle: split the digest into
+# two independent 28-bit chunks (x1, x2) and set
+#     h_i(s) = (a_i * x1 + b_i * x2 + c_i) mod p,   p = 2^31 - 1.
+# One md5 instead of N_HASHES md5s — the md5 evaluations dominate signature
+# cost at corpus scale, so this is an ~8x cut on the hot path. Products stay
+# < 2^60 (30-bit coefficients x 28-bit chunks): no int64 overflow in either
+# engine, and crucially the 31-bit modulus WRAPS ~2^27 times so the family
+# scrambles. (Families whose intermediate never exceeds the modulus are
+# piecewise-linear: every h_i is minimized on the same few convex-hull
+# points of the (x1,x2) set, mins correlate across i, and LSH false
+# positives explode — observed 826 -> ~12k pairs at sf0.1 before this fix.)
+_MERSENNE_P = (1 << 31) - 1
+
+
+def _hash_params(i: int) -> tuple[int, int, int]:
+    a = (1_000_000_007 * (i + 1)) % (1 << 30) | 1
+    b = (2_147_483_629 * (i + 3)) % (1 << 30) | 1
+    c = (998_244_353 * (i + 7)) % (1 << 30)
+    return a, b, c
+
+
+_X1_SQL = "(('0x' || substr(md5(shingle), 1, 7))::BIGINT)"
+_X2_SQL = "(('0x' || substr(md5(shingle), 9, 7))::BIGINT)"
+
 
 def _minhash_expr(i: int) -> Column:
-    """min over shingles of the i-th hash function (portable md5-based)."""
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))), 1, 15), 16, 10
-    ).cast("long")
-    return F.min(h).alias(f"mh{i}")
+    """min over shingles of the i-th universal hash (one shared md5)."""
+    a, b, c = _hash_params(i)
+    digest = F.md5(F.col("shingle"))
+    x1 = F.conv(F.substring(digest, 1, 7), 16, 10).cast("long")
+    x2 = F.conv(F.substring(digest, 9, 7), 16, 10).cast("long")
+    return F.min((F.lit(a) * x1 + F.lit(b) * x2 + F.lit(c)) % F.lit(_MERSENNE_P)).alias(
+        f"mh{i}"
+    )
 
 
 def _minhash_sql(i: int) -> str:
-    return f"MIN(('0x' || substr(md5('{i}:' || shingle), 1, 15))::BIGINT) AS mh{i}"
+    a, b, c = _hash_params(i)
+    return f"MIN(({a} * {_X1_SQL} + {b} * {_X2_SQL} + {c}) % {_MERSENNE_P}) AS mh{i}"
 
 
 def shingles_col() -> Column:
@@ -83,8 +111,8 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document MinHash signature (8 hash functions over the 3-gram
     shingle set). Explode + 8 min-aggs: one shuffle on doc_id with map-side
     partial mins — signature computation is linear in corpus size."""
-    # Repartition after the single-file scan so the md5 hashing (8 x shingles)
-    # runs on all cores, not the one scan partition.
+    # Repartition after the single-file scan so the shingle hashing runs on
+    # all cores, not the one scan partition.
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
