@@ -12,6 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from drive_health_etl_spark.operators import asof as _asof
 from drive_health_etl_spark.operators import dedup as _dedup
 from drive_health_etl_spark.operators import grouped_pandas as _grouped
 from drive_health_etl_spark.operators import multimodal as _multimodal
@@ -107,6 +108,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     **_similarity.QUERIES,
     **_multimodal.QUERIES,
     **_grouped.QUERIES,
+    **_asof.QUERIES,
     "pipeline_ingest_e2e": (pipeline_ingest_e2e, None),
 }
 
