@@ -273,8 +273,78 @@ FROM embeddings
 """
 
 
+def a5_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact percentiles (grouped quantile_cont twin)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.count("*").alias("n"),
+    )
+
+
+A5_GROUP_PCTL_SQL = """
+SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95, COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def a5_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values (14 buckets over [0, 350)) —
+    explicit floor arithmetic so both engines bucket identically."""
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 25.0).cast("int")
+    return (
+        e.select(F.least(bucket, F.lit(13)).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+A5_HISTOGRAM_SQL = """
+SELECT LEAST(CAST(floor(value / 25.0) AS INTEGER), 13) AS bucket, COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+def t5_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deliberate cross join of two tiny dims (region x nation = 125 rows) —
+    supported, but fenced: the plan-test whitelist marks this the ONLY
+    operator allowed to plan a cartesian product."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    n = load_table(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+T5_CROSS_SQL = "SELECT r_name, n_name FROM region CROSS JOIN nation"
+
+
+def t6_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (lateral view) of document tokens — 0-based
+    position parity with DuckDB's 1-based indexed list_transform."""
+    from drive_health_etl_spark.operators.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return docs.select("doc_id", F.posexplode(tokens_col()).alias("pos", "token"))
+
+
+T6_POSEXPLODE_SQL = """
+SELECT doc_id, CAST(u.pos AS INTEGER) AS pos, u.token FROM (
+  SELECT doc_id,
+         unnest(list_transform(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''),
+                               (t, i) -> {'pos': i - 1, 'token': t})) AS u
+  FROM documents WHERE doc_id < 50
+)
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "a5_stats_suite": (a5_stats_suite, A5_STATS_SQL),
+    "a5_group_percentiles": (a5_group_percentiles, A5_GROUP_PCTL_SQL),
+    "a5_histogram": (a5_histogram, A5_HISTOGRAM_SQL),
+    "t5_cross_join": (t5_cross_join, T5_CROSS_SQL),
+    "t6_posexplode": (t6_posexplode, T6_POSEXPLODE_SQL),
     "f_array_suite": (f_array_suite, F_ARRAY_SQL),
     "f_string_suite": (f_string_suite, F_STRING_SQL),
     "f_date_suite": (f_date_suite, F_DATE_SQL),

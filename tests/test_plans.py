@@ -82,6 +82,7 @@ def test_whole_stage_codegen_in_hot_paths(spark, sf_dir):
 # physical plan broadcasts the tiny query side into a nested-loop — the
 # LSH/IVF variants are the scale paths that avoid it.
 BNLJ_BY_DESIGN = {"sim_cosine_topk", "sim_ann_ivf"}  # ivf: K-constant centroid scoring
+CARTESIAN_BY_DESIGN = {"t5_cross_join"}  # 5 x 25 dims, explicitly cross
 
 
 def test_no_cartesian_anywhere(spark, sf_dir):
@@ -90,8 +91,9 @@ def test_no_cartesian_anywhere(spark, sf_dir):
     brute-force — the O(n^2) failure modes at scale stay fenced."""
     for name, (fn, _sql) in REGISTRY.items():
         plan = _plan(fn(spark, sf_dir))
-        assert "CartesianProduct" not in plan, name
-        if name not in BNLJ_BY_DESIGN:
+        if name not in CARTESIAN_BY_DESIGN:
+            assert "CartesianProduct" not in plan, name
+        if name not in BNLJ_BY_DESIGN | CARTESIAN_BY_DESIGN:
             assert "BroadcastNestedLoopJoin" not in plan, name
 
 
