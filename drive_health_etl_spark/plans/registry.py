@@ -90,6 +90,51 @@ def st_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream join driven to completion: click->purchase attribution
+    (same user, purchase within 30 min after the click) with both sides as
+    watermarked streams. One availableNow batch so no row is beyond the
+    watermark when matched; the oracle is the equivalent batch range join."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from drive_health_etl_spark.sources.tables import load_table
+    from drive_health_etl_spark.streaming.joins import purchase_attribution
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    src = tempfile.mkdtemp(prefix="dhe_ssj_src_")
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).format("parquet").load(src)
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    sink = f"ssj_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        purchase_attribution(clicks, purchases)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(src, ignore_errors=True)
+    return spark.sql(f"SELECT click_id, purchase_id, user_id, lag_us FROM {sink}")
+
+
+ST_STREAM_STREAM_SQL = """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 30 MINUTE
+"""
+
+
 ST_STATEFUL_SQL = """
 SELECT user_id, COUNT(*) AS n_events,
        ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS total_value
@@ -99,6 +144,7 @@ FROM events GROUP BY user_id
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "st_stateful_counters": (st_stateful_counters, ST_STATEFUL_SQL),
+    "st_stream_stream_join": (st_stream_stream_join, ST_STREAM_STREAM_SQL),
     **_relational.QUERIES,
     **_pipeline.QUERIES,
     **_extended.QUERIES,
