@@ -353,8 +353,78 @@ SELECT doc_id, lang, source, n_chars FROM (
 """
 
 
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph — the cluster-
+    collapse step after LSH: every doc in a component dedupes to the
+    component's min doc_id.
+
+    Spark side: iterative min-label propagation (each round: join labels to
+    edges, take min over neighborhood; converged when no label changes) —
+    the standard large-graph CC pattern (alternating large-star/small-star
+    is the production variant; plain propagation converges in O(diameter)
+    rounds and these near-dup clusters are tiny). Data never leaves the
+    cluster; the driver loop only checks the convergence counter.
+
+    Oracle: DuckDB recursive CTE computing min-reachable over the same
+    edges — an independent formulation of the same fixpoint."""
+    pairs = dedup_minhash_pairs(spark, sf_dir)
+    pairs.persist()
+    # undirected edges + self-loops
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    )
+    vertices = edges.select(F.col("src").alias("doc_id")).distinct()
+    labels = vertices.withColumn("label", F.col("doc_id"))
+    for _ in range(20):  # diameter bound; tiny clusters converge in 2-3
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+            )
+        )
+        new_labels.persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    pairs.unpersist()
+    return labels.select("doc_id", F.col("label").alias("component_root"))
+
+
+def _dedup_components_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({DEDUP_MINHASH_PAIRS_SQL.strip()}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_root
+FROM reach GROUP BY src
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_components": (dedup_components, _dedup_components_sql()),
     "dedup_collapse": (dedup_collapse, DEDUP_COLLAPSE_SQL),
     "dedup_minhash_signatures": (minhash_signatures, MINHASH_SIG_SQL),
     "dedup_minhash_pairs": (dedup_minhash_pairs, DEDUP_MINHASH_PAIRS_SQL),
