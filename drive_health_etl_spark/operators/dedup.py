@@ -367,6 +367,8 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle: DuckDB recursive CTE computing min-reachable over the same
     edges — an independent formulation of the same fixpoint."""
+    from drive_health_etl_spark.session import shuffle_partitions
+
     pairs = dedup_minhash_pairs(spark, sf_dir)
     pairs.persist()
     # undirected edges + self-loops
@@ -376,31 +378,35 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vertices = edges.select(F.col("src").alias("doc_id")).distinct()
     labels = vertices.withColumn("label", F.col("doc_id"))
-    for _ in range(20):  # diameter bound; tiny clusters converge in 2-3
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.doc_id)
-            .groupBy("src")
-            .agg(F.min("label").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+    with shuffle_partitions(spark):  # iterative joins on a tiny graph
+        for _ in range(20):  # diameter bound; tiny clusters converge in 2-3
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.doc_id)
+                .groupBy("src")
+                .agg(F.min("label").alias("nmin"))
             )
-        )
-        new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
+            new_labels = (
+                labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                    ).alias("label"),
+                )
+            )
+            new_labels.persist()
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        labels = labels.localCheckpoint(eager=True)  # pin results before conf restore
     pairs.unpersist()
     return labels.select("doc_id", F.col("label").alias("component_root"))
 

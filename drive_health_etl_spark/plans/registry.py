@@ -43,6 +43,9 @@ def pipeline_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from drive_health_etl_spark.session import shuffle_partitions as _shuffle_partitions
+
+
 def st_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary stateful streaming (applyInPandasWithState) driven to
     completion: per-user running counters accumulated across TWO micro-batches
@@ -68,15 +71,16 @@ def st_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(src)
     )
     sink = f"stateful_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        stateful_user_counters(stream)
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _shuffle_partitions(spark):
+        q = (
+            stateful_user_counters(stream)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     import shutil
 
     shutil.rmtree(src, ignore_errors=True)  # snapshots live in the memory sink now
@@ -111,15 +115,16 @@ def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = stream.filter(F.col("event_type") == "click")
     purchases = stream.filter(F.col("event_type") == "purchase")
     sink = f"ssj_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        purchase_attribution(clicks, purchases)
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _shuffle_partitions(spark):
+        q = (
+            purchase_attribution(clicks, purchases)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     shutil.rmtree(src, ignore_errors=True)
     return spark.sql(f"SELECT click_id, purchase_id, user_id, lag_us FROM {sink}")
 

@@ -53,6 +53,25 @@ def ship_package(spark: SparkSession) -> None:
     _SHIPPED_APP_IDS.add(app_id)
 
 
+class shuffle_partitions:
+    """Temporarily pin spark.sql.shuffle.partitions — a caller-provided
+    (driver) session defaults to 200, which makes stateful-streaming and
+    iterative shuffles scheduling-bound at test scale. Streaming queries
+    capture the value at start, so restoring on exit is safe."""
+
+    def __init__(self, spark: SparkSession, n: int = 32):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+        return False
+
+
 def get_spark(app_name: str = "drive-health-etl-spark", cpus: int | None = None) -> SparkSession:
     cpus = cpus or DEFAULT_CPUS
     # Python workers (pandas_udf) are separate processes that resolve imports
