@@ -339,8 +339,51 @@ SELECT doc_id, CAST(u.pos AS INTEGER) AS pos, u.token FROM (
 """
 
 
+def f13_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-column surface (F13, the attribute-hygiene ops of
+    ``src/replay-dlq-job.js:29-47``): construct, merge, filter, extract,
+    enumerate — emitted as scalars so the hash compare is representation-
+    independent."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("id"), F.col("event_id").cast("string"),
+        F.lit("googclient_delivery"), F.lit("x"),
+    )
+    merged = F.map_concat(m, F.create_map(F.lit("replay"), F.lit("1")))
+    cleaned = F.map_filter(merged, lambda k, _v: ~k.startswith("googclient_"))
+    return e.select(
+        "event_id",
+        F.array_join(F.array_sort(F.map_keys(cleaned)), ",").alias("keys_sorted"),
+        F.element_at(cleaned, "type").alias("type_val"),
+        F.size(cleaned).alias("n_entries"),
+        F.element_at(cleaned, "googclient_delivery").alias("dropped_is_null"),
+    )
+
+
+F13_SQL = """
+SELECT event_id,
+       array_to_string(list_sort(map_keys(m)), ',') AS keys_sorted,
+       map_extract(m, 'type')[1] AS type_val,
+       CAST(cardinality(m) AS INTEGER) AS n_entries,
+       CASE WHEN len(map_extract(m, 'googclient_delivery')) = 0 THEN NULL
+            ELSE map_extract(m, 'googclient_delivery')[1] END AS dropped_is_null
+FROM (
+  SELECT event_id,
+         map_from_entries(list_filter(
+           [{'k': 'type', 'v': event_type},
+            {'k': 'id', 'v': CAST(event_id AS VARCHAR)},
+            {'k': 'googclient_delivery', 'v': 'x'},
+            {'k': 'replay', 'v': '1'}],
+           e -> NOT starts_with(e.k, 'googclient_'))) AS m
+  FROM events
+)
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "a5_stats_suite": (a5_stats_suite, A5_STATS_SQL),
+    "f13_map_functions": (f13_map_functions, F13_SQL),
     "a5_group_percentiles": (a5_group_percentiles, A5_GROUP_PCTL_SQL),
     "a5_histogram": (a5_histogram, A5_HISTOGRAM_SQL),
     "t5_cross_join": (t5_cross_join, T5_CROSS_SQL),
