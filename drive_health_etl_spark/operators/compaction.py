@@ -56,12 +56,21 @@ def compact_warehouse(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     df = spark.read.parquet(path).filter(F.col(partition_col).isin(list(todo)))
     sizes = {p: sum(os.path.getsize(f) for f in fs) for p, fs in todo.items()}
-    # one coalesce target for the batch: partitions are day-sized and similar;
-    # per-partition exactness would need one write per partition
+    # one file-count target for the batch: partitions are day-sized and
+    # similar; per-partition exactness would need one write per partition
     n_out = max(1, math.ceil(max(sizes.values()) / target_file_bytes))
-    compacted = df.repartition(partition_col).sortWithinPartitions(*sort_cols)
-    if n_out > 1:
-        compacted = df.repartition(n_out * len(todo), partition_col).sortWithinPartitions(*sort_cols)
+    if n_out == 1:
+        compacted = df.repartition(partition_col).sortWithinPartitions(*sort_cols)
+    else:
+        # hashing by partition_col alone puts each date in ONE task = one
+        # output file regardless of n_out; add a bounded salt so each date
+        # spreads over ~n_out files
+        compacted = (
+            df.withColumn("_fb", F.pmod(F.hash(*sort_cols), F.lit(n_out)))
+            .repartition(n_out * len(todo), F.col(partition_col), F.col("_fb"))
+            .drop("_fb")
+            .sortWithinPartitions(*sort_cols)
+        )
     compacted = compacted.localCheckpoint(eager=True)  # about to overwrite the same files
     compacted.write.mode("overwrite").partitionBy(partition_col).parquet(path)
 

@@ -34,7 +34,15 @@ def salted_join(
     x n_salts (only the small side pays replication).
 
     ``salt_source``: column used to derive the deterministic salt; defaults
-    to a hash over all of ``big``'s columns."""
+    to a hash over all of ``big``'s columns.
+
+    Supported: inner / left (probe-side outer). right/full would emit each
+    unmatched small-side row once PER SALT — rejected explicitly."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left only (got {how!r}): the replicated "
+            "small side would duplicate unmatched rows under right/full semantics"
+        )
     if salt_source is None:
         salt_source = F.hash(*[F.col(c) for c in big.columns])
     salted_big = big.withColumn("_salt", F.pmod(salt_source, F.lit(n_salts)))

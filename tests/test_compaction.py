@@ -33,6 +33,24 @@ def test_compaction_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
     assert stats2.partitions_compacted in (0, 30) or stats2.files_after <= stats.files_after
 
 
+def test_compaction_respects_target_file_size(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "wh")
+    res = ingest(envelopes.messages_from_events(spark, sf_dir), normalize_phones=False)
+    rows = res.warehouse.withColumn("event_date", F.to_date("occurred_at"))
+    rows.repartition(6).write.mode("overwrite").partitionBy("event_date").parquet(out)
+    n_rows = spark.read.parquet(out).count()
+
+    # tiny target -> n_out > 1 -> each partition must get MULTIPLE files
+    stats = compact_warehouse(spark, out, max_files_per_partition=2, target_file_bytes=4 * 1024)
+    assert stats.partitions_compacted == 30
+    per_part = {}
+    for d in os.listdir(out):
+        if d.startswith("event_date="):
+            per_part[d] = len([f for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet")])
+    assert max(per_part.values()) > 1  # the salt actually spread files
+    assert spark.read.parquet(out).count() == n_rows
+
+
 def test_compaction_noop_below_threshold(spark, sf_dir, tmp_path):
     out = str(tmp_path / "wh")
     res = ingest(envelopes.messages_from_events(spark, sf_dir), normalize_phones=False)

@@ -56,6 +56,15 @@ def test_salted_join_spreads_hot_key(spark, sf_dir):
     assert n_salts_used == 8
 
 
+def test_salted_join_rejects_build_side_outer(spark, sf_dir):
+    import pytest
+
+    events = _skewed_events(spark, sf_dir)
+    dim = _tenant_dim(spark, events)
+    with pytest.raises(ValueError, match="inner/left only"):
+        salted_join(events, dim, "tenant", how="full")
+
+
 def test_skewed_key_profile(spark, sf_dir):
     events = _skewed_events(spark, sf_dir)
     prof = skewed_key_profile(events, "tenant", top=3).collect()
