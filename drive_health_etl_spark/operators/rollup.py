@@ -45,11 +45,17 @@ def refresh_rollup(
         wh = wh.filter(F.col("event_date").isin(touched_dates))
     rolled = _day_rollup(wh).localCheckpoint(eager=True)
     n_parts = rolled.select("event_date").distinct().count()
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    mode = "overwrite"
+    # Incremental refresh replaces only touched partitions (dynamic);
+    # a full rebuild must replace the WHOLE table (static) — dynamic would
+    # leave stale rollup partitions for days the warehouse no longer has
+    # (e.g. after retention expiry).
+    spark.conf.set(
+        "spark.sql.sources.partitionOverwriteMode",
+        "dynamic" if touched_dates is not None else "static",
+    )
     (
         rolled.repartition("event_date")
-        .write.mode(mode)
+        .write.mode("overwrite")
         .partitionBy("event_date")
         .parquet(rollup_path)
     )

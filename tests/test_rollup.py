@@ -46,4 +46,14 @@ def test_incremental_rollup_matches_full_recompute(spark, sf_dir, tmp_path):
         for r in rollup_totals(spark, rollup).collect()
     }
     assert got2 == expected
+
+    # a FULL rebuild drops rollup partitions for days the warehouse no
+    # longer has (retention expiry simulation)
+    import shutil
+
+    for d in sorted(p for p in __import__("os").listdir(wh) if p.startswith("event_date="))[:5]:
+        shutil.rmtree(f"{wh}/{d}")
+    n_full = refresh_rollup(spark, wh, rollup)
+    assert n_full == 25
+    assert spark.read.parquet(rollup).select("event_date").distinct().count() == 25
     rows.unpersist()
