@@ -42,6 +42,8 @@ HEADLINE = [
     "sim_cosine_topk",
     "sim_ann_lsh",
     "text_bpe_token_count",
+    "asof_last_purchase",
+    "dedup_components",
     "pipeline_ingest_e2e",
 ]
 

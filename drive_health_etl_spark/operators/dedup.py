@@ -353,7 +353,9 @@ SELECT doc_id, lang, source, n_chars FROM (
 """
 
 
-def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_components(
+    spark: SparkSession, sf_dir: str, small_graph_edges: int = 100_000
+) -> DataFrame:
     """Connected components over the near-dup pair graph — the cluster-
     collapse step after LSH: every doc in a component dedupes to the
     component's min doc_id.
@@ -371,6 +373,35 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = dedup_minhash_pairs(spark, sf_dir)
     pairs.persist()
+    # Hybrid execution: near-dup graphs are tiny relative to the corpus
+    # (edges ~ true duplicates, not documents). Below the threshold a
+    # driver-side union-find beats 4+ distributed join rounds by an order of
+    # magnitude in scheduling overhead; above it, fall through to the
+    # distributed propagation. Same fixpoint either way.
+    n_edges = pairs.count()
+    if n_edges <= small_graph_edges:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs.collect():
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical root = min doc_id in component (path-compress to mins)
+        roots = [(doc, find(doc)) for doc in parent]
+        comp_min: dict[int, int] = {}
+        for doc, r in roots:
+            comp_min[r] = min(comp_min.get(r, doc), doc)
+        result = [(doc, comp_min[r]) for doc, r in roots]
+        pairs.unpersist()
+        return spark.createDataFrame(result, "doc_id long, component_root long")
     # undirected edges + self-loops
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -378,7 +409,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vertices = edges.select(F.col("src").alias("doc_id")).distinct()
     labels = vertices.withColumn("label", F.col("doc_id"))
-    with shuffle_partitions(spark):  # iterative joins on a tiny graph
+    with shuffle_partitions(spark, 8):  # iterative joins on a tiny graph
         for _ in range(20):  # diameter bound; tiny clusters converge in 2-3
             neighbor_min = (
                 edges.join(labels, edges.dst == labels.doc_id)
