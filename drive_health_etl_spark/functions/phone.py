@@ -105,8 +105,12 @@ def process_payload_py(payload_json: object) -> object:
         return payload_json
     changed = False
     for field in PHONE_FIELDS:
-        if field in obj:
-            obj[field] = normalize_phone_py(obj[field])
+        v = obj.get(field)
+        # Reference guards with JS truthiness (`if (processed.caller)`,
+        # src/phone.js:40): ''/0/null/false stay untouched. ([]/{} are truthy
+        # in JS but falsy in Python — handled explicitly.)
+        if v or isinstance(v, (list, dict)):
+            obj[field] = normalize_phone_py(v)
             changed = True
     return json.dumps(obj, separators=(",", ":")) if changed else payload_json
 

@@ -20,6 +20,8 @@ from dataclasses import dataclass
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from drive_health_etl_spark.session import spark_conf
+
 
 @dataclass
 class CompactionStats:
@@ -53,7 +55,6 @@ def compact_warehouse(
         return CompactionStats(0, sum(map(len, parts.values())), sum(map(len, parts.values())))
 
     files_before = sum(map(len, parts.values()))
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     df = spark.read.parquet(path).filter(F.col(partition_col).isin(list(todo)))
     sizes = {p: sum(os.path.getsize(f) for f in fs) for p, fs in todo.items()}
     # one file-count target for the batch: partitions are day-sized and
@@ -72,7 +73,8 @@ def compact_warehouse(
             .sortWithinPartitions(*sort_cols)
         )
     compacted = compacted.localCheckpoint(eager=True)  # about to overwrite the same files
-    compacted.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    with spark_conf(spark, {"spark.sql.sources.partitionOverwriteMode": "dynamic"}):
+        compacted.write.mode("overwrite").partitionBy(partition_col).parquet(path)
 
     files_after = sum(map(len, _partition_files(path, partition_col).values()))
     return CompactionStats(len(todo), files_before, files_after)

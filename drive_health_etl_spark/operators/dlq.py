@@ -122,14 +122,24 @@ def run_replay_job(
         routed.replay.select("data", "attributes", "message_id", "ordering_key"),
         audit_rate=audit_rate,
     )
-    res.warehouse.persist()
+    # Cross-run exactly-once: a crash/rerun between the warehouse append and
+    # the DLQ rewrite below would re-ingest the same messages — the same
+    # event-date-pruned existing-keys anti-join the streaming sink uses makes
+    # the append idempotent (reference: BigQuery insertId, src/bq.js:49).
+    from drive_health_etl_spark.streaming.ingest_stream import existing_warehouse_keys
+
+    recovered = res.warehouse.withColumn("event_date", F.to_date("occurred_at"))
+    existing = existing_warehouse_keys(spark, warehouse_path, recovered)
+    if existing is not None:
+        recovered = recovered.join(existing, "idempotency_key", "left_anti")
+    recovered.persist()
     n_replayed = routed.replay.count()
     n_parked = routed.parked.count()
-    n_recovered = res.warehouse.count()
+    n_recovered = recovered.count()
 
     if n_recovered:
         (
-            res.warehouse.withColumn("event_date", F.to_date("occurred_at"))
+            recovered
             .write.mode("append")
             .partitionBy("event_date")
             .parquet(warehouse_path)
@@ -144,7 +154,7 @@ def run_replay_job(
     requeued = requeued.localCheckpoint(eager=True)  # DLQ dir is about to be rewritten
     requeued.write.mode("overwrite").parquet(dlq_path)
 
-    for df in (routed.replay, routed.parked, res.warehouse):
+    for df in (routed.replay, routed.parked, recovered):
         df.unpersist()
     return ReplayJobStats(
         n_replayed=n_replayed,

@@ -28,7 +28,7 @@ def _user_gap_features(pdf: pd.DataFrame) -> pd.DataFrame:
             "user_id": [int(pdf["user_id"].iloc[0])],
             "n_events": [len(pdf)],
             "n_gaps": [len(gaps)],
-            "total_gap_us": [int(gaps.sum())],
+            "total_gap_us": [int(gaps.sum()) if len(gaps) else None],
             "max_gap_us": [int(gaps.max()) if len(gaps) else None],
         }
     )
@@ -49,7 +49,7 @@ def u3_grouped_map_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 U3_GROUPED_MAP_SQL = """
 SELECT user_id, COUNT(*) AS n_events, COUNT(gap_us) AS n_gaps,
-       SUM(gap_us) AS total_gap_us, MAX(gap_us) AS max_gap_us
+       CAST(SUM(gap_us) AS BIGINT) AS total_gap_us, MAX(gap_us) AS max_gap_us
 FROM (SELECT user_id,
              epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
       FROM events)
@@ -90,7 +90,7 @@ def u3_cogroup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 U3_COGROUP_SQL = """
 SELECT c_custkey, c_mktsegment, COUNT(o_custkey) AS n_orders,
-       COALESCE(SUM(CAST(round(o_totalprice * 100) AS BIGINT)), 0) AS total_cents
+       CAST(COALESCE(SUM(CAST(round(o_totalprice * 100) AS BIGINT)), 0) AS BIGINT) AS total_cents
 FROM customer LEFT JOIN orders ON o_custkey = c_custkey
 GROUP BY c_custkey, c_mktsegment
 """

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from drive_health_etl_spark.session import spark_conf
+
 ROLLUP_KEYS = ("event_date", "tenant_id", "event_type")
 
 
@@ -49,16 +51,14 @@ def refresh_rollup(
     # a full rebuild must replace the WHOLE table (static) — dynamic would
     # leave stale rollup partitions for days the warehouse no longer has
     # (e.g. after retention expiry).
-    spark.conf.set(
-        "spark.sql.sources.partitionOverwriteMode",
-        "dynamic" if touched_dates is not None else "static",
-    )
-    (
-        rolled.repartition("event_date")
-        .write.mode("overwrite")
-        .partitionBy("event_date")
-        .parquet(rollup_path)
-    )
+    mode = "dynamic" if touched_dates is not None else "static"
+    with spark_conf(spark, {"spark.sql.sources.partitionOverwriteMode": mode}):
+        (
+            rolled.repartition("event_date")
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(rollup_path)
+        )
     return n_parts
 
 

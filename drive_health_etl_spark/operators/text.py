@@ -86,7 +86,7 @@ def text_lang_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TEXT_LANG_DIST_SQL = """
 SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources,
-       SUM(n_chars) AS total_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars
 FROM documents GROUP BY lang
 """

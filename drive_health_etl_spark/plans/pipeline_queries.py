@@ -107,9 +107,11 @@ def o3_key_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-way key precedence (O3, ``src/validation.js:33-42``) over JSON props:
     $.call_id > $.message_id > trace fallback."""
     e = load_table(spark, sf_dir, "events")
+    # Empty-string components are "missing" (JS falsy fallthrough in the
+    # reference) — same nullif('') guard as functions.keys.idempotency_key.
     key = F.coalesce(
-        F.get_json_object("props", "$.call_id"),
-        F.get_json_object("props", "$.message_id"),
+        F.nullif(F.get_json_object("props", "$.call_id"), F.lit("")),
+        F.nullif(F.get_json_object("props", "$.message_id"), F.lit("")),
         F.concat(F.lit("trace-"), F.col("event_id").cast("string")),
     )
     return e.select("event_id", key.alias("idempotency_key"))
@@ -117,8 +119,8 @@ def o3_key_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O3_SQL = """
 SELECT event_id,
-       COALESCE(json_extract_string(props, '$.call_id'),
-                json_extract_string(props, '$.message_id'),
+       COALESCE(NULLIF(json_extract_string(props, '$.call_id'), ''),
+                NULLIF(json_extract_string(props, '$.message_id'), ''),
                 'trace-' || CAST(event_id AS VARCHAR)) AS idempotency_key
 FROM events
 """
@@ -256,7 +258,7 @@ def f7_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 F7_SQL = """
 SELECT event_type,
        COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        ROUND(CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
              / COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
 FROM events GROUP BY event_type
@@ -284,7 +286,7 @@ SELECT event_type,
        COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n,
        MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
 FROM events GROUP BY event_type
 """
 
@@ -309,14 +311,14 @@ def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DQ_PROFILE_SQL = """
 SELECT COUNT(*) AS n_rows,
-       SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_custkey,
-       SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS null_totalprice,
-       SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS nonpositive_price,
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,
+       CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_totalprice,
+       CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_price,
        COUNT(DISTINCT o_orderstatus) AS n_statuses,
        COUNT(DISTINCT o_orderpriority) AS n_priorities,
        MIN(o_totalprice) AS min_price,
        MAX(o_totalprice) AS max_price,
-       SUM(CASE WHEN o_orderdate > now() THEN 1 ELSE 0 END) AS future_dates
+       CAST(SUM(CASE WHEN o_orderdate > now() THEN 1 ELSE 0 END) AS BIGINT) AS future_dates
 FROM orders
 """
 
@@ -357,7 +359,7 @@ def a4_sampling_rate_observed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 A4_SQL = f"""
 SELECT event_type, COUNT(*) AS total,
-       SUM(CASE WHEN {sample_hash_ratio_sql("'ev-' || CAST(event_id AS VARCHAR)")} < 0.5 THEN 1 ELSE 0 END) AS n_sampled,
+       CAST(SUM(CASE WHEN {sample_hash_ratio_sql("'ev-' || CAST(event_id AS VARCHAR)")} < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
        ROUND(CAST(SUM(CASE WHEN {sample_hash_ratio_sql("'ev-' || CAST(event_id AS VARCHAR)")} < 0.5 THEN 1 ELSE 0 END) AS DOUBLE)
              / COUNT(*), 6) AS observed_rate
 FROM events GROUP BY event_type

@@ -649,7 +649,8 @@ def w3_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 W3_SQL = """
-SELECT user_id, COUNT(gap_us) AS n_gaps, SUM(gap_us) AS total_gap_us, MAX(gap_us) AS max_gap_us
+SELECT user_id, COUNT(gap_us) AS n_gaps,
+       CAST(SUM(gap_us) AS BIGINT) AS total_gap_us, MAX(gap_us) AS max_gap_us
 FROM (SELECT user_id,
              epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap_us
       FROM events)

@@ -191,7 +191,7 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NULL_SEMANTICS_SQL = """
 SELECT t, COUNT(*) AS n_all, COUNT(v) AS n_nonnull,
-       SUM(CASE WHEN v IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS n_nullsafe_true,
+       CAST(SUM(CASE WHEN v IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_true,
        COUNT(type_or_null) AS n_not_error
 FROM (
   SELECT CASE WHEN event_id % 3 = 0 THEN NULL ELSE event_type END AS t,

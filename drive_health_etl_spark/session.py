@@ -53,6 +53,34 @@ def ship_package(spark: SparkSession) -> None:
     _SHIPPED_APP_IDS.add(app_id)
 
 
+class spark_conf:
+    """Temporarily set arbitrary session confs, restoring (or unsetting)
+    prior values on exit — write-mode knobs like
+    ``spark.sql.sources.partitionOverwriteMode`` must not leak into a
+    caller's later writes on the same shared session."""
+
+    def __init__(self, spark: SparkSession, confs: dict[str, str]):
+        self.spark, self.confs = spark, confs
+
+    def __enter__(self):
+        self.old: dict[str, str | None] = {}
+        for k, v in self.confs.items():
+            try:
+                self.old[k] = self.spark.conf.get(k)
+            except Exception:
+                self.old[k] = None
+            self.spark.conf.set(k, v)
+        return self
+
+    def __exit__(self, *exc):
+        for k, prev in self.old.items():
+            if prev is None:
+                self.spark.conf.unset(k)
+            else:
+                self.spark.conf.set(k, prev)
+        return False
+
+
 class shuffle_partitions:
     """Temporarily pin spark.sql.shuffle.partitions — a caller-provided
     (driver) session defaults to 200, which makes stateful-streaming and

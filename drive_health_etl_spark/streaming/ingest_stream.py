@@ -45,13 +45,16 @@ class StreamIngestConfig:
     max_files_per_trigger: int | None = None  # backpressure (ST1 size trigger)
 
 
-def _existing_keys(
-    spark: SparkSession, cfg: StreamIngestConfig, rows: DataFrame
+def existing_warehouse_keys(
+    spark: SparkSession, warehouse_path: str, rows: DataFrame, horizon_days: int = 7
 ) -> DataFrame | None:
     """Warehouse idempotency keys for the incoming batch's event-date range
-    (partition-pruned read; ± horizon days of slack for clock skew)."""
+    (partition-pruned read; ± horizon days of slack for clock skew).
+    ``rows`` must carry ``event_date``. Shared by the streaming sink and the
+    DLQ replay job — both need the same BigQuery-insertId-style cross-run
+    exactly-once guard (``src/bq.js:49``)."""
     try:
-        wh = spark.read.parquet(cfg.warehouse_path)
+        wh = spark.read.parquet(warehouse_path)
     except Exception:
         return None  # first batch: warehouse doesn't exist yet
     bounds = rows.agg(
@@ -59,12 +62,20 @@ def _existing_keys(
     ).collect()[0]
     if bounds["lo"] is None:
         return None  # empty batch
-    lo = F.date_sub(F.lit(bounds["lo"]), cfg.dedup_horizon_days)
-    hi = F.date_add(F.lit(bounds["hi"]), cfg.dedup_horizon_days)
+    lo = F.date_sub(F.lit(bounds["lo"]), horizon_days)
+    hi = F.date_add(F.lit(bounds["hi"]), horizon_days)
     return (
         wh.filter((F.col("event_date") >= lo) & (F.col("event_date") <= hi))
         .select("idempotency_key")
         .distinct()
+    )
+
+
+def _existing_keys(
+    spark: SparkSession, cfg: StreamIngestConfig, rows: DataFrame
+) -> DataFrame | None:
+    return existing_warehouse_keys(
+        spark, cfg.warehouse_path, rows, horizon_days=cfg.dedup_horizon_days
     )
 
 

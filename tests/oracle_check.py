@@ -11,8 +11,10 @@ Usage: python tests/oracle_check.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import datetime as dt
+import decimal
 import math
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -29,6 +31,10 @@ def _norm_cell(v):
         if math.isnan(v):
             return ("float", "nan")
         return ("float", repr(v))
+    if isinstance(v, decimal.Decimal):
+        # Strict: a Decimal cell never equals an int cell, mirroring the
+        # driver's type-sensitive value hash (DuckDB SUM(BIGINT) -> HUGEINT).
+        return ("decimal", str(v))
     if isinstance(v, dt.datetime):
         return ("ts", v.replace(tzinfo=None).isoformat())
     if isinstance(v, dt.date):
@@ -42,6 +48,47 @@ def _norm_cell(v):
     return ("str", str(v))
 
 
+def _canon_type(t: str) -> str:
+    """Coarse numeric-width-sensitive type lattice shared by Spark dtypes and
+    DuckDB type names. The driver's value hash diverges when DuckDB promotes
+    an aggregate to HUGEINT/DECIMAL while Spark stays bigint/double — so those
+    map to DIFFERENT canon buckets on purpose (the round-1 failure class)."""
+    t = t.strip().upper()
+    if re.match(r"^(TINYINT|SMALLINT|INT(EGER)?|BIGINT|BYTE|SHORT|LONG|U?INT\d*)$", t):
+        return "i64"
+    if t == "HUGEINT" or t.startswith("DECIMAL") or t.startswith("NUMERIC"):
+        return "dec"
+    if t in ("FLOAT", "REAL", "DOUBLE", "DOUBLE PRECISION"):
+        return "f64"
+    if t in ("VARCHAR", "STRING", "TEXT", "CHAR", "BPCHAR"):
+        return "str"
+    if t in ("BLOB", "BINARY", "BYTEA", "VARBINARY"):
+        return "bin"
+    if t == "DATE":
+        return "date"
+    if t.startswith("TIMESTAMP"):
+        return "ts"
+    if t in ("BOOLEAN", "BOOL"):
+        return "bool"
+    if t.startswith(("ARRAY", "LIST")) or t.endswith("[]"):
+        return "list"
+    if t.startswith(("STRUCT", "MAP", "ROW")):
+        return "struct"
+    return t
+
+
+def _type_problems(s_cols, s_dtypes, d_cols, d_types):
+    """Column-name-aligned declared-type compatibility between Spark and the
+    DuckDB oracle (coarse lattice; element types of containers ignored)."""
+    s_map = {c: _canon_type(t) for c, t in zip(s_cols, s_dtypes)}
+    d_map = {c: _canon_type(str(t)) for c, t in zip(d_cols, d_types)}
+    out = []
+    for c in s_map:
+        if c in d_map and s_map[c] != d_map[c]:
+            out.append(f"type mismatch on '{c}': spark={s_map[c]} duckdb={d_map[c]}")
+    return out
+
+
 def _canon(rows, colnames):
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     return sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
@@ -50,17 +97,21 @@ def _canon(rows, colnames):
 def compare_query(spark, con, name, fn, sql, sf_dir):
     sdf = fn(spark, sf_dir)
     s_cols = sdf.columns
+    s_dtypes = [t for _, t in sdf.dtypes]
     s_rows = [tuple(r) for r in sdf.collect()]
     try:
-        res = con.execute(sql)
-        d_cols = [c[0] for c in res.description]
-        d_rows = res.fetchall()
+        rel = con.sql(sql)
+        d_cols = list(rel.columns)
+        d_types = list(rel.types)
+        d_rows = rel.fetchall()
     except Exception as e:  # oracle itself failed
         return {"name": name, "ok": False, "why": f"oracle error: {e}"}
 
     problems = []
     if sorted(s_cols) != sorted(d_cols):
         problems.append(f"columns differ: spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+    else:
+        problems.extend(_type_problems(s_cols, s_dtypes, d_cols, d_types))
     if len(s_rows) != len(d_rows):
         problems.append(f"row count: spark={len(s_rows)} duckdb={len(d_rows)}")
     if not problems:

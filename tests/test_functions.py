@@ -44,6 +44,19 @@ def test_process_payload_preserves_structure():
     assert process_payload_py("not json") == "not json"
 
 
+def test_process_payload_skips_falsy_fields():
+    """Reference guards with JS truthiness (src/phone.js:40): ''/0/null/false
+    phone fields are left untouched, not normalized to null."""
+    import json
+
+    src = '{"caller":"","callee":null,"from_phone":0,"to_phone":"415-555-0002"}'
+    obj = json.loads(process_payload_py(src))
+    assert obj["caller"] == ""
+    assert obj["callee"] is None
+    assert obj["from_phone"] == 0
+    assert obj["to_phone"] == "+14155550002"
+
+
 def reference_should_sample(key: str, rate: float) -> bool:
     """Direct port of src/sampling.js:15-24 for parity checking only."""
     if rate >= 1.0:
@@ -85,6 +98,10 @@ def test_idempotency_key_precedence(spark):
         ('{"message_id":"m1"}', "t1", "m1"),
         ("{}", "t1", "t1"),
         ("{}", None, None),
+        # JS-falsy fallthrough: empty-string components are "missing"
+        ('{"call_id":"","message_id":"m2"}', "t1", "m2"),
+        ('{"call_id":"","message_id":""}', "t2", "t2"),
+        ('{"call_id":"","message_id":""}', "", None),
     ]
     df = spark.createDataFrame([(p, t) for p, t, _ in rows], "payload string, trace_id string")
     got = df.select(idempotency_key().alias("k")).collect()

@@ -51,3 +51,24 @@ def test_replay_cycles_until_parked(spark, tmp_path):
     )
     assert spark.read.parquet(dlq_path).count() == 0
     assert spark.read.parquet(wh).count() == 1  # no duplicate recoveries
+
+
+def test_replay_rerun_is_idempotent(spark, tmp_path):
+    """Crash between warehouse append and DLQ rewrite = the same DLQ content
+    replays again; the existing-keys anti-join must not duplicate warehouse
+    rows (BigQuery insertId semantics, src/bq.js:49)."""
+    dlq_path = _seed_dlq(spark, tmp_path)
+    wh = str(tmp_path / "wh")
+    parking = str(tmp_path / "parking")
+    dlq_before = spark.read.parquet(dlq_path)
+    dlq_before.persist().count()
+
+    s1 = run_replay_job(spark, dlq_path, wh, parking)
+    assert s1.n_recovered == 1 and spark.read.parquet(wh).count() == 1
+
+    # simulate the crash: restore the DLQ to its pre-job content and rerun
+    dlq_before.localCheckpoint(eager=True).write.mode("overwrite").parquet(dlq_path)
+    s2 = run_replay_job(spark, dlq_path, wh, parking)
+    assert s2.n_recovered == 0  # key already in the warehouse
+    assert spark.read.parquet(wh).count() == 1
+    dlq_before.unpersist()

@@ -42,6 +42,47 @@ def test_merge_upsert_updates_and_inserts(spark, sf_dir, tmp_path):
     assert after.filter(F.col("idempotency_key") == "brand-new-key").count() == 1
 
 
+def test_merge_upsert_corrupt_target_propagates(spark, sf_dir, tmp_path):
+    """A readable-path-but-broken target must raise, NOT be treated as
+    'first write' (which would drop pre-existing rows in touched
+    partitions)."""
+    import pytest
+
+    out = _wh(spark, sf_dir, tmp_path)
+    before = spark.read.parquet(out)
+    row = before.first()
+    updates = spark.createDataFrame(
+        [tuple(row[c] for c in before.drop("event_date").columns)],
+        schema=before.drop("event_date").schema,
+    )
+    # corrupt the schema discovery: an empty dir has no parquet footer
+    import shutil
+
+    broken = str(tmp_path / "broken")
+    (tmp_path / "broken").mkdir()
+    with pytest.raises(Exception):
+        merge_upsert(spark, broken, updates)
+    shutil.rmtree(broken)
+
+    # genuinely-missing path still means first write
+    fresh = str(tmp_path / "fresh")
+    merge_upsert(spark, fresh, updates)
+    assert spark.read.parquet(fresh).count() == 1
+
+
+def test_merge_upsert_restores_overwrite_mode(spark, sf_dir, tmp_path):
+    out = _wh(spark, sf_dir, tmp_path)
+    before = spark.read.parquet(out)
+    row = before.first()
+    updates = spark.createDataFrame(
+        [tuple(row[c] for c in before.drop("event_date").columns)],
+        schema=before.drop("event_date").schema,
+    )
+    prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    merge_upsert(spark, out, updates)
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == prior
+
+
 def test_merge_upsert_only_rewrites_touched_partitions(spark, sf_dir, tmp_path):
     import os
     import time
