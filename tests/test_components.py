@@ -2,7 +2,12 @@
 
 from __future__ import annotations
 
-from drive_health_etl_spark.operators.dedup import dedup_components
+from pyspark.sql import functions as F
+
+from drive_health_etl_spark.operators.dedup import (
+    _cc_star_contraction,
+    dedup_components,
+)
 
 
 def test_driver_and_distributed_paths_agree(spark, sf_dir):
@@ -16,3 +21,42 @@ def test_driver_and_distributed_paths_agree(spark, sf_dir):
     docs = {d for d, _r in local}
     assert roots <= docs
     assert all(r <= d for d, r in local)
+
+
+def test_star_contraction_high_diameter_path(spark):
+    """A 200-node path graph has diameter 199 — plain min-label propagation
+    would need ~200 rounds, star contraction O(log n). Verifies (a) correct
+    single component rooted at the min, (b) per-round checkpointing keeps
+    the plan bounded (the run would blow up the planner otherwise)."""
+    n = 200
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "u long, v long"
+    ).repartition(4)
+    from drive_health_etl_spark.session import shuffle_partitions
+
+    with shuffle_partitions(spark, 4):
+        labels = _cc_star_contraction(edges)
+        rows = labels.collect()
+    assert len(rows) == n
+    assert all(r["component_root"] == 1 for r in rows)
+    assert sorted(r["doc_id"] for r in rows) == list(range(1, n + 1))
+
+
+def test_star_contraction_multi_component(spark):
+    """Two chains + one isolated pair + a triangle: roots are per-component
+    minima, no cross-component leakage."""
+    comps = (
+        [(i, i + 1) for i in range(10, 40)]      # chain rooted at 10
+        + [(i, i + 1) for i in range(100, 130)]  # chain rooted at 100
+        + [(500, 501)]                           # pair
+        + [(900, 901), (901, 902), (900, 902)]   # triangle
+    )
+    edges = spark.createDataFrame(comps, "u long, v long")
+    from drive_health_etl_spark.session import shuffle_partitions
+
+    with shuffle_partitions(spark, 4):
+        got = {r["doc_id"]: r["component_root"] for r in _cc_star_contraction(edges).collect()}
+    assert all(got[i] == 10 for i in range(10, 41))
+    assert all(got[i] == 100 for i in range(100, 131))
+    assert got[500] == got[501] == 500
+    assert got[900] == got[901] == got[902] == 900
