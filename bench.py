@@ -41,6 +41,9 @@ HEADLINE = [
     "dedup_simhash",
     "sim_cosine_topk",
     "sim_ann_lsh",
+    "sim_ann_lsh_multiprobe",
+    "sim_ann_lsh_multitable",
+    "sim_ann_ivf",
     "text_bpe_token_count",
     "asof_last_purchase",
     "dedup_components",
@@ -82,6 +85,29 @@ def main() -> None:
     n_events = load_table(spark, SF_DIR, "events").count()
     ingest_rows_per_sec = round(n_events / timings["pipeline_ingest_e2e"], 1)
 
+    # ANN quality: recall@3 of each approximate index vs the brute-force
+    # ground truth (per-query overlap of neighbor sets, averaged). A fast
+    # ANN that misses the true neighbors is not "done" — recall is the
+    # second axis of the benchmark.
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in REGISTRY["sim_cosine_topk"][0](spark, SF_DIR)
+        .filter("rnk <= 3")
+        .collect()
+    }
+    ann_recall: dict[str, float] = {}
+    for ann in (
+        "sim_ann_lsh",
+        "sim_ann_lsh_multiprobe",
+        "sim_ann_lsh_multitable",
+        "sim_ann_ivf",
+    ):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in REGISTRY[ann][0](spark, SF_DIR).collect()
+        }
+        ann_recall[ann] = round(len(got & truth) / len(truth), 3) if truth else 1.0
+
     print(
         json.dumps(
             {
@@ -92,6 +118,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cpus": CPUS,
                 "ingest_rows_per_sec": ingest_rows_per_sec,
+                "ann_recall_at_3": ann_recall,
             }
         )
     )

@@ -149,6 +149,33 @@ FROM orders
 """
 
 
+def s9_table_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BigQuery-metadata parity for the table info endpoint
+    (``src/bq.js:116-134`` returns numRows/numBytes/lastModified): row count
+    plus per-file size and modification time from Spark's file-source
+    ``_metadata`` hidden column — storage facts SQL over the data can't see,
+    hence rows-only (no DuckDB oracle)."""
+    import os as _os
+
+    o = spark.read.parquet(_os.path.join(sf_dir, "orders.parquet"))
+    files = (
+        o.select(
+            F.col("_metadata.file_path").alias("path"),
+            F.col("_metadata.file_size").alias("bytes"),
+            F.col("_metadata.file_modification_time").alias("mtime"),
+        )
+        .groupBy("path")
+        .agg(F.first("bytes").alias("bytes"), F.first("mtime").alias("mtime"))
+    )
+    stats = files.agg(
+        F.count("*").alias("num_files"),
+        F.sum("bytes").alias("num_bytes"),
+        F.max("mtime").alias("last_modified"),
+    )
+    rows = o.groupBy().agg(F.count("*").alias("num_rows"))
+    return rows.crossJoin(F.broadcast(stats))
+
+
 # --- ST6: replay routing through the real operator --------------------------
 
 
@@ -311,6 +338,222 @@ SELECT query_id, neighbor_id, cosine, rnk FROM (
 """
 
 
+def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: each query searches its own bucket PLUS the
+    N_PLANES buckets at Hamming distance 1 (one hyperplane flipped) — the
+    standard recall fix for hash-boundary misses. Candidate volume grows by
+    (N_PLANES+1)x but stays ~(p+1)/2^p of brute force; every vector lives in
+    exactly one bucket, so the probe join produces no duplicate candidates
+    and needs no distinct. Top-3 per query by exact cosine."""
+    from drive_health_etl_spark.operators.similarity import _dot, _norm
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .withColumn("bucket", _bucket_expr(F.col("e")))
+    )
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("bucket").alias("qb")
+    )
+    probes = q.select(
+        "query_id",
+        "qe",
+        F.explode(
+            F.array(
+                F.col("qb"),
+                *[F.col("qb").bitwiseXOR(F.lit(1 << p)) for p in range(N_PLANES)],
+            )
+        ).alias("pb"),
+    )
+    cand = emb.join(
+        F.broadcast(probes),
+        (F.col("bucket") == F.col("pb")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(_dot(F.col("qe"), F.col("e")) / (_norm(F.col("qe")) * _norm(F.col("e"))), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+# --- Multi-table LSH (OR-amplification): L independent hash tables, each
+# with its own hyperplane set; a vector is a candidate if it collides with
+# the query (within Hamming radius 1) in ANY table. P(miss) decays as
+# miss_one^L — the standard recall lever when single-table probing tops out.
+# On THIS corpus (near-random embeddings, true neighbors at cosine ~0.5)
+# reaching recall 0.95 costs ~60% of brute-force scan; on a real near-dup
+# corpus (neighbors at cosine 0.95+) the same config scans a tiny fraction.
+N_TABLES = 8
+N_TABLE_PLANES = 6
+
+
+def _table_planes(t: int) -> list[list[float]]:
+    planes = []
+    for p in range(N_TABLE_PLANES):
+        row = []
+        for d in range(DIM):
+            h = int(hashlib.md5(f"{t}:{p}:{d}".encode()).hexdigest()[:8], 16)
+            row.append(h / 0xFFFFFFFF * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+_TABLE_PLANES = [_table_planes(t) for t in range(N_TABLES)]
+
+
+def _table_bucket_expr(e: Column, t: int) -> Column:
+    code = F.lit(0)
+    for p, w in enumerate(_TABLE_PLANES[t]):
+        code = code + F.when(_dot_lit(e, w) > 0, F.lit(2**p)).otherwise(F.lit(0))
+    return code
+
+
+def _sql_table_bucket(col: str, t: int) -> str:
+    terms = [
+        f"(CASE WHEN list_dot_product({col}, {_sql_weights(w)}) > 0 THEN {2**p} ELSE 0 END)"
+        for p, w in enumerate(_TABLE_PLANES[t])
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def sim_ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table multi-probe LSH ANN: N_TABLES independent hyperplane
+    tables, each probed at Hamming radius <=1; a candidate needs a collision
+    in ANY table (OR-amplification), then exact cosine top-3. Shuffle keys
+    are (table, bucket) — uniform; candidate pairs are deduped BEFORE the
+    cosine scoring so each pair is scored once. Measured recall@3 vs brute
+    force at sf0.1: 0.958 (vs 0.458 single-table multiprobe)."""
+    from drive_health_etl_spark.operators.similarity import _dot, _norm
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    )
+    tb = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        _table_bucket_expr(F.col("e"), t).alias("bucket"),
+                    )
+                    for t in range(N_TABLES)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", "s.t", "s.bucket")
+    probes = tb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        "t",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(N_TABLE_PLANES)],
+            )
+        ).alias("pb"),
+    )
+    cand = (
+        tb.join(
+            F.broadcast(probes),
+            (tb["t"] == probes["t"])
+            & (F.col("bucket") == F.col("pb"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(emb.select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe")), "query_id")
+        .join(emb, "vec_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                _dot(F.col("qe"), F.col("e")) / (_norm(F.col("qe")) * _norm(F.col("e"))), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+def _multitable_sql() -> str:
+    tb_selects = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, {_sql_table_bucket('embedding::DOUBLE[]', t)} AS bucket FROM embeddings"
+        for t in range(N_TABLES)
+    )
+    probe_list = "[bucket, " + ", ".join(
+        f"xor(bucket, {1 << p})" for p in range(N_TABLE_PLANES)
+    ) + "]"
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+tb AS (
+  {tb_selects}
+),
+probes AS (
+  SELECT vec_id AS query_id, t, unnest({probe_list}) AS pb
+  FROM tb WHERE vec_id < 8
+),
+cand AS (
+  SELECT DISTINCT p.query_id, c.vec_id
+  FROM probes p JOIN tb c ON c.t = p.t AND c.bucket = p.pb AND c.vec_id <> p.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.emb, c.emb)
+               / (sqrt(list_dot_product(q.emb, q.emb)) * sqrt(list_dot_product(c.emb, c.emb))), 6) AS cosine
+  FROM cand
+  JOIN e q ON q.vec_id = cand.query_id
+  JOIN e c ON c.vec_id = cand.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rnk FROM (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= 3
+"""
+
+
+_PROBE_LIST_SQL = "[q.bucket, " + ", ".join(
+    f"xor(q.bucket, {1 << p})" for p in range(N_PLANES)
+) + "]"
+
+SIM_ANN_LSH_MULTIPROBE_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb, {_sql_bucket('embedding::DOUBLE[]')} AS bucket
+  FROM embeddings
+),
+probes AS (
+  SELECT q.vec_id AS query_id, q.emb AS qemb, unnest({_PROBE_LIST_SQL}) AS pb
+  FROM e q WHERE q.vec_id < 8
+),
+scored AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(p.qemb, c.emb)
+               / (sqrt(list_dot_product(p.qemb, p.qemb)) * sqrt(list_dot_product(c.emb, c.emb))), 6) AS cosine
+  FROM probes p JOIN e c ON c.bucket = p.pb AND c.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cosine, rnk FROM (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= 3
+"""
+
+
 # --- F5: base64 encode/decode roundtrip -------------------------------------
 
 
@@ -384,7 +627,10 @@ QUERIES: dict[str, tuple] = {
     "t4_unpivot": (t4_unpivot, T4_UNPIVOT_SQL),
     "a5_grouping_sets": (a5_grouping_sets, A5_GROUPING_SETS_SQL),
     "s9_table_stats": (s9_table_stats, S9_SQL),
+    "s9_table_metadata": (s9_table_metadata, None),
     "st6_replay_routing": (st6_replay_routing, ST6_SQL),
     "sim_lsh_buckets": (sim_lsh_buckets, SIM_LSH_BUCKETS_SQL),
     "sim_ann_lsh": (sim_ann_lsh, SIM_ANN_LSH_SQL),
+    "sim_ann_lsh_multiprobe": (sim_ann_lsh_multiprobe, SIM_ANN_LSH_MULTIPROBE_SQL),
+    "sim_ann_lsh_multitable": (sim_ann_lsh_multitable, _multitable_sql()),
 }

@@ -81,7 +81,11 @@ def test_whole_stage_codegen_in_hot_paths(spark, sf_dir):
 # Brute-force scoring is O(n_candidates x n_queries) BY DESIGN: the correct
 # physical plan broadcasts the tiny query side into a nested-loop — the
 # LSH/IVF variants are the scale paths that avoid it.
-BNLJ_BY_DESIGN = {"sim_cosine_topk", "sim_ann_ivf"}  # ivf: K-constant centroid scoring
+BNLJ_BY_DESIGN = {
+    "sim_cosine_topk",
+    "sim_ann_ivf",  # K-constant centroid scoring (broadcast, per k-means round)
+    "s9_table_metadata",  # 1-row stats x 1-row count metadata join
+}
 CARTESIAN_BY_DESIGN = {"t5_cross_join"}  # 5 x 25 dims, explicitly cross
 
 

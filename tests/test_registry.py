@@ -23,7 +23,9 @@ def test_registry_structure():
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in osql.values())
     # rows-only set is intentional and small
     rows_only = set(qs) - set(osql)
-    assert rows_only == {"a5_approx_stats", "pipeline_ingest_e2e"}
+    # s9_table_metadata reports file-level storage facts (size/mtime) that
+    # SQL over the data cannot see — rows-only by design.
+    assert rows_only == {"a5_approx_stats", "pipeline_ingest_e2e", "s9_table_metadata"}
 
 
 def test_oracle_sql_references_known_tables():
