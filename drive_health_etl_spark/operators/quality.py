@@ -1,0 +1,280 @@
+"""Training-data quality & safety operators over ``documents`` (north-star
+extension; SURVEY.md §2.9 U3 family): Gopher-style quality rules, repetition
+metrics, benchmark decontamination, and PII scrubbing.
+
+These are the standard pre-training corpus filters (Gopher/C4/RefinedWeb
+lineage): rule-based keep/drop signals, repetition ratios that catch
+boilerplate and spam, n-gram-overlap decontamination against an eval set,
+and regex PII redaction. Everything is pure column expressions (split /
+slice / transform / aggregate / explode / regexp) — no Python UDFs; the
+n-gram explode paths shuffle on (doc_id, gram) with map-side partial
+aggregation, and the decontamination join broadcasts the (small) benchmark
+gram set, so every operator scales linearly with corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from drive_health_etl_spark.operators.text import TOKENS_SQL, tokens_col
+from drive_health_etl_spark.sources.tables import load_table
+
+# --- Gopher-style quality rules ---------------------------------------------
+
+# Bounds adapted from the Gopher rules (Rae et al. 2021, table A1) to this
+# corpus's scale: word count within bounds, mean word length within bounds,
+# and a minimum stopword fraction (the classic "is this prose?" test).
+MIN_WORDS = 10
+MAX_WORDS = 100_000
+MIN_MEAN_WORD_LEN = 2.0
+MAX_MEAN_WORD_LEN = 12.0
+MIN_STOPWORD_FRAC = 0.01
+
+# Shared with text.py's quality scorer; fixed so the oracle embeds the same
+# literal set.
+STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "it")
+
+def _sw_array() -> Column:
+    # built lazily: F.lit requires an active SparkContext, absent at import
+    return F.array(*[F.lit(s) for s in STOPWORDS])
+
+
+_SW_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher-rule evaluation: word count, mean word length,
+    stopword fraction, and the resulting keep flag. A narrow map — one pass,
+    no shuffle, whole-stage codegen end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    n_words = F.size(toks)
+    total_chars = F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x)
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(_sw_array(), x)))
+    out = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(total_chars.cast("double") / n_words, 6).alias("mean_word_len"),
+        F.round(n_stop.cast("double") / n_words, 6).alias("stopword_frac"),
+    )
+    keep = (
+        (F.col("n_words") >= MIN_WORDS)
+        & (F.col("n_words") <= MAX_WORDS)
+        & (F.col("mean_word_len") >= MIN_MEAN_WORD_LEN)
+        & (F.col("mean_word_len") <= MAX_MEAN_WORD_LEN)
+        & (F.col("stopword_frac") >= MIN_STOPWORD_FRAC)
+    )
+    return out.withColumn("keep", keep)
+
+
+TEXT_GOPHER_RULES_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_SQL} AS ws FROM documents
+),
+m AS (
+  SELECT doc_id, len(ws) AS n_words,
+         ROUND(CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / len(ws), 6)
+           AS mean_word_len,
+         ROUND(CAST(len(list_filter(ws, x -> list_contains({_SW_SQL}, x))) AS DOUBLE) / len(ws), 6)
+           AS stopword_frac
+  FROM t
+)
+SELECT doc_id, n_words, mean_word_len, stopword_frac,
+       (n_words >= {MIN_WORDS} AND n_words <= {MAX_WORDS}
+        AND mean_word_len >= {MIN_MEAN_WORD_LEN} AND mean_word_len <= {MAX_MEAN_WORD_LEN}
+        AND stopword_frac >= {MIN_STOPWORD_FRAC}) AS keep
+FROM m
+"""
+
+
+# --- Repetition metrics ------------------------------------------------------
+
+
+def _grams_col(ws: Column, n: int) -> Column:
+    """Word n-grams as strings. Guarded sequence: Spark's ``sequence(1, k)``
+    generates a DESCENDING range when k < 1 (step inferred -1), so short
+    documents must short-circuit to an empty array."""
+    idx = F.when(
+        F.size(ws) >= n, F.sequence(F.lit(1), F.size(ws) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.array_join(F.slice(ws, i, n), " "))
+
+
+def _grams_sql(ws: str, n: int) -> str:
+    # generate_series(1, k) is empty for k < 1 in DuckDB — no guard needed.
+    return (
+        f"(SELECT list(array_to_string({ws}[i:i+{n - 1}], ' ')) "
+        f"FROM UNNEST(generate_series(1, len({ws})-{n - 1})) AS _u(i))"
+    )
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition metrics (the Gopher/RefinedWeb boilerplate
+    signals): distinct-unigram ratio, distinct-trigram ratio, and the
+    fraction of all bigram occurrences taken by the single most frequent
+    bigram. Ratios are narrow array math; the top-bigram pass explodes to
+    (doc_id, bigram) and aggregates with map-side combine — keys are unique
+    per document, so no cross-document skew is possible."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = tokens_col()
+    base = docs.select(
+        "doc_id",
+        ws.alias("ws"),
+        F.round(F.size(F.array_distinct(ws)).cast("double") / F.size(ws), 6).alias(
+            "uniq_word_ratio"
+        ),
+        F.round(
+            F.size(F.array_distinct(_grams_col(ws, 3))).cast("double")
+            / F.greatest(F.size(_grams_col(ws, 3)), F.lit(1)),
+            6,
+        ).alias("uniq_trigram_ratio"),
+    )
+    bigrams = base.select("doc_id", F.explode(_grams_col(F.col("ws"), 2)).alias("g"))
+    top = (
+        bigrams.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("total_c"))
+        .select(
+            "doc_id",
+            F.round(F.col("top_c").cast("double") / F.col("total_c"), 6).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )
+    return base.drop("ws").join(top, "doc_id")
+
+
+TEXT_REPETITION_SQL = f"""
+WITH t AS (SELECT doc_id, {TOKENS_SQL} AS ws FROM documents),
+base AS (
+  SELECT doc_id,
+         ROUND(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6) AS uniq_word_ratio,
+         ROUND(CAST(len(list_distinct({_grams_sql("ws", 3)})) AS DOUBLE)
+               / GREATEST(len({_grams_sql("ws", 3)}), 1), 6) AS uniq_trigram_ratio,
+         ws
+  FROM t
+),
+bg AS (
+  SELECT doc_id, unnest({_grams_sql("ws", 2)}) AS g FROM base
+),
+cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
+top AS (
+  SELECT doc_id, ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_bigram_frac
+  FROM cnt GROUP BY doc_id
+)
+SELECT base.doc_id, uniq_word_ratio, uniq_trigram_ratio, top_bigram_frac
+FROM base JOIN top ON base.doc_id = top.doc_id
+"""
+
+
+# --- Benchmark decontamination ----------------------------------------------
+
+# Production decontamination uses 8-13-word grams (GPT-3 appendix C / Gopher
+# appendix A3); this corpus's vocabulary is tiny and synthetic, so 4-grams
+# are the smallest n with a non-trivial-but-sparse overlap signal (8
+# contaminated docs at sf0.01). The benchmark set stands in for an eval
+# suite: every 97th document.
+DECON_NGRAM = 4
+BENCH_MOD = 97
+
+
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag corpus documents sharing any word 4-gram with the benchmark set
+    (doc_id % 97 == 0) — eval-set decontamination. The benchmark gram set is
+    distinct-ed and broadcast (it is the eval suite: always small relative
+    to the corpus); the corpus side explodes to (doc_id, gram) and
+    equi-joins on the gram hash, so the work is one broadcast-hash join over
+    a linear explode — no shuffle of the corpus at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(_grams_col(tokens_col(), DECON_NGRAM)).alias("gram")
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % BENCH_MOD == 0).select("gram").distinct()
+    )
+    hits = (
+        grams.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_hits"))
+    )
+    return hits.select("doc_id", "n_hits").orderBy("doc_id")
+
+
+TEXT_DECONTAMINATE_SQL = f"""
+WITH w AS (SELECT doc_id, {TOKENS_SQL} AS ws FROM documents),
+g AS (
+  SELECT doc_id, unnest({_grams_sql("ws", DECON_NGRAM)}) AS gram FROM w
+),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % {BENCH_MOD} = 0)
+SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_hits
+FROM g JOIN bench USING (gram)
+WHERE g.doc_id % {BENCH_MOD} <> 0
+GROUP BY g.doc_id ORDER BY g.doc_id
+"""
+
+
+# --- PII scrubbing -----------------------------------------------------------
+
+# Patterns kept within the RE2 subset so the Java-regex (Spark) and RE2
+# (DuckDB) engines match identically: no backrefs, no lookaround.
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+# The corpus has no real PII, so seed deterministic fakes (a synthetic
+# address every 7th doc, a phone every 11th) before scrubbing — the operator
+# is then exercised on non-trivial input and the redaction counts are
+# verifiable in both engines.
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII redaction: seed deterministic fake emails/phones, count
+    matches, and emit the md5 of the scrubbed text. One narrow pass, all
+    JVM-side regex — the scrub of a 100 TB corpus is a pure map stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" user"), F.col("doc_id"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.lit(" +1-555-"), F.lpad(F.col("doc_id") % 10000, 4, "0")),
+        ).otherwise(F.lit("")),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(seeded, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(seeded, F.lit(EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(seeded, F.lit(PHONE_RE), F.lit(0))).alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+_SEEDED_SQL = (
+    "text || (CASE WHEN doc_id % 7 = 0 THEN ' user' || doc_id || '@example.com' ELSE '' END)"
+    " || (CASE WHEN doc_id % 11 = 0 THEN ' +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END)"
+)
+
+TEXT_PII_SCRUB_SQL = f"""
+WITH s AS (SELECT doc_id, {_SEEDED_SQL} AS seeded FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(seeded, '{EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(seeded, '{PHONE_RE}')) AS n_phones,
+       md5(regexp_replace(regexp_replace(seeded, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_md5
+FROM s
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "text_gopher_rules": (text_gopher_rules, TEXT_GOPHER_RULES_SQL),
+    "text_repetition": (text_repetition, TEXT_REPETITION_SQL),
+    "text_decontaminate": (text_decontaminate, TEXT_DECONTAMINATE_SQL),
+    "text_pii_scrub": (text_pii_scrub, TEXT_PII_SCRUB_SQL),
+}

@@ -16,6 +16,7 @@ from drive_health_etl_spark.operators import asof as _asof
 from drive_health_etl_spark.operators import dedup as _dedup
 from drive_health_etl_spark.operators import grouped_pandas as _grouped
 from drive_health_etl_spark.operators import multimodal as _multimodal
+from drive_health_etl_spark.operators import quality as _quality
 from drive_health_etl_spark.operators import similarity as _similarity
 from drive_health_etl_spark.operators import text as _text
 from drive_health_etl_spark.plans import extended as _extended
@@ -155,6 +156,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     **_extended.QUERIES,
     **_scalar.QUERIES,
     **_text.QUERIES,
+    **_quality.QUERIES,
     **_dedup.QUERIES,
     **_similarity.QUERIES,
     **_multimodal.QUERIES,
