@@ -111,13 +111,6 @@ EMB_DIM = 64
 KMEANS_ROUNDS = 3
 
 
-def _dot_const(e: Column, weights: list[float]) -> Column:
-    """Left-to-right fold of e . lit(weights) — same accumulation order as
-    DuckDB's list_dot_product, so scores are bit-identical."""
-    arr = F.array(*[F.lit(w) for w in weights])
-    return F.aggregate(F.zip_with(e, arr, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
-
-
 def _const_norm(weights: list[float]) -> float:
     # plain left-to-right double accumulation (sum()), NOT fsum: must match
     # list_dot_product's fold exactly
@@ -136,14 +129,35 @@ def _assign_cell_expr(e: Column, cents: list[tuple[int, list[float]]]) -> Column
     # argmax over cosine == argmax over dot/||c|| (||e|| is a shared positive
     # factor): skip the 16 redundant norm(e) folds. Exact ties (identical
     # vectors) tie in both formulations, so tiebreak behavior is unchanged.
-    cands = [
-        F.struct(
-            (_dot_const(e, ce) / F.lit(_const_norm(ce))).alias("c"),
-            F.lit(-cent_id).alias("negid"),
-        )
-        for cent_id, ce in sorted(cents)
-    ]
-    return -F.array_max(F.array(*cands))["negid"]
+    # The centroid matrix enters as array literals inside ONE shared
+    # transform lambda — 16 separate dot-fold subtrees measurably slow
+    # Catalyst analysis (9.6s -> 6.0s fit at sf0.01), and unrolling the dot
+    # products into 1024 scalar mult/add nodes is 5x slower still.
+    cmat = F.array(
+        *[
+            F.struct(
+                F.lit(-cent_id).alias("negid"),
+                F.array(*[F.lit(w) for w in ce]).alias("ce"),
+                F.lit(_const_norm(ce)).alias("nrm"),
+            )
+            for cent_id, ce in sorted(cents)
+        ]
+    )
+    scored = F.transform(
+        cmat,
+        lambda c: F.struct(
+            (
+                F.aggregate(
+                    F.zip_with(e, c["ce"], lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                / c["nrm"]
+            ).alias("c"),
+            c["negid"].alias("negid"),
+        ),
+    )
+    return -F.array_max(scored)["negid"]
 
 
 def kmeans_centroids(emb: DataFrame, rounds: int = KMEANS_ROUNDS) -> list[tuple[int, list[float]]]:
@@ -164,19 +178,22 @@ def kmeans_centroids(emb: DataFrame, rounds: int = KMEANS_ROUNDS) -> list[tuple[
     ]
     for _ in range(rounds):
         assigned = emb.withColumn("cell", _assign_cell_expr(F.col("e"), cents))
-        sums = assigned.groupBy("cell").agg(
-            F.count("*").alias("n"),
-            *[
-                F.sum(F.col("e").getItem(d).cast("decimal(28,12)"))
-                .cast("double")
-                .alias(f"s{d}")
-                for d in range(EMB_DIM)
-            ],
+        # posexplode to (cell, dim, value) and run ONE narrow 2-key aggregate
+        # instead of 64 wide decimal-sum columns: a 64x-smaller logical plan
+        # (26% faster fit at sf0.01), same exact decimal sums. The explode is
+        # map-side-combined before the tiny (N_CELLS x 64)-key shuffle.
+        sums = (
+            assigned.select("cell", F.posexplode("e").alias("d", "v"))
+            .groupBy("cell", "d")
+            .agg(
+                F.sum(F.col("v").cast("decimal(28,12)")).cast("double").alias("s"),
+                F.count("*").alias("n"),
+            )
         )
-        rows = sums.select(
-            "cell", F.array(*[F.col(f"s{d}") / F.col("n") for d in range(EMB_DIM)]).alias("ce")
-        ).collect()
-        cents = [(r["cell"], list(r["ce"])) for r in rows]
+        by_cell: dict[int, list[float]] = {}
+        for r in sums.collect():
+            by_cell.setdefault(r["cell"], [0.0] * EMB_DIM)[r["d"]] = r["s"] / r["n"]
+        cents = [(c, v) for c, v in sorted(by_cell.items())]
     return cents
 
 

@@ -451,9 +451,13 @@ def sim_ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s"),
     ).select("vec_id", "s.t", "s.bucket")
+    # probes derives from tb, so the join below is a self-join: the table-id
+    # equality MUST go through explicit aliases — tb["t"] == probes["t"]
+    # resolves both sides to the same attribute and Spark silently drops it
+    # as trivially true, which would admit cross-table bucket collisions.
     probes = tb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"),
-        "t",
+        F.col("t").alias("pt"),
         F.explode(
             F.array(
                 F.col("bucket"),
@@ -464,7 +468,7 @@ def sim_ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         tb.join(
             F.broadcast(probes),
-            (tb["t"] == probes["t"])
+            (F.col("t") == F.col("pt"))
             & (F.col("bucket") == F.col("pb"))
             & (F.col("vec_id") != F.col("query_id")),
         )

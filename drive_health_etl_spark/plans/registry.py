@@ -72,7 +72,11 @@ def st_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(src)
     )
     sink = f"stateful_out_{uuid.uuid4().hex[:8]}"
-    with _shuffle_partitions(spark):
+    # 8 shuffle partitions: stateful-streaming cost at this scale is per-
+    # partition state-store + Python-worker setup, not data volume (32
+    # partitions measured 10-15x slower on a cold session); results are
+    # partitioning-independent.
+    with _shuffle_partitions(spark, 8):
         q = (
             stateful_user_counters(stream)
             .writeStream.format("memory")
@@ -116,7 +120,11 @@ def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = stream.filter(F.col("event_type") == "click")
     purchases = stream.filter(F.col("event_type") == "purchase")
     sink = f"ssj_out_{uuid.uuid4().hex[:8]}"
-    with _shuffle_partitions(spark):
+    # 8 shuffle partitions: stateful-streaming cost at this scale is per-
+    # partition state-store + Python-worker setup, not data volume (32
+    # partitions measured 10-15x slower on a cold session); results are
+    # partitioning-independent.
+    with _shuffle_partitions(spark, 8):
         q = (
             purchase_attribution(clicks, purchases)
             .writeStream.format("memory")

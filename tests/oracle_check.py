@@ -95,10 +95,15 @@ def _canon(rows, colnames):
 
 
 def compare_query(spark, con, name, fn, sql, sf_dir):
+    import time as _time
+
+    t0 = _time.monotonic()
     sdf = fn(spark, sf_dir)
     s_cols = sdf.columns
     s_dtypes = [t for _, t in sdf.dtypes]
     s_rows = [tuple(r) for r in sdf.collect()]
+    t_spark = _time.monotonic() - t0
+    t0 = _time.monotonic()
     try:
         rel = con.sql(sql)
         d_cols = list(rel.columns)
@@ -106,6 +111,7 @@ def compare_query(spark, con, name, fn, sql, sf_dir):
         d_rows = rel.fetchall()
     except Exception as e:  # oracle itself failed
         return {"name": name, "ok": False, "why": f"oracle error: {e}"}
+    t_duck = _time.monotonic() - t0
 
     problems = []
     if sorted(s_cols) != sorted(d_cols):
@@ -121,7 +127,14 @@ def compare_query(spark, con, name, fn, sql, sf_dir):
                 (i, a, b) for i, (a, b) in enumerate(zip(cs, cd)) if a != b
             )
             problems.append(f"values differ at sorted row {diff[0]}:\n  spark={diff[1]}\n  duck ={diff[2]}")
-    return {"name": name, "ok": not problems, "why": "; ".join(problems), "rows": len(s_rows)}
+    return {
+        "name": name,
+        "ok": not problems,
+        "why": "; ".join(problems),
+        "rows": len(s_rows),
+        "t_spark": round(t_spark, 2),
+        "t_duck": round(t_duck, 2),
+    }
 
 
 def main():
@@ -148,7 +161,10 @@ def main():
             r = {"name": name, "ok": False, "why": f"spark error: {e}"}
         if r["ok"]:
             n_pass += 1
-            print(f"PASS {name} ({r['rows']} rows)")
+            print(
+                f"PASS {name} ({r['rows']} rows, "
+                f"spark {r['t_spark']}s, duck {r['t_duck']}s)"
+            )
         else:
             n_fail += 1
             print(f"FAIL {name}: {r['why']}")
