@@ -43,6 +43,11 @@ class StreamIngestConfig:
     normalize_phones: bool = True
     dedup_horizon_days: int = 7
     max_files_per_trigger: int | None = None  # backpressure (ST1 size trigger)
+    # "parquet": input_path holds RAW_MESSAGE_SCHEMA parquet (batch-shaped
+    # replay input). "envelope": input_path is an HTTP-push spool directory
+    # read through the custom Python DataSource (S1 as a first-class source;
+    # sources/envelope_source.py) — same rows, same downstream chain.
+    source_format: str = "parquet"
 
 
 def existing_warehouse_keys(
@@ -116,13 +121,21 @@ def start_stream_ingest(spark: SparkSession, cfg: StreamIngestConfig, available_
     """Start the streaming ingest. ``available_now=True`` processes the
     backlog then stops (batch-replay mode — also what tests use); otherwise
     the query follows new files indefinitely."""
-    reader = (
-        spark.readStream.schema(RAW_MESSAGE_SCHEMA)
-        .format("parquet")
-    )
-    if cfg.max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", cfg.max_files_per_trigger)
-    raw = reader.load(cfg.input_path)
+    if cfg.source_format == "envelope":
+        from drive_health_etl_spark.sources.envelope_source import register_envelope_source
+
+        register_envelope_source(spark)
+        raw = (
+            spark.readStream.format("envelope").option("path", cfg.input_path).load()
+        )
+    else:
+        reader = (
+            spark.readStream.schema(RAW_MESSAGE_SCHEMA)
+            .format("parquet")
+        )
+        if cfg.max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", cfg.max_files_per_trigger)
+        raw = reader.load(cfg.input_path)
 
     writer = (
         raw.writeStream.foreachBatch(_process_batch(cfg))

@@ -39,6 +39,36 @@ def test_batch_rows_feed_ingest_chain(spark, tmp_path):
     assert res.dlq.count() == 5
 
 
+def test_stream_ingest_from_envelope_source(spark, tmp_path):
+    """S1 end-to-end as a STREAM: spool dir -> envelope DataSource ->
+    checkpointed foreachBatch ingest chain -> warehouse parquet, across two
+    drains (the second must process only the new spool file and dedup
+    redelivered keys against the warehouse)."""
+    from drive_health_etl_spark.streaming.ingest_stream import (
+        StreamIngestConfig,
+        run_stream_ingest_blocking,
+    )
+
+    spool = str(tmp_path / "spool")
+    cfg = StreamIngestConfig(
+        input_path=spool,
+        warehouse_path=str(tmp_path / "wh"),
+        dlq_path=str(tmp_path / "dlq"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        source_format="envelope",
+    )
+    write_spool_file(spool, envelopes.smoke_messages(), "000001.jsonl")
+    run_stream_ingest_blocking(spark, cfg)
+    first = spark.read.parquet(cfg.warehouse_path).count()
+    assert first == len(envelopes.smoke_messages())
+
+    # second drain: one new file, plus a redelivery of file 1 (same
+    # idempotency keys) — only the genuinely new rows may land
+    write_spool_file(spool, envelopes.smoke_messages(), "000002.jsonl")
+    run_stream_ingest_blocking(spark, cfg)
+    assert spark.read.parquet(cfg.warehouse_path).count() == first
+
+
 def test_stream_offsets_advance_per_file(spark, tmp_path):
     spool = str(tmp_path / "spool")
     ckpt = str(tmp_path / "ckpt")
