@@ -1,0 +1,136 @@
+"""Corpus-construction operators over ``documents`` (north-star extension;
+SURVEY.md §2.9 U3 family): training-mix resampling and sequence packing —
+the two steps that turn a filtered corpus into what a trainer actually
+consumes (a source mix at target proportions, batched into fixed token
+budgets).
+
+Both are pure column expressions. The mix resample needs per-source counts
+on the driver — that collect is bounded by the number of SOURCES (a config-
+sized dimension, like Spark MLlib collecting per-class counts), never by
+corpus size; the accept/reject decision itself is the same deterministic
+sha256-ratio filter the ingest sampler uses, evaluated distributed. Packing
+is one window cumsum per source partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from drive_health_etl_spark.functions.sampling import sample_hash_ratio, sample_hash_ratio_sql
+from drive_health_etl_spark.operators.text import TOKENS_SQL, tokens_col
+from drive_health_etl_spark.sources.tables import load_table
+
+# --- Training-mix resampling -------------------------------------------------
+
+
+def corpus_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample every source to the smallest source's size (uniform target
+    mix) with the deterministic hash filter: rate_s = min_count / count_s,
+    keep iff sha256-ratio(doc key) < rate_s. Emits per-source before/after
+    counts plus the achieved rate. Only the #sources-row count table ever
+    reaches the driver; the corpus-side filter is a narrow map behind a
+    broadcast join of the tiny rates table."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_before"))
+    rows = counts.collect()  # bounded: one row per SOURCE, not per doc
+    min_n = min(r["n_before"] for r in rows)
+    rates = spark.createDataFrame(
+        [(r["source"], r["n_before"], min_n / r["n_before"]) for r in rows],
+        "source string, n_before long, rate double",
+    )
+    kept = (
+        docs.join(F.broadcast(rates), "source")
+        .filter(sample_hash_ratio(F.concat(F.lit("mix-"), F.col("doc_id"))) < F.col("rate"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_after"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_before",
+            F.coalesce("n_after", F.lit(0)).alias("n_after"),
+            F.round("rate", 6).alias("rate"),
+        )
+        .orderBy("source")
+    )
+
+
+CORPUS_MIX_SQL = f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_before FROM documents GROUP BY source
+),
+rates AS (
+  SELECT source, n_before,
+         CAST((SELECT MIN(n_before) FROM counts) AS DOUBLE) / n_before AS rate
+  FROM counts
+),
+kept AS (
+  SELECT d.source, COUNT(*) AS n_after
+  FROM documents d JOIN rates r ON d.source = r.source
+  WHERE {sample_hash_ratio_sql("'mix-' || CAST(d.doc_id AS VARCHAR)")} < r.rate
+  GROUP BY d.source
+)
+SELECT r.source, r.n_before, COALESCE(k.n_after, 0) AS n_after,
+       ROUND(r.rate, 6) AS rate
+FROM rates r LEFT JOIN kept k ON r.source = k.source
+ORDER BY r.source
+"""
+
+
+# --- Sequence packing --------------------------------------------------------
+
+SEQ_LEN = 2048
+
+
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy in-order sequence packing: within each source (ordered by
+    doc_id), documents fill fixed SEQ_LEN-token bins by cumulative token
+    count — bin = floor((cumsum - n_tokens) / SEQ_LEN), i.e. a document
+    lands in the bin its first token falls into (documents spanning a
+    boundary are charged to the earlier bin; real packers split or pad —
+    this is the deterministic whole-document variant). One window cumsum
+    per source partition; per-bin stats aggregate with map-side combine.
+    Sources partition the window, so parallelism = #sources at this step —
+    at 100 TB pack per (source, shard) with a second hash key."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(tokens_col()).alias("n_tokens")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    binned = docs.withColumn(
+        "bin",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(SEQ_LEN)),
+    )
+    return (
+        binned.groupBy("source", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .withColumn("fill_ratio", F.round(F.col("n_tokens") / F.lit(float(SEQ_LEN)), 6))
+        .orderBy("source", "bin")
+    )
+
+
+CORPUS_PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source, len({TOKENS_SQL}) AS n_tokens FROM documents
+),
+b AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+                     - n_tokens) / {SEQ_LEN}.0) AS BIGINT) AS bin
+  FROM t
+)
+SELECT source, bin, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(n_tokens) AS DOUBLE) / {SEQ_LEN}.0, 6) AS fill_ratio
+FROM b GROUP BY source, bin ORDER BY source, bin
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "corpus_mix_resample": (corpus_mix_resample, CORPUS_MIX_SQL),
+    "corpus_pack_sequences": (corpus_pack_sequences, CORPUS_PACK_SQL),
+}

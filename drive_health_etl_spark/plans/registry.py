@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from drive_health_etl_spark.operators import asof as _asof
+from drive_health_etl_spark.operators import corpus as _corpus
 from drive_health_etl_spark.operators import dedup as _dedup
 from drive_health_etl_spark.operators import grouped_pandas as _grouped
 from drive_health_etl_spark.operators import multimodal as _multimodal
@@ -165,6 +166,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     **_scalar.QUERIES,
     **_text.QUERIES,
     **_quality.QUERIES,
+    **_corpus.QUERIES,
     **_dedup.QUERIES,
     **_similarity.QUERIES,
     **_multimodal.QUERIES,
