@@ -23,6 +23,11 @@ calls is exactly what Delta/Iceberg add).
 
 from __future__ import annotations
 
+import json
+import os
+import time
+from contextlib import contextmanager
+
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -37,6 +42,53 @@ def _is_missing_path(e: AnalysisException) -> bool:
     except Exception:
         pass
     return "PATH_NOT_FOUND" in cls or "PATH_NOT_FOUND" in str(e)
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another merge/compact writer holds the table lock."""
+
+
+LOCK_TTL_SECONDS = 600.0
+
+
+@contextmanager
+def warehouse_write_lock(target_path: str, ttl: float = LOCK_TTL_SECONDS):
+    """Single-writer fence for the read-modify-write table rewrites
+    (merge/compact/rollup): an atomically-created ``_merge.lock`` file in
+    the table directory (O_CREAT|O_EXCL — POSIX-atomic on one filesystem).
+    A second writer fails fast with :class:`ConcurrentWriteError` instead
+    of interleaving its anti-join snapshot with the first writer's
+    overwrite (lost-update). Locks older than ``ttl`` are presumed crashed
+    and broken. This is the filesystem-emulation of Delta/Iceberg's
+    optimistic transaction log; on an object store without atomic create,
+    use a real lock service or table format instead.
+
+    The lock file starts with '_', so Spark's parquet reader ignores it."""
+    os.makedirs(target_path, exist_ok=True)
+    lock = os.path.join(target_path, "_merge.lock")
+    deadline_fresh = time.time() - ttl
+    try:
+        st = os.stat(lock)
+        if st.st_mtime < deadline_fresh:
+            os.unlink(lock)  # crashed holder; best-effort break
+    except FileNotFoundError:
+        pass
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise ConcurrentWriteError(
+            f"{lock} exists: another writer is merging this table "
+            f"(or crashed less than {ttl}s ago)"
+        ) from None
+    try:
+        os.write(fd, json.dumps({"pid": os.getpid(), "ts": time.time()}).encode())
+        os.close(fd)
+        yield
+    finally:
+        try:
+            os.unlink(lock)
+        except FileNotFoundError:
+            pass
 
 
 def merge_upsert(
@@ -57,28 +109,40 @@ def merge_upsert(
     if not touched:
         return
 
-    try:
-        target = spark.read.parquet(target_path)
-    except AnalysisException as e:
-        # ONLY a missing target means "first write". Any other failure
-        # (corrupt footer, permission, schema) must propagate — treating it
-        # as first-write would overwrite touched partitions with update rows
-        # alone, silently dropping every pre-existing unmatched row.
-        if not _is_missing_path(e):
-            raise
-        merged = updates
-    else:
-        existing = target.filter(F.col(partition_col).isin(touched))
-        keep = existing.join(updates.select(key).distinct(), key, "left_anti")
-        merged = keep.unionByName(updates.select(*keep.columns))
-        # The merged plan reads the very files the overwrite will replace —
-        # materialize it (break lineage) before writing, else the scan races
-        # the delete (FAILED_READ_FILE). Cost: the touched partitions only.
-        merged = merged.localCheckpoint(eager=True)
-    with spark_conf(spark, {"spark.sql.sources.partitionOverwriteMode": "dynamic"}):
-        (
-            merged.repartition(partition_col)
-            .write.mode("overwrite")
-            .partitionBy(partition_col)
-            .parquet(target_path)
+    with warehouse_write_lock(target_path):
+        # Empty dir (just created by the lock, or only _/. metadata files):
+        # first write. Distinct from a corrupt-but-populated dir, which must
+        # still propagate its read error.
+        is_empty = not any(
+            not f.startswith(("_", ".")) for f in os.listdir(target_path)
         )
+        if is_empty:
+            merged = updates
+        else:
+            try:
+                target = spark.read.parquet(target_path)
+            except AnalysisException as e:
+                # ONLY a missing target means "first write". Any other
+                # failure (corrupt footer, permission, schema) must
+                # propagate — treating it as first-write would overwrite
+                # touched partitions with update rows alone, silently
+                # dropping every pre-existing unmatched row.
+                if not _is_missing_path(e):
+                    raise
+                merged = updates
+            else:
+                existing = target.filter(F.col(partition_col).isin(touched))
+                keep = existing.join(updates.select(key).distinct(), key, "left_anti")
+                merged = keep.unionByName(updates.select(*keep.columns))
+                # The merged plan reads the very files the overwrite will
+                # replace — materialize it (break lineage) before writing,
+                # else the scan races the delete (FAILED_READ_FILE). Cost:
+                # the touched partitions only.
+                merged = merged.localCheckpoint(eager=True)
+        with spark_conf(spark, {"spark.sql.sources.partitionOverwriteMode": "dynamic"}):
+            (
+                merged.repartition(partition_col)
+                .write.mode("overwrite")
+                .partitionBy(partition_col)
+                .parquet(target_path)
+            )

@@ -55,11 +55,13 @@ def test_merge_upsert_corrupt_target_propagates(spark, sf_dir, tmp_path):
         [tuple(row[c] for c in before.drop("event_date").columns)],
         schema=before.drop("event_date").schema,
     )
-    # corrupt the schema discovery: an empty dir has no parquet footer
+    # a populated dir with an unreadable parquet footer (an EMPTY dir is
+    # legitimately first-write — the lock protocol creates the dir itself)
     import shutil
 
     broken = str(tmp_path / "broken")
     (tmp_path / "broken").mkdir()
+    (tmp_path / "broken" / "part-00000.parquet").write_bytes(b"not a parquet file")
     with pytest.raises(Exception):
         merge_upsert(spark, broken, updates)
     shutil.rmtree(broken)
@@ -110,3 +112,48 @@ def test_merge_upsert_only_rewrites_touched_partitions(spark, sf_dir, tmp_path):
     )
     assert mtime_after == mtime_before  # dynamic overwrite left other partitions alone
     assert spark.read.parquet(out).count() == n_before
+
+
+def test_merge_lock_blocks_concurrent_writer(spark, sf_dir, tmp_path):
+    import pytest
+
+    from drive_health_etl_spark.operators.upsert import (
+        ConcurrentWriteError,
+        warehouse_write_lock,
+    )
+
+    out = _wh(spark, sf_dir, tmp_path)
+    before = spark.read.parquet(out)
+    first_date = before.agg(F.min("event_date")).collect()[0][0]
+    row = before.filter(F.col("event_date") == first_date).first()
+    updates = spark.createDataFrame(
+        [tuple(row[c] for c in before.drop("event_date").columns)],
+        schema=before.drop("event_date").schema,
+    )
+    with warehouse_write_lock(out):  # first writer holds the table
+        with pytest.raises(ConcurrentWriteError):
+            merge_upsert(spark, out, updates)
+    merge_upsert(spark, out, updates)  # lock released -> proceeds
+
+
+def test_merge_lock_breaks_stale_lock(spark, sf_dir, tmp_path):
+    import os
+    import time
+
+    out = _wh(spark, sf_dir, tmp_path)
+    n = spark.read.parquet(out).count()
+    lock = os.path.join(out, "_merge.lock")
+    open(lock, "w").write("{}")
+    old = time.time() - 4000
+    os.utime(lock, (old, old))  # crashed writer from over an hour ago
+
+    before = spark.read.parquet(out)
+    first_date = before.agg(F.min("event_date")).collect()[0][0]
+    row = before.filter(F.col("event_date") == first_date).first()
+    updates = spark.createDataFrame(
+        [tuple(row[c] for c in before.drop("event_date").columns)],
+        schema=before.drop("event_date").schema,
+    )
+    merge_upsert(spark, out, updates)  # stale lock broken, merge succeeds
+    assert not os.path.exists(lock)
+    assert spark.read.parquet(out).count() == n
