@@ -6,10 +6,12 @@ resize / frame-sample run as Arrow-batched ``mapInPandas`` so each Python
 worker touches a whole batch of blobs at once — the only viable shape at
 100 TB (per-row UDFs would serialize per blob).
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so
-``decode_image`` raises ``NotImplementedError`` unless a deterministic fake
-is requested; everything around it — schema, batching, partitioning, UDF
-signatures — is real and tested.
+Codec status: NetPBM (P6/P5) decodes FOR REAL via the pure-numpy parser in
+``_decode_netpbm`` — `multimodal_decode_stats` oracle-checks the decoded
+raster statistics end to end. Compressed formats (PNG/JPEG/ffmpeg media)
+still raise ``NotImplementedError`` because their codecs (PIL/ffmpeg) are
+not in this container; the deterministic fake remains for format-agnostic
+plumbing tests.
 """
 
 from __future__ import annotations
@@ -53,16 +55,50 @@ def attach_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def decode_image(blob: bytes, *, fake: bool = False) -> np.ndarray:
-    """Decode an image blob. Real decode needs PIL/cv2 (not in container) —
-    STUB. ``fake=True`` returns a deterministic pseudo-image derived from the
-    blob bytes so downstream plumbing is testable."""
-    if not fake:
-        raise NotImplementedError(
-            "image decode requires PIL/cv2, not available in this container; "
-            "pass fake=True for the deterministic test double"
-        )
-    arr = np.frombuffer(blob[:64].ljust(64, b"\0"), dtype=np.uint8)
-    return np.tile(arr, (8, 1))  # (8, 64) deterministic "image"
+    """Decode an image blob.
+
+    REAL path: NetPBM binary images — P6 (RGB, returns (h, w, 3)) and P5
+    (grayscale, returns (h, w)) — parsed with numpy alone; this is the
+    container-installable codec path (no PIL/cv2 needed). Compressed
+    formats (PNG/JPEG/...) still raise NotImplementedError: their codecs
+    are not in this container, and silently faking them would be worse
+    than refusing. ``fake=True`` keeps the deterministic pseudo-image for
+    arbitrary blobs so format-agnostic plumbing stays testable."""
+    if fake:
+        arr = np.frombuffer(blob[:64].ljust(64, b"\0"), dtype=np.uint8)
+        return np.tile(arr, (8, 1))  # (8, 64) deterministic "image"
+    magic = blob[:2]
+    if magic in (b"P6", b"P5"):
+        return _decode_netpbm(blob)
+    raise NotImplementedError(
+        f"no pure-numpy codec for magic {magic!r} (PNG/JPEG need PIL/cv2, "
+        "not available in this container); P5/P6 NetPBM decode natively, or "
+        "pass fake=True for the deterministic test double"
+    )
+
+
+def _decode_netpbm(blob: bytes) -> np.ndarray:
+    """Binary NetPBM parser: header tokens (magic, width, height, maxval —
+    '#' comments allowed) then one whitespace byte, then the raw raster."""
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(blob) and blob[pos : pos + 1].isspace():
+            pos += 1
+        if blob[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(blob) and blob[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(blob) and not blob[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(blob[start:pos]))
+    pos += 1  # exactly one whitespace byte separates header from raster
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit NetPBM not supported")
+    channels = 3 if blob[:2] == b"P6" else 1
+    raster = np.frombuffer(blob, dtype=np.uint8, count=w * h * channels, offset=pos)
+    return raster.reshape(h, w, 3) if channels == 3 else raster.reshape(h, w)
 
 
 def extract_features(media: DataFrame, frame_stride: int = 64, fake_decode: bool = True) -> DataFrame:
@@ -119,6 +155,78 @@ FROM documents
 """
 
 
+# --- Real-decode path: deterministic PPM corpus -----------------------------
+
+
+def attach_ppm_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL image table: every 3rd document becomes a binary P6 PPM blob
+    (header + raw RGB raster filled from the doc's text bytes, rpad-repeated
+    to w*h*3). The blobs are genuine images — `decode_image` parses them
+    with the numpy NetPBM codec, no fake path involved."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    # w in [4,19], h in [4,15]; raster <= 855 ASCII bytes drawn from text
+    return docs.select(
+        "doc_id",
+        F.expr(
+            "encode('P6\\n' || CAST(doc_id % 16 + 4 AS STRING) || ' ' "
+            "|| CAST(doc_id % 12 + 4 AS STRING) || '\\n255\\n' "
+            "|| rpad(text || ' ', CAST((doc_id % 16 + 4) * (doc_id % 12 + 4) * 3 AS INT), text || ' '), "
+            "'utf-8')"
+        ).alias("content"),
+    )
+
+
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode every PPM blob FOR REAL (numpy NetPBM codec) inside
+    mapInPandas and emit per-image dimensions and exact per-channel means.
+    The oracle recomputes the same stats from the raster construction rule
+    in SQL — so a decoder bug (wrong offset, wrong reshape, swapped
+    channels) breaks the hash match. Arrow-batched: one Python roundtrip
+    per batch of blobs, the only viable shape at 100 TB."""
+    media = attach_ppm_images(spark, sf_dir)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "mean_r": [], "mean_g": [], "mean_b": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                img = decode_image(bytes(blob))  # REAL decode, no fake
+                h, w, _ = img.shape
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(int(w))
+                out["height"].append(int(h))
+                px = img.astype("float64")
+                out["mean_r"].append(round(float(px[:, :, 0].mean()), 6))
+                out["mean_g"].append(round(float(px[:, :, 1].mean()), 6))
+                out["mean_b"].append(round(float(px[:, :, 2].mean()), 6))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        op, schema="doc_id long, width int, height int, mean_r double, mean_g double, mean_b double"
+    )
+
+
+MULTIMODAL_DECODE_SQL = """
+WITH img AS (
+  SELECT doc_id,
+         CAST(doc_id % 16 + 4 AS INTEGER) AS w,
+         CAST(doc_id % 12 + 4 AS INTEGER) AS h,
+         rpad(text || ' ', CAST((doc_id % 16 + 4) * (doc_id % 12 + 4) * 3 AS INTEGER),
+              text || ' ') AS payload
+  FROM documents WHERE doc_id % 3 = 0
+),
+px AS (
+  SELECT doc_id, w, h, (i - 1) % 3 AS ch, ord(substr(payload, i, 1)) AS v
+  FROM img, UNNEST(generate_series(1, w * h * 3)) AS t(i)
+)
+SELECT doc_id, ANY_VALUE(w) AS width, ANY_VALUE(h) AS height,
+       ROUND(AVG(CASE WHEN ch = 0 THEN v END), 6) AS mean_r,
+       ROUND(AVG(CASE WHEN ch = 1 THEN v END), 6) AS mean_g,
+       ROUND(AVG(CASE WHEN ch = 2 THEN v END), 6) AS mean_b
+FROM px GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "multimodal_bytes": (multimodal_bytes, MULTIMODAL_BYTES_SQL),
+    "multimodal_decode_stats": (multimodal_decode_stats, MULTIMODAL_DECODE_SQL),
 }

@@ -9,9 +9,32 @@ from drive_health_etl_spark.operators.multimodal import (
 )
 
 
-def test_decode_stub_raises_without_fake():
+def test_decode_refuses_unknown_format_without_fake():
     with pytest.raises(NotImplementedError):
-        decode_image(b"abc")
+        decode_image(b"\x89PNG\r\n...")  # compressed formats need PIL
+
+
+def test_decode_netpbm_real():
+    import numpy as np
+
+    # P6 RGB 2x2 with a header comment
+    p6 = b"P6\n# test\n2 2\n255\n" + bytes(range(12))
+    img = decode_image(p6)
+    assert img.shape == (2, 2, 3)
+    assert img[0, 0, 0] == 0 and img[1, 1, 2] == 11
+    # P5 grayscale 3x2
+    p5 = b"P5\n3 2\n255\n" + bytes([10, 20, 30, 40, 50, 60])
+    g = decode_image(p5)
+    assert g.shape == (2, 3) and g[1, 2] == 60
+    assert isinstance(img, np.ndarray)
+
+
+def test_ppm_roundtrip_through_spark(spark, sf_dir):
+    from drive_health_etl_spark.operators.multimodal import attach_ppm_images
+
+    blob = bytes(attach_ppm_images(spark, sf_dir).first()["content"])
+    img = decode_image(blob)  # real decode of the Spark-built blob
+    assert img.ndim == 3 and img.shape[2] == 3
 
 
 def test_decode_fake_deterministic():
