@@ -6,12 +6,13 @@ resize / frame-sample run as Arrow-batched ``mapInPandas`` so each Python
 worker touches a whole batch of blobs at once — the only viable shape at
 100 TB (per-row UDFs would serialize per blob).
 
-Codec status: NetPBM (P6/P5) decodes FOR REAL via the pure-numpy parser in
-``_decode_netpbm`` — `multimodal_decode_stats` oracle-checks the decoded
-raster statistics end to end. Compressed formats (PNG/JPEG/ffmpeg media)
-still raise ``NotImplementedError`` because their codecs (PIL/ffmpeg) are
-not in this container; the deterministic fake remains for format-agnostic
-plumbing tests.
+Codec status: NetPBM images (P6/P5, ``_decode_netpbm``) and RIFF/WAVE 8-bit
+PCM audio (``decode_audio``) decode FOR REAL via pure-numpy parsers —
+`multimodal_decode_stats` / `multimodal_audio_stats` oracle-check the
+decoded raster/sample statistics end to end. Compressed formats (PNG/JPEG/
+mp3/ffmpeg media) still raise ``NotImplementedError`` because their codecs
+(PIL/ffmpeg) are not in this container; the deterministic fake remains for
+format-agnostic plumbing tests.
 """
 
 from __future__ import annotations
@@ -155,6 +156,33 @@ FROM documents
 """
 
 
+def decode_audio(blob: bytes) -> tuple[int, np.ndarray]:
+    """REAL audio decode: RIFF/WAVE with 8-bit unsigned PCM, parsed with
+    numpy alone. Returns (sample_rate, samples). Compressed audio (mp3/ogg)
+    raises — those codecs are not in this container."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "only RIFF/WAVE PCM decodes without ffmpeg; got "
+            f"magic {blob[:4]!r}"
+        )
+    pos, rate, bits = 12, None, None
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        size = int.from_bytes(blob[pos + 4 : pos + 8], "little")
+        body = blob[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if int.from_bytes(body[0:2], "little") != 1:  # PCM only
+                raise NotImplementedError("non-PCM WAV not supported")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"data":
+            if bits != 8:
+                raise NotImplementedError("only 8-bit PCM supported")
+            return rate, np.frombuffer(body, dtype=np.uint8)
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    raise ValueError("no data chunk in WAV blob")
+
+
 # --- Real-decode path: deterministic PPM corpus -----------------------------
 
 
@@ -226,7 +254,91 @@ FROM px GROUP BY doc_id
 """
 
 
+# --- Real-decode path: deterministic WAV corpus -----------------------------
+
+WAV_RATE = 8000
+WAV_SAMPLES = 256
+
+
+def _wav_header() -> bytes:
+    """Constant RIFF/WAVE header for 1-channel 8-bit PCM at WAV_RATE with
+    exactly WAV_SAMPLES samples — constant so Spark can embed it as ONE
+    binary literal and prepend with concat."""
+
+    def le(n: int, width: int) -> bytes:
+        return n.to_bytes(width, "little")
+
+    fmt = le(1, 2) + le(1, 2) + le(WAV_RATE, 4) + le(WAV_RATE, 4) + le(1, 2) + le(8, 2)
+    return (
+        b"RIFF" + le(36 + WAV_SAMPLES, 4) + b"WAVE"
+        + b"fmt " + le(16, 4) + fmt
+        + b"data" + le(WAV_SAMPLES, 4)
+    )
+
+
+def attach_wav_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL audio table: every doc with doc_id % 3 == 1 becomes a binary
+    RIFF/WAVE blob (constant PCM header literal + 256 8-bit samples filled
+    from the doc's text bytes). `decode_audio` parses them with the numpy
+    RIFF codec — genuine WAV files, no fake path."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 1)
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(_wav_header()),
+            F.expr(f"encode(rpad(text || ' ', {WAV_SAMPLES}, text || ' '), 'utf-8')"),
+        ).alias("content"),
+    )
+
+
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode every WAV blob FOR REAL (numpy RIFF parser) inside mapInPandas
+    and emit sample rate, count, mean amplitude and RMS; the oracle
+    recomputes the stats from the sample-construction rule, so a chunk-walk
+    or offset bug breaks the hash."""
+    media = attach_wav_audio(spark, sf_dir)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "sample_rate": [], "n_samples": [], "mean_amp": [], "rms": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                rate, samples = decode_audio(bytes(blob))  # REAL decode
+                s = samples.astype("float64")
+                out["doc_id"].append(int(doc_id))
+                out["sample_rate"].append(int(rate))
+                out["n_samples"].append(int(len(samples)))
+                # no rounding: sum/256 is an exact power-of-two division,
+                # so mean and rms are bit-identical across engines — and
+                # rounding would DIVERGE on exact .5 ties (Python banker's
+                # vs DuckDB half-away)
+                out["mean_amp"].append(float(s.mean()))
+                out["rms"].append(float(np.sqrt((s * s).mean())))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        op,
+        schema="doc_id long, sample_rate int, n_samples int, mean_amp double, rms double",
+    )
+
+
+MULTIMODAL_AUDIO_SQL = f"""
+WITH wav AS (
+  SELECT doc_id, rpad(text || ' ', {WAV_SAMPLES}, text || ' ') AS payload
+  FROM documents WHERE doc_id % 3 = 1
+),
+s AS (
+  SELECT doc_id, ord(substr(payload, i, 1)) AS v
+  FROM wav, UNNEST(generate_series(1, {WAV_SAMPLES})) AS t(i)
+)
+SELECT doc_id, {WAV_RATE} AS sample_rate, {WAV_SAMPLES} AS n_samples,
+       AVG(v) AS mean_amp,
+       sqrt(AVG(CAST(v AS DOUBLE) * v)) AS rms
+FROM s GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "multimodal_bytes": (multimodal_bytes, MULTIMODAL_BYTES_SQL),
     "multimodal_decode_stats": (multimodal_decode_stats, MULTIMODAL_DECODE_SQL),
+    "multimodal_audio_stats": (multimodal_audio_stats, MULTIMODAL_AUDIO_SQL),
 }

@@ -64,3 +64,20 @@ def test_feature_extraction_deterministic(spark, sf_dir):
     a = sorted(map(tuple, extract_features(media).select("doc_id", "feature").collect()))
     b = sorted(map(tuple, extract_features(media).select("doc_id", "feature").collect()))
     assert [(d, tuple(f)) for d, f in a] == [(d, tuple(f)) for d, f in b]
+
+
+def test_decode_wav_real():
+    from drive_health_etl_spark.operators.multimodal import (
+        WAV_RATE,
+        _wav_header,
+        decode_audio,
+    )
+
+    blob = _wav_header() + bytes(range(256))
+    rate, samples = decode_audio(blob)
+    assert rate == WAV_RATE
+    assert len(samples) == 256 and samples[255] == 255
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"ID3\x04mp3data....")
