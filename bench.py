@@ -45,6 +45,10 @@ HEADLINE = [
     "sim_ann_lsh_multitable",
     "sim_ann_ivf",
     "text_bpe_token_count",
+    "text_repetition",
+    "text_decontaminate",
+    "corpus_pack_sequences",
+    "multimodal_decode_stats",
     "asof_last_purchase",
     "dedup_components",
     "pipeline_ingest_e2e",

@@ -70,3 +70,30 @@ def test_skewed_key_profile(spark, sf_dir):
     prof = skewed_key_profile(events, "tenant", top=3).collect()
     assert prof[0]["tenant"] == "hot-tenant"
     assert prof[0]["fraction"] > 0.85
+
+
+def test_salting_evens_partition_histogram(spark, sf_dir):
+    """The measured claim behind salting: hash-partitioning on the raw key
+    puts ~90% of rows in ONE shuffle partition; partitioning on (key, salt)
+    bounds the largest partition near 1/n_salts of the hot key. This is the
+    stage-size histogram a 1000-executor cluster lives or dies by."""
+    events = _skewed_events(spark, sf_dir)
+    n_part = 16
+
+    def histogram(df):
+        return [
+            r["n"]
+            for r in df.groupBy(F.spark_partition_id().alias("p"))
+            .agg(F.count("*").alias("n"))
+            .collect()
+        ]
+
+    total = events.count()
+    raw = histogram(events.repartition(n_part, F.col("tenant")))
+    salted = histogram(
+        events.repartition(
+            n_part, F.col("tenant"), F.pmod(F.hash("event_id"), F.lit(8))
+        )
+    )
+    assert max(raw) / total > 0.85  # the hot key concentrates
+    assert max(salted) / total < 0.30  # salting spreads it
