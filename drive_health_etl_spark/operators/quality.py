@@ -115,8 +115,12 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction of all bigram occurrences taken by the single most frequent
     bigram. Ratios are narrow array math; the top-bigram pass explodes to
     (doc_id, bigram) and aggregates with map-side combine — keys are unique
-    per document, so no cross-document skew is possible."""
-    docs = load_table(spark, sf_dir, "documents")
+    per document, so no cross-document skew is possible. The testdata file
+    is a single row group, so the CPU-heavy interpreted gram construction
+    needs an explicit post-scan repartition to use every core."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     ws = tokens_col()
     base = docs.select(
         "doc_id",
@@ -187,7 +191,9 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the corpus); the corpus side explodes to (doc_id, gram) and
     equi-joins on the gram hash, so the work is one broadcast-hash join over
     a linear explode — no shuffle of the corpus at all."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     grams = docs.select(
         "doc_id", F.explode(_grams_col(tokens_col(), DECON_NGRAM)).alias("gram")
     )
