@@ -337,8 +337,104 @@ FROM s GROUP BY doc_id
 """
 
 
+# --- Real-decode path: multi-frame video (concatenated PPM frames) ----------
+
+VID_FRAMES = 4
+VID_W, VID_H = 8, 6  # fixed per-frame dims -> constant header, 144-byte raster
+VID_STRIDE = 2  # frame-sample every 2nd frame
+_FRAME_PAYLOAD = VID_W * VID_H * 3
+
+
+def decode_video(blob: bytes) -> list[np.ndarray]:
+    """REAL video decode for the concatenated-NetPBM container: walk the
+    blob frame by frame (each frame is a self-describing P6: header +
+    raster), decoding each with the numpy NetPBM parser."""
+    frames, pos = [], 0
+    while pos < len(blob):
+        if blob[pos : pos + 2] != b"P6":
+            raise ValueError(f"bad frame magic at byte {pos}")
+        img = _decode_netpbm(blob[pos:])
+        frames.append(img)
+        h, w, _ = img.shape
+        # header length = bytes consumed before the raster in THIS frame
+        hdr = blob.index(b"255\n", pos) + 4 - pos
+        pos += hdr + w * h * 3
+    return frames
+
+
+def attach_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL video table: every doc with doc_id % 3 == 2 becomes
+    VID_FRAMES concatenated P6 frames (constant 8x6 dims -> constant
+    header), frame f's raster drawn from the doc's text offset by 7*f so
+    frames differ."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 2)
+    frames = [
+        F.concat(
+            F.lit(f"P6\n{VID_W} {VID_H}\n255\n".encode()),
+            F.expr(
+                f"encode(rpad(substr(text || ' ', {7 * f + 1}), "
+                f"{_FRAME_PAYLOAD}, text || ' '), 'utf-8')"
+            ),
+        )
+        for f in range(VID_FRAMES)
+    ]
+    return docs.select("doc_id", F.concat(*frames).alias("content"))
+
+
+def multimodal_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample + decode the video blobs FOR REAL: the numpy frame
+    walker parses all frames, the stride keeps every VID_STRIDE-th, and the
+    mean runs over the sampled frames' pixels. The oracle recomputes the
+    same mean from the per-frame construction rule — a frame-boundary bug
+    (wrong header length, wrong raster size) shifts every later frame and
+    breaks the hash."""
+    media = attach_video(spark, sf_dir)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_frames": [], "n_sampled": [], "mean_sampled": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                frames = decode_video(bytes(blob))  # REAL decode
+                sampled = frames[::VID_STRIDE]
+                px = np.concatenate([f.reshape(-1) for f in sampled]).astype("float64")
+                out["doc_id"].append(int(doc_id))
+                out["n_frames"].append(len(frames))
+                out["n_sampled"].append(len(sampled))
+                # exact: integer sum / power-of-two-free count — both engines
+                # divide the same exact integer sum by the same count
+                out["mean_sampled"].append(float(px.mean()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        op, schema="doc_id long, n_frames int, n_sampled int, mean_sampled double"
+    )
+
+
+_SAMPLED = list(range(0, VID_FRAMES, VID_STRIDE))
+
+MULTIMODAL_VIDEO_SQL = f"""
+WITH v AS (
+  SELECT doc_id, text || ' ' AS t FROM documents WHERE doc_id % 3 = 2
+),
+fr AS (
+  {" UNION ALL ".join(
+    f"SELECT doc_id, rpad(substr(t, {7 * f + 1}), {_FRAME_PAYLOAD}, t) AS payload FROM v"
+    for f in _SAMPLED
+  )}
+),
+px AS (
+  SELECT doc_id, ord(substr(payload, i, 1)) AS val
+  FROM fr, UNNEST(generate_series(1, {_FRAME_PAYLOAD})) AS u(i)
+)
+SELECT doc_id, {VID_FRAMES} AS n_frames, {len(_SAMPLED)} AS n_sampled,
+       AVG(val) AS mean_sampled
+FROM px GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "multimodal_bytes": (multimodal_bytes, MULTIMODAL_BYTES_SQL),
     "multimodal_decode_stats": (multimodal_decode_stats, MULTIMODAL_DECODE_SQL),
     "multimodal_audio_stats": (multimodal_audio_stats, MULTIMODAL_AUDIO_SQL),
+    "multimodal_video_stats": (multimodal_video_stats, MULTIMODAL_VIDEO_SQL),
 }

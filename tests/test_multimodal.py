@@ -81,3 +81,17 @@ def test_decode_wav_real():
 
     with pytest.raises(NotImplementedError):
         decode_audio(b"ID3\x04mp3data....")
+
+
+def test_decode_video_frame_walk():
+    from drive_health_etl_spark.operators.multimodal import decode_video
+
+    frame = b"P6\n2 2\n255\n" + bytes(range(12))
+    frames = decode_video(frame * 3)
+    assert len(frames) == 3
+    assert all(f.shape == (2, 2, 3) for f in frames)
+    assert frames[2][1, 1, 2] == 11
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_video(frame + b"garbage")
