@@ -55,6 +55,17 @@ def compact_warehouse(
         return CompactionStats(0, sum(map(len, parts.values())), sum(map(len, parts.values())))
 
     files_before = sum(map(len, parts.values()))
+    from drive_health_etl_spark.operators.upsert import warehouse_write_lock
+
+    with warehouse_write_lock(path):
+        return _compact_locked(
+            spark, path, partition_col, target_file_bytes, sort_cols, parts, todo, files_before
+        )
+
+
+def _compact_locked(
+    spark, path, partition_col, target_file_bytes, sort_cols, parts, todo, files_before
+):
     df = spark.read.parquet(path).filter(F.col(partition_col).isin(list(todo)))
     sizes = {p: sum(os.path.getsize(f) for f in fs) for p, fs in todo.items()}
     # one file-count target for the batch: partitions are day-sized and

@@ -52,7 +52,11 @@ def refresh_rollup(
     # leave stale rollup partitions for days the warehouse no longer has
     # (e.g. after retention expiry).
     mode = "dynamic" if touched_dates is not None else "static"
-    with spark_conf(spark, {"spark.sql.sources.partitionOverwriteMode": mode}):
+    from drive_health_etl_spark.operators.upsert import warehouse_write_lock
+
+    with warehouse_write_lock(rollup_path), spark_conf(
+        spark, {"spark.sql.sources.partitionOverwriteMode": mode}
+    ):
         (
             rolled.repartition("event_date")
             .write.mode("overwrite")

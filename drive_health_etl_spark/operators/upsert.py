@@ -63,9 +63,11 @@ def warehouse_write_lock(target_path: str, ttl: float = LOCK_TTL_SECONDS):
     optimistic transaction log; on an object store without atomic create,
     use a real lock service or table format instead.
 
-    The lock file starts with '_', so Spark's parquet reader ignores it."""
+    The lock is a SIBLING of the table directory, not inside it: a static
+    partition-overwrite deletes the whole table dir mid-write, which would
+    release an in-dir lock while the write is still running."""
     os.makedirs(target_path, exist_ok=True)
-    lock = os.path.join(target_path, "_merge.lock")
+    lock = target_path.rstrip("/") + "._merge.lock"
     deadline_fresh = time.time() - ttl
     try:
         st = os.stat(lock)

@@ -142,7 +142,7 @@ def test_merge_lock_breaks_stale_lock(spark, sf_dir, tmp_path):
 
     out = _wh(spark, sf_dir, tmp_path)
     n = spark.read.parquet(out).count()
-    lock = os.path.join(out, "_merge.lock")
+    lock = out.rstrip("/") + "._merge.lock"
     open(lock, "w").write("{}")
     old = time.time() - 4000
     os.utime(lock, (old, old))  # crashed writer from over an hour ago
