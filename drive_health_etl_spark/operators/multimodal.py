@@ -432,9 +432,77 @@ FROM px GROUP BY doc_id
 """
 
 
+# --- Real resize (nearest-neighbor downsample) ------------------------------
+
+
+def resize_image(img: np.ndarray, factor: int = 2) -> np.ndarray:
+    """Nearest-neighbor downsample by integer factor: keep every factor-th
+    pixel in both axes. The standard cheap thumbnail op; output dims are
+    ceil(dim/factor)."""
+    return img[::factor, ::factor]
+
+
+def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + RESIZE each PPM for real (numpy nearest-neighbor 2x
+    downsample) and emit the resized dims and per-channel means over the
+    kept pixels. The oracle selects the same (even-row, even-col) positions
+    from the raster construction rule — an off-by-one in the stride or a
+    row/col swap changes which pixels survive and breaks the hash."""
+    media = attach_ppm_images(spark, sf_dir)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "rw": [], "rh": [], "mean_r": [], "mean_g": [], "mean_b": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                small = resize_image(decode_image(bytes(blob)))  # REAL decode + resize
+                h, w, _ = small.shape
+                px = small.astype("float64")
+                out["doc_id"].append(int(doc_id))
+                out["rw"].append(int(w))
+                out["rh"].append(int(h))
+                out["mean_r"].append(float(px[:, :, 0].mean()))
+                out["mean_g"].append(float(px[:, :, 1].mean()))
+                out["mean_b"].append(float(px[:, :, 2].mean()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        op, schema="doc_id long, rw int, rh int, mean_r double, mean_g double, mean_b double"
+    )
+
+
+MULTIMODAL_RESIZE_SQL = """
+WITH img AS (
+  SELECT doc_id,
+         CAST(doc_id % 16 + 4 AS INTEGER) AS w,
+         CAST(doc_id % 12 + 4 AS INTEGER) AS h,
+         rpad(text || ' ', CAST((doc_id % 16 + 4) * (doc_id % 12 + 4) * 3 AS INTEGER),
+              text || ' ') AS payload
+  FROM documents WHERE doc_id % 3 = 0
+),
+px AS (
+  SELECT doc_id, w, h,
+         (i - 1) // (w * 3) AS row,
+         ((i - 1) % (w * 3)) // 3 AS col,
+         (i - 1) % 3 AS ch,
+         ord(substr(payload, i, 1)) AS v
+  FROM img, UNNEST(generate_series(1, w * h * 3)) AS t(i)
+)
+SELECT doc_id,
+       CAST(CEIL(ANY_VALUE(w) / 2.0) AS INTEGER) AS rw,
+       CAST(CEIL(ANY_VALUE(h) / 2.0) AS INTEGER) AS rh,
+       AVG(CASE WHEN ch = 0 THEN v END) AS mean_r,
+       AVG(CASE WHEN ch = 1 THEN v END) AS mean_g,
+       AVG(CASE WHEN ch = 2 THEN v END) AS mean_b
+FROM px
+WHERE row % 2 = 0 AND col % 2 = 0
+GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "multimodal_bytes": (multimodal_bytes, MULTIMODAL_BYTES_SQL),
     "multimodal_decode_stats": (multimodal_decode_stats, MULTIMODAL_DECODE_SQL),
     "multimodal_audio_stats": (multimodal_audio_stats, MULTIMODAL_AUDIO_SQL),
     "multimodal_video_stats": (multimodal_video_stats, MULTIMODAL_VIDEO_SQL),
+    "multimodal_resize_stats": (multimodal_resize_stats, MULTIMODAL_RESIZE_SQL),
 }

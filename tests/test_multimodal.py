@@ -95,3 +95,15 @@ def test_decode_video_frame_walk():
 
     with pytest.raises(ValueError):
         decode_video(frame + b"garbage")
+
+
+def test_resize_nearest_neighbor():
+    import numpy as np
+
+    from drive_health_etl_spark.operators.multimodal import resize_image
+
+    img = np.arange(5 * 4 * 3, dtype=np.uint8).reshape(5, 4, 3)
+    small = resize_image(img)
+    assert small.shape == (3, 2, 3)  # ceil(5/2) x ceil(4/2)
+    assert (small[0, 0] == img[0, 0]).all()
+    assert (small[1, 1] == img[2, 2]).all()
