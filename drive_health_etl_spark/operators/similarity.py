@@ -117,10 +117,41 @@ def _const_norm(weights: list[float]) -> float:
     return math.sqrt(sum(w * w for w in weights))
 
 
-def _assign_cell_expr(e: Column, cents: list[tuple[int, list[float]]]) -> Column:
-    """Nearest-centroid (max-cosine) id as a pure column expression over
-    centroid LITERALS: a narrow map, no shuffle, no window. Ties keep the
-    lowest cent_id — identical to the oracle's ROW_NUMBER ... ORDER BY
+def _cents_df(spark: SparkSession, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """The centroid matrix as a ONE-ROW DataFrame (column ``cmat``:
+    array<struct<negid:int, ce:array<double>, nrm:double>>). Joined in as a
+    broadcast so the N_CELLS x 64 weights stay OUT of the expression tree —
+    the same matrix as nested literals costs ~1s of Catalyst
+    analysis/codegen per round at any data size (same fix as the LSH plane
+    matrix in plans/extended.py)."""
+    import pyspark.sql.types as T
+
+    rows = [
+        {"negid": -cent_id, "ce": ce, "nrm": _const_norm(ce)} for cent_id, ce in sorted(cents)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField(
+                "cmat",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("negid", T.IntegerType()),
+                            T.StructField("ce", T.ArrayType(T.DoubleType())),
+                            T.StructField("nrm", T.DoubleType()),
+                        ]
+                    )
+                ),
+            )
+        ]
+    )
+    return spark.createDataFrame([(rows,)], schema)
+
+
+def _assign_cell_expr(e: Column) -> Column:
+    """Nearest-centroid (max-cosine) id as a pure column expression over the
+    joined ``cmat`` column: a narrow map, no shuffle, no window. Ties keep
+    the lowest cent_id — identical to the oracle's ROW_NUMBER ... ORDER BY
     ccos DESC, cent_id. Implemented as array_max over (score, -cent_id)
     structs (struct ordering is lexicographic by field position), which is
     LINEAR in N_CELLS; a when/otherwise fold would duplicate the running
@@ -129,22 +160,8 @@ def _assign_cell_expr(e: Column, cents: list[tuple[int, list[float]]]) -> Column
     # argmax over cosine == argmax over dot/||c|| (||e|| is a shared positive
     # factor): skip the 16 redundant norm(e) folds. Exact ties (identical
     # vectors) tie in both formulations, so tiebreak behavior is unchanged.
-    # The centroid matrix enters as array literals inside ONE shared
-    # transform lambda — 16 separate dot-fold subtrees measurably slow
-    # Catalyst analysis (9.6s -> 6.0s fit at sf0.01), and unrolling the dot
-    # products into 1024 scalar mult/add nodes is 5x slower still.
-    cmat = F.array(
-        *[
-            F.struct(
-                F.lit(-cent_id).alias("negid"),
-                F.array(*[F.lit(w) for w in ce]).alias("ce"),
-                F.lit(_const_norm(ce)).alias("nrm"),
-            )
-            for cent_id, ce in sorted(cents)
-        ]
-    )
     scored = F.transform(
-        cmat,
+        F.col("cmat"),
         lambda c: F.struct(
             (
                 F.aggregate(
@@ -172,28 +189,38 @@ def kmeans_centroids(emb: DataFrame, rounds: int = KMEANS_ROUNDS) -> list[tuple[
     (exact, order-independent) before the double division, so the DuckDB
     oracle's unrolled iterations reproduce centroids bit-for-bit; assignment
     ties break on cent_id. Empty cells drop out in both engines alike."""
+    from drive_health_etl_spark.session import shuffle_partitions
+
+    spark = emb.sparkSession
     cents = [
         (r["vec_id"], list(r["e"]))
         for r in emb.filter(F.col("vec_id") < N_CELLS).select("vec_id", "e").collect()
     ]
-    for _ in range(rounds):
-        assigned = emb.withColumn("cell", _assign_cell_expr(F.col("e"), cents))
-        # posexplode to (cell, dim, value) and run ONE narrow 2-key aggregate
-        # instead of 64 wide decimal-sum columns: a 64x-smaller logical plan
-        # (26% faster fit at sf0.01), same exact decimal sums. The explode is
-        # map-side-combined before the tiny (N_CELLS x 64)-key shuffle.
-        sums = (
-            assigned.select("cell", F.posexplode("e").alias("d", "v"))
-            .groupBy("cell", "d")
-            .agg(
-                F.sum(F.col("v").cast("decimal(28,12)")).cast("double").alias("s"),
-                F.count("*").alias("n"),
+    # the per-round shuffle is N_CELLS x 64 keys — 32 shuffle partitions make
+    # each round scheduling-bound (32 tasks for ~1k groups); 8 is plenty
+    with shuffle_partitions(spark, 8):
+        for _ in range(rounds):
+            assigned = (
+                emb.join(F.broadcast(_cents_df(spark, cents)))
+                .withColumn("cell", _assign_cell_expr(F.col("e")))
+                .drop("cmat")
             )
-        )
-        by_cell: dict[int, list[float]] = {}
-        for r in sums.collect():
-            by_cell.setdefault(r["cell"], [0.0] * EMB_DIM)[r["d"]] = r["s"] / r["n"]
-        cents = [(c, v) for c, v in sorted(by_cell.items())]
+            # posexplode to (cell, dim, value) and run ONE narrow 2-key
+            # aggregate instead of 64 wide decimal-sum columns: a 64x-smaller
+            # logical plan (26% faster fit at sf0.01), same exact decimal
+            # sums. The explode is map-side-combined before the tiny shuffle.
+            sums = (
+                assigned.select("cell", F.posexplode("e").alias("d", "v"))
+                .groupBy("cell", "d")
+                .agg(
+                    F.sum(F.col("v").cast("decimal(28,12)")).cast("double").alias("s"),
+                    F.count("*").alias("n"),
+                )
+            )
+            by_cell: dict[int, list[float]] = {}
+            for r in sums.collect():
+                by_cell.setdefault(r["cell"], [0.0] * EMB_DIM)[r["d"]] = r["s"] / r["n"]
+            cents = [(c, v) for c, v in sorted(by_cell.items())]
     return cents
 
 
@@ -220,8 +247,10 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cents is None:
         cents = kmeans_centroids(emb)
         _CENTROID_CACHE[ckey] = cents
-    assigned = emb.withColumn("cell", _assign_cell_expr(F.col("e"), cents)).select(
-        "vec_id", "e", "cell"
+    assigned = (
+        emb.join(F.broadcast(_cents_df(spark, cents)))
+        .withColumn("cell", _assign_cell_expr(F.col("e")))
+        .select("vec_id", "e", "cell")
     )
     q = assigned.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("cell").alias("qcell")

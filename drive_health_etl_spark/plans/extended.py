@@ -243,16 +243,27 @@ def _plane_weights() -> list[list[float]]:
 _PLANES = _plane_weights()
 
 
-def _dot_lit(e: Column, weights: list[float]) -> Column:
-    arr = F.array(*[F.lit(w) for w in weights])
-    return F.aggregate(F.zip_with(e, arr, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
-
-
 def _bucket_expr(e: Column) -> Column:
-    code = F.lit(0)
-    for p, w in enumerate(_PLANES):
-        code = code + F.when(_dot_lit(e, w) > 0, F.lit(2**p)).otherwise(F.lit(0))
-    return code
+    # one transform over one array-of-structs literal, not N_PLANES separate
+    # dot-fold subtrees (see _all_table_buckets_expr for the rationale)
+    planes_lit = F.array(
+        *[
+            F.struct(
+                F.lit(2**p).alias("bitval"),
+                F.array(*[F.lit(x) for x in w]).alias("w"),
+            )
+            for p, w in enumerate(_PLANES)
+        ]
+    )
+    bits = F.transform(
+        planes_lit,
+        lambda s: F.when(
+            F.aggregate(F.zip_with(e, s["w"], lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+            > 0,
+            s["bitval"],
+        ).otherwise(F.lit(0)),
+    )
+    return F.aggregate(bits, F.lit(0), lambda a, x: a + x)
 
 
 def _sql_weights(weights: list[float]) -> str:
@@ -408,11 +419,60 @@ def _table_planes(t: int) -> list[list[float]]:
 _TABLE_PLANES = [_table_planes(t) for t in range(N_TABLES)]
 
 
-def _table_bucket_expr(e: Column, t: int) -> Column:
-    code = F.lit(0)
-    for p, w in enumerate(_TABLE_PLANES[t]):
-        code = code + F.when(_dot_lit(e, w) > 0, F.lit(2**p)).otherwise(F.lit(0))
-    return code
+def _planes_df(spark: SparkSession):
+    """The full 48-plane matrix as a ONE-ROW DataFrame (column ``planes``:
+    array<struct<bitval:int, w:array<double>>>, t-major then plane order).
+    Joining this in as a broadcast keeps the 3072 plane weights OUT of the
+    query's expression tree — the same matrix as an array-of-structs
+    LITERAL costs ~3s of Catalyst analysis/codegen per query regardless of
+    data size (measured at sf0.01: tb materialization 3.5s literal vs 0.7s
+    broadcast row). The 1-row broadcast nested-loop join is fenced in
+    tests/test_plans.py BNLJ_BY_DESIGN."""
+    import pyspark.sql.types as T
+
+    planes = [
+        {"bitval": 2**p, "w": _TABLE_PLANES[t][p]}
+        for t in range(N_TABLES)
+        for p in range(N_TABLE_PLANES)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField(
+                "planes",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("bitval", T.IntegerType()),
+                            T.StructField("w", T.ArrayType(T.DoubleType())),
+                        ]
+                    )
+                ),
+            )
+        ]
+    )
+    return spark.createDataFrame([(planes,)], schema)
+
+
+def _all_table_buckets_expr(e: Column) -> Column:
+    """All N_TABLES bucket codes from the joined ``planes`` column: ONE
+    shared transform lambda computes the 48 hyperplane signs, then a second
+    transform folds each table's N_TABLE_PLANES bits into its bucket code.
+    Returns array<int> of length N_TABLES. Requires ``planes`` in scope
+    (join ``_planes_df`` first)."""
+    bits = F.transform(
+        F.col("planes"),
+        lambda s: F.when(
+            F.aggregate(F.zip_with(e, s["w"], lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+            > 0,
+            s["bitval"],
+        ).otherwise(F.lit(0)),
+    )
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(N_TABLES - 1)),
+        lambda t: F.aggregate(
+            F.slice(bits, t * N_TABLE_PLANES + 1, N_TABLE_PLANES), F.lit(0), lambda a, x: a + x
+        ),
+    )
 
 
 def _sql_table_bucket(col: str, t: int) -> str:
@@ -437,33 +497,33 @@ def sim_ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
     )
-    tb = emb.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("t"),
-                        _table_bucket_expr(F.col("e"), t).alias("bucket"),
-                    )
-                    for t in range(N_TABLES)
-                ]
-            )
-        ).alias("s"),
-    ).select("vec_id", "s.t", "s.bucket")
-    # probes derives from tb, so the join below is a self-join: the table-id
-    # equality MUST go through explicit aliases — tb["t"] == probes["t"]
-    # resolves both sides to the same attribute and Spark silently drops it
-    # as trivially true, which would admit cross-table bucket collisions.
-    probes = tb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("t").alias("pt"),
-        F.explode(
-            F.array(
-                F.col("bucket"),
-                *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(N_TABLE_PLANES)],
-            )
-        ).alias("pb"),
+    pdf = _planes_df(spark)
+    tb = emb.join(F.broadcast(pdf)).select(
+        "vec_id", F.posexplode(_all_table_buckets_expr(F.col("e"))).alias("t", "bucket")
+    )
+    # probes recomputes the bucket array on just the 8 query rows (cheap)
+    # rather than deriving from tb: a tb-derived filter would both recompute
+    # the full corpus hash AND make the join below a self-join, where
+    # tb["t"] == probes["t"] resolves both sides to the same attribute and
+    # Spark silently drops it as trivially true, admitting cross-table
+    # bucket collisions.
+    probes = (
+        emb.filter(F.col("vec_id") < 8)
+        .join(F.broadcast(pdf))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.posexplode(_all_table_buckets_expr(F.col("e"))).alias("pt", "qb"),
+        )
+        .select(
+            "query_id",
+            "pt",
+            F.explode(
+                F.array(
+                    F.col("qb"),
+                    *[F.col("qb").bitwiseXOR(F.lit(1 << p)) for p in range(N_TABLE_PLANES)],
+                )
+            ).alias("pb"),
+        )
     )
     cand = (
         tb.join(
