@@ -130,7 +130,56 @@ FROM b GROUP BY source, bin ORDER BY source, bin
 """
 
 
+# --- Token-window chunking ---------------------------------------------------
+
+# Long-document splitting for a fixed-context trainer: overlapping token
+# windows (stride < window so boundaries are covered twice), the standard
+# chunking step before tokenized examples are packed/shuffled.
+CHUNK_LEN = 64
+CHUNK_STRIDE = 48
+
+
+def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into CHUNK_LEN-token windows at CHUNK_STRIDE
+    spacing (trailing partial window kept). Emits one row per chunk with its
+    token count and content md5 — the id a downstream exact-dedup or shard
+    writer keys on. Pure array math (sequence/slice/transform) + one
+    posexplode: a narrow map at any corpus size; output partitioning follows
+    the input, so the downstream shuffle (if any) is the consumer's."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    ws = tokens_col()
+    starts = F.when(
+        F.size(ws) >= 1, F.sequence(F.lit(1), F.size(ws), F.lit(CHUNK_STRIDE))
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(
+        starts,
+        lambda i: F.struct(
+            F.size(F.slice(ws, i, CHUNK_LEN)).alias("n_tokens"),
+            F.md5(F.array_join(F.slice(ws, i, CHUNK_LEN), " ")).alias("chunk_md5"),
+        ),
+    )
+    return docs.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "c")).select(
+        "doc_id", "chunk_idx", F.col("c.n_tokens").alias("n_tokens"), F.col("c.chunk_md5").alias("chunk_md5")
+    )
+
+
+CORPUS_CHUNK_SQL = f"""
+WITH t AS (SELECT doc_id, {TOKENS_SQL} AS ws FROM documents),
+c AS (
+  SELECT doc_id,
+         CAST((i - 1) // {CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+         len(ws[i:i+{CHUNK_LEN - 1}]) AS n_tokens,
+         md5(array_to_string(ws[i:i+{CHUNK_LEN - 1}], ' ')) AS chunk_md5
+  FROM t, UNNEST(generate_series(1, len(ws), {CHUNK_STRIDE})) AS _u(i)
+)
+SELECT doc_id, chunk_idx, n_tokens, chunk_md5 FROM c
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "corpus_mix_resample": (corpus_mix_resample, CORPUS_MIX_SQL),
     "corpus_pack_sequences": (corpus_pack_sequences, CORPUS_PACK_SQL),
+    "corpus_chunk_windows": (corpus_chunk_windows, CORPUS_CHUNK_SQL),
 }

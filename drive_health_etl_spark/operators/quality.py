@@ -278,9 +278,233 @@ FROM s
 """
 
 
+# --- Span-level (CCNet "line") dedup ------------------------------------------
+
+# CCNet dedups by paragraph/line hash across the whole corpus; this corpus is
+# single-line, so the unit is a fixed SPAN_LEN-token window (non-overlapping,
+# trailing partial span kept). A span instance is "duplicated" when its hash
+# occurs more than once corpus-wide (cross- or in-document).
+SPAN_LEN = 10
+
+
+def _spans_col(ws: Column, n: int) -> Column:
+    starts = F.when(F.size(ws) >= 1, F.sequence(F.lit(1), F.size(ws), F.lit(n))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(starts, lambda i: F.array_join(F.slice(ws, i, n), " "))
+
+
+def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span fraction, the CCNet line-dedup signal:
+    explode to (doc_id, span md5), count each hash corpus-wide (map-side
+    combine, uniform 32-hex keys), join the counts back on the hash, and
+    re-aggregate per document. Two shuffles on hash keys — no skew magnet:
+    even an all-identical corpus concentrates only the COUNT (one row per
+    hash after partial agg), not the pair expansion."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    spans = docs.select(
+        "doc_id", F.explode(_spans_col(tokens_col(), SPAN_LEN)).alias("span")
+    ).select("doc_id", F.md5("span").alias("h"))
+    counts = spans.groupBy("h").agg(F.count("*").alias("n_occ"))
+    return (
+        spans.join(counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0)).alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_frac", F.round(F.col("n_dup_spans").cast("double") / F.col("n_spans"), 6)
+        )
+    )
+
+
+def _spans_sql(ws: str, n: int) -> str:
+    return (
+        f"(SELECT list(array_to_string({ws}[i:i+{n - 1}], ' ')) "
+        f"FROM UNNEST(generate_series(1, len({ws}), {n})) AS _u(i))"
+    )
+
+
+CORPUS_SPAN_DEDUP_SQL = f"""
+WITH t AS (SELECT doc_id, {TOKENS_SQL} AS ws FROM documents),
+s AS (
+  SELECT doc_id, md5(unnest({_spans_sql("ws", SPAN_LEN)})) AS h FROM t
+),
+c AS (SELECT h, COUNT(*) AS n_occ FROM s GROUP BY h)
+SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN c.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       ROUND(CAST(SUM(CASE WHEN c.n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+         AS dup_frac
+FROM s JOIN c USING (h)
+GROUP BY s.doc_id
+"""
+
+
+# --- Unigram-LM perplexity scoring --------------------------------------------
+
+# CCNet scores documents with a KenLM 5-gram; the Spark-native analog fits a
+# unigram LM from the corpus itself (one word-count shuffle) and scores each
+# document by mean negative log-likelihood. No smoothing needed: the model is
+# fit on the same corpus it scores, so every token has mass. ln()/exp() are
+# genuinely engine-divergent (libm vs JVM StrictMath, last-ulp), so outputs
+# round at 6 dp over an order-independent decimal-cast sum.
+
+
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram-LM score: avg_logprob = mean ln(p(w)) and the
+    corresponding perplexity. The vocab-sized logprob table joins back to the
+    exploded corpus — vocab << corpus always, so Spark auto-broadcasts it
+    (no hint needed: at 100 TB the optimizer sees the real size)."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = docs.select("doc_id", F.explode(tokens_col()).alias("w"))
+    freq = toks.groupBy("w").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("total"))
+    lp = freq.join(F.broadcast(total)).select(
+        "w", F.log(F.col("c").cast("double") / F.col("total")).alias("lp")
+    )
+    return (
+        toks.join(lp, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (F.sum(F.col("lp").cast("decimal(28,12)")).cast("double") / F.count("*")).alias(
+                "_avg"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("_avg"), 6).alias("avg_logprob"),
+            F.round(F.exp(-F.col("_avg")), 6).alias("perplexity"),
+        )
+    )
+
+
+TEXT_UNIGRAM_LOGPROB_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKENS_SQL}) AS w FROM documents
+),
+freq AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+lp AS (
+  SELECT w, ln(CAST(c AS DOUBLE) / (SELECT SUM(c) FROM freq)) AS lp FROM freq
+),
+perdoc AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         CAST(SUM(CAST(lp AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS avg_lp
+  FROM toks JOIN lp USING (w) GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, ROUND(avg_lp, 6) AS avg_logprob,
+       ROUND(exp(-avg_lp), 6) AS perplexity
+FROM perdoc
+"""
+
+
+# --- URL extraction & domain blocklist ----------------------------------------
+
+# The corpus has no URLs, so (as with PII) deterministic fakes are seeded
+# first: every document gains a source-derived URL, every 13th an ad-tracker
+# one. The filter then extracts URLs, derives domains, and drops documents
+# touching the blocklist — the standard web-pipeline domain filter.
+URL_RE = r"https?://[a-z0-9.-]+/[a-z0-9/._-]*"
+DOMAIN_RE = r"https?://([a-z0-9.-]+)"
+BLOCKED_DOMAINS = ("ads.example.biz",)
+AD_MOD = 13
+
+_BLOCKED_SQL = "[" + ", ".join(f"'{d}'" for d in BLOCKED_DOMAINS) + "]"
+
+
+def _seeded_urls(docs: DataFrame) -> Column:
+    return F.concat(
+        F.col("text"),
+        F.lit(" https://"),
+        F.col("source"),
+        F.lit(".example.com/doc/"),
+        F.col("doc_id"),
+        F.when(
+            F.col("doc_id") % AD_MOD == 0,
+            F.concat(F.lit(" http://ads.example.biz/x"), F.col("doc_id")),
+        ).otherwise(F.lit("")),
+    )
+
+
+_SEEDED_URLS_SQL = (
+    "text || ' https://' || source || '.example.com/doc/' || doc_id"
+    f" || (CASE WHEN doc_id % {AD_MOD} = 0 THEN ' http://ads.example.biz/x' || doc_id"
+    " ELSE '' END)"
+)
+
+
+def text_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document URL extraction + blocklist verdict: URL count, blocked
+    count, keep flag. One narrow regex pass, JVM-side end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    urls = F.regexp_extract_all(_seeded_urls(docs), F.lit(URL_RE), F.lit(0))
+    domains = F.transform(urls, lambda u: F.regexp_extract(u, DOMAIN_RE, 1))
+    blocked = F.filter(
+        domains, lambda d: F.array_contains(F.array(*[F.lit(b) for b in BLOCKED_DOMAINS]), d)
+    )
+    return docs.select(
+        "doc_id",
+        F.size(urls).alias("n_urls"),
+        F.size(blocked).alias("n_blocked"),
+        (F.size(blocked) == 0).alias("keep"),
+    )
+
+
+TEXT_URL_FILTER_SQL = f"""
+WITH s AS (SELECT doc_id, {_SEEDED_URLS_SQL} AS seeded FROM documents),
+u AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(seeded, '{URL_RE}'),
+                        x -> regexp_extract(x, '{DOMAIN_RE}', 1)) AS domains
+  FROM s
+)
+SELECT doc_id, len(domains) AS n_urls,
+       len(list_filter(domains, d -> list_contains({_BLOCKED_SQL}, d))) AS n_blocked,
+       len(list_filter(domains, d -> list_contains({_BLOCKED_SQL}, d))) = 0 AS keep
+FROM u
+"""
+
+
+def text_domain_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide domain histogram over the extracted URLs — the occupancy
+    view a crawler curates against. Explode -> one map-side-combined count
+    shuffle on domain."""
+    docs = load_table(spark, sf_dir, "documents")
+    urls = F.regexp_extract_all(_seeded_urls(docs), F.lit(URL_RE), F.lit(0))
+    return (
+        docs.select(F.explode(urls).alias("u"))
+        .select(F.regexp_extract("u", DOMAIN_RE, 1).alias("domain"))
+        .groupBy("domain")
+        .agg(F.count("*").alias("n_urls"))
+        .orderBy(F.col("n_urls").desc(), "domain")
+    )
+
+
+TEXT_DOMAIN_HIST_SQL = f"""
+WITH s AS (SELECT doc_id, {_SEEDED_URLS_SQL} AS seeded FROM documents),
+u AS (
+  SELECT regexp_extract(unnest(regexp_extract_all(seeded, '{URL_RE}')),
+                        '{DOMAIN_RE}', 1) AS domain
+  FROM s
+)
+SELECT domain, COUNT(*) AS n_urls FROM u GROUP BY domain
+ORDER BY n_urls DESC, domain
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "text_gopher_rules": (text_gopher_rules, TEXT_GOPHER_RULES_SQL),
     "text_repetition": (text_repetition, TEXT_REPETITION_SQL),
     "text_decontaminate": (text_decontaminate, TEXT_DECONTAMINATE_SQL),
     "text_pii_scrub": (text_pii_scrub, TEXT_PII_SCRUB_SQL),
+    "corpus_span_dedup": (corpus_span_dedup, CORPUS_SPAN_DEDUP_SQL),
+    "text_unigram_logprob": (text_unigram_logprob, TEXT_UNIGRAM_LOGPROB_SQL),
+    "text_url_filter": (text_url_filter, TEXT_URL_FILTER_SQL),
+    "text_domain_hist": (text_domain_hist, TEXT_DOMAIN_HIST_SQL),
 }

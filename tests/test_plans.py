@@ -86,6 +86,7 @@ BNLJ_BY_DESIGN = {
     "sim_ann_ivf",  # K-constant centroid scoring (broadcast, per k-means round)
     "s9_table_metadata",  # 1-row stats x 1-row count metadata join
     "sim_ann_lsh_multitable",  # 1-row plane-matrix broadcast (keeps 3072 weights out of the expr tree)
+    "text_unigram_logprob",  # 1-row corpus-total broadcast onto the vocab-sized freq table
 }
 CARTESIAN_BY_DESIGN = {"t5_cross_join"}  # 5 x 25 dims, explicitly cross
 

@@ -5,13 +5,25 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from drive_health_etl_spark.operators.corpus import (
+    CHUNK_LEN,
+    CHUNK_STRIDE,
+    corpus_chunk_windows,
+)
 from drive_health_etl_spark.operators.quality import (
+    AD_MOD,
     DECON_NGRAM,
+    SPAN_LEN,
     _grams_col,
+    corpus_span_dedup,
     text_decontaminate,
     text_gopher_rules,
+    text_unigram_logprob,
+    text_url_filter,
 )
 from drive_health_etl_spark.operators.text import tokens_col
+
+_DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
 
 
 def test_grams_col_short_doc_is_empty_not_descending(spark):
@@ -53,7 +65,70 @@ def test_decontaminate_flags_planted_overlap(spark, tmp_path):
         (5, f"prefix {shared} suffix", "en", "s", 0),  # contaminated
         (6, "completely different content entirely", "en", "s", 0),
     ]
-    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    df = spark.createDataFrame(rows, _DOC_SCHEMA)
     df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
     got = {r["doc_id"]: r["n_hits"] for r in text_decontaminate(spark, str(tmp_path)).collect()}
     assert got == {5: 1}
+
+
+def test_span_dedup_flags_planted_duplicate(spark, tmp_path):
+    span = " ".join(f"s{i}" for i in range(SPAN_LEN))
+    uniq1 = " ".join(f"a{i}" for i in range(SPAN_LEN))
+    uniq2 = " ".join(f"b{i}" for i in range(SPAN_LEN))
+    rows = [
+        (1, f"{span} {uniq1}", "en", "s", 0),  # span 0 duplicated in doc 2
+        (2, f"{span} {uniq2}", "en", "s", 0),
+        (3, " ".join(f"c{i}" for i in range(SPAN_LEN)), "en", "s", 0),  # all unique
+    ]
+    spark.createDataFrame(rows, _DOC_SCHEMA).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"])
+        for r in corpus_span_dedup(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: (2, 1), 2: (2, 1), 3: (1, 0)}
+
+
+def test_unigram_logprob_ranks_rare_tokens_lower(spark, tmp_path):
+    # doc 2 is all rare tokens -> lower avg_logprob (higher perplexity) than
+    # doc 1, which repeats the corpus-dominant token
+    rows = [
+        (1, "common common common common", "en", "s", 0),
+        (2, "rare1 rare2 rare3 common", "en", "s", 0),
+    ]
+    spark.createDataFrame(rows, _DOC_SCHEMA).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {r["doc_id"]: r for r in text_unigram_logprob(spark, str(tmp_path)).collect()}
+    assert got[1]["avg_logprob"] > got[2]["avg_logprob"]
+    assert got[1]["perplexity"] < got[2]["perplexity"]
+    assert all(r["avg_logprob"] < 0 and r["perplexity"] >= 1 for r in got.values())
+
+
+def test_url_filter_blocks_seeded_ad_domain(spark, sf_dir):
+    out = {r["doc_id"]: r for r in text_url_filter(spark, sf_dir).collect()}
+    for doc_id, r in out.items():
+        if doc_id % AD_MOD == 0:
+            assert r["n_blocked"] == 1 and not r["keep"]
+        else:
+            assert r["n_blocked"] == 0 and r["keep"]
+        assert r["n_urls"] >= 1
+
+
+def test_chunk_windows_cover_and_overlap(spark, tmp_path):
+    n_tokens = CHUNK_LEN + CHUNK_STRIDE + 10  # 3 windows, last partial
+    rows = [(1, " ".join(f"t{i}" for i in range(n_tokens)), "en", "s", 0)]
+    spark.createDataFrame(rows, _DOC_SCHEMA).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    chunks = sorted(
+        (r["chunk_idx"], r["n_tokens"]) for r in corpus_chunk_windows(spark, str(tmp_path)).collect()
+    )
+    # starts at 1, 1+stride, 1+2*stride; only the last is truncated
+    # (2nd window: start 49 + 64 - 1 = 112 <= 122 tokens, still full)
+    assert chunks == [
+        (0, CHUNK_LEN),
+        (1, CHUNK_LEN),
+        (2, n_tokens - 2 * CHUNK_STRIDE),
+    ]
