@@ -194,6 +194,158 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 """
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 analog: orders with at least one line shipped after the
+    order date (EXISTS -> left-semi join with an equi key plus a range
+    predicate), counted per priority. The semi join shuffles on orderkey
+    only; the range term evaluates post-match, so no theta-join blowup."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 analog: lost revenue per customer from returned lines
+    (l_returnflag = 'R'), top 20. The returnflag filter pushes to the scan;
+    facts shuffle on their join keys, the nation dim broadcasts; top-k plans
+    TakeOrderedAndProject (no global sort materialization)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_dsum(revenue, 4, "revenue"), F.count("*").alias("n_lines"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, n_name,
+       {_sql_dsum('l_extendedprice * (1 - l_discount)', 4, 'revenue')},
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 analog: promo-type revenue share. Part is the broadcast
+    side; both sums are conditional decimal aggregations over one fact pass.
+    The final percentage divides two exact decimal-sourced doubles — the
+    division is IEEE-identical across engines, rounded at 6 dp only because
+    the quotient (unlike the sums) mixes magnitudes."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01")) & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            _dsum(promo, 4, "_promo"),
+            _dsum(revenue, 4, "_total"),
+        )
+        .select(
+            F.round(F.lit(100.0) * F.col("_promo") / F.col("_total"), 6).alias("promo_pct"),
+            F.col("_total").alias("total_revenue"),
+        )
+    )
+
+
+Q14_SQL = f"""
+WITH s AS (
+  SELECT
+    {_sql_dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END", 4, '_promo')},
+    {_sql_dsum('l_extendedprice * (1 - l_discount)', 4, '_total')}
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+)
+SELECT ROUND(100.0 * _promo / _total, 6) AS promo_pct, _total AS total_revenue FROM s
+"""
+
+# ~1.4% of orders qualify (204 at sf0.01) — selective like the classic Q18
+# (which uses 300+ at TPC-H quantity distributions).
+Q18_MIN_QTY = 250
+
+
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 analog: large-volume orders — groupBy + HAVING on the fact,
+    then join the qualifying keys back to orders/customer. Per-order
+    quantity aggregates map-side before its one shuffle. No broadcast hint
+    on the HAVING output: it scales with the corpus (~1.4% of orders), so
+    the enrichment join must stay key-partitioned at 100 TB — AQE demotes
+    or promotes the build side from the real runtime size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_dsum("l_quantity", 2, "total_qty"))
+        .filter(F.col("total_qty") > Q18_MIN_QTY)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc())
+    )
+
+
+Q18_SQL = f"""
+WITH big AS (
+  SELECT l_orderkey, {_sql_dsum('l_quantity', 2, 'total_qty')}
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > {Q18_MIN_QTY}
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM orders
+JOIN big      ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey ASC
+"""
+
+
 # --- O7/O8: filters and projections ---------------------------------------
 
 
@@ -758,6 +910,10 @@ QUERIES: dict[str, tuple] = {
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q5_local_supplier_volume": (q5_local_supplier_volume, Q5_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+    "q4_order_priority": (q4_order_priority, Q4_SQL),
+    "q10_returned_items": (q10_returned_items, Q10_SQL),
+    "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
+    "q18_large_volume": (q18_large_volume, Q18_SQL),
     "o7_filter_conj": (o7_filter_conj, O7_SQL),
     "o8_projection_rename": (o8_projection_rename, O8_SQL),
     "a5_agg_suite": (a5_agg_suite, A5_SQL),
