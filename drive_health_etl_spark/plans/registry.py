@@ -24,6 +24,7 @@ from drive_health_etl_spark.plans import extended as _extended
 from drive_health_etl_spark.plans import pipeline_queries as _pipeline
 from drive_health_etl_spark.plans import relational as _relational
 from drive_health_etl_spark.plans import scalar_suite as _scalar
+from drive_health_etl_spark.plans import tpch_suite as _tpch
 
 
 def pipeline_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -161,6 +162,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "st_stateful_counters": (st_stateful_counters, ST_STATEFUL_SQL),
     "st_stream_stream_join": (st_stream_stream_join, ST_STREAM_STREAM_SQL),
     **_relational.QUERIES,
+    **_tpch.QUERIES,
     **_pipeline.QUERIES,
     **_extended.QUERIES,
     **_scalar.QUERIES,
