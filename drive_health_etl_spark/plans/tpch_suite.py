@@ -21,7 +21,7 @@ and aggregations are partial map-side. No collect, no cartesian products.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from drive_health_etl_spark.plans.relational import _davg, _dsum, _sql_davg, _sql_dsum
@@ -34,13 +34,15 @@ from drive_health_etl_spark.sources.tables import load_table
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: for each qualifying part, the supplier(s) achieving
     the MINIMUM unit price within a region — a correlated scalar subquery
-    re-expressed as (group-min + equality join back), which is how a
-    distributed engine should run it: one map-side-combined min per part,
-    then a key-partitioned join, never a per-row subquery loop.
+    re-expressed as a per-part MIN WINDOW and an equality filter: ONE
+    shuffle on partkey total (the group-min + join-back alternative scans
+    the fact twice and shuffles twice; never a per-row subquery loop).
 
     The part-supplier relation is derived from lineitem (no partsupp
     table); unit price = l_extendedprice / l_quantity (identical IEEE
-    division in both engines, so the min-equality matches bitwise)."""
+    division in both engines, so the min-equality matches bitwise). The
+    part filter applies BEFORE the window so the shuffle carries only
+    qualifying parts' lines."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit")
     )
@@ -54,13 +56,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .select("l_partkey", "l_suppkey", "unit", "s_name", "s_acctbal", "n_name")
-    )
-    min_unit = ps.groupBy("l_partkey").agg(F.min("unit").alias("min_unit"))
-    return (
-        ps.join(min_unit, "l_partkey")
-        .filter(F.col("unit") == F.col("min_unit"))
         .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .select("l_partkey", "l_suppkey", "unit", "s_name", "s_acctbal", "n_name",
+                "p_partkey", "p_name")
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        ps.withColumn("min_unit", F.min("unit").over(w))
+        .filter(F.col("unit") == F.col("min_unit"))
         .select(
             "p_partkey", "p_name", F.col("l_suppkey").alias("s_suppkey"),
             "s_name", "s_acctbal", "n_name", F.col("min_unit").alias("unit_cost"),
@@ -457,18 +460,22 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: revenue from lines whose quantity is below HALF
     THE PART'S AVERAGE — a correlated AVG subquery, re-expressed as a
-    per-part aggregate joined back to the fact (the scalable plan: the
-    avg's shuffle carries one row per part). The avg is decimal-exact
-    (identical double in both engines), so the < comparison agrees."""
+    per-part AVG WINDOW and a filter: one shuffle on partkey (the
+    group-avg + join-back alternative scans the brand-filtered fact twice).
+    The avg is decimal-exact (identical double in both engines), so the <
+    comparison agrees bitwise."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
     fact = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
-    avg_qty = fact.groupBy("l_partkey").agg(_davg("l_quantity", 2, "avg_qty"))
+    w = Window.partitionBy("l_partkey")
+    avg_qty = (
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).over(w).cast("double")
+        / F.count("l_quantity").over(w)
+    )
     return (
-        fact.join(avg_qty.withColumnRenamed("l_partkey", "ap_key"),
-                  F.col("l_partkey") == F.col("ap_key"))
+        fact.withColumn("avg_qty", avg_qty)
         .filter(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
         .agg(
             _dsum("l_extendedprice", 2, "_total"),
@@ -605,10 +612,12 @@ def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     the order) AND NOT EXISTS (another LATE supplier). Late = shipped >90
     days after the order date (receipt/commit-lag analog).
 
-    Distributed formulation: ONE aggregate per order computes
-    (distinct-supplier count, distinct-late-supplier count); the late lines
-    then join that 1-row-per-order summary — two shuffles on orderkey total,
-    versus the naive four self-join passes. The EXISTS pair becomes
+    Distributed formulation: a per-order WINDOW computes the distinct
+    supplier set and distinct LATE-supplier set sizes (collect_set over the
+    orderkey partition — bounded state, suppliers-per-order is small), so
+    the whole EXISTS pair costs ONE shuffle on orderkey and ONE pass over
+    the fact (the aggregate + join-back alternative scans lineitem twice;
+    the naive EXISTS translation four times). The EXISTS pair becomes
     n_supps > 1 AND n_late_supps = 1 (the late line's own supplier is
     always in the late set, so =1 means 'no OTHER late supplier')."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -620,14 +629,14 @@ def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_late = li.join(orders, li.l_orderkey == orders.o_orderkey).withColumn(
         "is_late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
     )
-    order_stats = with_late.groupBy(F.col("l_orderkey").alias("ok")).agg(
-        F.countDistinct("l_suppkey").alias("n_supps"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late_supps"),
-    )
+    w = Window.partitionBy("l_orderkey")
     return (
-        with_late.filter(F.col("is_late"))
-        .join(order_stats, F.col("l_orderkey") == F.col("ok"))
-        .filter((F.col("n_supps") > 1) & (F.col("n_late_supps") == 1))
+        with_late.withColumn("n_supps", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_late_supps",
+            F.size(F.collect_set(F.when(F.col("is_late"), F.col("l_suppkey"))).over(w)),
+        )
+        .filter(F.col("is_late") & (F.col("n_supps") > 1) & (F.col("n_late_supps") == 1))
         .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .groupBy("s_name")
