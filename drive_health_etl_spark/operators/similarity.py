@@ -330,8 +330,91 @@ SELECT query_id, neighbor_id, cosine, rnk FROM (
 """
 
 
+# --- SemDeDup: semantic dedup via k-means clusters --------------------------
+
+# On this corpus (near-random embeddings, max cosine ~0.51) 0.35 selects a
+# meaningful near-dup tail (68/500 dropped at sf0.01, 671/2000 at sf0.1); a
+# real near-dup corpus would use 0.95+. The comparison is on the raw IEEE
+# cosine (identical in both engines), never a rounded value.
+SEMDEDUP_TAU = 0.35
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): drop embeddings whose cosine to an
+    EARLIER vector in the SAME k-means cluster exceeds a threshold — the
+    cluster step bounds the quadratic pair term to within-cell pairs, which
+    is what makes semantic dedup tractable at corpus scale (all-pairs is
+    O(n^2); cells make it sum of O(|cell|^2) with |cell| ~ n/k, and k grows
+    with the corpus). Keeps the lowest vec_id of each near-dup group
+    (deterministic, order-independent).
+
+    Reuses the fitted IVF centroids (same Lloyd run, cached per session);
+    the pair join shuffles on cell id only. Returns per-cell dedup stats;
+    the oracle recomputes the identical clustering via unrolled CTEs."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    )
+    ckey = (spark.sparkContext.applicationId, sf_dir)
+    cents = _CENTROID_CACHE.get(ckey)
+    if cents is None:
+        cents = kmeans_centroids(emb)
+        _CENTROID_CACHE[ckey] = cents
+    assigned = (
+        emb.join(F.broadcast(_cents_df(spark, cents)))
+        .withColumn("cell", _assign_cell_expr(F.col("e")))
+        .select("vec_id", "e", "cell")
+    )
+    u = assigned.select(F.col("cell").alias("ucell"), F.col("vec_id").alias("u_id"), F.col("e").alias("ue"))
+    v = assigned.select(F.col("cell").alias("vcell"), F.col("vec_id").alias("v_id"), F.col("e").alias("ve"))
+    dropped = (
+        u.join(v, (F.col("ucell") == F.col("vcell")) & (F.col("u_id") < F.col("v_id")))
+        .filter(
+            _dot(F.col("ue"), F.col("ve")) / (_norm(F.col("ue")) * _norm(F.col("ve")))
+            >= SEMDEDUP_TAU
+        )
+        .select(F.col("v_id").alias("dropped_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped, assigned.vec_id == dropped.dropped_id, "left_outer")
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.count("dropped_id").alias("n_dropped"),
+        )
+        .orderBy("cell")
+    )
+
+
+DEDUP_SEMANTIC_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+{_kmeans_sql_ctes()},
+assigned AS (
+  SELECT vec_id, emb, cell FROM (
+    SELECT e.vec_id, e.emb, c.cent_id AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS_SQL.format(a="e.emb", b="c.ce")} DESC,
+                      c.cent_id ASC) AS rn
+    FROM e CROSS JOIN cent{KMEANS_ROUNDS} c
+  ) WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT v.vec_id AS dropped_id
+  FROM assigned u JOIN assigned v ON u.cell = v.cell AND u.vec_id < v.vec_id
+  WHERE {_COS_SQL.format(a="u.emb", b="v.emb")} >= {SEMDEDUP_TAU}
+)
+SELECT cell, COUNT(*) AS n_vectors, COUNT(dropped_id) AS n_dropped
+FROM assigned LEFT JOIN dropped ON vec_id = dropped_id
+GROUP BY cell ORDER BY cell
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "sim_cosine_topk": (sim_cosine_topk, SIM_COSINE_TOPK_SQL),
     "sim_ann_ivf": (sim_ann_ivf, SIM_ANN_IVF_SQL),
+    "dedup_semantic": (dedup_semantic, DEDUP_SEMANTIC_SQL),
     "emb_norm_stats": (emb_norm_stats, EMB_NORM_STATS_SQL),
 }

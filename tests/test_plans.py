@@ -87,6 +87,9 @@ BNLJ_BY_DESIGN = {
     "s9_table_metadata",  # 1-row stats x 1-row count metadata join
     "sim_ann_lsh_multitable",  # 1-row plane-matrix broadcast (keeps 3072 weights out of the expr tree)
     "text_unigram_logprob",  # 1-row corpus-total broadcast onto the vocab-sized freq table
+    "dedup_semantic",  # K-constant centroid scoring (same broadcast as sim_ann_ivf)
+    "q11_important_stock",  # 1-row global-threshold scalar subquery broadcast
+    "q22_global_sales_opportunity",  # 1-row scalar-AVG subquery broadcast
 }
 CARTESIAN_BY_DESIGN = {"t5_cross_join"}  # 5 x 25 dims, explicitly cross
 
