@@ -178,8 +178,79 @@ SELECT doc_id, chunk_idx, n_tokens, chunk_md5 FROM c
 """
 
 
+# --- Composed corpus-prep pipeline ------------------------------------------
+
+
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed document-prep chain a training pipeline actually runs,
+    as ONE declarative plan: tokenize -> quality gate (length bounds + mean
+    token length, Gopher-style) -> exact dedup (first doc_id per content
+    hash wins) -> per-(lang, source) corpus stats. Composition matters:
+    because every stage is a column expression or a single window, Catalyst
+    fuses the tokenize+filter into the scan stage and the whole chain costs
+    exactly ONE shuffle (the dedup window on the 32-hex hash) plus the
+    final partial+final aggregation — no stage materializes an intermediate
+    corpus. At 100 TB each stage stays narrow over the same partitioning.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    staged = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(toks).alias("n_tokens"),
+        F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x).alias("tok_chars"),
+        F.md5(F.col("text")).alias("content_hash"),
+    )
+    gated = staged.filter(
+        (F.col("n_tokens") >= 5)
+        & (F.col("n_tokens") <= 5000)
+        & ((F.col("tok_chars") / F.col("n_tokens")) >= 2.0)
+        & ((F.col("tok_chars") / F.col("n_tokens")) <= 12.0)
+    )
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    deduped = gated.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        deduped.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+CORPUS_PREP_SQL = f"""
+WITH staged AS (
+  SELECT doc_id, lang, source,
+         len({TOKENS_SQL}) AS n_tokens,
+         CAST(list_sum(list_transform({TOKENS_SQL}, x -> length(x))) AS INTEGER) AS tok_chars,
+         md5(text) AS content_hash
+  FROM documents
+),
+gated AS (
+  SELECT * FROM staged
+  WHERE n_tokens BETWEEN 5 AND 5000
+    AND tok_chars / n_tokens >= 2.0 AND tok_chars / n_tokens <= 12.0
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+    FROM gated
+  ) WHERE rn = 1
+)
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens
+FROM deduped GROUP BY lang, source ORDER BY lang, source
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "corpus_mix_resample": (corpus_mix_resample, CORPUS_MIX_SQL),
     "corpus_pack_sequences": (corpus_pack_sequences, CORPUS_PACK_SQL),
     "corpus_chunk_windows": (corpus_chunk_windows, CORPUS_CHUNK_SQL),
+    "corpus_prep_pipeline": (corpus_prep_pipeline, CORPUS_PREP_SQL),
 }
