@@ -51,6 +51,10 @@ HEADLINE = [
     "multimodal_decode_stats",
     "asof_last_purchase",
     "dedup_components",
+    "dedup_semantic",
+    "q13_customer_distribution",
+    "q21_waiting_orders",
+    "corpus_prep_pipeline",
     "pipeline_ingest_e2e",
 ]
 
@@ -75,9 +79,13 @@ def main() -> None:
     run_one(spark, "a5_agg_suite", SF_DIR)
     run_one(spark, "pipeline_ingest_e2e", SF_DIR)
 
+    # Min of two runs per query: the VM's background load adds multi-second
+    # noise to single samples (observed 3.9s-10.8s for the same warm query);
+    # the min is the engine's actual cost.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        timings[name] = round(run_one(spark, name, SF_DIR), 3)
+        t = min(run_one(spark, name, SF_DIR), run_one(spark, name, SF_DIR))
+        timings[name] = round(t, 3)
 
     total = round(sum(timings.values()), 3)
 
