@@ -29,10 +29,14 @@ TABLES = (
 DIM_TABLES = ("region", "nation", "supplier", "part")
 
 
-# Timestamp columns per table. The driver writes parquet TIMESTAMP(NANOS),
-# which Spark reads as long (via spark.sql.legacy.parquet.nanosAsLong); we
-# convert to proper timestamps here. Integer `div` (not `/`) — int64 nanos
-# exceed double's 53-bit mantissa.
+# Timestamp columns per table. Driver generations have varied: round-1
+# testdata was parquet TIMESTAMP(NANOS) (read as long via
+# spark.sql.legacy.parquet.nanosAsLong), round-2 is TIMESTAMP(MICROS) without
+# isAdjustedToUTC (read as TIMESTAMP_NTZ). Normalize both to session-TZ
+# TIMESTAMP (session is pinned UTC, so the NTZ->LTZ cast is value-preserving)
+# because watermarks, unix_micros and streaming event time require TIMESTAMP.
+# Integer `div` (not `/`) on the nanos path — int64 nanos exceed double's
+# 53-bit mantissa.
 _TS_COLUMNS = {
     "events": ("ts",),
     "orders": ("o_orderdate",),
@@ -53,8 +57,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ship_package(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _TS_COLUMNS.get(name, ()):
-        if dict(df.dtypes).get(col) == "bigint":
+        dtype = dict(df.dtypes).get(col)
+        if dtype == "bigint":
             df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+        elif dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

@@ -20,16 +20,22 @@ def events(spark, sf_dir):
 def test_format_roundtrip(spark, events, tmp_path, fmt):
     out = str(tmp_path / fmt)
     # text formats need an explicit micro-precision timestamp format — the
-    # default SSS (millis) silently truncates microseconds on write
+    # default SSS (millis) silently truncates microseconds on write. NTZ
+    # columns (our session default timestampType) read a *separate* option,
+    # timestampNTZFormat; set both so the test is type-agnostic.
     ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
     writer = events.write.mode("overwrite").format(fmt)
     if fmt in ("csv", "json"):
-        writer = writer.option("header", True).option("timestampFormat", ts_fmt)
+        writer = (writer.option("header", True)
+                  .option("timestampFormat", ts_fmt)
+                  .option("timestampNTZFormat", ts_fmt))
     writer.save(out)
 
     reader = spark.read.format(fmt).schema(events.schema)
     if fmt in ("csv", "json"):
-        reader = reader.option("header", True).option("timestampFormat", ts_fmt)
+        reader = (reader.option("header", True)
+                  .option("timestampFormat", ts_fmt)
+                  .option("timestampNTZFormat", ts_fmt))
     back = reader.load(out)
 
     assert back.schema == events.schema
