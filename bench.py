@@ -50,6 +50,9 @@ HEADLINE = [
     "corpus_pack_sequences",
     "multimodal_decode_stats",
     "asof_last_purchase",
+    "sess_stats",
+    "sess_funnel",
+    "text_bm25",
     "dedup_components",
     "dedup_semantic",
     "q13_customer_distribution",

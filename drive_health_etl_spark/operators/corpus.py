@@ -248,7 +248,56 @@ FROM deduped GROUP BY lang, source ORDER BY lang, source
 """
 
 
+# --- Stratified train/val/test split ----------------------------------------
+
+SPLIT_TRAIN, SPLIT_VAL = 0.8, 0.9  # cumulative hash-ratio thresholds
+
+
+def corpus_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10 by content-independent
+    doc-id hash) reported per language stratum — the reproducible-split
+    primitive every training pipeline needs: membership is a pure function of
+    the id, so re-running on a grown corpus never reshuffles old docs between
+    splits. Narrow map (sha256 ratio) + one groupBy; the per-stratum share is
+    a window over ≤ |langs| × 3 aggregate rows."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    r = sample_hash_ratio(F.concat(F.lit("split-"), F.col("doc_id").cast("string")))
+    split = (
+        F.when(r < SPLIT_TRAIN, "train").when(r < SPLIT_VAL, "val").otherwise("test")
+    )
+    agg = docs.groupBy("lang", split.alias("split")).agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("lang")
+    return agg.select(
+        "lang",
+        "split",
+        "n_docs",
+        F.round(F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 6).alias(
+            "share"
+        ),
+    )
+
+
+_SPLIT_R = sample_hash_ratio_sql("'split-' || CAST(doc_id AS VARCHAR)")
+
+CORPUS_SPLIT_SQL = f"""
+WITH tagged AS (
+  SELECT lang,
+         CASE WHEN {_SPLIT_R} < {SPLIT_TRAIN} THEN 'train'
+              WHEN {_SPLIT_R} < {SPLIT_VAL} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+), agg AS (
+  SELECT lang, split, COUNT(*) AS n_docs FROM tagged GROUP BY lang, split
+)
+SELECT lang, split, n_docs,
+       ROUND(CAST(n_docs AS DOUBLE) /
+             CAST(SUM(n_docs) OVER (PARTITION BY lang) AS DOUBLE), 6) AS share
+FROM agg
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "corpus_stratified_split": (corpus_stratified_split, CORPUS_SPLIT_SQL),
     "corpus_mix_resample": (corpus_mix_resample, CORPUS_MIX_SQL),
     "corpus_pack_sequences": (corpus_pack_sequences, CORPUS_PACK_SQL),
     "corpus_chunk_windows": (corpus_chunk_windows, CORPUS_CHUNK_SQL),

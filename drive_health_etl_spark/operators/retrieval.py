@@ -1,0 +1,163 @@
+"""Lexical retrieval over ``documents`` (north-star extension; SURVEY.md §2.9
+U3): inverted-index construction and BM25 ranking — the standard "find
+near-duplicate / relevant documents for a query" primitives a training-data
+pipeline runs next to dedup (e.g. decontamination lookups against benchmark
+queries, quality-weighted corpus search).
+
+All native column expressions. Scale shape:
+
+- ``text_inverted_index``: explode -> one shuffle on ``term`` with map-side
+  partial aggregation (counts + bounded ``collect_set``); posting lists are
+  capped at ``POSTINGS_CAP`` ids so state per term is bounded no matter how
+  common the term is (the full posting list of a stopword at 100 TB is a
+  skew bomb; real systems cap or tier exactly like this).
+- ``text_bm25``: term-frequency pairs for the *query terms only* are filtered
+  before the groupBy (predicate on a literal array — pushed to the scan), so
+  the shuffled volume is O(matching docs × query terms), not corpus size.
+  Corpus constants (N, avgdl) and per-term document frequencies are one-row /
+  few-row aggregates broadcast into the scoring join. Per-term scores are
+  decimal-summed per doc (order-independent), then one TakeOrdered top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from drive_health_etl_spark.operators.text import TOKENS_SQL, tokens_col
+from drive_health_etl_spark.sources.tables import load_table
+
+POSTINGS_CAP = 10  # ids kept per term in the index sample
+INDEX_TOP = 50  # most-frequent terms reported
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+# Fixed query for the oracle-checked ranking (terms present in the corpus
+# vocabulary at every SF).
+BM25_QUERY = ("hash", "spark", "window")
+BM25_TOP = 20
+
+
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``INDEX_TOP`` terms by document frequency with total term
+    frequency and a bounded, sorted posting-list sample."""
+    docs = load_table(spark, sf_dir, "documents")
+    exploded = docs.select("doc_id", F.explode(tokens_col()).alias("term"))
+    return (
+        exploded.groupBy("term")
+        .agg(
+            F.count_distinct("doc_id").alias("doc_freq"),
+            F.count("*").alias("term_freq"),
+            F.slice(
+                F.sort_array(F.collect_set("doc_id")), 1, POSTINGS_CAP
+            ).alias("postings_sample"),
+        )
+        .orderBy(F.col("doc_freq").desc(), F.col("term").asc())
+        .limit(INDEX_TOP)
+    )
+
+
+TEXT_INVERTED_INDEX_SQL = f"""
+SELECT term,
+       COUNT(DISTINCT doc_id) AS doc_freq,
+       COUNT(*) AS term_freq,
+       (list_sort(list(DISTINCT doc_id)))[1:{POSTINGS_CAP}] AS postings_sample
+FROM (SELECT doc_id, unnest({TOKENS_SQL}) AS term FROM documents)
+GROUP BY term
+ORDER BY doc_freq DESC, term ASC
+LIMIT {INDEX_TOP}
+"""
+
+
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-``BM25_TOP`` documents for the fixed query ``BM25_QUERY``.
+
+    score(d) = Σ_t ln(1 + (N - df_t + 0.5)/(df_t + 0.5))
+               · tf_td (k1+1) / (tf_td + k1 (1 - b + b·dl_d/avgdl))
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col().alias("toks"))
+    dl = toks.select("doc_id", F.size("toks").alias("dl"))
+
+    q = F.array(*[F.lit(t) for t in sorted(BM25_QUERY)])
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.array_contains(q, F.col("term")))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    corpus = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "term_score",
+            (
+                F.col("idf")
+                * (F.col("tf") * F.lit(BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(BM25_K1)
+                    * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl"))
+                )
+            ).cast("decimal(18,8)"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(F.sum("term_score").cast("double"), 6).alias("score"),
+            F.count("*").alias("n_terms_matched"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOP)
+    )
+
+
+_Q_LIST = "[" + ", ".join(f"'{t}'" for t in sorted(BM25_QUERY)) + "]"
+
+TEXT_BM25_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM toks),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+  WHERE list_contains({_Q_LIST}, term)
+  GROUP BY doc_id, term
+),
+df_t AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+corpus AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(
+           ln(1.0 + (corpus.n_docs - df_t.df + 0.5) / (df_t.df + 0.5))
+           * (tf.tf * {BM25_K1 + 1.0})
+           / (tf.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * dl.dl / corpus.avgdl))
+         AS DECIMAL(18,8)) AS term_score
+  FROM tf JOIN df_t USING (term) JOIN dl ON tf.doc_id = dl.doc_id, corpus
+)
+SELECT doc_id, ROUND(CAST(SUM(term_score) AS DOUBLE), 6) AS score,
+       COUNT(*) AS n_terms_matched
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {BM25_TOP}
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "text_inverted_index": (text_inverted_index, TEXT_INVERTED_INDEX_SQL),
+    "text_bm25": (text_bm25, TEXT_BM25_SQL),
+}

@@ -18,6 +18,8 @@ from drive_health_etl_spark.operators import dedup as _dedup
 from drive_health_etl_spark.operators import grouped_pandas as _grouped
 from drive_health_etl_spark.operators import multimodal as _multimodal
 from drive_health_etl_spark.operators import quality as _quality
+from drive_health_etl_spark.operators import retrieval as _retrieval
+from drive_health_etl_spark.operators import sessions as _sessions
 from drive_health_etl_spark.operators import similarity as _similarity
 from drive_health_etl_spark.operators import text as _text
 from drive_health_etl_spark.plans import extended as _extended
@@ -174,6 +176,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     **_multimodal.QUERIES,
     **_grouped.QUERIES,
     **_asof.QUERIES,
+    **_sessions.QUERIES,
+    **_retrieval.QUERIES,
     "pipeline_ingest_e2e": (pipeline_ingest_e2e, None),
 }
 

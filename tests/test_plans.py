@@ -90,6 +90,7 @@ BNLJ_BY_DESIGN = {
     "dedup_semantic",  # K-constant centroid scoring (same broadcast as sim_ann_ivf)
     "q11_important_stock",  # 1-row global-threshold scalar subquery broadcast
     "q22_global_sales_opportunity",  # 1-row scalar-AVG subquery broadcast
+    "text_bm25",  # 1-row corpus-constants (N, avgdl) broadcast onto the tf table
 }
 CARTESIAN_BY_DESIGN = {"t5_cross_join"}  # 5 x 25 dims, explicitly cross
 
