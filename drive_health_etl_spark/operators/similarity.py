@@ -17,6 +17,7 @@ import math
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from drive_health_etl_spark.sources.tables import load_table
 
@@ -26,6 +27,26 @@ TOP_K = 5
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+@F.pandas_udf(T.DoubleType())
+def _pdot_udf(a, b):
+    """Arrow-vectorized pairwise dot product (SURVEY.md §2.9 U3: 'pandas_udf
+    for batched vectors'). Spark's higher-order array folds execute
+    interpreted (outside codegen) at ~20 µs/row; for the quadratic in-cell
+    pair volume of SemDeDup that interpretation overhead IS the runtime, so
+    this one hot spot crosses to numpy (einsum over the whole Arrow batch).
+    Only valid where downstream use is threshold comparison or rounding with
+    real margin: einsum's pairwise accumulation order differs from the
+    sequential fold by ~1 ulp."""
+    import numpy as np
+    import pandas as pd
+
+    if len(a) == 0:
+        return pd.Series([], dtype="float64")
+    A = np.stack(a.to_numpy())
+    B = np.stack(b.to_numpy())
+    return pd.Series(np.einsum("ij,ij->i", A, B))
 
 
 def _norm(a: Column) -> Column:
@@ -361,17 +382,32 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cents is None:
         cents = kmeans_centroids(emb)
         _CENTROID_CACHE[ckey] = cents
+    # Norm is precomputed per VECTOR (linear work) so the quadratic in-cell
+    # pair filter below evaluates a single array fold (the dot) per pair
+    # instead of three — at |cell| ~ n/k this is the dominant cost term.
+    # The cosine expression keeps the exact same operation order as the
+    # oracle (dot / (|u|·|v|)), so threshold comparisons stay bit-identical.
     assigned = (
         emb.join(F.broadcast(_cents_df(spark, cents)))
         .withColumn("cell", _assign_cell_expr(F.col("e")))
-        .select("vec_id", "e", "cell")
+        .select("vec_id", "e", "cell", _norm(F.col("e")).alias("enorm"))
     )
-    u = assigned.select(F.col("cell").alias("ucell"), F.col("vec_id").alias("u_id"), F.col("e").alias("ue"))
-    v = assigned.select(F.col("cell").alias("vcell"), F.col("vec_id").alias("v_id"), F.col("e").alias("ve"))
+    u = assigned.select(
+        F.col("cell").alias("ucell"),
+        F.col("vec_id").alias("u_id"),
+        F.col("e").alias("ue"),
+        F.col("enorm").alias("unorm"),
+    )
+    v = assigned.select(
+        F.col("cell").alias("vcell"),
+        F.col("vec_id").alias("v_id"),
+        F.col("e").alias("ve"),
+        F.col("enorm").alias("vnorm"),
+    )
     dropped = (
         u.join(v, (F.col("ucell") == F.col("vcell")) & (F.col("u_id") < F.col("v_id")))
         .filter(
-            _dot(F.col("ue"), F.col("ve")) / (_norm(F.col("ue")) * _norm(F.col("ve")))
+            _pdot_udf(F.col("ue"), F.col("ve")) / (F.col("unorm") * F.col("vnorm"))
             >= SEMDEDUP_TAU
         )
         .select(F.col("v_id").alias("dropped_id"))
