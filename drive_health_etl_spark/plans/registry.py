@@ -21,6 +21,7 @@ from drive_health_etl_spark.operators import quality as _quality
 from drive_health_etl_spark.operators import retrieval as _retrieval
 from drive_health_etl_spark.operators import sessions as _sessions
 from drive_health_etl_spark.operators import similarity as _similarity
+from drive_health_etl_spark.operators import udtfs as _udtfs
 from drive_health_etl_spark.operators import text as _text
 from drive_health_etl_spark.plans import extended as _extended
 from drive_health_etl_spark.plans import pipeline_queries as _pipeline
@@ -178,6 +179,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     **_asof.QUERIES,
     **_sessions.QUERIES,
     **_retrieval.QUERIES,
+    **_udtfs.QUERIES,
     "pipeline_ingest_e2e": (pipeline_ingest_e2e, None),
 }
 
