@@ -448,7 +448,162 @@ GROUP BY cell ORDER BY cell
 """
 
 
+# --- kNN classification eval -------------------------------------------------
+
+KNN_EVAL_N = 64  # vec_id < KNN_EVAL_N form the held-out eval set
+KNN_K = 5
+
+
+def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label prediction as a retrieval-quality eval: hold out the first
+    ``KNN_EVAL_N`` vectors, predict each one's ``label`` by majority vote of
+    its ``KNN_K`` nearest train-set neighbors (cosine), report per-true-label
+    accuracy. The standard 'is this embedding space any good' probe a
+    training pipeline runs after every encoder refresh.
+
+    Plan shape mirrors ``sim_cosine_topk``: the eval set broadcasts against
+    the train scan (narrow), the only shuffles are the per-query top-k window
+    and the vote/accuracy aggregations over ``KNN_EVAL_N × KNN_K`` rows —
+    driver-scale-independent. Vote and rank tiebreaks are fully deterministic
+    (count desc, label asc; cosine rounded to 6 before ranking so both
+    engines rank identical values)."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", "label", F.col("embedding").cast("array<double>").alias("e"))
+    )
+    # norms precomputed per vector (linear) so the eval×train pair map folds
+    # one dot, not three — same trick as the SemDeDup pair filter.
+    evals = emb.filter(F.col("vec_id") < KNN_EVAL_N).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("e").alias("qe"),
+        _norm(F.col("e")).alias("qnorm"),
+    )
+    train = emb.filter(F.col("vec_id") >= KNN_EVAL_N).withColumn("enorm", _norm(F.col("e")))
+    scored = train.join(F.broadcast(evals)).select(
+        "query_id",
+        "true_label",
+        F.col("label").alias("neighbor_label"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            _dot(F.col("qe"), F.col("e")) / (F.col("qnorm") * F.col("enorm")), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    topk = scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= KNN_K)
+    votes = topk.groupBy("query_id", "true_label", "neighbor_label").agg(
+        F.count("*").alias("n_votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("neighbor_label").asc()
+    )
+    pred = (
+        votes.withColumn("vrnk", F.row_number().over(wv))
+        .filter(F.col("vrnk") == 1)
+        .select("query_id", "true_label", F.col("neighbor_label").alias("pred_label"))
+    )
+    return (
+        pred.groupBy("true_label")
+        .agg(
+            F.count("*").alias("n_eval"),
+            F.sum(
+                F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+            ).cast("bigint").alias("n_correct"),
+        )
+        .withColumn(
+            "accuracy", F.round(F.col("n_correct").cast("double") / F.col("n_eval"), 6)
+        )
+        .orderBy("true_label")
+    )
+
+
+SIM_KNN_CLASSIFY_SQL = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, q.label AS true_label,
+         c.label AS neighbor_label, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.emb, c.emb)
+               / (sqrt(list_dot_product(q.emb, q.emb)) * sqrt(list_dot_product(c.emb, c.emb))), 6) AS cosine
+  FROM e q JOIN e c ON c.vec_id >= {KNN_EVAL_N}
+  WHERE q.vec_id < {KNN_EVAL_N}
+),
+topk AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+    FROM scored
+  ) WHERE rnk <= {KNN_K}
+),
+votes AS (
+  SELECT query_id, true_label, neighbor_label, COUNT(*) AS n_votes
+  FROM topk GROUP BY query_id, true_label, neighbor_label
+),
+pred AS (
+  SELECT query_id, true_label, neighbor_label AS pred_label FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY n_votes DESC, neighbor_label ASC) AS vrnk
+    FROM votes
+  ) WHERE vrnk = 1
+)
+SELECT true_label, COUNT(*) AS n_eval,
+       CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       ROUND(CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS accuracy
+FROM pred GROUP BY true_label ORDER BY true_label
+"""
+
+
+# --- int8 quantization stats -------------------------------------------------
+
+
+def emb_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (scale = 127/max|x|) with
+    reconstruction-error stats — the compression step that makes a 100 TB
+    embedding store 4× smaller before ANN indexing; the MSE column is the
+    go/no-go signal for it. Pure narrow map: scale, round, reconstruct and
+    fold the squared error per row; no shuffle at all (the report keeps one
+    row per vector so the gate hashes every reconstruction)."""
+    # max_abs is SELECTed into a column before the per-element lambda uses it:
+    # inlining the array_max fold into the lambda body would re-evaluate it
+    # twice per element (the duplicated-subtree trap — see ROADMAP gotchas).
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        F.array_max(F.transform(F.col("embedding").cast("array<double>"), F.abs)).alias(
+            "max_abs"
+        ),
+    )
+    s = F.lit(127.0) / F.col("max_abs")
+    err = F.transform(
+        F.col("e"), lambda x: F.pow(x - F.round(x * s) / s, F.lit(2))
+    )
+    mse = F.aggregate(err, F.lit(0.0), lambda acc, x: acc + x) / F.size("e")
+    return emb.filter(F.col("max_abs") > 0).select(
+        "vec_id",
+        F.size("e").alias("n_dims"),
+        F.round("max_abs", 6).alias("max_abs"),
+        F.round(mse, 6).alias("mse"),
+    )
+
+
+EMB_QUANTIZE_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS max_abs
+  FROM embeddings
+)
+SELECT vec_id, len(emb) AS n_dims, ROUND(max_abs, 6) AS max_abs,
+       ROUND(list_sum(list_transform(emb,
+                x -> pow(x - round(x * (127.0 / max_abs)) / (127.0 / max_abs), 2)))
+             / len(emb), 6) AS mse
+FROM e WHERE max_abs > 0
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "sim_knn_classify": (sim_knn_classify, SIM_KNN_CLASSIFY_SQL),
+    "emb_quantize_stats": (emb_quantize_stats, EMB_QUANTIZE_SQL),
     "sim_cosine_topk": (sim_cosine_topk, SIM_COSINE_TOPK_SQL),
     "sim_ann_ivf": (sim_ann_ivf, SIM_ANN_IVF_SQL),
     "dedup_semantic": (dedup_semantic, DEDUP_SEMANTIC_SQL),

@@ -91,6 +91,7 @@ BNLJ_BY_DESIGN = {
     "q11_important_stock",  # 1-row global-threshold scalar subquery broadcast
     "q22_global_sales_opportunity",  # 1-row scalar-AVG subquery broadcast
     "text_bm25",  # 1-row corpus-constants (N, avgdl) broadcast onto the tf table
+    "sim_knn_classify",  # eval-set broadcast against the train scan (same shape as sim_cosine_topk)
 }
 CARTESIAN_BY_DESIGN = {"t5_cross_join"}  # 5 x 25 dims, explicitly cross
 
