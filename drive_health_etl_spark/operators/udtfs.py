@@ -41,6 +41,9 @@ def u4_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk every document via the Python UDTF through SQL ``LATERAL``."""
     from pyspark.sql.functions import udtf
 
+    # Arrow-batched UDTF execution: row-pickled transfer is the same
+    # per-row-Python trap the engine bans for scalar UDFs.
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
