@@ -835,6 +835,82 @@ FROM events
 """
 
 
+def w6_value_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value window functions: first/last/nth event value per user over the
+    time-ordered frame (last_value needs the full-partition frame — the
+    classic default-frame trap). Single shuffle on user_id."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.first("value").over(wfull).alias("first_value"),
+        F.last("value").over(wfull).alias("last_value"),
+        F.nth_value("value", 3).over(wfull).alias("third_value"),
+    )
+
+
+W6_SQL = """
+SELECT event_id, user_id,
+       FIRST_VALUE(value) OVER w AS first_value,
+       LAST_VALUE(value) OVER w AS last_value,
+       NTH_VALUE(value, 3) OVER w AS third_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def a6_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/string_agg): region roster of
+    nations — collect_list is made deterministic by sorting the collected
+    structs before joining. Dimension-sized: any plan works; the point is
+    the ordered-concat semantics parity."""
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        n.groupBy("n_regionkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count("*").alias("n_nations"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+A6_SQL = """
+SELECT n_regionkey,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       COUNT(*) AS n_nations
+FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+"""
+
+
+def w7_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score outlier flagging: |value - mean| > 2σ over the user's
+    own distribution (population σ, full-partition frame) — the streaming-
+    telemetry anomaly gate, as one window pass + narrow filter."""
+    w = Window.partitionBy("user_id")
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    mean = F.avg("value").over(w)
+    sd = F.stddev_pop("value").over(w)
+    z = (F.col("value") - mean) / sd
+    return (
+        e.withColumn("z", z)
+        .filter(F.abs(F.col("z")) > 2.0)
+        .select("event_id", "user_id", F.round("z", 6).alias("zscore"))
+    )
+
+
+W7_SQL = """
+SELECT event_id, user_id, ROUND(zscore, 6) AS zscore FROM (
+  SELECT event_id, user_id,
+         (value - AVG(value) OVER w) / STDDEV_POP(value) OVER w AS zscore
+  FROM events
+  WINDOW w AS (PARTITION BY user_id)
+) WHERE ABS(zscore) > 2.0
+"""
+
+
 # --- ST8 [ext]: event-time windows (batch twins of the streaming ops) -------
 
 
@@ -937,6 +1013,9 @@ QUERIES: dict[str, tuple] = {
     "w5_distribution_funcs": (w5_distribution_funcs, W5_SQL),
     "w3_lag_gap": (w3_lag_gap, W3_SQL),
     "w4_running_sum": (w4_running_sum, W4_SQL),
+    "w6_value_funcs": (w6_value_funcs, W6_SQL),
+    "w7_zscore_outliers": (w7_zscore_outliers, W7_SQL),
+    "a6_listagg": (a6_listagg, A6_SQL),
     "st8_tumbling_window": (st8_tumbling_window, ST8_TUMBLING_SQL),
     "st8_sliding_window": (st8_sliding_window, ST8_SLIDING_SQL),
     "st8_session_window": (st8_session_window, ST8_SESSION_SQL),
