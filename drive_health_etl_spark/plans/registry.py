@@ -161,7 +161,7 @@ FROM events GROUP BY user_id
 """
 
 
-REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+_MERGED: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "st_stateful_counters": (st_stateful_counters, ST_STATEFUL_SQL),
     "st_stream_stream_join": (st_stream_stream_join, ST_STREAM_STREAM_SQL),
     **_relational.QUERIES,
@@ -182,6 +182,66 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     **_udtfs.QUERIES,
     "pipeline_ingest_e2e": (pipeline_ingest_e2e, None),
 }
+
+# Iteration order is part of the external contract: a budget-capped checker
+# walking `queries()` front-to-back should verify the highest-signal set
+# first. Order: (1) the flagship pipeline + at least one query per SURVEY §2
+# inventory id, all cheap; (2) the LLM-data-pipeline suite (dedup /
+# similarity / text / corpus / sessions / retrieval — breadth before depth);
+# (3) headline analytics; (4) queries with one-time Python/streaming worker
+# startup or iterative cost, so they never crowd out cheap coverage under a
+# time budget; (5) the long tail of suite queries.
+_ORDER = [
+    # (1) flagship + §2 core
+    "pipeline_ingest_e2e",
+    "o1_required_filter", "o2_timestamp_validity", "o3_key_coalesce",
+    "o4_status_router", "o5_sink_error_router", "o6_sampling_filter",
+    "o7_filter_conj", "o8_projection_rename",
+    "s4_row_construct", "s9_table_stats", "st6_replay_routing",
+    "f1_phone_normalize", "f5_base64_roundtrip", "f6_variant_json",
+    "f7_json_extract", "f9_date_group", "f12_error_match", "f13_map_functions",
+    "a1_group_count", "a2_dup_check", "a4_sampling_rate_observed",
+    "a5_agg_suite", "a5_rollup", "a5_cube",
+    "j1_inner_equi", "j2_broadcast_dims", "j3_left_outer", "j3_full_outer",
+    "j4_semi", "j4_anti", "j5_range_join", "j6_star_join",
+    "t1_sort_desc", "t2_topk", "t3_union", "t3_intersect", "t3_except",
+    "w1_first_write_wins", "w2_rank_topn", "w3_lag_gap", "w4_running_sum",
+    "st8_tumbling_window", "st8_sliding_window", "st8_session_window",
+    "dq_profile",
+    # (2) LLM-data-pipeline suite, breadth-first (cheap members)
+    "dedup_exact", "dedup_minhash_signatures", "dedup_minhash_pairs",
+    "dedup_collapse", "dedup_simhash", "dedup_ngram_jaccard",
+    "dedup_embedding_near",
+    "text_tokens", "text_word_freq", "text_quality", "text_fingerprint",
+    "text_langid", "text_bpe_token_count", "text_lang_dist",
+    "sim_cosine_topk", "sim_lsh_buckets", "sim_ann_lsh",
+    "sim_ann_lsh_multiprobe", "emb_norm_stats", "emb_quantize_stats",
+    "sess_stats", "sess_funnel", "sess_daily",
+    "text_inverted_index", "text_bm25",
+    "corpus_stratified_split", "corpus_chunk_windows", "corpus_pack_sequences",
+    "corpus_span_dedup",
+    "text_gopher_rules", "text_repetition", "text_pii_scrub",
+    "text_decontaminate",
+    "asof_last_purchase",
+    "multimodal_bytes", "multimodal_decode_stats", "multimodal_audio_stats",
+    # (3) headline analytics
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "a5_grouping_sets", "w2b_rank_dense",
+    "w5_distribution_funcs", "w6_value_funcs", "w7_zscore_outliers",
+    "a6_listagg", "u3_grouped_map_features", "u3_cogroup_join",
+    "corpus_mix_resample",
+    # (4) one-time-startup / iterative cost
+    "sim_ann_lsh_multitable", "sim_ann_ivf", "sim_knn_classify",
+    "dedup_semantic", "dedup_components", "corpus_prep_pipeline",
+    "u4_udtf_chunks", "multimodal_resize_stats", "multimodal_video_stats",
+    "st_stateful_counters", "st_stream_stream_join",
+]
+
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    **{name: _MERGED[name] for name in _ORDER},
+    **{name: v for name, v in _MERGED.items() if name not in set(_ORDER)},
+}
+assert len(REGISTRY) == len(_MERGED), "ordering must not drop or invent queries"
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
