@@ -188,7 +188,45 @@ FROM daily d LEFT JOIN firsts f ON d.day = f.day
 """
 
 
+ROLLING_DAYS = 7
+
+
+def sess_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day (WAU curve). Window functions can't
+    express COUNT(DISTINCT) over a range frame, so the standard warehouse
+    plan is used: dedup to (user, day) — one shuffle that shrinks the input
+    to at most users×days rows — then a range join against the calendar-sized
+    day grid (broadcast: the grid is ≤366 rows/year at ANY corpus scale) and
+    a count-distinct per grid day."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    user_days = e.distinct()
+    grid = user_days.select("day").distinct().select(F.col("day").alias("d"))
+    return (
+        user_days.join(
+            F.broadcast(grid),
+            (F.col("day") <= F.col("d"))
+            & (F.col("day") >= F.date_sub(F.col("d"), ROLLING_DAYS - 1)),
+        )
+        .groupBy("d")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+        .orderBy("d")
+    )
+
+
+SESS_ROLLING_SQL = f"""
+WITH user_days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+grid AS (SELECT DISTINCT day AS d FROM user_days)
+SELECT d, COUNT(DISTINCT user_id) AS active_users
+FROM user_days JOIN grid
+  ON day <= d AND day >= d - {ROLLING_DAYS - 1}
+GROUP BY d ORDER BY d
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "sess_rolling_actives": (sess_rolling_actives, SESS_ROLLING_SQL),
     "sess_stats": (sess_stats, SESS_STATS_SQL),
     "sess_funnel": (sess_funnel, SESS_FUNNEL_SQL),
     "sess_daily": (sess_daily, SESS_DAILY_SQL),

@@ -216,7 +216,7 @@ _ORDER = [
     "text_langid", "text_bpe_token_count", "text_lang_dist",
     "sim_cosine_topk", "sim_lsh_buckets", "sim_ann_lsh",
     "sim_ann_lsh_multiprobe", "emb_norm_stats", "emb_quantize_stats",
-    "sess_stats", "sess_funnel", "sess_daily",
+    "sess_stats", "sess_funnel", "sess_daily", "sess_rolling_actives",
     "text_inverted_index", "text_bm25",
     "corpus_stratified_split", "corpus_chunk_windows", "corpus_pack_sequences",
     "corpus_span_dedup",

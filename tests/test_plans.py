@@ -92,6 +92,7 @@ BNLJ_BY_DESIGN = {
     "q22_global_sales_opportunity",  # 1-row scalar-AVG subquery broadcast
     "text_bm25",  # 1-row corpus-constants (N, avgdl) broadcast onto the tf table
     "sim_knn_classify",  # eval-set broadcast against the train scan (same shape as sim_cosine_topk)
+    "sess_rolling_actives",  # calendar-sized day grid broadcast (≤366 rows/yr) range join
 }
 CARTESIAN_BY_DESIGN = {"t5_cross_join"}  # 5 x 25 dims, explicitly cross
 
