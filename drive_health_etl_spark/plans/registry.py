@@ -228,6 +228,7 @@ _ORDER = [
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "q6_forecast_revenue", "a5_grouping_sets", "w2b_rank_dense",
     "w5_distribution_funcs", "w6_value_funcs", "w7_zscore_outliers",
+    "w8_range_frame",
     "a6_listagg", "u3_grouped_map_features", "u3_cogroup_join",
     "corpus_mix_resample",
     # (4) one-time-startup / iterative cost

@@ -861,6 +861,43 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
 """
 
 
+def w8_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per-user trailing 1-hour event count and value
+    sum, anchored on event-time seconds (RANGE frames bound by the ORDER
+    value, not row position — the other half of the frame spec that
+    w4_running_sum's ROWS frame doesn't cover). One shuffle on user_id."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value",
+        # integer div, not `/` + cast: double division puts second boundaries
+        # a few ulp below the integer and truncation would then disagree with
+        # the oracle's integer floor-div
+        F.expr("unix_micros(ts) div 1000000").alias("ts_s"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_s").asc())
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_trailing_1h"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias(
+            "sum_trailing_1h"
+        ),
+    )
+
+
+W8_SQL = """
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS n_trailing_1h,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_trailing_1h
+FROM (SELECT *, epoch_us(ts) // 1000000 AS ts_s FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_s ASC
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
 def a6_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered string aggregation (LISTAGG/string_agg): region roster of
     nations — collect_list is made deterministic by sorting the collected
@@ -1015,6 +1052,7 @@ QUERIES: dict[str, tuple] = {
     "w4_running_sum": (w4_running_sum, W4_SQL),
     "w6_value_funcs": (w6_value_funcs, W6_SQL),
     "w7_zscore_outliers": (w7_zscore_outliers, W7_SQL),
+    "w8_range_frame": (w8_range_frame, W8_SQL),
     "a6_listagg": (a6_listagg, A6_SQL),
     "st8_tumbling_window": (st8_tumbling_window, ST8_TUMBLING_SQL),
     "st8_sliding_window": (st8_sliding_window, ST8_SLIDING_SQL),
