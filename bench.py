@@ -98,6 +98,13 @@ def main() -> None:
     from drive_health_etl_spark.sources.tables import load_table
 
     n_events = load_table(spark, SF_DIR, "events").count()
+    # ingest_rows_per_sec is the headline comparable to the baseline's
+    # msgs/min target — take one extra sample (min of 3 total): VM background
+    # load has been observed to double a single run
+    timings["pipeline_ingest_e2e"] = min(
+        timings["pipeline_ingest_e2e"], run_one(spark, "pipeline_ingest_e2e", SF_DIR)
+    )
+    total = round(sum(timings.values()), 3)
     ingest_rows_per_sec = round(n_events / timings["pipeline_ingest_e2e"], 1)
 
     # ANN quality: recall@3 of each approximate index vs the brute-force
