@@ -366,7 +366,102 @@ FROM events GROUP BY event_type
 """
 
 
+def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse constraint validation in one pass each: primary-key
+    uniqueness on customer, referential integrity orders→customer (orphan
+    count via null-probe on a single left join — no second scan), and a
+    not-null rate. The monitoring twin of the reference's post-load
+    verification SQL (``scripts/02_idempotency_test.js:170-176`` checks the
+    PK invariant the same way). One fact-sized shuffle; at 100 TB the join
+    key is the natural distribution and AQE handles skew."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    pk = c.agg(
+        F.count("*").alias("n_customers"),
+        (F.count("*") - F.count_distinct("c_custkey")).alias("n_dup_custkeys"),
+    )
+    probe = (
+        o.join(c.select("c_custkey"), o.o_custkey == c.c_custkey, "left")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_orphan_orders"),
+            F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_null_totalprice"),
+        )
+    )
+    return probe.crossJoin(F.broadcast(pk)).select(
+        "n_orders", "n_orphan_orders", "n_null_totalprice", "n_customers", "n_dup_custkeys"
+    )
+
+
+DQ_CONSTRAINTS_SQL = """
+SELECT
+  (SELECT COUNT(*) FROM orders) AS n_orders,
+  (SELECT COUNT(*) FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey IS NULL) AS n_orphan_orders,
+  (SELECT COUNT(*) FROM orders WHERE o_totalprice IS NULL) AS n_null_totalprice,
+  (SELECT COUNT(*) FROM customer) AS n_customers,
+  (SELECT COUNT(*) - COUNT(DISTINCT c_custkey) FROM customer) AS n_dup_custkeys
+"""
+
+
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (CDC shape): classify every key across two table
+    versions as added / removed / changed / unchanged via one full outer
+    join on the key — the merge-planning primitive behind incremental
+    warehouse syncs. Twin snapshots are derived deterministically from
+    events (drop every 11th id from 'old', every 13th from 'new', perturb
+    value on id%10==3) so the oracle reproduces them exactly. One shuffle
+    on the join key; counts only, so the result is scale-stable."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "value")
+    old = e.filter(F.col("event_id") % 11 != 0).select(
+        F.col("event_id").alias("okey"), F.col("value").alias("oval")
+    )
+    new = e.filter(F.col("event_id") % 13 != 0).select(
+        F.col("event_id").alias("nkey"),
+        (F.col("value") + F.when(F.col("event_id") % 10 == 3, 1.0).otherwise(0.0)).alias(
+            "nval"
+        ),
+    )
+    status = (
+        F.when(F.col("okey").isNull(), "added")
+        .when(F.col("nkey").isNull(), "removed")
+        .when(F.col("oval") != F.col("nval"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        old.join(new, F.col("okey") == F.col("nkey"), "full_outer")
+        .select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count("*").alias("n_keys"))
+        .orderBy("status")
+    )
+
+
+CDC_DIFF_SQL = """
+WITH old AS (
+  SELECT event_id AS okey, value AS oval FROM events WHERE event_id % 11 <> 0
+), new AS (
+  SELECT event_id AS nkey,
+         value + CASE WHEN event_id % 10 = 3 THEN 1.0 ELSE 0.0 END AS nval
+  FROM events WHERE event_id % 13 <> 0
+)
+SELECT CASE WHEN okey IS NULL THEN 'added'
+            WHEN nkey IS NULL THEN 'removed'
+            WHEN oval <> nval THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       COUNT(*) AS n_keys
+FROM old FULL OUTER JOIN new ON okey = nkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "dq_constraints": (dq_constraints, DQ_CONSTRAINTS_SQL),
+    "cdc_snapshot_diff": (cdc_snapshot_diff, CDC_DIFF_SQL),
     "a1_group_count": (a1_group_count, A1_SQL),
     "a2_dup_check": (a2_dup_check, A2_SQL),
     "a4_sampling_rate_observed": (a4_sampling_rate_observed, A4_SQL),
