@@ -147,3 +147,36 @@ def test_streaming_session_counts(spark, sf_dir, tmp_path):
     q.awaitTermination()
     n_stream = spark.sql("SELECT SUM(n_events) AS s FROM sess_out").collect()[0]["s"]
     assert n_stream == batch.count()  # every event lands in exactly one session
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static broadcast enrichment: per-batch dim lookup must produce
+    exactly the batch left-join result, with stream rows preserved when the
+    dim has no row for the key (stateless — no watermark required)."""
+    from drive_health_etl_spark.streaming.joins import enrich_with_dim
+
+    stream, batch = _stream_events(spark, sf_dir, tmp_path)
+    # static user-profile dim covering only even user ids (forces unmatched rows)
+    dim = (
+        batch.select("user_id").distinct().filter(F.col("user_id") % 2 == 0)
+        .withColumn("tier", F.when(F.col("user_id") % 4 == 0, "gold").otherwise("basic"))
+    )
+    q = (
+        enrich_with_dim(stream, dim)
+        .writeStream.format("memory")
+        .queryName("enriched_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["event_id"], r["tier"])
+        for r in spark.sql("SELECT event_id, tier FROM enriched_out").collect()
+    }
+    expected = {
+        (r["event_id"], r["tier"])
+        for r in batch.join(F.broadcast(dim), "user_id", "left").select("event_id", "tier").collect()
+    }
+    assert got == expected
+    assert any(t is None for _e, t in got)  # unmatched keys preserved by the left join
