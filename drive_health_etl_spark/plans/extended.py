@@ -128,6 +128,37 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 # --- S9: table metadata scan ------------------------------------------------
 
 
+# ONE SQL text, two engines: this exact string runs through spark.sql() over
+# the registered views AND through DuckDB as its own oracle — the strongest
+# possible SQL-API parity statement (no per-engine translation at all). Keep
+# it dialect-neutral: ANSI aggregates, decimal-cast sums (exact, order-
+# independent), DATE literals, HAVING, CASE.
+SQL_ANSI_PARITY_TEXT = """
+SELECT o.o_orderpriority AS priority,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= DATE '1995-01-01'
+GROUP BY o.o_orderpriority
+HAVING COUNT(*) > 10
+ORDER BY priority
+"""
+
+
+def sql_ansi_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL entry point (``spark.sql`` over registered views)
+    executing the *identical* ANSI text the DuckDB oracle runs — zero
+    translation. Mirrors the reference's embedded verification-SQL pattern
+    (``scripts/01_smoke_publish.js:142-153``) where the check IS a SQL
+    string handed to the warehouse."""
+    from drive_health_etl_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_ANSI_PARITY_TEXT)
+
+
 def s9_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """numRows/key-range/cardinality monitoring scan (``src/bq.js:116-134``)."""
     o = load_table(spark, sf_dir, "orders")
@@ -683,6 +714,7 @@ def a5_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, tuple] = {
+    "sql_ansi_parity": (sql_ansi_parity, SQL_ANSI_PARITY_TEXT),
     "f1_phone_normalize": (f1_phone_normalize, F1_SQL),
     "f5_base64_roundtrip": (f5_base64_roundtrip, F5_SQL),
     "w2b_rank_dense": (w2b_rank_dense, W2B_SQL),

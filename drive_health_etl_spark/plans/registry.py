@@ -207,7 +207,7 @@ _ORDER = [
     "t1_sort_desc", "t2_topk", "t3_union", "t3_intersect", "t3_except",
     "w1_first_write_wins", "w2_rank_topn", "w3_lag_gap", "w4_running_sum",
     "st8_tumbling_window", "st8_sliding_window", "st8_session_window",
-    "dq_profile", "dq_constraints", "cdc_snapshot_diff",
+    "dq_profile", "dq_constraints", "cdc_snapshot_diff", "sql_ansi_parity",
     # (2) LLM-data-pipeline suite, breadth-first (cheap members)
     "dedup_exact", "dedup_minhash_signatures", "dedup_minhash_pairs",
     "dedup_collapse", "dedup_simhash", "dedup_ngram_jaccard",
