@@ -143,3 +143,38 @@ def test_stratified_split_shares_sum_to_one(spark, sf_dir):
     assert by_lang, "split report must not be empty"
     for lang, total in by_lang.items():
         assert abs(total - 1.0) < 1e-4, (lang, total)
+
+
+def test_sessionized_matches_python_reference_on_random_fixture(spark):
+    """One Spark pass over a seeded random corpus vs a pure-Python reference
+    sessionizer — catches window-frame/tiebreak drift that the fixed
+    fixtures can't."""
+    import random
+    from collections import defaultdict
+
+    rng = random.Random(42)
+    rows = []
+    eid = 0
+    for user in range(25):
+        t = rng.randint(0, 60)
+        for _ in range(rng.randint(1, 40)):
+            t += rng.randint(0, 90)  # gaps straddle the 30-min threshold
+            rows.append((eid, user, _ts(t)))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {r["event_id"]: r["sess_idx"] for r in sessionized(df).collect()}
+
+    per_user = defaultdict(list)
+    for e, u, ts in rows:
+        per_user[u].append((ts, e))
+    expected = {}
+    for _u, evs in per_user.items():
+        evs.sort()
+        idx = 0
+        prev = None
+        for ts, e in evs:
+            if prev is None or (ts - prev).total_seconds() > SESSION_GAP_MIN * 60:
+                idx += 1
+            expected[e] = idx
+            prev = ts
+    assert got == expected
