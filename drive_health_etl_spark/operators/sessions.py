@@ -188,6 +188,72 @@ FROM daily d LEFT JOIN firsts f ON d.day = f.day
 """
 
 
+def sess_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion-lag distribution: for users who complete
+    the funnel in order, minutes from first signup to first in-order
+    purchase — count, mean, exact p50/p90. The funnel's companion metric
+    ('how long does conversion take'), same two-window plan plus one
+    per-user collapse and a single-row percentile aggregate."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    s1, s2, s3 = FUNNEL_STEPS
+    e = e.withColumn("t1", F.min(F.when(F.col("event_type") == s1, F.col("ts"))).over(w))
+    e = e.withColumn(
+        "t2",
+        F.min(
+            F.when((F.col("event_type") == s2) & (F.col("ts") >= F.col("t1")), F.col("ts"))
+        ).over(w),
+    )
+    e = e.withColumn(
+        "t3",
+        F.min(
+            F.when((F.col("event_type") == s3) & (F.col("ts") >= F.col("t2")), F.col("ts"))
+        ).over(w),
+    )
+    lags = (
+        e.filter(F.col("t3").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            (
+                (F.min(F.unix_micros("t3")) - F.min(F.unix_micros("t1")))
+                / F.lit(60_000_000.0)
+            ).alias("lag_min")
+        )
+    )
+    return lags.agg(
+        F.count("*").alias("n_converted"),
+        F.round(F.avg("lag_min"), 6).alias("mean_lag_min"),
+        F.round(F.expr("percentile(lag_min, 0.5)"), 6).alias("p50_lag_min"),
+        F.round(F.expr("percentile(lag_min, 0.9)"), 6).alias("p90_lag_min"),
+    )
+
+
+SESS_CONVERSION_LAG_SQL = f"""
+WITH a AS (
+  SELECT *, MIN(CASE WHEN event_type = '{FUNNEL_STEPS[0]}' THEN ts END)
+              OVER (PARTITION BY user_id) AS t1
+  FROM events
+), b AS (
+  SELECT *, MIN(CASE WHEN event_type = '{FUNNEL_STEPS[1]}' AND ts >= t1 THEN ts END)
+              OVER (PARTITION BY user_id) AS t2
+  FROM a
+), c AS (
+  SELECT *, MIN(CASE WHEN event_type = '{FUNNEL_STEPS[2]}' AND ts >= t2 THEN ts END)
+              OVER (PARTITION BY user_id) AS t3
+  FROM b
+), lags AS (
+  SELECT user_id,
+         (MIN(epoch_us(t3)) - MIN(epoch_us(t1))) / 60000000.0 AS lag_min
+  FROM c WHERE t3 IS NOT NULL GROUP BY user_id
+)
+SELECT COUNT(*) AS n_converted,
+       ROUND(AVG(lag_min), 6) AS mean_lag_min,
+       ROUND(quantile_cont(lag_min, 0.5), 6) AS p50_lag_min,
+       ROUND(quantile_cont(lag_min, 0.9), 6) AS p90_lag_min
+FROM lags
+"""
+
+
 ROLLING_DAYS = 7
 
 
@@ -227,6 +293,7 @@ GROUP BY d ORDER BY d
 
 QUERIES: dict[str, tuple] = {
     "sess_rolling_actives": (sess_rolling_actives, SESS_ROLLING_SQL),
+    "sess_conversion_lag": (sess_conversion_lag, SESS_CONVERSION_LAG_SQL),
     "sess_stats": (sess_stats, SESS_STATS_SQL),
     "sess_funnel": (sess_funnel, SESS_FUNNEL_SQL),
     "sess_daily": (sess_daily, SESS_DAILY_SQL),

@@ -217,6 +217,7 @@ _ORDER = [
     "sim_cosine_topk", "sim_lsh_buckets", "sim_ann_lsh",
     "sim_ann_lsh_multiprobe", "emb_norm_stats", "emb_quantize_stats",
     "sess_stats", "sess_funnel", "sess_daily", "sess_rolling_actives",
+    "sess_conversion_lag",
     "text_inverted_index", "text_bm25",
     "corpus_stratified_split", "corpus_chunk_windows", "corpus_pack_sequences",
     "corpus_span_dedup",
