@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from drive_health_etl_spark.functions.sampling import sample_hash_ratio, sample_hash_ratio_sql
-from drive_health_etl_spark.operators.text import TOKENS_SQL, tokens_col
+from drive_health_etl_spark.operators.text import STOPWORDS, TOKENS_SQL, tokens_col
 from drive_health_etl_spark.sources.tables import load_table
 
 # --- Training-mix resampling -------------------------------------------------
@@ -248,6 +248,66 @@ FROM deduped GROUP BY lang, source ORDER BY lang, source
 """
 
 
+# --- Quality-weighted importance sampling ------------------------------------
+
+
+def corpus_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus downsampling: keep each document with
+    probability proportional to a quality score (stopword-ratio-based,
+    squashed to [0.1, 1.0]), decided by the same deterministic sha256-ratio
+    the ingest sampler uses — reproducible across runs and shards, no RNG
+    state. The up/down-weighting step of corpus curation (high-quality docs
+    survive at ~10x the rate of boilerplate). Narrow map + one small
+    aggregate: keep-rate report per language."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = tokens_col()
+    n_tokens = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    # weight: 1 - stopword_ratio, clamped to [0.1, 1.0]
+    weight = F.least(
+        F.greatest(
+            F.lit(1.0) - F.round(n_stop.cast("double") / n_tokens, 6), F.lit(0.1)
+        ),
+        F.lit(1.0),
+    )
+    r = sample_hash_ratio(F.concat(F.lit("imp-"), F.col("doc_id").cast("string")))
+    tagged = docs.select("doc_id", "lang", weight.alias("w"), (r < weight).alias("keep"))
+    return tagged.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        # decimal-cast sum before the divide: weights are 6-decimal multiples,
+        # so a double accumulation-order difference could flip the rounding
+        F.round(
+            F.sum(F.col("w").cast("decimal(18,6)")).cast("double") / F.count("*"), 6
+        ).alias("avg_weight"),
+        F.round(
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("double") / F.count("*"), 6
+        ).alias("keep_rate"),
+    )
+
+
+_IMP_R = sample_hash_ratio_sql("'imp-' || CAST(doc_id AS VARCHAR)")
+_IMP_STOPS = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+CORPUS_IMPORTANCE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         LEAST(GREATEST(1.0 - ROUND(
+             CAST(len(list_filter({TOKENS_SQL}, x -> list_contains({_IMP_STOPS}, x))) AS DOUBLE)
+             / len({TOKENS_SQL}), 6), 0.1), 1.0) AS w
+  FROM documents
+), tagged AS (
+  SELECT doc_id, lang, w, ({_IMP_R}) < w AS keep FROM t
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       ROUND(CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_weight,
+       ROUND(CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS keep_rate
+FROM tagged GROUP BY lang
+"""
+
+
 # --- Stratified train/val/test split ----------------------------------------
 
 SPLIT_TRAIN, SPLIT_VAL = 0.8, 0.9  # cumulative hash-ratio thresholds
@@ -297,6 +357,7 @@ FROM agg
 
 
 QUERIES: dict[str, tuple] = {
+    "corpus_importance_sample": (corpus_importance_sample, CORPUS_IMPORTANCE_SQL),
     "corpus_stratified_split": (corpus_stratified_split, CORPUS_SPLIT_SQL),
     "corpus_mix_resample": (corpus_mix_resample, CORPUS_MIX_SQL),
     "corpus_pack_sequences": (corpus_pack_sequences, CORPUS_PACK_SQL),

@@ -219,7 +219,8 @@ _ORDER = [
     "sess_stats", "sess_funnel", "sess_daily", "sess_rolling_actives",
     "sess_conversion_lag",
     "text_inverted_index", "text_bm25",
-    "corpus_stratified_split", "corpus_chunk_windows", "corpus_pack_sequences",
+    "corpus_stratified_split", "corpus_importance_sample",
+    "corpus_chunk_windows", "corpus_pack_sequences",
     "corpus_span_dedup",
     "text_gopher_rules", "text_repetition", "text_pii_scrub",
     "text_decontaminate",
