@@ -157,7 +157,71 @@ LIMIT {BM25_TOP}
 """
 
 
+VOCAB_SIZE = 40
+
+
+def text_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary builder + OOV audit: take the ``VOCAB_SIZE``
+    most-frequent tokens as the vocab (deterministic tiebreak), then report
+    each document's out-of-vocabulary rate distribution per language — the
+    'will this tokenizer cover the corpus' check run before committing to a
+    vocab. Two aggregates: corpus word-freq (one shuffle, map-side combined),
+    then a broadcast semi-membership test via array_contains on the
+    collected vocab (vocab is config-sized — VOCAB_SIZE entries — so
+    collecting it to the driver is bounded, like k-means centroids)."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab_rows = (
+        docs.select(F.explode(tokens_col()).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(VOCAB_SIZE)
+        .collect()  # bounded: VOCAB_SIZE rows, a config-sized constant
+    )
+    vocab = F.array(*[F.lit(r["token"]) for r in vocab_rows])
+    toks = tokens_col()
+    n_tokens = F.size(toks)
+    n_oov = F.size(F.filter(toks, lambda x: ~F.array_contains(vocab, x)))
+    per_doc = docs.select(
+        "lang",
+        n_tokens.alias("n_tokens"),
+        n_oov.alias("n_oov"),
+        F.round(n_oov.cast("double") / n_tokens, 6).alias("oov_rate"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_oov").alias("total_oov"),
+        F.round(
+            F.sum(F.col("oov_rate").cast("decimal(18,6)")).cast("double") / F.count("*"),
+            6,
+        ).alias("mean_oov_rate"),
+    )
+
+
+TEXT_VOCAB_OOV_SQL = f"""
+WITH freq AS (
+  SELECT token, COUNT(*) AS cnt
+  FROM (SELECT unnest({TOKENS_SQL}) AS token FROM documents)
+  GROUP BY token ORDER BY cnt DESC, token ASC LIMIT {VOCAB_SIZE}
+), vocab AS (SELECT list(token ORDER BY cnt DESC, token ASC) AS v FROM freq),
+per_doc AS (
+  SELECT lang, len({TOKENS_SQL}) AS n_tokens,
+         len(list_filter({TOKENS_SQL}, x -> NOT list_contains(vocab.v, x))) AS n_oov,
+         ROUND(CAST(len(list_filter({TOKENS_SQL}, x -> NOT list_contains(vocab.v, x))) AS DOUBLE)
+               / len({TOKENS_SQL}), 6) AS oov_rate
+  FROM documents, vocab
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_oov) AS BIGINT) AS total_oov,
+       ROUND(CAST(SUM(CAST(oov_rate AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_oov_rate
+FROM per_doc GROUP BY lang
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "text_inverted_index": (text_inverted_index, TEXT_INVERTED_INDEX_SQL),
     "text_bm25": (text_bm25, TEXT_BM25_SQL),
+    "text_vocab_oov": (text_vocab_oov, TEXT_VOCAB_OOV_SQL),
 }

@@ -218,7 +218,7 @@ _ORDER = [
     "sim_ann_lsh_multiprobe", "emb_norm_stats", "emb_quantize_stats",
     "sess_stats", "sess_funnel", "sess_daily", "sess_rolling_actives",
     "sess_conversion_lag",
-    "text_inverted_index", "text_bm25",
+    "text_inverted_index", "text_bm25", "text_vocab_oov",
     "corpus_stratified_split", "corpus_importance_sample",
     "corpus_chunk_windows", "corpus_pack_sequences",
     "corpus_span_dedup",
@@ -231,7 +231,7 @@ _ORDER = [
     "q6_forecast_revenue", "a5_grouping_sets", "w2b_rank_dense",
     "w5_distribution_funcs", "w6_value_funcs", "w7_zscore_outliers",
     "w8_range_frame",
-    "a6_listagg", "u3_grouped_map_features", "u3_cogroup_join",
+    "a6_listagg", "a7_winsorize", "u3_grouped_map_features", "u3_cogroup_join",
     "corpus_mix_resample",
     # (4) one-time-startup / iterative cost
     "sim_ann_lsh_multitable", "sim_ann_ivf", "sim_knn_classify",

@@ -308,6 +308,53 @@ FROM events GROUP BY 1
 """
 
 
+def a7_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (statistical preprocessing): clip event values to their
+    exact [p01, p99] and report the clip counts + pre/post means — the
+    outlier-robust normalization step before feeding a metric into training
+    or monitoring. One exact-percentile aggregate (1 row) broadcast onto a
+    narrow clamp map, then one global aggregate; two passes over the column,
+    no per-group state."""
+    e = load_table(spark, sf_dir, "events").select("value")
+    bounds = e.agg(
+        F.expr("percentile(value, 0.01)").alias("p01"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+    clipped = e.crossJoin(F.broadcast(bounds)).withColumn(
+        "v_clip", F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99"))
+    )
+    return clipped.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("value") < F.col("p01"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clipped_low"),
+        F.sum(F.when(F.col("value") > F.col("p99"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clipped_high"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count("*"), 6
+        ).alias("mean_raw"),
+        F.round(
+            F.sum(F.col("v_clip").cast("decimal(18,6)")).cast("double") / F.count("*"), 6
+        ).alias("mean_winsorized"),
+    )
+
+
+A7_WINSORIZE_SQL = """
+WITH bounds AS (
+  SELECT quantile_cont(value, 0.01) AS p01, quantile_cont(value, 0.99) AS p99
+  FROM events
+)
+SELECT COUNT(*) AS n,
+       CAST(SUM(CASE WHEN value < p01 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+       CAST(SUM(CASE WHEN value > p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS mean_raw,
+       ROUND(CAST(SUM(CAST(LEAST(GREATEST(value, p01), p99) AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_winsorized
+FROM events, bounds
+"""
+
+
 def t5_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deliberate cross join of two tiny dims (region x nation = 125 rows) —
     supported, but fenced: the plan-test whitelist marks this the ONLY
@@ -386,6 +433,7 @@ QUERIES: dict[str, tuple] = {
     "f13_map_functions": (f13_map_functions, F13_SQL),
     "a5_group_percentiles": (a5_group_percentiles, A5_GROUP_PCTL_SQL),
     "a5_histogram": (a5_histogram, A5_HISTOGRAM_SQL),
+    "a7_winsorize": (a7_winsorize, A7_WINSORIZE_SQL),
     "t5_cross_join": (t5_cross_join, T5_CROSS_SQL),
     "t6_posexplode": (t6_posexplode, T6_POSEXPLODE_SQL),
     "f_array_suite": (f_array_suite, F_ARRAY_SQL),

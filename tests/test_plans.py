@@ -94,6 +94,7 @@ BNLJ_BY_DESIGN = {
     "sim_knn_classify",  # eval-set broadcast against the train scan (same shape as sim_cosine_topk)
     "sess_rolling_actives",  # calendar-sized day grid broadcast (≤366 rows/yr) range join
     "dq_constraints",  # 1-row PK-stats broadcast joined onto the 1-row probe aggregate
+    "a7_winsorize",  # 1-row percentile-bounds broadcast onto the clamp map
 }
 CARTESIAN_BY_DESIGN = {"t5_cross_join"}  # 5 x 25 dims, explicitly cross
 
