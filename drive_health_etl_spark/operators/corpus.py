@@ -356,7 +356,84 @@ FROM agg
 """
 
 
+# --- Token-distribution drift ------------------------------------------------
+
+
+def corpus_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift between two corpus halves (even vs odd
+    doc_id — stand-in for 'yesterday's crawl vs today's'): KL divergence in
+    both directions over add-one-smoothed unigram distributions on the
+    union vocabulary. The drift monitor a training-data pipeline runs
+    before accepting a new ingest batch.
+
+    Plan: one explode + one groupBy(token) computing both sides' counts as
+    conditional aggregates (single shuffle, map-side combinable), a 1-row
+    totals aggregate broadcast back, and a final single-row reduce. Each
+    vocab term's contribution decimal-casts before summing so accumulation
+    order cannot diverge between engines."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = docs.select(
+        (F.col("doc_id") % 2 == 0).alias("in_a"), F.explode(tokens_col()).alias("w")
+    )
+    freq = toks.groupBy("w").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(~F.col("in_a"), 1).otherwise(0)).alias("cb"),
+    )
+    totals = freq.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb"), F.count("*").alias("v")
+    )
+    p = (F.col("ca") + 1).cast("double") / (F.col("na") + F.col("v"))
+    q = (F.col("cb") + 1).cast("double") / (F.col("nb") + F.col("v"))
+    per = freq.crossJoin(F.broadcast(totals)).select(
+        "na",
+        "nb",
+        (p * F.log(p / q)).cast("decimal(28,12)").alias("kab"),
+        (q * F.log(q / p)).cast("decimal(28,12)").alias("kba"),
+    )
+    return per.agg(
+        F.count("*").alias("n_vocab"),
+        F.max("na").alias("n_tokens_a"),
+        F.max("nb").alias("n_tokens_b"),
+        F.round(F.sum("kab").cast("double"), 6).alias("kl_ab"),
+        F.round(F.sum("kba").cast("double"), 6).alias("kl_ba"),
+    )
+
+
+CORPUS_KL_DRIFT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id % 2 = 0 AS in_a, unnest({TOKENS_SQL}) AS w FROM documents
+),
+freq AS (
+  SELECT w, SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS cb
+  FROM toks GROUP BY w
+),
+totals AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+         COUNT(*) AS v
+  FROM freq
+),
+per AS (
+  SELECT na, nb,
+         CAST((CAST(ca + 1 AS DOUBLE) / (na + v))
+              * ln((CAST(ca + 1 AS DOUBLE) / (na + v))
+                   / (CAST(cb + 1 AS DOUBLE) / (nb + v))) AS DECIMAL(28,12)) AS kab,
+         CAST((CAST(cb + 1 AS DOUBLE) / (nb + v))
+              * ln((CAST(cb + 1 AS DOUBLE) / (nb + v))
+                   / (CAST(ca + 1 AS DOUBLE) / (na + v))) AS DECIMAL(28,12)) AS kba
+  FROM freq, totals
+)
+SELECT COUNT(*) AS n_vocab, MAX(na) AS n_tokens_a, MAX(nb) AS n_tokens_b,
+       ROUND(CAST(SUM(kab) AS DOUBLE), 6) AS kl_ab,
+       ROUND(CAST(SUM(kba) AS DOUBLE), 6) AS kl_ba
+FROM per
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "corpus_kl_drift": (corpus_kl_drift, CORPUS_KL_DRIFT_SQL),
     "corpus_importance_sample": (corpus_importance_sample, CORPUS_IMPORTANCE_SQL),
     "corpus_stratified_split": (corpus_stratified_split, CORPUS_SPLIT_SQL),
     "corpus_mix_resample": (corpus_mix_resample, CORPUS_MIX_SQL),

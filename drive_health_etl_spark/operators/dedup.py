@@ -406,6 +406,51 @@ SELECT doc_id, lang, source, n_chars FROM (
 """
 
 
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup collapse: cluster on the SimHash code, then
+    keep the highest-quality member per cluster (longest document, doc_id
+    as the deterministic tiebreak) instead of first-write-wins — the
+    curation policy real corpus pipelines use ('among near-dups, keep the
+    richest copy').
+
+    Plan: the SimHash aggregation (16 map-side-combinable vote sums), a
+    join back to ``documents`` on ``doc_id`` for the quality column, and
+    one window over the cluster key. Two shuffles total (doc_id join,
+    simhash window), both on compact keys."""
+    codes = dedup_simhash(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("simhash")
+    wrank = w.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    return (
+        codes.join(docs, "doc_id")
+        .withColumn("cluster_size", F.count("*").over(w))
+        .withColumn("rn", F.row_number().over(wrank))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "simhash", "n_chars", "cluster_size")
+    )
+
+
+DEDUP_KEEP_BEST_SQL = f"""
+WITH hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, unnest({TOKENS_SQL}) AS token FROM documents)
+), votes AS (
+  SELECT doc_id, {_SIMHASH_VOTES_SQL} FROM hashed GROUP BY doc_id
+), codes AS (
+  SELECT doc_id, CAST({_SIMHASH_CODE_SQL} AS BIGINT) AS simhash FROM votes
+)
+SELECT doc_id, simhash, n_chars, cluster_size FROM (
+  SELECT c.doc_id, c.simhash, d.n_chars,
+         COUNT(*) OVER (PARTITION BY c.simhash) AS cluster_size,
+         ROW_NUMBER() OVER (PARTITION BY c.simhash
+                            ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn
+  FROM codes c JOIN documents d USING (doc_id)
+) WHERE rn = 1
+"""
+
+
 def dedup_components(
     spark: SparkSession, sf_dir: str, small_graph_edges: int = 100_000
 ) -> DataFrame:
@@ -545,6 +590,7 @@ FROM reach GROUP BY src
 
 
 QUERIES: dict[str, tuple] = {
+    "dedup_keep_best": (dedup_keep_best, DEDUP_KEEP_BEST_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_components": (dedup_components, _dedup_components_sql()),
     "dedup_collapse": (dedup_collapse, DEDUP_COLLAPSE_SQL),

@@ -498,7 +498,156 @@ ORDER BY n_urls DESC, domain
 """
 
 
+# --- Cross-document boilerplate ---------------------------------------------
+
+BOILER_NGRAM = 5
+BOILER_MIN_DOCS = 5  # a 5-gram in >= this many docs is boilerplate
+BOILER_MAX_FRAC = 0.3  # drop docs that are mostly boilerplate
+
+
+def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection (C4/RefinedWeb lineage): the
+    fraction of each document's distinct word 5-grams that appear in at
+    least ``BOILER_MIN_DOCS`` documents (headers, footers, templated spam),
+    plus the keep/drop verdict. Unlike ``text_repetition`` (within-doc),
+    this measures *corpus-wide* repeated content.
+
+    Plan: one explode to distinct (doc, gram), one groupBy(gram) for
+    document frequency, then the gram-frequency side joins back on ``gram``
+    — the same key the aggregate just shuffled on, so the exchange is
+    reused, and the final per-doc rollup is a single groupBy(doc_id). Linear
+    in corpus size; no broadcast assumption on the gram table."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(_grams_col(tokens_col(), BOILER_NGRAM))).alias(
+            "gram"
+        ),
+    )
+    common = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= BOILER_MIN_DOCS)
+        .select("gram")
+    )
+    per_doc = grams.join(common, "gram", "left_semi").groupBy("doc_id").agg(
+        F.count("*").alias("n_boiler")
+    )
+    totals = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    frac = F.col("n_boiler").cast("double") / F.col("n_grams")
+    return (
+        totals.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_boiler", F.lit(0)).alias("n_boiler"),
+            F.round(F.coalesce(frac, F.lit(0.0)), 6).alias("boiler_frac"),
+            (F.coalesce(frac, F.lit(0.0)) <= BOILER_MAX_FRAC).alias("keep"),
+        )
+    )
+
+
+TEXT_BOILERPLATE_SQL = f"""
+WITH w AS (SELECT doc_id, {TOKENS_SQL} AS ws FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id, unnest({_grams_sql("ws", BOILER_NGRAM)}) AS gram FROM w
+  )
+),
+common AS (
+  SELECT gram FROM (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram)
+  WHERE df >= {BOILER_MIN_DOCS}
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_boiler FROM g SEMI JOIN common USING (gram)
+  GROUP BY doc_id
+),
+totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id)
+SELECT t.doc_id, t.n_grams, COALESCE(p.n_boiler, 0) AS n_boiler,
+       ROUND(COALESCE(CAST(p.n_boiler AS DOUBLE) / t.n_grams, 0.0), 6) AS boiler_frac,
+       COALESCE(CAST(p.n_boiler AS DOUBLE) / t.n_grams, 0.0) <= {BOILER_MAX_FRAC} AS keep
+FROM totals t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+"""
+
+
+# --- Bigram language-model scoring -------------------------------------------
+
+
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM score: avg ln p(w2|w1) over the document's
+    bigrams, with p estimated from the corpus itself (MLE over bigram-first
+    positions — every scored bigram is observed, so no smoothing is needed
+    for well-definedness), plus the implied perplexity. The bigram twin of
+    ``text_unigram_logprob`` — a sharper fluency/quality signal because it
+    penalizes improbable transitions, not just rare words.
+
+    Plan: one explode to (doc, bigram), a groupBy(bigram) and a
+    groupBy(first-word) for the two count tables, then joins back on the
+    bigram/first-word keys. The conditional-probability table is
+    vocab-squared-bounded but corpus-frequency-limited — it joins on the
+    same key as its own aggregate (exchange reuse), no broadcast assumption.
+    Log values come from libm on both engines (bit-identical); the per-doc
+    sum decimal-casts each term so accumulation order cannot diverge."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    big = docs.select(
+        "doc_id", F.explode(_grams_col(tokens_col(), 2)).alias("g")
+    ).withColumn("w1", F.split("g", " ")[0])
+    c2 = big.groupBy("g").agg(F.count("*").alias("c2"))
+    c1 = big.groupBy("w1").agg(F.count("*").alias("c1"))
+    lp = (
+        c2.withColumn("w1", F.split("g", " ")[0])
+        .join(c1, "w1")
+        .select("g", F.log(F.col("c2").cast("double") / F.col("c1")).alias("lp"))
+    )
+    return (
+        big.join(lp, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (
+                F.sum(F.col("lp").cast("decimal(28,12)")).cast("double") / F.count("*")
+            ).alias("_avg"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(F.col("_avg"), 6).alias("avg_logprob"),
+            F.round(F.exp(-F.col("_avg")), 6).alias("perplexity"),
+        )
+    )
+
+
+TEXT_BIGRAM_LOGPROB_SQL = f"""
+WITH w AS (SELECT doc_id, {TOKENS_SQL} AS ws FROM documents),
+big AS (
+  SELECT doc_id, gram AS g, string_split(gram, ' ')[1] AS w1 FROM (
+    SELECT doc_id, unnest({_grams_sql("ws", 2)}) AS gram FROM w
+  )
+),
+c2 AS (SELECT g, COUNT(*) AS c2 FROM big GROUP BY g),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
+lp AS (
+  SELECT c2.g, ln(CAST(c2.c2 AS DOUBLE) / c1.c1) AS lp
+  FROM c2 JOIN c1 ON string_split(c2.g, ' ')[1] = c1.w1
+),
+perdoc AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams,
+         CAST(SUM(CAST(lp AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS avg_lp
+  FROM big JOIN lp USING (g) GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, ROUND(avg_lp, 6) AS avg_logprob,
+       ROUND(exp(-avg_lp), 6) AS perplexity
+FROM perdoc
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "text_boilerplate": (text_boilerplate, TEXT_BOILERPLATE_SQL),
+    "text_bigram_logprob": (text_bigram_logprob, TEXT_BIGRAM_LOGPROB_SQL),
     "text_gopher_rules": (text_gopher_rules, TEXT_GOPHER_RULES_SQL),
     "text_repetition": (text_repetition, TEXT_REPETITION_SQL),
     "text_decontaminate": (text_decontaminate, TEXT_DECONTAMINATE_SQL),

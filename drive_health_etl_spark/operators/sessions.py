@@ -291,7 +291,168 @@ GROUP BY d ORDER BY d
 """
 
 
+def sess_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by first-seen week
+    (Monday-truncated), retention = fraction of the cohort active in week
+    ``cohort_week + offset``. The standard growth-analytics triangle.
+
+    Plan: one groupBy(user) for first-seen day, one distinct over
+    (user, week) — both single shuffles on ``user_id`` that AQE coalesces —
+    then a join back on ``user_id`` (the cohort side is user-granular but
+    carries only two small columns) and a final aggregate on
+    (cohort_week, offset). Cohort sizes collapse to ≤ n_weeks rows, so that
+    side of the final join is broadcast at any corpus scale."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    week = F.date_trunc("week", F.col("ts")).cast("date")
+    firsts = e.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    sizes = firsts.groupBy("cohort_week").agg(F.count("*").alias("cohort_size"))
+    user_weeks = e.select("user_id", week.alias("week")).distinct()
+    active = (
+        user_weeks.join(firsts, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("int").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+    return active.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        F.round(F.col("n_active").cast("double") / F.col("cohort_size"), 6).alias(
+            "retention"
+        ),
+    )
+
+
+SESS_RETENTION_SQL = """
+WITH firsts AS (
+  SELECT user_id, MIN(date_trunc('week', ts)::DATE) AS cohort_week
+  FROM events GROUP BY user_id
+), sizes AS (
+  SELECT cohort_week, COUNT(*) AS cohort_size FROM firsts GROUP BY cohort_week
+), user_weeks AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS week FROM events
+), active AS (
+  SELECT f.cohort_week, CAST((week - cohort_week) / 7 AS INTEGER) AS week_offset,
+         COUNT(DISTINCT u.user_id) AS n_active
+  FROM user_weeks u JOIN firsts f ON u.user_id = f.user_id
+  GROUP BY 1, 2
+)
+SELECT a.cohort_week, a.week_offset, a.n_active, s.cohort_size,
+       ROUND(CAST(a.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+FROM active a JOIN sizes s ON a.cohort_week = s.cohort_week
+"""
+
+
+def sess_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-event-type daily counts: every (day, event_type) cell in the
+    [min_day, max_day] x distinct-types grid, zero-filled where no events
+    occurred — the sparse->dense resampling step every time-series feature
+    pipeline needs before windowed models.
+
+    Plan: the grid is built driver-free from a 1-row global min/max aggregate
+    (``sequence`` + ``explode``) crossed with the distinct event types — both
+    sides are calendar/enum-sized, so the grid stays tiny at ANY corpus scale
+    and the only real work is the single groupBy(day, type) over the facts.
+    Both inputs to the final left join are ≤ |days| x |types| rows."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type"
+    )
+    counts = e.groupBy("day", "event_type").agg(F.count("*").alias("n_events"))
+    days = e.agg(F.min("day").alias("d0"), F.max("day").alias("d1")).select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    types = e.select("event_type").distinct()
+    grid = days.crossJoin(F.broadcast(types))
+    return grid.join(counts, ["day", "event_type"], "left").select(
+        "day", "event_type", F.coalesce("n_events", F.lit(0)).alias("n_events")
+    )
+
+
+SESS_GAPFILL_SQL = """
+WITH f AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events),
+counts AS (
+  SELECT day, event_type, COUNT(*) AS n_events FROM f GROUP BY 1, 2
+), days AS (
+  SELECT unnest(generate_series(MIN(day), MAX(day), INTERVAL 1 DAY))::DATE AS day
+  FROM f
+), types AS (SELECT DISTINCT event_type FROM f)
+SELECT d.day, t.event_type, COALESCE(c.n_events, 0) AS n_events
+FROM days d CROSS JOIN types t
+LEFT JOIN counts c ON c.day = d.day AND c.event_type = t.event_type
+"""
+
+
+def sess_event_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type association (market-basket over per-user behavior): for
+    every unordered pair of event types, the number of users doing both,
+    pair support, and lift vs independence. The co-occurrence statistic
+    behind 'users who X also Y'.
+
+    Plan: dedup to (user, type) — one shuffle that bounds everything after
+    it by n_users x n_types — then a self-join on ``user_id`` (co-partitioned
+    both sides, no broadcast needed; columns aliased apart per the derived
+    self-join rule) and a tiny pair-level aggregate. Type marginals are ≤
+    n_types rows, broadcast into the final select."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    user_types = e.distinct()
+    totals = user_types.agg(F.count_distinct("user_id").alias("n_users"))
+    marg = user_types.groupBy("event_type").agg(F.count("*").alias("n_type"))
+    a = user_types.select("user_id", F.col("event_type").alias("type_a"))
+    b = user_types.select(F.col("user_id").alias("user_b"), F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, (a["user_id"] == b["user_b"]) & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    ma = marg.select(F.col("event_type").alias("type_a"), F.col("n_type").alias("n_a"))
+    mb = marg.select(F.col("event_type").alias("type_b"), F.col("n_type").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ma), "type_a")
+        .join(F.broadcast(mb), "type_b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(F.col("n_both").cast("double") / F.col("n_users"), 6).alias(
+                "support"
+            ),
+            F.round(
+                F.col("n_both").cast("double")
+                * F.col("n_users")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+SESS_ASSOC_SQL = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+n AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM ut),
+marg AS (SELECT event_type, COUNT(*) AS n_type FROM ut GROUP BY event_type),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_both
+  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.n_both,
+       ROUND(CAST(p.n_both AS DOUBLE) / n.n_users, 6) AS support,
+       ROUND(CAST(p.n_both AS DOUBLE) * n.n_users / (ma.n_type * mb.n_type), 6) AS lift
+FROM pairs p, n, marg ma, marg mb
+WHERE ma.event_type = p.type_a AND mb.event_type = p.type_b
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "sess_retention_cohorts": (sess_retention_cohorts, SESS_RETENTION_SQL),
+    "sess_daily_gapfill": (sess_daily_gapfill, SESS_GAPFILL_SQL),
+    "sess_event_assoc": (sess_event_assoc, SESS_ASSOC_SQL),
     "sess_rolling_actives": (sess_rolling_actives, SESS_ROLLING_SQL),
     "sess_conversion_lag": (sess_conversion_lag, SESS_CONVERSION_LAG_SQL),
     "sess_stats": (sess_stats, SESS_STATS_SQL),

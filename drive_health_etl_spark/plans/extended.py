@@ -713,8 +713,76 @@ def a5_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- SCD2 dimension build (gaps-and-islands) --------------------------------
+
+
+def scd2_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build: collapse each customer's
+    order-status timeline into validity ranges — consecutive orders with
+    the same status fold into one row [valid_from, valid_to), open-ended
+    for the current run. The standard gaps-and-islands warehouse pattern
+    (dimension versioning, CDC history tables).
+
+    Plan: one shuffle on ``o_custkey`` shared by ALL THREE window passes
+    (change flag, run cumsum, next-run lead — same partition key, so
+    Catalyst plans a single exchange and sorts) plus the run-level groupBy,
+    which refines the same key. Linear, skew-free (customers are the
+    partition key)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderstatus", "o_orderdate"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderstatus").over(w)
+    chg = F.when(prev.isNull() | (prev != F.col("o_orderstatus")), 1).otherwise(0)
+    runs = o.withColumn(
+        "version", F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    hist = runs.groupBy("o_custkey", "version").agg(
+        F.min("o_orderstatus").alias("status"),
+        F.min("o_orderdate").alias("valid_from"),
+        F.count("*").alias("n_orders"),
+    )
+    wv = Window.partitionBy("o_custkey").orderBy("version")
+    return hist.select(
+        "o_custkey",
+        "version",
+        "status",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        "n_orders",
+        F.lead("valid_from").over(wv).isNull().alias("is_current"),
+    )
+
+
+SCD2_SQL = """
+WITH flagged AS (
+  SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+         CASE WHEN LAG(o_orderstatus) OVER w IS NULL
+                OR LAG(o_orderstatus) OVER w <> o_orderstatus
+              THEN 1 ELSE 0 END AS chg
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+), runs AS (
+  SELECT *, CAST(SUM(chg) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+  FROM flagged
+), hist AS (
+  SELECT o_custkey, version, MIN(o_orderstatus) AS status,
+         MIN(o_orderdate) AS valid_from, COUNT(*) AS n_orders
+  FROM runs GROUP BY o_custkey, version
+)
+SELECT o_custkey, version, status, valid_from,
+       LEAD(valid_from) OVER wv AS valid_to, n_orders,
+       LEAD(valid_from) OVER wv IS NULL AS is_current
+FROM hist
+WINDOW wv AS (PARTITION BY o_custkey ORDER BY version)
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "sql_ansi_parity": (sql_ansi_parity, SQL_ANSI_PARITY_TEXT),
+    "scd2_order_status": (scd2_order_status, SCD2_SQL),
     "f1_phone_normalize": (f1_phone_normalize, F1_SQL),
     "f5_base64_roundtrip": (f5_base64_roundtrip, F5_SQL),
     "w2b_rank_dense": (w2b_rank_dense, W2B_SQL),

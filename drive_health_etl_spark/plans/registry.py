@@ -207,23 +207,26 @@ _ORDER = [
     "t1_sort_desc", "t2_topk", "t3_union", "t3_intersect", "t3_except",
     "w1_first_write_wins", "w2_rank_topn", "w3_lag_gap", "w4_running_sum",
     "st8_tumbling_window", "st8_sliding_window", "st8_session_window",
-    "dq_profile", "dq_constraints", "cdc_snapshot_diff", "sql_ansi_parity",
+    "dq_profile", "dq_constraints", "cdc_snapshot_diff", "scd2_order_status",
+    "sql_ansi_parity",
     # (2) LLM-data-pipeline suite, breadth-first (cheap members)
     "dedup_exact", "dedup_minhash_signatures", "dedup_minhash_pairs",
-    "dedup_collapse", "dedup_simhash", "dedup_ngram_jaccard",
-    "dedup_embedding_near",
+    "dedup_collapse", "dedup_keep_best", "dedup_simhash",
+    "dedup_ngram_jaccard", "dedup_embedding_near",
     "text_tokens", "text_word_freq", "text_quality", "text_fingerprint",
     "text_langid", "text_bpe_token_count", "text_lang_dist",
     "sim_cosine_topk", "sim_lsh_buckets", "sim_ann_lsh",
     "sim_ann_lsh_multiprobe", "emb_norm_stats", "emb_quantize_stats",
     "sess_stats", "sess_funnel", "sess_daily", "sess_rolling_actives",
-    "sess_conversion_lag",
+    "sess_conversion_lag", "sess_retention_cohorts", "sess_daily_gapfill",
+    "sess_event_assoc",
     "text_inverted_index", "text_bm25", "text_vocab_oov",
     "corpus_stratified_split", "corpus_importance_sample",
     "corpus_chunk_windows", "corpus_pack_sequences",
     "corpus_span_dedup",
     "text_gopher_rules", "text_repetition", "text_pii_scrub",
-    "text_decontaminate",
+    "text_decontaminate", "text_boilerplate", "text_bigram_logprob",
+    "corpus_kl_drift",
     "asof_last_purchase",
     "multimodal_bytes", "multimodal_decode_stats", "multimodal_audio_stats",
     # (3) headline analytics

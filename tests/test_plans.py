@@ -95,6 +95,9 @@ BNLJ_BY_DESIGN = {
     "sess_rolling_actives",  # calendar-sized day grid broadcast (≤366 rows/yr) range join
     "dq_constraints",  # 1-row PK-stats broadcast joined onto the 1-row probe aggregate
     "a7_winsorize",  # 1-row percentile-bounds broadcast onto the clamp map
+    "sess_daily_gapfill",  # calendar-days x event-type-enum grid cross (both config-sized)
+    "sess_event_assoc",  # 1-row distinct-user-count broadcast onto the pair table
+    "corpus_kl_drift",  # 1-row corpus-totals broadcast onto the vocab-sized freq table
 }
 CARTESIAN_BY_DESIGN = {"t5_cross_join"}  # 5 x 25 dims, explicitly cross
 
