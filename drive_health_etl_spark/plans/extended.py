@@ -713,6 +713,67 @@ def a5_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Entity resolution (blocked fuzzy record linkage) -----------------------
+
+LINK_PROBE_MOD = 37  # every 37th customer becomes a corrupted probe record
+
+
+def link_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage: match corrupted probe records (customer names with one
+    deterministically-deleted character — stand-in for dirty CRM imports)
+    back to the master table via blocking + edit-distance scoring. Per
+    probe: the argmin-levenshtein master within the same nation block,
+    custkey as the deterministic tiebreak.
+
+    Plan: the blocking join is a plain equi-join on ``c_nationkey`` —
+    candidates are per-block, never all-pairs, which is the entire point of
+    blocking at scale — then one window per probe for the argmin. Probe
+    side is a filtered scan of the same table (distinct attribute names
+    keep the self-join predicates honest)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    probes = cust.filter(F.col("c_custkey") % LINK_PROBE_MOD == 0).select(
+        F.col("c_custkey").alias("probe_key"),
+        F.concat(
+            F.substring("c_name", 1, 9), F.expr("substring(c_name, 11)")
+        ).alias("probe_name"),
+        F.col("c_nationkey").alias("probe_nation"),
+    )
+    cands = probes.join(cust, probes["probe_nation"] == cust["c_nationkey"])
+    scored = cands.withColumn("dist", F.levenshtein("probe_name", "c_name"))
+    w = Window.partitionBy("probe_key").orderBy("dist", "c_custkey")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "probe_key",
+            F.col("c_custkey").alias("match_key"),
+            "dist",
+            (F.col("probe_key") == F.col("c_custkey")).alias("is_correct"),
+        )
+    )
+
+
+LINK_SQL = f"""
+WITH probes AS (
+  SELECT c_custkey AS probe_key,
+         substr(c_name, 1, 9) || substr(c_name, 11) AS probe_name,
+         c_nationkey AS probe_nation
+  FROM customer WHERE c_custkey % {LINK_PROBE_MOD} = 0
+), scored AS (
+  SELECT p.probe_key, c.c_custkey, levenshtein(p.probe_name, c.c_name) AS dist
+  FROM probes p JOIN customer c ON p.probe_nation = c.c_nationkey
+)
+SELECT probe_key, c_custkey AS match_key, dist, probe_key = c_custkey AS is_correct
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_key
+                               ORDER BY dist, c_custkey) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+
 # --- SCD2 dimension build (gaps-and-islands) --------------------------------
 
 
@@ -783,6 +844,7 @@ WINDOW wv AS (PARTITION BY o_custkey ORDER BY version)
 QUERIES: dict[str, tuple] = {
     "sql_ansi_parity": (sql_ansi_parity, SQL_ANSI_PARITY_TEXT),
     "scd2_order_status": (scd2_order_status, SCD2_SQL),
+    "link_entity_resolution": (link_entity_resolution, LINK_SQL),
     "f1_phone_normalize": (f1_phone_normalize, F1_SQL),
     "f5_base64_roundtrip": (f5_base64_roundtrip, F5_SQL),
     "w2b_rank_dense": (w2b_rank_dense, W2B_SQL),

@@ -212,7 +212,7 @@ _ORDER = [
     # (2) LLM-data-pipeline suite, breadth-first (cheap members)
     "dedup_exact", "dedup_minhash_signatures", "dedup_minhash_pairs",
     "dedup_collapse", "dedup_keep_best", "dedup_simhash",
-    "dedup_ngram_jaccard", "dedup_embedding_near",
+    "dedup_ngram_jaccard", "dedup_embedding_near", "link_entity_resolution",
     "text_tokens", "text_word_freq", "text_quality", "text_fingerprint",
     "text_langid", "text_bpe_token_count", "text_lang_dist",
     "sim_cosine_topk", "sim_lsh_buckets", "sim_ann_lsh",
@@ -235,7 +235,7 @@ _ORDER = [
     "w5_distribution_funcs", "w6_value_funcs", "w7_zscore_outliers",
     "w8_range_frame",
     "a6_listagg", "a7_winsorize", "u3_grouped_map_features", "u3_cogroup_join",
-    "corpus_mix_resample",
+    "corpus_mix_resample", "feat_equidepth_bins", "basket_part_pairs",
     # (4) one-time-startup / iterative cost
     "sim_ann_lsh_multitable", "sim_ann_ivf", "sim_knn_classify",
     "dedup_semantic", "dedup_components", "corpus_prep_pipeline",

@@ -1018,7 +1018,44 @@ FROM numbered GROUP BY user_id, sess_id
 """
 
 
+BASKET_TOP_N = 20
+
+
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence over the fact table: the top part pairs
+    appearing in the same order ('bought together'), ranked by order count.
+
+    Plan: dedup to (order, part), then a self-join on ``l_orderkey`` —
+    both sides hash-partition on the SAME key, so the join is co-located
+    after one shuffle each and the pair expansion is bounded by items-per-
+    order (a per-entity constant), never all-pairs across the table. The
+    pair aggregate is map-side combinable; top-k is a TakeOrdered, not a
+    global sort."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    op = li.distinct()
+    a = op.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = op.select(F.col("l_orderkey").alias("ok_b"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, (a["l_orderkey"] == b["ok_b"]) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(BASKET_TOP_N)
+    )
+
+
+BASKET_SQL = f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT {BASKET_TOP_N}
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "basket_part_pairs": (basket_part_pairs, BASKET_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q5_local_supplier_volume": (q5_local_supplier_volume, Q5_SQL),

@@ -428,7 +428,57 @@ FROM (
 """
 
 
+N_BINS = 10
+
+
+def feat_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth feature binning: assign every event's ``value`` to one of
+    ``N_BINS`` buckets bounded by exact percentiles, then per-bin stats —
+    the feature-discretization step before tree models / embedding-table
+    features.
+
+    Plan: deliberately NOT ``ntile`` over a global ORDER BY (that is a
+    single-partition sort at scale). Instead one 1-row exact-percentile
+    aggregate computes the 9 interior bounds, broadcasts them back, and bin
+    assignment is a narrow map counting bounds <= value; per-bin stats are
+    a 10-group aggregate. Both engines use the same interpolated-percentile
+    definition (Spark ``percentile`` = DuckDB ``quantile_cont``)."""
+    e = load_table(spark, sf_dir, "events").select("value")
+    pcts = ", ".join(str(k / N_BINS) for k in range(1, N_BINS))
+    bounds = e.agg(F.expr(f"percentile(value, array({pcts}))").alias("bs"))
+    binned = e.crossJoin(F.broadcast(bounds)).select(
+        "value",
+        F.size(F.filter(F.col("bs"), lambda b: b <= F.col("value"))).alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count("*"),
+            6,
+        ).alias("mean_value"),
+    )
+
+
+_PCTS_SQL = ", ".join(str(k / N_BINS) for k in range(1, N_BINS))
+
+FEAT_BINS_SQL = f"""
+WITH bounds AS (
+  SELECT quantile_cont(value, [{_PCTS_SQL}]) AS bs FROM events
+), binned AS (
+  SELECT value, len(list_filter(bs, b -> b <= value)) AS bin
+  FROM events, bounds
+)
+SELECT bin, COUNT(*) AS n, ROUND(MIN(value), 6) AS lo, ROUND(MAX(value), 6) AS hi,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_value
+FROM binned GROUP BY bin
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "feat_equidepth_bins": (feat_equidepth_bins, FEAT_BINS_SQL),
     "a5_stats_suite": (a5_stats_suite, A5_STATS_SQL),
     "f13_map_functions": (f13_map_functions, F13_SQL),
     "a5_group_percentiles": (a5_group_percentiles, A5_GROUP_PCTL_SQL),
