@@ -1,0 +1,151 @@
+"""Text featurization operators over ``documents`` (north-star extension;
+SURVEY.md §2.9 U3 family): the hashing trick (Spark MLlib ``HashingTF``
+analog, built natively so it stays in whole-stage codegen) and TF-IDF term
+weighting (``CountVectorizer``+``IDF`` analog) — the classic sparse
+featurization steps between raw text and any downstream model.
+
+Both are pure column expressions. The hashing trick is the canonical
+fixed-width featurizer at scale because it needs NO vocabulary broadcast at
+all — bucket = hash(token) mod D is stateless, so the operator is one
+explode + one (doc, bucket) aggregate regardless of vocabulary size. TF-IDF
+needs the document-frequency table, which joins on the token key its own
+aggregate just produced (exchange reuse), plus a 1-row corpus-size
+broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from drive_health_etl_spark.operators.text import TOKENS_SQL, tokens_col
+from drive_health_etl_spark.sources.tables import load_table
+
+HASH_DIM = 64  # feature-vector width for the hashing trick
+TFIDF_TOP_K = 3
+
+
+def _bucket_col(token) -> F.Column:
+    """Deterministic token -> [0, HASH_DIM) bucket shared with the oracle:
+    integer value of the first 15 hex chars of md5, mod the width."""
+    return (
+        F.conv(F.substring(F.md5(token), 1, 15), 16, 10).cast("long") % HASH_DIM
+    ).alias("bucket")
+
+
+def feat_hashing_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick term-frequency vectors: per document, the number of
+    non-zero buckets, the L2 norm of the count vector, and the argmax
+    bucket (count desc, bucket asc tiebreak).
+
+    Plan: explode -> one groupBy(doc, bucket) with map-side combine -> a
+    per-doc rollup plus one window for the argmax. No vocabulary state, no
+    broadcast — the property that makes feature hashing THE featurizer at
+    100 TB."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    counts = (
+        docs.select("doc_id", F.explode(tokens_col()).alias("token"))
+        .select("doc_id", _bucket_col(F.col("token")))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.count("*").alias("nnz"),
+        F.round(F.sqrt(F.sum(F.col("cnt") * F.col("cnt")).cast("double")), 6).alias(
+            "l2_norm"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("bucket").asc())
+    top = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("bucket").alias("top_bucket"))
+    )
+    return per_doc.join(top, "doc_id").select("doc_id", "nnz", "l2_norm", "top_bucket")
+
+
+FEAT_HASHING_TF_SQL = f"""
+WITH counts AS (
+  SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT % {HASH_DIM} AS bucket,
+         COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest({TOKENS_SQL}) AS token FROM documents)
+  GROUP BY 1, 2
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS nnz,
+         ROUND(sqrt(CAST(SUM(cnt * cnt) AS DOUBLE)), 6) AS l2_norm
+  FROM counts GROUP BY doc_id
+), top AS (
+  SELECT doc_id, bucket AS top_bucket FROM (
+    SELECT doc_id, bucket,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bucket ASC) AS rn
+    FROM counts
+  ) WHERE rn = 1
+)
+SELECT p.doc_id, p.nnz, p.l2_norm, t.top_bucket
+FROM per_doc p JOIN top t ON p.doc_id = t.doc_id
+"""
+
+
+def feat_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF term weighting: the top-{TFIDF_TOP_K} highest-scoring terms
+    per document, score = tf * ln(N / df) (score desc, term asc tiebreak).
+    The interpretable featurizer twin of the hashing trick — and the
+    keyword-extraction query every search/curation pipeline runs.
+
+    Plan: one explode feeding BOTH the (doc, term) tf aggregate and the
+    term-level df aggregate; the df side joins back on ``term`` — the key
+    its own aggregate shuffled on — and the corpus size N is a 1-row
+    broadcast. Scoring is a narrow map; top-k is one window per doc."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = docs.select("doc_id", F.explode(tokens_col()).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "rank", F.round("score", 6).alias("score"))
+    )
+
+
+FEAT_TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKENS_SQL}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS score
+  FROM tf JOIN df USING (term), n
+)
+SELECT doc_id, term, rank, ROUND(score, 6) AS score FROM (
+  SELECT doc_id, term, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+) WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "feat_hashing_tf": (feat_hashing_tf, FEAT_HASHING_TF_SQL),
+    "feat_tfidf_top_terms": (feat_tfidf_top_terms, FEAT_TFIDF_SQL),
+}

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from drive_health_etl_spark.operators import asof as _asof
 from drive_health_etl_spark.operators import corpus as _corpus
 from drive_health_etl_spark.operators import dedup as _dedup
+from drive_health_etl_spark.operators import featurize as _featurize
 from drive_health_etl_spark.operators import grouped_pandas as _grouped
 from drive_health_etl_spark.operators import multimodal as _multimodal
 from drive_health_etl_spark.operators import quality as _quality
@@ -172,6 +173,7 @@ _MERGED: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     **_text.QUERIES,
     **_quality.QUERIES,
     **_corpus.QUERIES,
+    **_featurize.QUERIES,
     **_dedup.QUERIES,
     **_similarity.QUERIES,
     **_multimodal.QUERIES,
@@ -221,6 +223,7 @@ _ORDER = [
     "sess_conversion_lag", "sess_retention_cohorts", "sess_daily_gapfill",
     "sess_event_assoc",
     "text_inverted_index", "text_bm25", "text_vocab_oov",
+    "feat_hashing_tf", "feat_tfidf_top_terms",
     "corpus_stratified_split", "corpus_importance_sample",
     "corpus_chunk_windows", "corpus_pack_sequences",
     "corpus_span_dedup",

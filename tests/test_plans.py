@@ -99,6 +99,7 @@ BNLJ_BY_DESIGN = {
     "sess_event_assoc",  # 1-row distinct-user-count broadcast onto the pair table
     "corpus_kl_drift",  # 1-row corpus-totals broadcast onto the vocab-sized freq table
     "feat_equidepth_bins",  # 1-row percentile-bounds broadcast onto the bin-assign map
+    "feat_tfidf_top_terms",  # 1-row corpus-size broadcast onto the tf-df join
 }
 CARTESIAN_BY_DESIGN = {"t5_cross_join"}  # 5 x 25 dims, explicitly cross
 
