@@ -1,0 +1,164 @@
+"""Graph analytics over the co-purchase graph (north-star extension;
+complements the connected-components collapse in ``operators/dedup.py``):
+PageRank with a fixed iteration count — the canonical distributed iterative
+computation beyond label propagation.
+
+Graph: parts are nodes; an undirected edge joins two parts that appear in
+the same order (the ``basket_part_pairs`` relation). Rank follows the
+standard damped formulation, uniform init, degree-normalized contributions.
+
+Scale design: every iteration is one equi-join (edges ⋈ ranks on the source
+key) plus one map-side-combinable aggregate on the destination key — the
+textbook Pregel-as-MapReduce shape. The iteration count is FIXED (not
+convergence-tested), so the plan is a statically unrolled chain and the
+oracle is the same chain as unrolled CTEs; per-node contribution sums
+decimal-cast each term so accumulation order cannot diverge between
+engines. The cast itself is the one genuinely engine-divergent step
+(Spark rounds double->decimal HALF_UP, DuckDB half-even), so the final
+rank is rounded to 12 dp and sorted on the rounded key, per the repo's
+float policy (round exactly where engines genuinely diverge, nowhere else).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from drive_health_etl_spark.session import shuffle_partitions
+from drive_health_etl_spark.sources.tables import load_table
+
+PR_DAMPING = 0.85
+PR_ITERS = 3
+PR_TOP_N = 20
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected co-purchase edges as a directed both-ways list."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    op = li.distinct()
+    a = op.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = op.select(
+        F.col("l_orderkey").alias("ok_b"), F.col("l_partkey").alias("dst")
+    )
+    pairs = a.join(
+        b, (a["l_orderkey"] == b["ok_b"]) & (F.col("src") < F.col("dst"))
+    ).select("src", "dst").distinct()
+    return pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``PR_TOP_N`` parts by PageRank after ``PR_ITERS`` damped
+    iterations over the co-purchase graph (rank desc, part asc).
+
+    Test-scale note: the iteration chain is ~3 tiny stages per round, so at
+    this corpus size wall time is stage-setup-bound — pin 8 shuffle
+    partitions and drive the iterations to a localCheckpoint INSIDE the
+    pinned scope (the conf must govern execution, not just plan
+    construction; results are partitioning-independent because the
+    decimal-cast sum makes per-partition accumulation order irrelevant)."""
+    with shuffle_partitions(spark, 8):
+        ranks = _pagerank_ranks(spark, sf_dir).localCheckpoint()
+    # ROUND is load-bearing here, per the repo float policy: the per-term
+    # double->decimal cast rounds HALF_UP in Spark but half-even in DuckDB,
+    # and over ~1e5 contributions the deltas accumulate into low-ULP rank
+    # differences — genuinely engine-divergent, so round AND sort on the
+    # rounded key so both engines order identically.
+    return (
+        ranks.select(
+            F.col("node").alias("part"), F.round(F.col("r"), 12).alias("rank")
+        )
+        .orderBy(F.col("rank").desc(), F.col("part").asc())
+        .limit(PR_TOP_N)
+    )
+
+
+def _pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # Fold 1/deg into the edge relation ONCE and localCheckpoint it: each
+    # iteration is then a single equi-join + aggregate over a lineage-free
+    # input (3 fewer stages per round than joining deg every time).
+    ed = edges.join(deg, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("deg")).alias("w")
+    ).localCheckpoint()
+    nodes = ed.select(F.col("src").alias("node")).distinct()
+    n = nodes.agg(F.count("*").alias("n_nodes"))
+    ranks = nodes.crossJoin(F.broadcast(n)).select(
+        "node", "n_nodes", (F.lit(1.0) / F.col("n_nodes")).alias("r")
+    )
+    # 1.0 - 0.85 in binary floating point is 0.15000000000000002 — compute the
+    # teleport term ONCE in Python and embed the exact double in both engines
+    # (a SQL-side `1.0 - 0.85` would go through DuckDB DECIMAL arithmetic and
+    # land on a different double).
+    base = 1.0 - PR_DAMPING
+    for _ in range(PR_ITERS):
+        contrib = (
+            ed.join(ranks.select(F.col("node").alias("src"), "r"), "src")
+            .groupBy("dst")
+            .agg(
+                F.sum((F.col("r") * F.col("w")).cast("decimal(28,18)"))
+                .cast("double")
+                .alias("inflow")
+            )
+        )
+        ranks = (
+            ranks.select("node", "n_nodes")
+            .join(contrib.select(F.col("dst").alias("node"), "inflow"), "node", "left")
+            .select(
+                "node",
+                "n_nodes",
+                (
+                    F.lit(base) / F.col("n_nodes")
+                    + F.lit(PR_DAMPING) * F.coalesce("inflow", F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    return ranks
+
+
+def _pagerank_sql() -> str:
+    prev = "r0"
+    base = 1.0 - PR_DAMPING  # exact double, embedded via repr (see graph_pagerank)
+    iters = []
+    for i in range(1, PR_ITERS + 1):
+        iters.append(
+            f"""r{i} AS (
+  SELECT n.node, n.n_nodes,
+         CAST({base!r} AS DOUBLE) / n.n_nodes
+           + CAST({PR_DAMPING!r} AS DOUBLE) * COALESCE(c.inflow, CAST(0.0 AS DOUBLE)) AS r
+  FROM {prev} n LEFT JOIN (
+    SELECT e.dst, CAST(SUM(CAST(p.r * e.w AS DECIMAL(28,18))) AS DOUBLE) AS inflow
+    FROM ed e JOIN {prev} p ON e.src = p.node
+    GROUP BY e.dst
+  ) c ON n.node = c.dst
+)"""
+        )
+        prev = f"r{i}"
+    chain = ",\n".join(iters)
+    return f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+ed AS (
+  SELECT e.src, e.dst, CAST(1.0 AS DOUBLE) / d.deg AS w
+  FROM edges e JOIN deg d ON e.src = d.src
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+r0 AS (SELECT node, n_nodes, CAST(1.0 AS DOUBLE) / n_nodes AS r FROM nodes, nn),
+{chain}
+SELECT node AS part, ROUND(r, 12) AS rank FROM {prev}
+ORDER BY rank DESC, part ASC LIMIT {PR_TOP_N}
+"""
+
+
+GRAPH_PAGERANK_SQL = _pagerank_sql()
+
+
+QUERIES: dict[str, tuple] = {
+    "graph_pagerank": (graph_pagerank, GRAPH_PAGERANK_SQL),
+}

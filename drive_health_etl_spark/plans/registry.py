@@ -16,6 +16,7 @@ from drive_health_etl_spark.operators import asof as _asof
 from drive_health_etl_spark.operators import corpus as _corpus
 from drive_health_etl_spark.operators import dedup as _dedup
 from drive_health_etl_spark.operators import featurize as _featurize
+from drive_health_etl_spark.operators import graph as _graph
 from drive_health_etl_spark.operators import grouped_pandas as _grouped
 from drive_health_etl_spark.operators import multimodal as _multimodal
 from drive_health_etl_spark.operators import quality as _quality
@@ -174,6 +175,7 @@ _MERGED: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     **_quality.QUERIES,
     **_corpus.QUERIES,
     **_featurize.QUERIES,
+    **_graph.QUERIES,
     **_dedup.QUERIES,
     **_similarity.QUERIES,
     **_multimodal.QUERIES,
@@ -241,7 +243,8 @@ _ORDER = [
     "corpus_mix_resample", "feat_equidepth_bins", "basket_part_pairs",
     # (4) one-time-startup / iterative cost
     "sim_ann_lsh_multitable", "sim_ann_ivf", "sim_knn_classify",
-    "dedup_semantic", "dedup_components", "corpus_prep_pipeline",
+    "dedup_semantic", "dedup_components", "graph_pagerank",
+    "corpus_prep_pipeline",
     "u4_udtf_chunks", "multimodal_resize_stats", "multimodal_video_stats",
     "st_stateful_counters", "st_stream_stream_join",
 ]

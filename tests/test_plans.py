@@ -100,6 +100,7 @@ BNLJ_BY_DESIGN = {
     "corpus_kl_drift",  # 1-row corpus-totals broadcast onto the vocab-sized freq table
     "feat_equidepth_bins",  # 1-row percentile-bounds broadcast onto the bin-assign map
     "feat_tfidf_top_terms",  # 1-row corpus-size broadcast onto the tf-df join
+    "graph_pagerank",  # 1-row node-count broadcast onto the rank init
 }
 CARTESIAN_BY_DESIGN = {"t5_cross_join"}  # 5 x 25 dims, explicitly cross
 
