@@ -356,6 +356,41 @@ FROM agg
 """
 
 
+# --- Per-group reservoir sample ----------------------------------------------
+
+RESERVOIR_K = 10
+
+
+def corpus_reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform sample WITHOUT replacement, ``RESERVOIR_K``
+    docs per source: hash-as-priority (the exponential-sort / A-ES trick
+    with md5 as the random key) + one row_number window per stratum. The
+    bounded 'show me 10 random docs from every source' sampler — unlike a
+    rate-based filter, the output size per group is exact.
+
+    Plan: one shuffle on ``source`` (the window), no global sort; the
+    priority key is computed in the scan projection."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    key = F.md5(F.concat(F.lit("rsv-"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(key.alias("k"), F.col("doc_id"))
+    return (
+        docs.withColumn("slot", F.row_number().over(w))
+        .filter(F.col("slot") <= RESERVOIR_K)
+        .select("source", "slot", "doc_id")
+    )
+
+
+CORPUS_RESERVOIR_SQL = f"""
+SELECT source, slot, doc_id FROM (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5('rsv-' || CAST(doc_id AS VARCHAR)),
+                                     doc_id) AS slot
+  FROM documents
+) WHERE slot <= {RESERVOIR_K}
+"""
+
+
 # --- Token-distribution drift ------------------------------------------------
 
 
@@ -434,6 +469,7 @@ FROM per
 
 QUERIES: dict[str, tuple] = {
     "corpus_kl_drift": (corpus_kl_drift, CORPUS_KL_DRIFT_SQL),
+    "corpus_reservoir_per_source": (corpus_reservoir_per_source, CORPUS_RESERVOIR_SQL),
     "corpus_importance_sample": (corpus_importance_sample, CORPUS_IMPORTANCE_SQL),
     "corpus_stratified_split": (corpus_stratified_split, CORPUS_SPLIT_SQL),
     "corpus_mix_resample": (corpus_mix_resample, CORPUS_MIX_SQL),

@@ -117,7 +117,106 @@ GROUP BY c_custkey, c_mktsegment
 """
 
 
+# --- Grouped-aggregate pandas UDAF (the remaining §2.9 execution path) ------
+
+
+def _make_wavg():
+    """Quantity-weighted mean price as a GROUPED_AGG pandas UDAF.
+
+    Exact arithmetic: int64 cents x int64 quantity summed in Python
+    (arbitrary-precision), ONE double division at the end — so the value is
+    bit-identical to the oracle's CAST(SUM AS DOUBLE)/SUM/100 regardless of
+    group order. Built lazily (pandas_udf registration needs a live
+    SparkContext at decoration time)."""
+
+    @F.pandas_udf("double")
+    def _wavg(cents: pd.Series, qty: pd.Series) -> float:
+        num = int((cents * qty).sum())
+        den = int(qty.sum())
+        return num / den / 100.0
+
+    @F.pandas_udf("long")
+    def _n(cents: pd.Series) -> int:
+        return len(cents)
+
+    return _wavg, _n
+
+
+def _cents_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return li
+
+
+def u5_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas GROUPED_AGG UDAF through ``groupBy().agg()`` — the third
+    pandas execution path (§2.9) next to grouped-map and cogroup: the whole
+    group's columns arrive as Series, one scalar returns. The hook a custom
+    statistical aggregate (trimmed mean, HDR quantile) would ride on."""
+    from drive_health_etl_spark.session import ship_package
+
+    ship_package(spark)
+    wavg, n = _make_wavg()
+    # Spark refuses to mix GROUPED_AGG pandas UDAFs with JVM aggregates in
+    # one agg() — the row count is a second pandas UDAF for that reason.
+    return (
+        _cents_qty(spark, sf_dir)
+        .groupBy("l_returnflag")
+        .agg(
+            n(F.col("cents")).alias("n_rows"),
+            wavg(F.col("cents"), F.col("qty")).alias("wavg_price"),
+        )
+    )
+
+
+U5_GROUPED_AGG_SQL = """
+SELECT l_returnflag, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+         / CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) / 100.0 AS wavg_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def u5_window_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME pandas UDAF evaluated over an unbounded window instead of a
+    groupBy — Spark runs GROUPED_AGG UDAFs in both positions; the window
+    path is what per-row normalization against a group statistic uses.
+    Distinct-ing the per-row result must reproduce the groupBy answer."""
+    from pyspark.sql import Window
+
+    from drive_health_etl_spark.session import ship_package
+
+    ship_package(spark)
+    wavg, _n = _make_wavg()
+    w = Window.partitionBy("l_returnflag", "l_linestatus")
+    return (
+        _cents_qty(spark, sf_dir)
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            wavg(F.col("cents"), F.col("qty")).over(w).alias("wavg_price"),
+        )
+        .distinct()
+    )
+
+
+U5_WINDOW_AGG_SQL = """
+SELECT DISTINCT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+         / CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) / 100.0 AS wavg_price
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "u3_grouped_map_features": (u3_grouped_map_features, U3_GROUPED_MAP_SQL),
     "u3_cogroup_join": (u3_cogroup_join, U3_COGROUP_SQL),
+    "u5_grouped_agg_udaf": (u5_grouped_agg_udaf, U5_GROUPED_AGG_SQL),
+    "u5_window_agg_udaf": (u5_window_agg_udaf, U5_WINDOW_AGG_SQL),
 }

@@ -227,6 +227,7 @@ _ORDER = [
     "text_inverted_index", "text_bm25", "text_vocab_oov",
     "feat_hashing_tf", "feat_tfidf_top_terms",
     "corpus_stratified_split", "corpus_importance_sample",
+    "corpus_reservoir_per_source",
     "corpus_chunk_windows", "corpus_pack_sequences",
     "corpus_span_dedup",
     "text_gopher_rules", "text_repetition", "text_pii_scrub",
@@ -245,7 +246,8 @@ _ORDER = [
     "sim_ann_lsh_multitable", "sim_ann_ivf", "sim_knn_classify",
     "dedup_semantic", "dedup_components", "graph_pagerank",
     "corpus_prep_pipeline",
-    "u4_udtf_chunks", "multimodal_resize_stats", "multimodal_video_stats",
+    "u4_udtf_chunks", "u5_grouped_agg_udaf", "u5_window_agg_udaf",
+    "multimodal_resize_stats", "multimodal_video_stats",
     "st_stateful_counters", "st_stream_stream_join",
 ]
 
