@@ -58,6 +58,13 @@ HEADLINE = [
     "q13_customer_distribution",
     "q21_waiting_orders",
     "corpus_prep_pipeline",
+    "text_bigram_logprob",
+    "feat_hashing_tf",
+    "feat_tfidf_top_terms",
+    "basket_part_pairs",
+    "graph_pagerank",
+    "scd2_order_status",
+    "dedup_keep_best",
     "pipeline_ingest_e2e",
 ]
 
