@@ -449,7 +449,67 @@ WHERE ma.event_type = p.type_a AND mb.event_type = p.type_b
 """
 
 
+ANOMALY_Z = 2.0
+
+
+def ts_anomaly_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal anomaly detection on the daily event volume: each day is
+    z-scored against the other days sharing its WEEKDAY (traffic has a
+    weekly rhythm — comparing Saturday to the all-days mean flags every
+    weekend as anomalous). The volume monitor an ingest pipeline alarms on.
+
+    Determinism: mean/variance come from exact integer sums (sum n, sum
+    n^2 per weekday — the textbook shortcut), so the z computation is the
+    same IEEE double sequence in both engines and needs NO rounding.
+    Plan: one groupBy(day) over the facts, then three window aggregates
+    over the ≤7-partition weekday key on the day-sized table."""
+    e = load_table(spark, sf_dir, "events").select(F.to_date("ts").alias("day"))
+    daily = e.groupBy("day").agg(F.count("*").alias("n_events"))
+    daily = daily.withColumn("weekday", F.weekday("day"))
+    w = Window.partitionBy("weekday")
+    n = F.col("n_events")
+    s = F.sum(n).over(w)
+    sq = F.sum(n * n).over(w)
+    cnt = F.count("*").over(w)
+    mean = s.cast("double") / cnt
+    var = (sq.cast("double") - s.cast("double") * s / cnt) / (cnt - 1)
+    z = F.when(var > 0, (n.cast("double") - mean) / F.sqrt(var))
+    return daily.select(
+        "day",
+        "n_events",
+        "weekday",
+        z.alias("z"),
+        F.coalesce(F.abs(z) > ANOMALY_Z, F.lit(False)).alias("is_anomaly"),
+    )
+
+
+TS_ANOMALY_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events FROM events GROUP BY 1
+), wd AS (
+  SELECT day, n_events, CAST(isodow(day) - 1 AS INTEGER) AS weekday FROM daily
+), stats AS (
+  SELECT day, n_events, weekday,
+         CAST(SUM(n_events) OVER w AS BIGINT) AS s,
+         CAST(SUM(n_events * n_events) OVER w AS BIGINT) AS sq,
+         COUNT(*) OVER w AS cnt
+  FROM wd WINDOW w AS (PARTITION BY weekday)
+), scored AS (
+  SELECT day, n_events, weekday,
+         CASE WHEN (CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * s / cnt) / (cnt - 1) > 0
+              THEN (CAST(n_events AS DOUBLE) - CAST(s AS DOUBLE) / cnt)
+                   / sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * s / cnt) / (cnt - 1))
+         END AS z
+  FROM stats
+)
+SELECT day, n_events, weekday, z,
+       COALESCE(abs(z) > {ANOMALY_Z}, FALSE) AS is_anomaly
+FROM scored
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "ts_anomaly_dow": (ts_anomaly_dow, TS_ANOMALY_SQL),
     "sess_retention_cohorts": (sess_retention_cohorts, SESS_RETENTION_SQL),
     "sess_daily_gapfill": (sess_daily_gapfill, SESS_GAPFILL_SQL),
     "sess_event_assoc": (sess_event_assoc, SESS_ASSOC_SQL),

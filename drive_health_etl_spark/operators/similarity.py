@@ -601,7 +601,58 @@ FROM e WHERE max_abs > 0
 """
 
 
+ENERGY_DIMS = (16, 32, 48)
+
+
+def emb_dim_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-energy profile (the Matryoshka/MRL truncation question):
+    what fraction of each vector's squared L2 mass lives in its first
+    16/32/48 dimensions — i.e. how much quality survives truncating the
+    embedding column for a cheaper index. One row: corpus means.
+
+    Plan: narrow map (three prefix dot products per row, sequential fold
+    identical in both engines), then a single-row aggregate with
+    decimal-cast terms so summation order cannot diverge."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("e")
+    )
+    tot = _dot(F.col("e"), F.col("e"))
+    ratios = emb.select(
+        *[
+            (_dot(F.slice("e", 1, k), F.slice("e", 1, k)) / tot).alias(f"r{k}")
+            for k in ENERGY_DIMS
+        ]
+    )
+    return ratios.agg(
+        F.count("*").alias("n_vecs"),
+        *[
+            F.round(
+                F.sum(F.col(f"r{k}").cast("decimal(28,12)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias(f"mean_energy_{k}")
+            for k in ENERGY_DIMS
+        ],
+    )
+
+
+_ENERGY_TERMS = ",\n       ".join(
+    "ROUND(CAST(SUM(CAST(list_dot_product((embedding::DOUBLE[])[1:{k}], "
+    "(embedding::DOUBLE[])[1:{k}]) / list_dot_product(embedding::DOUBLE[], "
+    "embedding::DOUBLE[]) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) "
+    "AS mean_energy_{k}".format(k=k)
+    for k in ENERGY_DIMS
+)
+
+EMB_DIM_ENERGY_SQL = f"""
+SELECT COUNT(*) AS n_vecs,
+       {_ENERGY_TERMS}
+FROM embeddings
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "emb_dim_energy": (emb_dim_energy, EMB_DIM_ENERGY_SQL),
     "sim_knn_classify": (sim_knn_classify, SIM_KNN_CLASSIFY_SQL),
     "emb_quantize_stats": (emb_quantize_stats, EMB_QUANTIZE_SQL),
     "sim_cosine_topk": (sim_cosine_topk, SIM_COSINE_TOPK_SQL),

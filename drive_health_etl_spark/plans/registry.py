@@ -221,9 +221,10 @@ _ORDER = [
     "text_langid", "text_bpe_token_count", "text_lang_dist",
     "sim_cosine_topk", "sim_lsh_buckets", "sim_ann_lsh",
     "sim_ann_lsh_multiprobe", "emb_norm_stats", "emb_quantize_stats",
+    "emb_dim_energy",
     "sess_stats", "sess_funnel", "sess_daily", "sess_rolling_actives",
     "sess_conversion_lag", "sess_retention_cohorts", "sess_daily_gapfill",
-    "sess_event_assoc",
+    "sess_event_assoc", "ts_anomaly_dow",
     "text_inverted_index", "text_bm25", "text_vocab_oov",
     "feat_hashing_tf", "feat_tfidf_top_terms",
     "corpus_stratified_split", "corpus_importance_sample",
