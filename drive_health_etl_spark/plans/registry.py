@@ -240,7 +240,7 @@ _ORDER = [
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "q6_forecast_revenue", "a5_grouping_sets", "w2b_rank_dense",
     "w5_distribution_funcs", "w6_value_funcs", "w7_zscore_outliers",
-    "w8_range_frame",
+    "w8_range_frame", "w9_impute_ffill",
     "a6_listagg", "a7_winsorize", "u3_grouped_map_features", "u3_cogroup_join",
     "corpus_mix_resample", "feat_equidepth_bins", "basket_part_pairs",
     # (4) one-time-startup / iterative cost

@@ -1018,6 +1018,45 @@ FROM numbered GROUP BY user_id, sess_id
 """
 
 
+def w9_impute_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill imputation (LOCF — last observation carried forward):
+    null out a deterministic subset of readings ('click' events, standing in
+    for sensor dropouts) and repair each from the user's most recent
+    non-null value. The gap-repair step before any per-entity time-series
+    model; same shape as the as-of carry-forward join.
+
+    Plan: one window over (user, time) — single shuffle on ``user_id``;
+    ``last(ignorenulls=True)`` with a rows-unbounded-preceding frame is
+    sort-local within the partition."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value", "event_type"
+    )
+    v = F.when(F.col("event_type") != "click", F.col("value"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        v.alias("raw_value"),
+        F.last(v, ignorenulls=True).over(w).alias("filled_value"),
+    )
+
+
+W9_SQL = """
+SELECT user_id, event_id,
+       CASE WHEN event_type <> 'click' THEN value END AS raw_value,
+       LAST_VALUE(CASE WHEN event_type <> 'click' THEN value END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS filled_value
+FROM events
+"""
+
+
 BASKET_TOP_N = 20
 
 
@@ -1055,6 +1094,7 @@ LIMIT {BASKET_TOP_N}
 
 
 QUERIES: dict[str, tuple] = {
+    "w9_impute_ffill": (w9_impute_ffill, W9_SQL),
     "basket_part_pairs": (basket_part_pairs, BASKET_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),

@@ -112,6 +112,35 @@ AUDITS = [
         "on the content hash is the single shuffle, and the final stats "
         "aggregate plans partial+final.",
     ),
+    (
+        "basket_part_pairs",
+        "Market-basket self-join: both sides hash-partition on l_orderkey "
+        "(co-located SortMergeJoin after one exchange each), pair expansion "
+        "is bounded by items-per-order, the pair aggregate is partial+final "
+        "and top-k plans as TakeOrderedAndProject — no global sort.",
+    ),
+    (
+        "graph_pagerank",
+        "PageRank iteration body (one round shown): a single equi-join of "
+        "the checkpointed degree-weighted edge list against the rank vector "
+        "plus one partial+final aggregate on the destination key — the "
+        "Pregel-as-MapReduce shape; the teleport term is a narrow map. "
+        "The fixed unroll keeps lineage static; edges are localCheckpoint-ed.",
+    ),
+    (
+        "feat_tfidf_top_terms",
+        "TF-IDF: Catalyst auto-broadcasts the vocab-sized df table (no "
+        "hint — at real scale it would shuffle-join on the term key "
+        "instead), corpus size N is a 1-row broadcast, and the per-doc "
+        "top-k plans as WindowGroupLimit partial+final — rank-3 rows are "
+        "dropped BEFORE the doc-key exchange, not after.",
+    ),
+    (
+        "scd2_order_status",
+        "SCD2 gaps-and-islands: all three window passes and the run-level "
+        "groupBy share the o_custkey partitioning — Catalyst plans ONE "
+        "exchange; the change-flag/cumsum/lead chain is sort-local.",
+    ),
 ]
 
 
