@@ -1,0 +1,69 @@
+"""Zero-row robustness: every operator family must plan AND execute on
+empty tables (schema-only parquet) without raising — the edge every
+incremental/backfill run eventually hits (an empty partition, a quiet day,
+a filtered-out tenant). Value correctness is the oracle gate's job; this
+suite asserts the engine degrades to empty results, not errors."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from drive_health_etl_spark.plans.registry import REGISTRY
+from drive_health_etl_spark.sources.tables import TABLES, load_table
+from tests.conftest import SF_DIR
+
+# One representative per family — chosen to cover the distinct execution
+# shapes: windows, grouped aggs, self-joins, explodes, higher-order folds,
+# percentile broadcasts, iterative graph, pandas paths, gap-fill grids.
+EMPTY_SAFE = [
+    "o7_filter_conj",
+    "a1_group_count",
+    "a5_agg_suite",
+    "j6_star_join",
+    "w1_first_write_wins",
+    "w9_impute_ffill",
+    "t2_topk",
+    "sess_stats",
+    "sess_daily_gapfill",
+    "sess_event_assoc",
+    "sess_retention_cohorts",
+    "ts_anomaly_dow",
+    "scd2_order_status",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_keep_best",
+    "text_quality",
+    "text_boilerplate",
+    "text_bigram_logprob",
+    "feat_hashing_tf",
+    "feat_tfidf_top_terms",
+    "feat_equidepth_bins",
+    "corpus_kl_drift",
+    "corpus_reservoir_per_source",
+    "basket_part_pairs",
+    "link_entity_resolution",
+    "emb_dim_energy",
+    "sim_cosine_topk",
+    "u3_grouped_map_features",
+    "u5_grouped_agg_udaf",
+    "graph_pagerank",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("sf_empty")
+    for t in TABLES:
+        df = load_table(spark, SF_DIR, t)
+        df.filter(F.lit(False)).coalesce(1).write.mode("overwrite").parquet(
+            str(out / f"{t}.parquet")
+        )
+    return str(out)
+
+
+@pytest.mark.parametrize("name", EMPTY_SAFE)
+def test_runs_empty(spark, empty_sf_dir, name):
+    fn = REGISTRY[name][0]
+    rows = fn(spark, empty_sf_dir).collect()
+    assert rows == [] or all(r is not None for r in rows)
