@@ -589,8 +589,65 @@ FROM reach GROUP BY src
 """
 
 
+def dedup_near_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed near-dup flow a corpus pipeline actually ships:
+    MinHash signatures -> LSH candidate pairs -> connected components ->
+    collapse (component root survives, other members drop) -> per-source
+    before/after accounting. One registry entry proving the stages compose
+    (each stage is also independently oracle-checked).
+
+    Plan: reuses the cached signature/pair subtrees; the removal set is
+    component-members-minus-roots (near-dup-graph-sized, tiny vs the
+    corpus) anti-joined against the corpus — the corpus is scanned, never
+    shuffled, for the collapse."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    comp = dedup_components(spark, sf_dir)
+    removed = comp.filter(F.col("doc_id") != F.col("component_root")).select("doc_id")
+    survivors = docs.join(removed, "doc_id", "left_anti")
+    before = docs.groupBy("source").agg(F.count("*").alias("n_before"))
+    after = survivors.groupBy("source").agg(F.count("*").alias("n_after"))
+    return (
+        before.join(after, "source", "left")
+        .select(
+            "source",
+            "n_before",
+            F.coalesce("n_after", F.lit(0)).alias("n_after"),
+            (F.col("n_before") - F.coalesce("n_after", F.lit(0))).alias("n_removed"),
+        )
+    )
+
+
+def _dedup_near_pipeline_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({DEDUP_MINHASH_PAIRS_SQL.strip()}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_root
+  FROM reach GROUP BY src
+),
+removed AS (SELECT doc_id FROM comp WHERE doc_id <> component_root),
+before AS (SELECT source, COUNT(*) AS n_before FROM documents GROUP BY source),
+survivors AS (
+  SELECT d.source FROM documents d ANTI JOIN removed r ON d.doc_id = r.doc_id
+),
+after AS (SELECT source, COUNT(*) AS n_after FROM survivors GROUP BY source)
+SELECT b.source, b.n_before, COALESCE(a.n_after, 0) AS n_after,
+       b.n_before - COALESCE(a.n_after, 0) AS n_removed
+FROM before b LEFT JOIN after a ON b.source = a.source
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "dedup_keep_best": (dedup_keep_best, DEDUP_KEEP_BEST_SQL),
+    "dedup_near_pipeline": (dedup_near_pipeline, _dedup_near_pipeline_sql()),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_components": (dedup_components, _dedup_components_sql()),
     "dedup_collapse": (dedup_collapse, DEDUP_COLLAPSE_SQL),

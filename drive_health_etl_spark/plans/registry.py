@@ -245,8 +245,8 @@ _ORDER = [
     "corpus_mix_resample", "feat_equidepth_bins", "basket_part_pairs",
     # (4) one-time-startup / iterative cost
     "sim_ann_lsh_multitable", "sim_ann_ivf", "sim_knn_classify",
-    "dedup_semantic", "dedup_components", "graph_pagerank",
-    "corpus_prep_pipeline",
+    "dedup_semantic", "dedup_components", "dedup_near_pipeline",
+    "graph_pagerank", "corpus_prep_pipeline",
     "u4_udtf_chunks", "u5_grouped_agg_udaf", "u5_window_agg_udaf",
     "multimodal_resize_stats", "multimodal_video_stats",
     "st_stateful_counters", "st_stream_stream_join",
