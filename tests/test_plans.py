@@ -59,6 +59,27 @@ def test_range_join_is_not_nested_loop(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
+def test_basket_topk_is_take_ordered(spark, sf_dir):
+    # the pair self-join must carry the l_orderkey equi key and top-k must
+    # NOT be a global sort
+    plan = _plan(REGISTRY["basket_part_pairs"][0](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scd2_single_exchange(spark, sf_dir):
+    # all three window passes + run groupBy share the o_custkey partitioning
+    plan = _plan(REGISTRY["scd2_order_status"][0](spark, sf_dir))
+    assert plan.count("+- Exchange") == 1, plan
+
+
+def test_tfidf_topk_prunes_before_exchange(spark, sf_dir):
+    # rank<=3 must plan as WindowGroupLimit partial+final (rows dropped
+    # map-side before the doc-key shuffle, not after)
+    plan = _plan(REGISTRY["feat_tfidf_top_terms"][0](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
 def test_topk_uses_take_ordered(spark, sf_dir):
     plan = _plan(REGISTRY["t2_topk"][0](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan  # no global sort materialization
