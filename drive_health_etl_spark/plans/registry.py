@@ -145,6 +145,47 @@ def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"SELECT click_id, purchase_id, user_id, lag_us FROM {sink}")
 
 
+def st_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-native streaming dedup (``dropDuplicatesWithinWatermark``)
+    driven to completion: the source spool carries every event TWICE; the
+    operator must emit each exactly once. Complements ST3's foreachBatch
+    anti-join dedup — this is the built-in state-store path with watermark-
+    bounded state (the 100 TB-stream answer to unbounded dedup state). The
+    duplicates ride in one availableNow batch so none can be dropped as
+    late; the oracle is plain DISTINCT."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from drive_health_etl_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    src = tempfile.mkdtemp(prefix="dhe_dedup_src_")
+    events.union(events).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).format("parquet").load(src)
+    sink = f"dedup_out_{uuid.uuid4().hex[:8]}"
+    with _shuffle_partitions(spark, 8):
+        q = (
+            stream.withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    shutil.rmtree(src, ignore_errors=True)
+    return spark.sql(f"SELECT event_id, user_id, ts, value FROM {sink}")
+
+
+ST_STREAM_DEDUP_SQL = """
+SELECT DISTINCT event_id, user_id, ts, value FROM events
+"""
+
+
 ST_STREAM_STREAM_SQL = """
 SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
        epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
@@ -166,6 +207,7 @@ FROM events GROUP BY user_id
 _MERGED: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "st_stateful_counters": (st_stateful_counters, ST_STATEFUL_SQL),
     "st_stream_stream_join": (st_stream_stream_join, ST_STREAM_STREAM_SQL),
+    "st_stream_dedup": (st_stream_dedup, ST_STREAM_DEDUP_SQL),
     **_relational.QUERIES,
     **_tpch.QUERIES,
     **_pipeline.QUERIES,
@@ -249,7 +291,7 @@ _ORDER = [
     "graph_pagerank", "corpus_prep_pipeline",
     "u4_udtf_chunks", "u5_grouped_agg_udaf", "u5_window_agg_udaf",
     "multimodal_resize_stats", "multimodal_video_stats",
-    "st_stateful_counters", "st_stream_stream_join",
+    "st_stateful_counters", "st_stream_stream_join", "st_stream_dedup",
 ]
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
