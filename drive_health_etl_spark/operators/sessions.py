@@ -508,7 +508,51 @@ FROM scored
 """
 
 
+def sess_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral Markov model: counts and conditional
+    probabilities of event-type transitions within each user's timeline
+    (prev_type -> type). The transition matrix behind next-action
+    prediction features and funnel-leak diagnosis.
+
+    Plan: one lag window on the ``user_id`` shuffle, then an enum²-bounded
+    aggregate (map-side combinable) and a broadcast of the enum-sized
+    marginals for the conditional probabilities."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = e.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNotNull()
+    )
+    counts = t.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n")
+    )
+    marg = counts.groupBy("prev_type").agg(F.sum("n").alias("n_from"))
+    return counts.join(F.broadcast(marg), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("n_from"), 6).alias("p_next"),
+    )
+
+
+SESS_MARKOV_SQL = """
+WITH t AS (
+  SELECT user_id, event_type AS next_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+), counts AS (
+  SELECT prev_type, next_type, COUNT(*) AS n FROM t
+  WHERE prev_type IS NOT NULL GROUP BY 1, 2
+), marg AS (
+  SELECT prev_type, CAST(SUM(n) AS BIGINT) AS n_from FROM counts GROUP BY prev_type
+)
+SELECT c.prev_type, c.next_type, c.n,
+       ROUND(CAST(c.n AS DOUBLE) / m.n_from, 6) AS p_next
+FROM counts c JOIN marg m ON c.prev_type = m.prev_type
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "sess_markov_transitions": (sess_markov_transitions, SESS_MARKOV_SQL),
     "ts_anomaly_dow": (ts_anomaly_dow, TS_ANOMALY_SQL),
     "sess_retention_cohorts": (sess_retention_cohorts, SESS_RETENTION_SQL),
     "sess_daily_gapfill": (sess_daily_gapfill, SESS_GAPFILL_SQL),

@@ -285,6 +285,7 @@ _ORDER = [
     "w8_range_frame", "w9_impute_ffill",
     "a6_listagg", "a7_winsorize", "u3_grouped_map_features", "u3_cogroup_join",
     "corpus_mix_resample", "feat_equidepth_bins", "basket_part_pairs",
+    "rfm_segments", "sess_markov_transitions",
     # (4) one-time-startup / iterative cost
     "sim_ann_lsh_multitable", "sim_ann_ivf", "sim_knn_classify",
     "dedup_semantic", "dedup_components", "dedup_near_pipeline",

@@ -1057,6 +1057,105 @@ FROM events
 """
 
 
+# Tercile split points, computed once in Python and embedded verbatim in
+# both engines (1/3 is not exactly representable — the literal must be the
+# SAME double on both sides).
+_RFM_QS = (1 / 3, 2 / 3)
+_RFM_QS_SQL = ", ".join(repr(q) for q in _RFM_QS)
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days since last order, vs the
+    corpus max date), frequency (order count), monetary (lifetime cents),
+    each tercile-binned against exact interpolated percentiles, combined
+    into the classic 'R0F2M1'-style segment code. The campaign-targeting
+    segmentation every warehouse team ships.
+
+    Plan: one groupBy(custkey) over orders, a 1-row global-max-date and a
+    1-row tercile-bounds aggregate broadcast back (the same
+    no-global-sort equi-depth pattern as ``feat_equidepth_bins``), then a
+    narrow binning map. Exact integer cents; interpolated percentile
+    bounds are identical doubles in both engines."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    gmax = o.agg(F.max("o_orderdate").alias("gmax"))
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.sum("cents").alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            "o_custkey",
+            F.datediff("gmax", "last_order").alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    qs = ", ".join(repr(q) for q in _RFM_QS)
+    bounds = cust.agg(
+        F.expr(f"percentile(recency_days, array({qs}))").alias("rb"),
+        F.expr(f"percentile(frequency, array({qs}))").alias("fb"),
+        F.expr(f"percentile(monetary_cents, array({qs}))").alias("mb"),
+    )
+
+    def _bin(bs: str, v: str):
+        return F.size(F.filter(F.col(bs), lambda b: b <= F.col(v).cast("double")))
+
+    binned = cust.crossJoin(F.broadcast(bounds)).select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        _bin("rb", "recency_days").alias("r_bin"),
+        _bin("fb", "frequency").alias("f_bin"),
+        _bin("mb", "monetary_cents").alias("m_bin"),
+    )
+    return binned.withColumn(
+        "segment",
+        F.concat(
+            F.lit("R"), F.col("r_bin").cast("string"),
+            F.lit("F"), F.col("f_bin").cast("string"),
+            F.lit("M"), F.col("m_bin").cast("string"),
+        ),
+    )
+
+
+RFM_SQL = f"""
+WITH o AS (
+  SELECT o_custkey, o_orderdate,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), gmax AS (SELECT MAX(o_orderdate) AS gmax FROM o),
+cust AS (
+  SELECT o_custkey,
+         date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                   CAST((SELECT gmax FROM gmax) AS DATE)) AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(SUM(cents) AS BIGINT) AS monetary_cents
+  FROM o GROUP BY o_custkey
+), bounds AS (
+  SELECT quantile_cont(recency_days, [{_RFM_QS_SQL}]) AS rb,
+         quantile_cont(frequency, [{_RFM_QS_SQL}]) AS fb,
+         quantile_cont(monetary_cents, [{_RFM_QS_SQL}]) AS mb
+  FROM cust
+)
+SELECT o_custkey, recency_days, frequency, monetary_cents,
+       len(list_filter(rb, b -> b <= CAST(recency_days AS DOUBLE))) AS r_bin,
+       len(list_filter(fb, b -> b <= CAST(frequency AS DOUBLE))) AS f_bin,
+       len(list_filter(mb, b -> b <= CAST(monetary_cents AS DOUBLE))) AS m_bin,
+       'R' || len(list_filter(rb, b -> b <= CAST(recency_days AS DOUBLE)))
+       || 'F' || len(list_filter(fb, b -> b <= CAST(frequency AS DOUBLE)))
+       || 'M' || len(list_filter(mb, b -> b <= CAST(monetary_cents AS DOUBLE))) AS segment
+FROM cust, bounds
+"""
+
+
 BASKET_TOP_N = 20
 
 
@@ -1096,6 +1195,7 @@ LIMIT {BASKET_TOP_N}
 QUERIES: dict[str, tuple] = {
     "w9_impute_ffill": (w9_impute_ffill, W9_SQL),
     "basket_part_pairs": (basket_part_pairs, BASKET_SQL),
+    "rfm_segments": (rfm_segments, RFM_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q5_local_supplier_volume": (q5_local_supplier_volume, Q5_SQL),

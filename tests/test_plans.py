@@ -122,6 +122,7 @@ BNLJ_BY_DESIGN = {
     "feat_equidepth_bins",  # 1-row percentile-bounds broadcast onto the bin-assign map
     "feat_tfidf_top_terms",  # 1-row corpus-size broadcast onto the tf-df join
     "graph_pagerank",  # 1-row node-count broadcast onto the rank init
+    "rfm_segments",  # 1-row max-date + 1-row tercile-bounds broadcasts onto the binning map
 }
 CARTESIAN_BY_DESIGN = {"t5_cross_join"}  # 5 x 25 dims, explicitly cross
 
