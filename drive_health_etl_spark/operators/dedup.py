@@ -414,21 +414,25 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     richest copy').
 
     Plan: the SimHash aggregation (16 map-side-combinable vote sums), a
-    join back to ``documents`` on ``doc_id`` for the quality column, and
-    one window over the cluster key. Two shuffles total (doc_id join,
-    simhash window), both on compact keys."""
+    join back to ``documents`` on ``doc_id`` for the quality column, then
+    an argmax AGGREGATE on the cluster key — max over (n_chars, -doc_id)
+    structs, NOT a row_number window: the aggregate combines map-side, so
+    a pathological mega-cluster (the same spam page a billion times) costs
+    one partial state per task instead of sorting the whole cluster inside
+    a single window partition."""
     codes = dedup_simhash(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("simhash")
-    wrank = w.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    best = F.max(F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id")))
     return (
         codes.join(docs, "doc_id")
-        .withColumn("cluster_size", F.count("*").over(w))
-        .withColumn("rn", F.row_number().over(wrank))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "simhash", "n_chars", "cluster_size")
+        .groupBy("simhash")
+        .agg(F.count("*").alias("cluster_size"), best.alias("best"))
+        .select(
+            (-F.col("best.neg_id")).alias("doc_id"),
+            "simhash",
+            F.col("best.n_chars").alias("n_chars"),
+            "cluster_size",
+        )
     )
 
 
