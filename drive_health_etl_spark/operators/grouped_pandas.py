@@ -156,7 +156,15 @@ def u5_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pandas GROUPED_AGG UDAF through ``groupBy().agg()`` — the third
     pandas execution path (§2.9) next to grouped-map and cogroup: the whole
     group's columns arrive as Series, one scalar returns. The hook a custom
-    statistical aggregate (trimmed mean, HDR quantile) would ride on."""
+    statistical aggregate (trimmed mean, HDR quantile) would ride on.
+
+    Scale honesty: GROUPED_AGG has NO partial aggregation — the entire
+    group ships to one worker. On low-cardinality keys (3 return flags
+    here) that is a deliberate API demonstration, not the production plan;
+    a weighted mean at 100 TB is the native partial-aggregable
+    ``sum(x*w)/sum(w)`` (see the oracle SQL), and GROUPED_AGG is reserved
+    for aggregates that genuinely need the full sample (exact quantiles of
+    small-enough groups, model fits per entity)."""
     from drive_health_etl_spark.session import ship_package
 
     ship_package(spark)
