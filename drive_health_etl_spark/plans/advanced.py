@@ -1,0 +1,219 @@
+"""Advanced-surface suite: Spark 4 recursive CTEs, mergeable sketches, and
+the binned range join — query shapes a 100 TB warehouse needs beyond the
+classic relational core.
+
+Generalizes the reference's verification-SQL layer (``src/load-test.js:135``)
+the same way ``plans/relational.py`` does; each query here exists because the
+shape matters at cluster scale:
+
+- **Recursive CTE** (Spark 4's ``WITH RECURSIVE`` / UnionLoop execution):
+  hierarchy flattening — org charts, category trees, referral chains — is a
+  per-round equi-join whose iteration count is the hierarchy DEPTH (log-ish),
+  never the row count.
+- **Mergeable sketches** (Apache DataSketches HLL, exposed as
+  ``hll_sketch_agg``/``hll_union_agg``): COUNT(DISTINCT) at 100 TB costs a
+  full shuffle of the distinct keys, and worse, is NOT re-aggregable across
+  partitions/days. A sketch column is: per-partition sketches merge
+  associatively, so rollups keep distinct counts without re-scanning. The
+  query verifies the estimate against the exact count in-engine (bounded
+  relative error) so the oracle stays exact-valued.
+- **approx_top_k**: heavy-hitters without a global sort; exact whenever the
+  tracked-item budget covers the domain (it does here, asserted by the
+  oracle matching the exact GROUP BY).
+- **Binned range join**: Spark has no range-join optimization — a bare
+  interval predicate plans as BroadcastNestedLoopJoin (quadratic work at
+  scale). Binning maps intervals to ≤ ceil(len/w)+1 integer bins and points
+  to exactly one, turning the join into an EQUI join on the bin key plus a
+  residual filter — shuffle-partitionable on both sides, fan-out bounded by
+  interval length / bin width. (Same strategy as Databricks' range-join hint
+  and the interval-join in stream processors.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from drive_health_etl_spark.plans.relational import _dsum
+from drive_health_etl_spark.sources.tables import load_table, register_views
+
+
+# --- Recursive CTE: hierarchy flattening ------------------------------------
+
+# Parent edge: custkey -> floor(custkey / 10); roots are custkey < 10. A
+# deterministic synthetic hierarchy (the star schema has no self-referencing
+# dim), depth <= 5 at sf0.1. Identical SQL text runs on both engines —
+# divisions go through FLOOR(x / 10.0) because bare CAST(double AS BIGINT)
+# truncates in Spark but rounds in DuckDB (ROADMAP gotcha).
+_RECURSIVE_SQL = """
+WITH RECURSIVE chain AS (
+  SELECT c_custkey, c_custkey AS node, 0 AS depth FROM customer
+  UNION ALL
+  SELECT c_custkey, CAST(FLOOR(node / 10.0) AS BIGINT) AS node, depth + 1 AS depth
+  FROM chain WHERE node >= 10
+)
+SELECT node AS root_key, depth, COUNT(*) AS n_customers
+FROM chain
+WHERE node < 10
+GROUP BY node, depth
+"""
+
+
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flatten the synthetic customer hierarchy with Spark 4's native
+    ``WITH RECURSIVE``: each customer walks parent edges (integer-divide by
+    10) to its root; output is customer count per (root, depth).
+
+    Scale: each recursion round is one equi-join of the frontier against the
+    (here: derived) edge relation — rounds = hierarchy depth, independent of
+    customer count; the frontier shrinks monotonically. This is the declarative
+    twin of the hand-rolled iterative loops in ``operators/graph.py`` (PageRank)
+    and ``operators/dedup.py`` (connected components), which remain the right
+    tool when per-round logic goes beyond UNION ALL semantics."""
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SQL)
+
+
+SQL_RECURSIVE_CTE_SQL = _RECURSIVE_SQL
+
+
+# --- Mergeable-sketch distinct counts ---------------------------------------
+
+
+def sketch_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct buyers per order status, exact AND via DataSketches HLL —
+    including a global row whose estimate comes from MERGING the per-group
+    sketches (``hll_union_agg``), never re-scanning the fact.
+
+    The sketch estimate is checked in-engine against the exact count
+    (|est - exact| <= 5% * exact, far above HLL lgK=12's ~1.6% RSE) so the
+    emitted columns stay exactly reproducible by the DuckDB oracle.
+
+    Scale: per-partition HLL sketches are tiny (<= 2^12 buckets) and merge
+    associatively — a daily rollup keeps a sketch column and answers
+    "distinct users this month" by unioning 30 sketches instead of
+    re-shuffling 100 TB of raw keys. COUNT(DISTINCT) has no such
+    re-aggregation property; that asymmetry is the whole point of this
+    operator at scale."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderstatus", "o_custkey")
+    per = orders.groupBy("o_orderstatus").agg(
+        F.count_distinct("o_custkey").alias("exact_nd"),
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+    )
+    ok = (
+        F.abs(F.hll_sketch_estimate("sk") - F.col("exact_nd"))
+        <= F.lit(0.05) * F.col("exact_nd")
+    ).alias("est_ok")
+    per_out = per.select(F.col("o_orderstatus").alias("grp"), "exact_nd", ok)
+    merged = per.agg(F.hll_union_agg("sk").alias("sk"))
+    glob_out = (
+        orders.agg(F.count_distinct("o_custkey").alias("exact_nd"))
+        .join(F.broadcast(merged))  # 1 row x 1 row
+        .select(F.lit("_ALL_").alias("grp"), "exact_nd", ok)
+    )
+    return per_out.unionByName(glob_out)
+
+
+SKETCH_DISTINCT_HLL_SQL = """
+SELECT o_orderstatus AS grp, COUNT(DISTINCT o_custkey) AS exact_nd, TRUE AS est_ok
+FROM orders GROUP BY o_orderstatus
+UNION ALL
+SELECT '_ALL_' AS grp, COUNT(DISTINCT o_custkey) AS exact_nd, TRUE AS est_ok
+FROM orders
+"""
+
+
+def sketch_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters over the event stream via ``approx_top_k``. The tracked
+    budget (50) exceeds the event_type domain (5), so the summary is EXACT
+    and the plain GROUP BY oracle hash-matches it — the honest way to
+    oracle-check an approximate operator in its exact regime.
+
+    Scale: approx_top_k keeps a bounded item->count map per partition and
+    merges maps at the final agg — heavy hitters over 100 TB without a
+    global shuffle of the full key domain (the Misra-Gries/SpaceSaving
+    family; over-budget domains degrade gracefully to approximate counts)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.agg(F.expr("approx_top_k(event_type, 50)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("item"), F.col("e.count").alias("cnt"))
+    )
+
+
+SKETCH_TOP_K_SQL = """
+SELECT event_type AS item, COUNT(*) AS cnt FROM events GROUP BY event_type
+"""
+
+
+# --- Binned range join ------------------------------------------------------
+
+_PROMO_PRICE = 490000.0  # ~top-1% orders -> a calendar-bounded window set
+_BIN_DAYS = 7  # bin width >= interval length (3d) -> each interval spans <=2 bins
+
+
+def j5b_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join WITHOUT an equi key, made shuffle-partitionable by
+    binning: revenue shipped inside each 3-day promo window (windows = the
+    order dates of top-price orders).
+
+    A bare ``ship_day BETWEEN w_start AND w_end`` predicate gives Catalyst no
+    join key — it plans a nested-loop join, O(|windows| * |lineitem|). Instead
+    both sides map onto 7-day integer bins: a point lands in exactly one bin,
+    a 3-day interval spans at most two, enumerated with ``sequence``. The join
+    becomes bin-equality plus a residual range filter — a plain shuffle/
+    broadcast HASH join whose fan-out per row is bounded by
+    ceil(interval/bin)+1, at ANY table size on EITHER side. Bin width tunes
+    replication vs. residual-filter selectivity (rule of thumb: the typical
+    interval length).
+
+    Here the window side is calendar-bounded (<= ~2400 distinct days at any
+    SF) so Spark broadcasts it; the binning is what keeps the pattern valid
+    when both sides are fact-sized."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > _PROMO_PRICE)
+    windows = orders.select(F.to_date("o_orderdate").alias("w_start")).distinct()
+    wb = windows.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_date(F.col("w_start")) / _BIN_DAYS),
+                F.floor(F.unix_date(F.date_add("w_start", 2)) / _BIN_DAYS),
+            )
+        ),
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.to_date("l_shipdate").alias("ship_day"), "l_extendedprice")
+        .withColumn("bin", F.floor(F.unix_date("ship_day") / _BIN_DAYS))
+    )
+    return (
+        li.join(wb, "bin")
+        .filter(
+            (F.col("ship_day") >= F.col("w_start"))
+            & (F.col("ship_day") < F.date_add("w_start", 3))
+        )
+        .groupBy("w_start")
+        .agg(F.count("*").alias("n_items"), _dsum("l_extendedprice", 2, "revenue"))
+    )
+
+
+J5B_BINNED_RANGE_SQL = f"""
+WITH w AS (
+  SELECT DISTINCT CAST(o_orderdate AS DATE) AS w_start
+  FROM orders WHERE o_totalprice > {_PROMO_PRICE!r}
+)
+SELECT w_start, COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM w JOIN lineitem
+  ON CAST(l_shipdate AS DATE) >= w_start
+ AND CAST(l_shipdate AS DATE) < w_start + INTERVAL 3 DAY
+GROUP BY w_start
+"""
+
+
+QUERIES = {
+    "sql_recursive_cte": (sql_recursive_cte, SQL_RECURSIVE_CTE_SQL),
+    "sketch_distinct_hll": (sketch_distinct_hll, SKETCH_DISTINCT_HLL_SQL),
+    "sketch_top_k": (sketch_top_k, SKETCH_TOP_K_SQL),
+    "j5b_binned_range_join": (j5b_binned_range_join, J5B_BINNED_RANGE_SQL),
+}

@@ -25,6 +25,7 @@ from drive_health_etl_spark.operators import sessions as _sessions
 from drive_health_etl_spark.operators import similarity as _similarity
 from drive_health_etl_spark.operators import udtfs as _udtfs
 from drive_health_etl_spark.operators import text as _text
+from drive_health_etl_spark.plans import advanced as _advanced
 from drive_health_etl_spark.plans import extended as _extended
 from drive_health_etl_spark.plans import pipeline_queries as _pipeline
 from drive_health_etl_spark.plans import relational as _relational
@@ -212,6 +213,7 @@ _MERGED: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     **_tpch.QUERIES,
     **_pipeline.QUERIES,
     **_extended.QUERIES,
+    **_advanced.QUERIES,
     **_scalar.QUERIES,
     **_text.QUERIES,
     **_quality.QUERIES,
@@ -283,6 +285,8 @@ _ORDER = [
     "q6_forecast_revenue", "a5_grouping_sets", "w2b_rank_dense",
     "w5_distribution_funcs", "w6_value_funcs", "w7_zscore_outliers",
     "w8_range_frame", "w9_impute_ffill",
+    "sql_recursive_cte", "sketch_distinct_hll", "sketch_top_k",
+    "j5b_binned_range_join",
     "a6_listagg", "a7_winsorize", "u3_grouped_map_features", "u3_cogroup_join",
     "corpus_mix_resample", "feat_equidepth_bins", "basket_part_pairs",
     "rfm_segments", "sess_markov_transitions",
