@@ -211,8 +211,73 @@ GROUP BY w_start
 """
 
 
+# --- Spark 4 SQL surface: pipe syntax and scripting -------------------------
+
+
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship pricing-summary shape written in Spark 4's SQL pipe
+    syntax (`|>` operators). Same logical plan as the ANSI form — pipe
+    syntax is pure parser surface, so pushdown/pruning/partial-agg behavior
+    is identical; this query exists to pin that the surface works and stays
+    result-identical to the ANSI oracle."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate >= DATE '1998-01-01'
+        |> EXTEND l_extendedprice * (1 - l_discount) AS disc_price
+        |> AGGREGATE COUNT(*) AS n_items,
+             CAST(SUM(CAST(disc_price AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+           GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+SQL_PIPE_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= DATE '1998-01-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4 ``BEGIN ... END`` blocks): compute a derived
+    threshold into a session variable, then use it in the final statement —
+    the procedural surface for parameterized jobs that would otherwise
+    round-trip scalars through the driver. The script's value is its LAST
+    result set; the oracle inlines the variable as a scalar subquery.
+
+    Scale note: the scalar assignment is a 1-row aggregate; the final query
+    is an ordinary declarative plan — scripting adds sequencing, not a new
+    execution model, so nothing here bypasses Catalyst."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE cutoff DOUBLE DEFAULT 0.0;
+          SET cutoff = (SELECT MAX(o_totalprice) * 0.9 FROM orders);
+          SELECT o_orderpriority, COUNT(*) AS n_orders
+          FROM orders WHERE o_totalprice > cutoff
+          GROUP BY o_orderpriority;
+        END
+        """
+    )
+
+
+SQL_SCRIPTING_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE o_totalprice > (SELECT MAX(o_totalprice) * 0.9 FROM orders)
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "sql_recursive_cte": (sql_recursive_cte, SQL_RECURSIVE_CTE_SQL),
+    "sql_pipe_syntax": (sql_pipe_syntax, SQL_PIPE_SQL),
+    "sql_scripting": (sql_scripting, SQL_SCRIPTING_SQL),
     "sketch_distinct_hll": (sketch_distinct_hll, SKETCH_DISTINCT_HLL_SQL),
     "sketch_top_k": (sketch_top_k, SKETCH_TOP_K_SQL),
     "j5b_binned_range_join": (j5b_binned_range_join, J5B_BINNED_RANGE_SQL),
