@@ -18,6 +18,7 @@ from drive_health_etl_spark.operators import dedup as _dedup
 from drive_health_etl_spark.operators import featurize as _featurize
 from drive_health_etl_spark.operators import graph as _graph
 from drive_health_etl_spark.operators import grouped_pandas as _grouped
+from drive_health_etl_spark.operators import layout as _layout
 from drive_health_etl_spark.operators import multimodal as _multimodal
 from drive_health_etl_spark.operators import quality as _quality
 from drive_health_etl_spark.operators import retrieval as _retrieval
@@ -214,6 +215,7 @@ _MERGED: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     **_pipeline.QUERIES,
     **_extended.QUERIES,
     **_advanced.QUERIES,
+    **_layout.QUERIES,
     **_scalar.QUERIES,
     **_text.QUERIES,
     **_quality.QUERIES,
@@ -287,6 +289,7 @@ _ORDER = [
     "w8_range_frame", "w9_impute_ffill",
     "sql_recursive_cte", "sql_pipe_syntax", "sql_scripting",
     "sketch_distinct_hll", "sketch_top_k", "j5b_binned_range_join",
+    "layout_zorder_stats",
     "a6_listagg", "a7_winsorize", "u3_grouped_map_features", "u3_cogroup_join",
     "corpus_mix_resample", "feat_equidepth_bins", "basket_part_pairs",
     "rfm_segments", "sess_markov_transitions",
