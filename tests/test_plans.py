@@ -123,6 +123,7 @@ BNLJ_BY_DESIGN = {
     "feat_tfidf_top_terms",  # 1-row corpus-size broadcast onto the tf-df join
     "graph_pagerank",  # 1-row node-count broadcast onto the rank init
     "rfm_segments",  # 1-row max-date + 1-row tercile-bounds broadcasts onto the binning map
+    "sketch_distinct_hll",  # 1-row merged-sketch broadcast onto the 1-row global exact agg
 }
 CARTESIAN_BY_DESIGN = {"t5_cross_join"}  # 5 x 25 dims, explicitly cross
 
@@ -143,6 +144,35 @@ def test_partial_aggregation_before_shuffle(spark, sf_dir):
     # group-by must plan partial (map-side) + final HashAggregate
     plan = _plan(REGISTRY["a1_group_count"][0](spark, sf_dir))
     assert plan.count("HashAggregate") >= 2
+
+
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    """Spark's runtime bloom-filter join pruning (on by default in this
+    package's session): a selective filter on the build side injects a
+    might_contain() pre-filter into the probe-side scan, so at 100 TB the
+    fact scan drops non-joining rows BEFORE the shuffle. The size thresholds
+    that gate injection in production (10 GB probe-side scans) are lowered
+    here because test parquet is tiny — the assertion is that the rewrite
+    fires at all, which is config + plan shape, not data volume."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # shuffle join (the case pruning helps)
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = _optimized(joined)
+        assert "might_contain" in plan.lower(), plan[:2000]
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
 
 
 def test_constant_folded_sampling_fast_path(spark, sf_dir):
