@@ -467,7 +467,80 @@ FROM per
 """
 
 
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise content overlap between corpus sources: shared distinct
+    3-gram shingles and the shingle-set Jaccard per source pair — the
+    curation matrix that tells you which crawl/source combinations are
+    near-copies of each other (and should be down-weighted in the training
+    mix) before any per-document dedup runs.
+
+    Scale: the corpus collapses to DISTINCT (source, shingle) first — one
+    shuffle on the shingle hash; the pair expansion joins source-sets per
+    shingle, bounded by C(n_sources, 2) per shingle regardless of corpus
+    size (n_sources is config-scale). Output is n_sources^2 rows — driver-
+    tiny at any SF."""
+    from drive_health_etl_spark.operators.dedup import shingles_col  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    ss = (
+        docs.withColumn("toks", tokens_col())
+        .select("source", F.explode(shingles_col()).alias("shingle"))
+        .distinct()
+    )
+    counts = ss.groupBy("source").agg(F.count("*").alias("n"))
+    a = ss.select(F.col("source").alias("src_a"), "shingle")
+    b = ss.select(F.col("source").alias("src_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    na = counts.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    nb = counts.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        shared.join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def _corpus_overlap_sql() -> str:
+    from drive_health_etl_spark.operators.dedup import SHINGLES_SQL  # noqa: PLC0415
+
+    return f"""
+WITH ss AS (
+  SELECT DISTINCT source, shingle
+  FROM (SELECT source, unnest({SHINGLES_SQL}) AS shingle FROM documents)
+),
+counts AS (SELECT source, COUNT(*) AS n FROM ss GROUP BY source),
+shared AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+  FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, n_shared, ca.n AS n_a, cb.n AS n_b,
+       CAST(n_shared AS DOUBLE) / (ca.n + cb.n - n_shared) AS jaccard
+FROM shared
+JOIN counts ca ON ca.source = src_a
+JOIN counts cb ON cb.source = src_b
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "corpus_source_overlap": (corpus_source_overlap, _corpus_overlap_sql()),
     "corpus_kl_drift": (corpus_kl_drift, CORPUS_KL_DRIFT_SQL),
     "corpus_reservoir_per_source": (corpus_reservoir_per_source, CORPUS_RESERVOIR_SQL),
     "corpus_importance_sample": (corpus_importance_sample, CORPUS_IMPORTANCE_SQL),

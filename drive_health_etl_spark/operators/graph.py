@@ -179,6 +179,61 @@ ORDER BY rank DESC, part ASC LIMIT {PR_TOP_N}
 GRAPH_PAGERANK_SQL = _pagerank_sql()
 
 
+_TRI_SUPPORT = 2  # co-purchase pairs must recur to count as an edge
+
+
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the co-purchase graph: undirected edges are part
+    pairs bought together in >= _TRI_SUPPORT orders; triangles are counted
+    once each via the ID-ordered orientation (a < b < c), the standard trick
+    that makes each triangle appear in exactly one join order.
+
+    Scale: the support threshold bounds the edge list (recurring pairs, not
+    all C(items,2) per order); the two equi-joins shuffle on single node
+    keys. The production upgrade for skewed graphs is DEGREE ordering
+    instead of ID ordering (orients each edge toward the higher-degree
+    node, bounding per-node join fan-out by arboricity — the node-iterator
+    bound); ID ordering keeps the oracle SQL identical and is exact on this
+    graph."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= _TRI_SUPPORT)
+        .select("pa", "pb")
+    )
+    e1 = edges.select(F.col("pa").alias("x"), F.col("pb").alias("y"))
+    e2 = edges.select(F.col("pa").alias("y"), F.col("pb").alias("z"))
+    e3 = edges.select(F.col("pa").alias("x"), F.col("pb").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    return edges.agg(F.count("*").alias("n_edges")).crossJoin(
+        F.broadcast(tri.agg(F.count("*").alias("n_triangles")))
+    )
+
+
+GRAPH_TRIANGLES_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_TRI_SUPPORT}
+),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e1.pb = e2.pa
+  JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+)
+SELECT (SELECT COUNT(*) FROM edges) AS n_edges, n_triangles FROM tri
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "graph_pagerank": (graph_pagerank, GRAPH_PAGERANK_SQL),
+    "graph_triangles": (graph_triangles, GRAPH_TRIANGLES_SQL),
 }

@@ -146,6 +146,42 @@ SELECT event_type AS item, COUNT(*) AS cnt FROM events GROUP BY event_type
 """
 
 
+def sketch_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-mergeable quantiles (``percentile_approx``, the
+    Greenwald-Khanna summary) checked in-engine against the exact
+    interpolated percentile — same pattern as ``sketch_distinct_hll``: the
+    approximate value is asserted within tolerance, the emitted columns are
+    the exact ones the DuckDB oracle reproduces.
+
+    Scale: exact percentiles need a full sort (or one pass per group with
+    all values held); the GK summary is bounded-size per partition and
+    merges associatively, so it survives partial aggregation and rollups —
+    the only percentile that works in one pass over 100 TB."""
+    e = load_table(spark, sf_dir, "events")
+    exact50 = F.expr("percentile(value, 0.5)")
+    exact95 = F.expr("percentile(value, 0.95)")
+    ap50 = F.expr("approx_percentile(value, 0.5, 10000)")
+    ap95 = F.expr("approx_percentile(value, 0.95, 10000)")
+
+    def _ok(ap, exact):
+        return F.abs(ap - exact) <= F.greatest(F.lit(1.0), F.lit(0.05) * F.abs(exact))
+
+    return e.groupBy("event_type").agg(
+        F.round(exact50, 6).alias("p50"),
+        F.round(exact95, 6).alias("p95"),
+        F.count("*").alias("n"),
+        (_ok(ap50, exact50) & _ok(ap95, exact95)).alias("approx_ok"),
+    )
+
+
+SKETCH_QUANTILE_SQL = """
+SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       COUNT(*) AS n, TRUE AS approx_ok
+FROM events GROUP BY event_type
+"""
+
+
 # --- Binned range join ------------------------------------------------------
 
 _PROMO_PRICE = 490000.0  # ~top-1% orders -> a calendar-bounded window set
@@ -280,5 +316,6 @@ QUERIES = {
     "sql_scripting": (sql_scripting, SQL_SCRIPTING_SQL),
     "sketch_distinct_hll": (sketch_distinct_hll, SKETCH_DISTINCT_HLL_SQL),
     "sketch_top_k": (sketch_top_k, SKETCH_TOP_K_SQL),
+    "sketch_quantile_check": (sketch_quantile_check, SKETCH_QUANTILE_SQL),
     "j5b_binned_range_join": (j5b_binned_range_join, J5B_BINNED_RANGE_SQL),
 }

@@ -288,8 +288,9 @@ _ORDER = [
     "w5_distribution_funcs", "w6_value_funcs", "w7_zscore_outliers",
     "w8_range_frame", "w9_impute_ffill",
     "sql_recursive_cte", "sql_pipe_syntax", "sql_scripting",
-    "sketch_distinct_hll", "sketch_top_k", "j5b_binned_range_join",
-    "layout_zorder_stats",
+    "sketch_distinct_hll", "sketch_top_k", "sketch_quantile_check",
+    "j5b_binned_range_join", "layout_zorder_stats",
+    "corpus_source_overlap", "graph_triangles",
     "a6_listagg", "a7_winsorize", "u3_grouped_map_features", "u3_cogroup_join",
     "corpus_mix_resample", "feat_equidepth_bins", "basket_part_pairs",
     "rfm_segments", "sess_markov_transitions",
