@@ -65,6 +65,12 @@ HEADLINE = [
     "graph_pagerank",
     "scd2_order_status",
     "dedup_keep_best",
+    "j5b_binned_range_join",
+    "sketch_distinct_hll",
+    "sql_recursive_cte",
+    "layout_zorder_stats",
+    "graph_triangles",
+    "corpus_source_overlap",
     "pipeline_ingest_e2e",
 ]
 

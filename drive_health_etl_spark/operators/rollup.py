@@ -24,10 +24,15 @@ ROLLUP_KEYS = ("event_date", "tenant_id", "event_type")
 
 
 def _day_rollup(rows: DataFrame) -> DataFrame:
+    # n_keys (exact COUNT DISTINCT) is correct per-day but NOT re-aggregable
+    # across days; tenant_sketch carries the mergeable distinct-count state
+    # (DataSketches HLL binary) so any date-range distinct query folds from
+    # the rollup via hll_union_agg without touching the fact table.
     return rows.groupBy(*ROLLUP_KEYS).agg(
         F.count("*").alias("n_events"),
         F.sum(F.col("sampled").cast("long")).alias("n_sampled"),
         F.countDistinct("idempotency_key").alias("n_keys"),
+        F.hll_sketch_agg("tenant_id").alias("tenant_sketch"),
     )
 
 
@@ -64,6 +69,28 @@ def refresh_rollup(
             .parquet(rollup_path)
         )
     return n_parts
+
+
+def rollup_distinct_tenants(
+    spark: SparkSession,
+    rollup_path: str,
+    date_from: str | None = None,
+    date_to: str | None = None,
+) -> DataFrame:
+    """Distinct tenants active in a date range, answered ENTIRELY from the
+    rollup by merging per-day HLL sketches (``hll_union_agg``) — the
+    re-aggregation COUNT DISTINCT cannot do. Partition pruning keeps the
+    read to the requested days; at 100 TB this replaces a full fact-table
+    shuffle with a union of kilobyte-sized sketches."""
+    r = spark.read.parquet(rollup_path)
+    if date_from is not None:
+        r = r.filter(F.col("event_date") >= date_from)
+    if date_to is not None:
+        r = r.filter(F.col("event_date") <= date_to)
+    return r.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("tenant_sketch")).alias("distinct_tenants"),
+        F.countDistinct("event_date").alias("n_days"),
+    )
 
 
 def rollup_totals(spark: SparkSession, rollup_path: str) -> DataFrame:

@@ -255,6 +255,7 @@ _ORDER = [
     "j1_inner_equi", "j2_broadcast_dims", "j3_left_outer", "j3_full_outer",
     "j4_semi", "j4_anti", "j5_range_join", "j6_star_join",
     "t1_sort_desc", "t2_topk", "t3_union", "t3_intersect", "t3_except",
+    "t3b_set_ops_all",
     "w1_first_write_wins", "w2_rank_topn", "w3_lag_gap", "w4_running_sum",
     "st8_tumbling_window", "st8_sliding_window", "st8_session_window",
     "dq_profile", "dq_constraints", "cdc_snapshot_diff", "scd2_order_status",

@@ -715,6 +715,41 @@ def t3_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 T3_EXCEPT_SQL = _T3_CTE + "SELECT c_custkey FROM seg EXCEPT SELECT c_custkey FROM big"
 
 
+def t3b_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL): duplicates
+    carry multiplicity min(m,n) / max(m-n,0) instead of collapsing — Spark
+    plans these as an aggregate of per-side counts, NOT a distinct + join,
+    so partial aggregation still applies. Summarized to one row per op so
+    the result hash pins multiplicities, not just membership."""
+    ca = load_table(spark, sf_dir, "customer").select("c_nationkey")
+    cb = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_nationkey")
+    )
+    return (
+        ca.intersectAll(cb).agg(F.lit("intersect_all").alias("op"), F.count("*").alias("n"))
+        .unionByName(
+            ca.exceptAll(cb).agg(F.lit("except_all").alias("op"), F.count("*").alias("n"))
+        )
+        .unionByName(ca.union(cb).agg(F.lit("union_all").alias("op"), F.count("*").alias("n")))
+    )
+
+
+T3B_SET_OPS_ALL_SQL = """
+WITH ca AS (SELECT c_nationkey FROM customer),
+     cb AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING')
+SELECT 'intersect_all' AS op, COUNT(*) AS n
+FROM (SELECT * FROM ca INTERSECT ALL SELECT * FROM cb)
+UNION ALL
+SELECT 'except_all' AS op, COUNT(*) AS n
+FROM (SELECT * FROM ca EXCEPT ALL SELECT * FROM cb)
+UNION ALL
+SELECT 'union_all' AS op, COUNT(*) AS n
+FROM (SELECT * FROM ca UNION ALL SELECT * FROM cb)
+"""
+
+
 # --- W1-W4: window functions ------------------------------------------------
 
 
@@ -1222,6 +1257,7 @@ QUERIES: dict[str, tuple] = {
     "t3_union": (t3_union, T3_UNION_SQL),
     "t3_intersect": (t3_intersect, T3_INTERSECT_SQL),
     "t3_except": (t3_except, T3_EXCEPT_SQL),
+    "t3b_set_ops_all": (t3b_set_ops_all, T3B_SET_OPS_ALL_SQL),
     "w1_first_write_wins": (w1_first_write_wins, W1_SQL),
     "w2_rank_topn": (w2_rank_topn, W2_SQL),
     "w5_distribution_funcs": (w5_distribution_funcs, W5_SQL),
