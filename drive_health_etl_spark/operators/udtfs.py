@@ -62,7 +62,49 @@ def u4_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _base36(n: int) -> str:
+    digits = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    if n == 0:
+        return "0"
+    out = []
+    while n:
+        n, r = divmod(n, 36)
+        out.append(digits[r])
+    return "".join(reversed(out))
+
+
+def u6_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized scalar Python UDF (Spark 4 ``useArrow=True``): encode
+    order keys to base-36 short codes in Python, then count codes per
+    leading digit. The oracle recomputes the same encoding natively in
+    DuckDB (``to_base``), so the gate verifies the Arrow UDF transport +
+    execution path bit-for-bit.
+
+    Surface exercise like u4/u5: Arrow batching removes the pickle
+    serialization tax of classic Python UDFs, but the code still runs
+    row-at-a-time in Python — native ``conv(key, 10, 36)`` is the hot-path
+    twin; this path exists for logic with no native equivalent."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import udf
+
+    b36 = udf(_base36, "string", useArrow=True)
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(b36(F.col("o_orderkey")).alias("code"))
+        .groupBy(F.substring("code", 1, 1).alias("lead"))
+        .agg(F.count("*").alias("n"), F.max("code").alias("max_code"))
+    )
+
+
+U6_ARROW_UDF_SQL = """
+SELECT substr(to_base(o_orderkey, 36), 1, 1) AS lead, COUNT(*) AS n,
+       MAX(to_base(o_orderkey, 36)) AS max_code
+FROM orders GROUP BY 1
+"""
+
+
 QUERIES: dict[str, tuple] = {
     # identical semantics to the native operator -> identical oracle
     "u4_udtf_chunks": (u4_udtf_chunks, CORPUS_CHUNK_SQL),
+    "u6_arrow_udf": (u6_arrow_udf, U6_ARROW_UDF_SQL),
 }

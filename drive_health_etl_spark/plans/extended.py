@@ -703,14 +703,46 @@ FROM orders
 
 
 def a5_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct + approximate percentiles. No DuckDB oracle —
-    sketch algorithms differ by design; pytest asserts <5%% error vs exact."""
+    """HyperLogLog++ distinct + approximate percentiles, verified IN-ENGINE
+    against the exact values (sketch outputs differ across engines by
+    design, so the emitted columns are the exact ones plus boolean
+    within-tolerance flags the DuckDB oracle reproduces as TRUE — the same
+    pattern as sketch_distinct_hll / sketch_quantile_check)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("p50_price"),
-        F.percentile_approx("l_extendedprice", 0.95).alias("p95_price"),
+    exact_nd = F.count_distinct("l_orderkey")
+    # Two 1-row aggregates joined, NOT one: a distinct aggregate mixed with
+    # percentile aggs plans an Expand (row duplication per agg group) and
+    # was measured 20-60x slower than the two independent scans. Percentiles
+    # use the array form — each percentile() aggregate buffers the whole
+    # column separately, the array form buffers it once for both quantiles.
+    dist = li.agg(
+        exact_nd.alias("n_orders"),
+        (F.abs(F.approx_count_distinct("l_orderkey") - exact_nd)
+         <= F.lit(0.05) * exact_nd).alias("nd_ok"),
     )
+    pctl = (
+        li.agg(
+            F.expr("percentile(l_extendedprice, array(0.5D, 0.95D))").alias("ex"),
+            F.expr("approx_percentile(l_extendedprice, array(0.5D, 0.95D))").alias("ap"),
+        )
+        .select(
+            F.round(F.col("ex")[0], 6).alias("p50_price"),
+            F.round(F.col("ex")[1], 6).alias("p95_price"),
+            ((F.abs(F.col("ap")[0] - F.col("ex")[0]) <= F.lit(0.05) * F.col("ex")[0])
+             & (F.abs(F.col("ap")[1] - F.col("ex")[1]) <= F.lit(0.05) * F.col("ex")[1])
+            ).alias("pctl_ok"),
+        )
+    )
+    return dist.join(F.broadcast(pctl))  # 1 row x 1 row
+
+
+A5_APPROX_STATS_SQL = """
+SELECT COUNT(DISTINCT l_orderkey) AS n_orders, TRUE AS nd_ok,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price,
+       round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price,
+       TRUE AS pctl_ok
+FROM lineitem
+"""
 
 
 # --- Entity resolution (blocked fuzzy record linkage) -----------------------
@@ -863,7 +895,7 @@ QUERIES: dict[str, tuple] = {
     "f1_phone_normalize": (f1_phone_normalize, F1_SQL),
     "f5_base64_roundtrip": (f5_base64_roundtrip, F5_SQL),
     "w2b_rank_dense": (w2b_rank_dense, W2B_SQL),
-    "a5_approx_stats": (a5_approx_stats, None),
+    "a5_approx_stats": (a5_approx_stats, A5_APPROX_STATS_SQL),
     "t4_pivot": (t4_pivot, T4_PIVOT_SQL),
     "t4_unpivot": (t4_unpivot, T4_UNPIVOT_SQL),
     "a5_grouping_sets": (a5_grouping_sets, A5_GROUPING_SETS_SQL),

@@ -125,6 +125,7 @@ BNLJ_BY_DESIGN = {
     "rfm_segments",  # 1-row max-date + 1-row tercile-bounds broadcasts onto the binning map
     "sketch_distinct_hll",  # 1-row merged-sketch broadcast onto the 1-row global exact agg
     "graph_triangles",  # 1-row edge-count x 1-row triangle-count metadata join
+    "a5_approx_stats",  # 1-row distinct-agg x 1-row percentile-agg (Expand avoidance)
 }
 CARTESIAN_BY_DESIGN = {"t5_cross_join"}  # 5 x 25 dims, explicitly cross
 
