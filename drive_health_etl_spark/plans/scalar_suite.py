@@ -273,6 +273,74 @@ FROM embeddings
 """
 
 
+def f_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex-function surface over document text: group extraction, find-all
+    (count + first/last match), boolean match — the engine-portable subset
+    (Spark regexp_* / DuckDB regexp_*, both RE2-class syntax; no lookbehind,
+    which DuckDB's RE2 rejects)."""
+    d = load_table(spark, sf_dir, "documents")
+    num = r"[0-9]+"
+    word_up = r"\b[A-Z][a-z]+"
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"([a-z]+)ing\b", 1).alias("first_ing_stem"),
+        F.size(F.expr(f"regexp_extract_all(text, '{num}')")).alias("n_numbers"),
+        F.try_element_at(F.expr(f"regexp_extract_all(text, '{num}')"), F.lit(1)).alias("first_num"),
+        F.try_element_at(F.expr(f"regexp_extract_all(text, '{num}')"), F.lit(-1)).alias("last_num"),
+        F.col("text").rlike(word_up).alias("has_capitalized"),
+        F.size(F.expr(r"regexp_extract_all(text, '\\b[A-Z][a-z]+')")).alias("n_capitalized"),
+    )
+
+
+F_REGEX_SQL = r"""
+SELECT doc_id,
+       regexp_extract(text, '([a-z]+)ing\b', 1) AS first_ing_stem,
+       len(regexp_extract_all(text, '[0-9]+')) AS n_numbers,
+       regexp_extract_all(text, '[0-9]+')[1] AS first_num,
+       regexp_extract_all(text, '[0-9]+')[-1] AS last_num,
+       regexp_matches(text, '\b[A-Z][a-z]+') AS has_capitalized,
+       len(regexp_extract_all(text, '\b[A-Z][a-z]+')) AS n_capitalized
+FROM documents
+"""
+
+
+def f_collation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collations: UTF8_LCASE comparison and grouping semantics,
+    asserted in-engine against the explicit lower() rewrite (collation is
+    engine-specific surface — DuckDB's collations differ — so the oracle
+    sees exact lower()-based values plus TRUE flags, the sketch_* pattern).
+
+    Scale note: collated equality pushes into hash keys like any other
+    binary comparison — grouping by a collated column is one shuffle, same
+    as grouping by lower(col), but keeps the original bytes for output."""
+    c = load_table(spark, sf_dir, "customer")
+    mixed = F.concat(F.upper(F.substring("c_mktsegment", 1, 2)),
+                     F.lower(F.substring("c_mktsegment", 3, 99)))
+    lc = F.collate(mixed, "UTF8_LCASE")
+    per = (
+        c.select(
+            mixed.alias("seg_mixed"),
+            F.lower("c_mktsegment").alias("seg_lower"),
+            (lc == F.collate(F.lower("c_mktsegment"), "UTF8_LCASE")).alias("ci_eq"),
+        )
+        .groupBy("seg_lower")
+        .agg(
+            F.count("*").alias("n"),
+            F.min(F.col("ci_eq").cast("int")).alias("all_ci_eq"),
+        )
+    )
+    return per.select(
+        "seg_lower", "n",
+        (F.col("all_ci_eq") == 1).alias("collation_ok"),
+    )
+
+
+F_COLLATION_SQL = """
+SELECT lower(c_mktsegment) AS seg_lower, COUNT(*) AS n, TRUE AS collation_ok
+FROM customer GROUP BY 1
+"""
+
+
 def a5_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group exact percentiles (grouped quantile_cont twin)."""
     e = load_table(spark, sf_dir, "events")
@@ -488,6 +556,8 @@ QUERIES: dict[str, tuple] = {
     "t6_posexplode": (t6_posexplode, T6_POSEXPLODE_SQL),
     "f_array_suite": (f_array_suite, F_ARRAY_SQL),
     "f_string_suite": (f_string_suite, F_STRING_SQL),
+    "f_regex_suite": (f_regex_suite, F_REGEX_SQL),
+    "f_collation_suite": (f_collation_suite, F_COLLATION_SQL),
     "f_date_suite": (f_date_suite, F_DATE_SQL),
     "f_math_suite": (f_math_suite, F_MATH_SQL),
     "sub_scalar_subquery": (sub_scalar_subquery, SUB_SCALAR_SQL),
