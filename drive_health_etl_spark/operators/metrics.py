@@ -59,3 +59,63 @@ def observed_sampling_rate(warehouse: DataFrame) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.round(F.avg(F.col("sampled").cast("double")), 6).alias("observed_rate"),
     )
+
+
+class BatchProgressListener:
+    """Streaming observability (``docs/monitoring.md``'s batch-throughput
+    counters, Spark-native): a ``StreamingQueryListener`` that records one
+    summary dict per micro-batch — input rows, processed rows/sec, batch
+    duration, and state-store row counts for stateful queries.
+
+    Listener callbacks run on the driver off the hot path (event-bus
+    delivery), so collection costs nothing per-record; this is the
+    mechanism a production deployment bridges to its metrics system, and
+    the in-memory list here is the test/dashboard seam. Instantiate via
+    :func:`attach_progress_listener` (the concrete class subclasses the
+    PySpark listener ABC at call time so importing this module never
+    requires a live streaming context)."""
+
+    def __init__(self) -> None:
+        self.batches: list[dict] = []
+
+    def _record(self, progress) -> None:
+        if progress is None:
+            return
+        self.batches.append(
+            {
+                "batch_id": progress.batchId,
+                "num_input_rows": progress.numInputRows,
+                "rows_per_sec": progress.processedRowsPerSecond,
+                "duration_ms": (progress.durationMs or {}).get("triggerExecution"),
+                "state_rows": sum(
+                    s.numRowsTotal for s in (progress.stateOperators or [])
+                ),
+            }
+        )
+
+
+def attach_progress_listener(spark):
+    """Create, register and return a :class:`BatchProgressListener` bound to
+    ``spark``'s streaming event bus. Caller is responsible for
+    ``spark.streams.removeListener(listener)`` when done (tests do)."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    sink = BatchProgressListener()
+
+    class _Listener(StreamingQueryListener):
+        def onQueryStarted(self, event) -> None:  # noqa: D102
+            pass
+
+        def onQueryProgress(self, event) -> None:  # noqa: D102
+            sink._record(event.progress)
+
+        def onQueryIdle(self, event) -> None:  # noqa: D102
+            pass
+
+        def onQueryTerminated(self, event) -> None:  # noqa: D102
+            pass
+
+    listener = _Listener()
+    spark.streams.addListener(listener)
+    sink.listener = listener
+    return sink
