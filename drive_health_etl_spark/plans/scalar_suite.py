@@ -341,6 +341,42 @@ FROM customer GROUP BY 1
 """
 
 
+def f_parse_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar record-parsing surface (``from_csv`` / ``from_xml``):
+    serialize order fields to a CSV line and an XML fragment, parse both
+    back, and assert field-level equality in-engine. DuckDB has no scalar
+    XML parser, so the oracle reproduces the exact passthrough columns and
+    TRUE flags (the engine-specific-surface pattern, like collations).
+
+    The roundtrip is exact: double -> string -> double is value-preserving
+    for Spark's shortest-repr formatting, and the parsers run as native
+    expressions (no Python)."""
+    o = load_table(spark, sf_dir, "orders")
+    csv_line = F.concat_ws(",", "o_orderkey", "o_orderstatus", "o_totalprice")
+    pc = F.from_csv(csv_line, F.lit("k LONG, s STRING, p DOUBLE"))
+    xml_str = F.concat(
+        F.lit("<o><k>"), F.col("o_orderkey"), F.lit("</k><s>"),
+        F.col("o_orderstatus"), F.lit("</s></o>"),
+    )
+    px = F.from_xml(xml_str, "k LONG, s STRING")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        (
+            (pc["k"] == F.col("o_orderkey"))
+            & (pc["s"] == F.col("o_orderstatus"))
+            & (pc["p"] == F.col("o_totalprice"))
+        ).alias("csv_ok"),
+        ((px["k"] == F.col("o_orderkey")) & (px["s"] == F.col("o_orderstatus"))).alias("xml_ok"),
+    )
+
+
+F_PARSE_SQL = """
+SELECT o_orderkey, o_orderstatus AS status, TRUE AS csv_ok, TRUE AS xml_ok
+FROM orders
+"""
+
+
 def a5_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group exact percentiles (grouped quantile_cont twin)."""
     e = load_table(spark, sf_dir, "events")
@@ -558,6 +594,7 @@ QUERIES: dict[str, tuple] = {
     "f_string_suite": (f_string_suite, F_STRING_SQL),
     "f_regex_suite": (f_regex_suite, F_REGEX_SQL),
     "f_collation_suite": (f_collation_suite, F_COLLATION_SQL),
+    "f_parse_suite": (f_parse_suite, F_PARSE_SQL),
     "f_date_suite": (f_date_suite, F_DATE_SQL),
     "f_math_suite": (f_math_suite, F_MATH_SQL),
     "sub_scalar_subquery": (sub_scalar_subquery, SUB_SCALAR_SQL),
