@@ -103,8 +103,70 @@ FROM orders GROUP BY 1
 """
 
 
+def u7_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` surface: per-batch blob statistics computed ZERO-COPY
+    on the Arrow RecordBatch (no pandas materialization — the lowest-
+    overhead Python batch API, right for byte-wrangling over binary
+    columns). Each batch emits per-modality partials; a JVM-side groupBy
+    folds them — the partial-aggregate shape that keeps Python work
+    embarrassingly parallel and the shuffle tiny.
+
+    Semantics are deliberately reproducible natively (octet lengths), so
+    the oracle checks the Arrow transport + batch iteration machinery."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyspark.sql import functions as F
+
+    from drive_health_etl_spark.operators.multimodal import attach_media
+
+    def op(batches):
+        for batch in batches:
+            t = pa.table(batch)
+            lens = pc.binary_length(t.column("content"))
+            grouped = (
+                t.append_column("blen", lens)
+                .group_by("modality")
+                .aggregate([("blen", "sum"), ("blen", "max"), ("blen", "count")])
+            )
+            out = grouped.rename_columns(["modality", "bytes_part", "max_part", "n_part"])
+            # binary_length is int32; the declared Spark schema is long —
+            # cast explicitly, Arrow-to-JVM transfer does not coerce widths
+            yield from out.cast(
+                pa.schema(
+                    [
+                        ("modality", pa.string()),
+                        ("bytes_part", pa.int64()),
+                        ("max_part", pa.int64()),
+                        ("n_part", pa.int64()),
+                    ]
+                )
+            ).to_batches()
+
+    media = attach_media(spark, sf_dir).select("modality", "content")
+    partials = media.mapInArrow(
+        op, "modality string, bytes_part long, max_part long, n_part long"
+    )
+    return partials.groupBy("modality").agg(
+        F.sum("bytes_part").alias("total_bytes"),
+        F.max("max_part").alias("max_bytes"),
+        F.sum("n_part").alias("n_blobs"),
+    )
+
+
+U7_MAP_IN_ARROW_SQL = """
+SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS modality,
+       CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+       MAX(strlen(text)) AS max_bytes,
+       COUNT(*) AS n_blobs
+FROM documents GROUP BY 1
+"""
+
+
 QUERIES: dict[str, tuple] = {
     # identical semantics to the native operator -> identical oracle
     "u4_udtf_chunks": (u4_udtf_chunks, CORPUS_CHUNK_SQL),
     "u6_arrow_udf": (u6_arrow_udf, U6_ARROW_UDF_SQL),
+    "u7_map_in_arrow": (u7_map_in_arrow, U7_MAP_IN_ARROW_SQL),
 }

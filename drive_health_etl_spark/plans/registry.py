@@ -300,7 +300,7 @@ _ORDER = [
     "dedup_semantic", "dedup_components", "dedup_near_pipeline",
     "graph_pagerank", "corpus_prep_pipeline",
     "u4_udtf_chunks", "u5_grouped_agg_udaf", "u5_window_agg_udaf",
-    "u6_arrow_udf",
+    "u6_arrow_udf", "u7_map_in_arrow",
     "multimodal_resize_stats", "multimodal_video_stats",
     "st_stateful_counters", "st_stream_stream_join", "st_stream_dedup",
 ]
