@@ -715,9 +715,12 @@ def a5_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # was measured 20-60x slower than the two independent scans. Percentiles
     # use the array form — each percentile() aggregate buffers the whole
     # column separately, the array form buffers it once for both quantiles.
+    # rsd pinned to 1%: the default 5% is a ONE-sigma bound, observed 6.4%
+    # off at sf0.001's ~1.5k cardinality — the tolerance flag needs the
+    # estimate's error comfortably inside the asserted 5% at every SF.
     dist = li.agg(
         exact_nd.alias("n_orders"),
-        (F.abs(F.approx_count_distinct("l_orderkey") - exact_nd)
+        (F.abs(F.approx_count_distinct("l_orderkey", 0.01) - exact_nd)
          <= F.lit(0.05) * exact_nd).alias("nd_ok"),
     )
     pctl = (

@@ -38,12 +38,13 @@ def test_retention_ttl(spark, sf_dir, tmp_path):
 
 
 def test_approx_stats_accuracy(spark, sf_dir):
-    approx = a5_approx_stats(spark, sf_dir).collect()[0]
+    row = a5_approx_stats(spark, sf_dir).collect()[0]
     li = load_table(spark, sf_dir, "lineitem")
     exact = li.agg(
         F.countDistinct("l_orderkey").alias("n"),
-        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("round(percentile(l_extendedprice, 0.5), 6)").alias("p50"),
     ).collect()[0]
-    # approx_count_distinct's default rsd is 5%; allow 2 sigma
-    assert abs(approx["approx_orders"] - exact["n"]) / exact["n"] < 0.10
-    assert abs(approx["p50_price"] - exact["p50"]) / exact["p50"] < 0.05
+    # the query now emits exact values + in-engine tolerance flags
+    assert row["n_orders"] == exact["n"]
+    assert row["p50_price"] == exact["p50"]
+    assert row["nd_ok"] and row["pctl_ok"]

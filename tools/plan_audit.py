@@ -141,6 +141,53 @@ AUDITS = [
         "groupBy share the o_custkey partitioning — Catalyst plans ONE "
         "exchange; the change-flag/cumsum/lead chain is sort-local.",
     ),
+    (
+        "j5b_binned_range_join",
+        "Binned range join: the interval predicate becomes a HASH join on "
+        "the 7-day bin key (intervals explode to <=2 bins via sequence, "
+        "points map to one) plus a residual range filter — no "
+        "BroadcastNestedLoopJoin, and the shape stays shuffle-partitionable "
+        "when BOTH sides are fact-sized (here the calendar-bounded window "
+        "side broadcasts).",
+    ),
+    (
+        "sketch_distinct_hll",
+        "Mergeable-sketch distinct: per-group HLL sketches are partial-"
+        "aggregated map-side (ObjectHashAggregate partial+final), and the "
+        "global row merges the per-group sketches with hll_union_agg — one "
+        "fact scan for the groups, a kilobyte-sized 1-row join for the "
+        "total; raw keys shuffle once, never twice.",
+    ),
+    (
+        "layout_zorder_stats",
+        "Z-order key math: the Morton interleave is pure shift/mask "
+        "arithmetic inside ONE WholeStageCodegen span over the scan — no "
+        "UDF, no join, no extra pass; the quadrant aggregate plans "
+        "partial+final on the 4-bit key.",
+    ),
+    (
+        "sql_recursive_cte",
+        "Recursive CTE (Spark 4 UnionLoop): each iteration joins the "
+        "shrinking frontier only — work per round tracks the frontier, "
+        "rounds equal hierarchy depth, and the final aggregate is an "
+        "ordinary partial+final HashAggregate over the loop output.",
+    ),
+    (
+        "graph_triangles",
+        "Triangle census: support-thresholded edges (HAVING on the pair "
+        "aggregate) bound the edge list before the two single-key equi-"
+        "joins; ID ordering counts each triangle exactly once — no "
+        "cartesian anywhere, the only BNLJ is the 1-row x 1-row summary "
+        "join.",
+    ),
+    (
+        "corpus_source_overlap",
+        "Source overlap matrix: DISTINCT (source, shingle) first (one "
+        "shuffle on the shingle), then the per-shingle source pair "
+        "expansion is bounded by C(n_sources,2) — corpus size never enters "
+        "the join fan-out; per-source totals broadcast back onto the "
+        "n_sources^2-row result.",
+    ),
 ]
 
 
