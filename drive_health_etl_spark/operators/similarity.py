@@ -651,7 +651,129 @@ FROM embeddings
 """
 
 
+# --- Product quantization (PQ) ----------------------------------------------
+
+PQ_M = 4  # subspaces
+PQ_SUB = EMB_DIM // PQ_M  # dims per subspace
+PQ_K = 16  # codewords per subspace -> 4 bits/subspace, 2 bytes/vector
+
+
+def emb_pq_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: split each 64-d vector into 4 x 16-d
+    subvectors, encode each against a 16-entry per-subspace codebook
+    (argmin squared L2, ties to the lowest code), and report per-subspace
+    reconstruction MSE and codebook utilization. 2 bytes/vector vs 64
+    bytes int8 — the memory tier below int8 for billion-vector ANN, and
+    the code layout IVF-PQ search operates on.
+
+    Codebooks here are the first PQ_K subvectors (deterministic;
+    ``kmeans_centroids`` is the drop-in trained upgrade — same literal-
+    broadcast scoring shape). Encoding is a narrow map: ONE broadcast
+    1-row codebook join, argmin via array_min over (dist, code) structs
+    (linear in PQ_K — the when/otherwise fold trap from the k-means work
+    applies here too). Distances use the dot-product expansion
+    |s|^2 - 2<s,c> + |c|^2 with every term evaluated as the same
+    left-to-right fold in both engines, so code choice and MSE are
+    bit-identical to the oracle."""
+    import pyspark.sql.types as T
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    )
+    cb_rows = emb.filter(F.col("vec_id") < PQ_K).select("vec_id", "e").collect()
+    schema = T.StructType(
+        [
+            T.StructField(
+                "pqmat",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("code", T.IntegerType()),
+                            T.StructField("cv", T.ArrayType(T.DoubleType())),
+                        ]
+                    )
+                ),
+            )
+        ]
+    )
+    parts = []
+    for m in range(PQ_M):
+        cb = [
+            {"code": int(r["vec_id"]), "cv": list(r["e"])[m * PQ_SUB : (m + 1) * PQ_SUB]}
+            for r in sorted(cb_rows, key=lambda r: r["vec_id"])
+        ]
+        cb_df = spark.createDataFrame([(cb,)], schema)
+        # SELECT the subvector and its self-dot into columns BEFORE the
+        # per-codeword lambda: a derived expression referenced inside
+        # transform() is inlined per element (16x the fold, and 16x the
+        # analysis cost — the emb_quantize gotcha).
+        base = (
+            emb.join(F.broadcast(cb_df))
+            .select("pqmat", F.slice("e", m * PQ_SUB + 1, PQ_SUB).alias("sv"))
+            .withColumn("svv", _dot(F.col("sv"), F.col("sv")))
+        )
+        best = F.array_min(
+            F.transform(
+                F.col("pqmat"),
+                lambda c: F.struct(
+                    (
+                        F.col("svv")
+                        - F.lit(2.0) * _dot(F.col("sv"), c["cv"])
+                        + _dot(c["cv"], c["cv"])
+                    ).alias("d"),
+                    c["code"].alias("code"),
+                ),
+            )
+        )
+        parts.append(
+            base.select(
+                F.lit(m).alias("subspace"),
+                best["d"].alias("sq"),
+                best["code"].alias("code"),
+            )
+        )
+    allm = parts[0]
+    for p in parts[1:]:
+        allm = allm.unionByName(p)
+    return allm.groupBy("subspace").agg(
+        F.count("*").alias("n_vecs"),
+        F.count_distinct("code").alias("n_codes_used"),
+        F.round(
+            F.sum(F.col("sq").cast("decimal(28,12)")).cast("double")
+            / (F.count("*") * PQ_SUB),
+            6,
+        ).alias("mse"),
+    )
+
+
+EMB_PQ_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+sub AS (
+  SELECT vec_id, m, emb[(m*{PQ_SUB}+1):((m+1)*{PQ_SUB})] AS sv
+  FROM e CROSS JOIN (SELECT unnest(range({PQ_M})) AS m)
+),
+cb AS (SELECT vec_id AS code, m, sv AS cv FROM sub WHERE vec_id < {PQ_K}),
+assigned AS (
+  SELECT vec_id, m, sq, code FROM (
+    SELECT s.vec_id, s.m, c.code,
+           list_dot_product(s.sv, s.sv) - 2*list_dot_product(s.sv, c.cv)
+             + list_dot_product(c.cv, c.cv) AS sq,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+             ORDER BY list_dot_product(s.sv, s.sv) - 2*list_dot_product(s.sv, c.cv)
+                      + list_dot_product(c.cv, c.cv) ASC, c.code ASC) AS rn
+    FROM sub s JOIN cb c ON c.m = s.m
+  ) WHERE rn = 1
+)
+SELECT m AS subspace, COUNT(*) AS n_vecs, COUNT(DISTINCT code) AS n_codes_used,
+       ROUND(CAST(SUM(CAST(sq AS DECIMAL(28,12))) AS DOUBLE) / (COUNT(*) * {PQ_SUB}), 6) AS mse
+FROM assigned GROUP BY m
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "emb_pq_stats": (emb_pq_stats, EMB_PQ_SQL),
     "emb_dim_energy": (emb_dim_energy, EMB_DIM_ENERGY_SQL),
     "sim_knn_classify": (sim_knn_classify, SIM_KNN_CLASSIFY_SQL),
     "emb_quantize_stats": (emb_quantize_stats, EMB_QUANTIZE_SQL),
