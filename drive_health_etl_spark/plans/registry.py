@@ -287,7 +287,7 @@ _ORDER = [
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "q6_forecast_revenue", "a5_grouping_sets", "w2b_rank_dense",
     "w5_distribution_funcs", "w6_value_funcs", "w7_zscore_outliers",
-    "w8_range_frame", "w9_impute_ffill",
+    "w8_range_frame", "w9_impute_ffill", "w10_mad_outliers",
     "sql_recursive_cte", "sql_pipe_syntax", "sql_scripting",
     "sketch_distinct_hll", "sketch_top_k", "sketch_quantile_check",
     "j5b_binned_range_join", "layout_zorder_stats",

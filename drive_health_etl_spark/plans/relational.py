@@ -983,6 +983,56 @@ SELECT event_id, user_id, ROUND(zscore, 6) AS zscore FROM (
 """
 
 
+def w10_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier census per event type: |v - median| >
+    3 * 1.4826 * MAD — the anomaly gate that survives the heavy-tailed
+    value distributions that wreck mean/σ z-scores (w7's gate). Exact
+    medians; the two median passes are two groupBy aggregates on the same
+    enum-sized key with the 5-row results broadcast back — no window over
+    the full partition, no sort of the fact table.
+
+    The robust-z comparison runs on raw IEEE doubles (exact interpolated
+    percentiles are engine-identical; 1.4826 multiply likewise), so the
+    outlier COUNTS hash-match; emitted med/mad are rounded once."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    absdev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = absdev.groupBy("event_type").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    return (
+        absdev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("med"), 6).alias("med"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.sum(
+                (F.col("adev") > F.lit(3.0) * F.lit(1.4826) * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+        )
+    )
+
+
+W10_SQL = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY event_type
+),
+adev AS (
+  SELECT e.event_type, ABS(e.value - m.med) AS adev, m.med
+  FROM events e JOIN med m ON e.event_type = m.event_type
+),
+mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM adev GROUP BY event_type
+)
+SELECT a.event_type, COUNT(*) AS n,
+       ROUND(MIN(a.med), 6) AS med, ROUND(MIN(m.mad), 6) AS mad,
+       CAST(SUM(CASE WHEN a.adev > 3.0 * 1.4826 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM adev a JOIN mad m ON a.event_type = m.event_type
+GROUP BY a.event_type
+"""
+
+
 # --- ST8 [ext]: event-time windows (batch twins of the streaming ops) -------
 
 
@@ -1265,6 +1315,7 @@ QUERIES: dict[str, tuple] = {
     "w4_running_sum": (w4_running_sum, W4_SQL),
     "w6_value_funcs": (w6_value_funcs, W6_SQL),
     "w7_zscore_outliers": (w7_zscore_outliers, W7_SQL),
+    "w10_mad_outliers": (w10_mad_outliers, W10_SQL),
     "w8_range_frame": (w8_range_frame, W8_SQL),
     "a6_listagg": (a6_listagg, A6_SQL),
     "st8_tumbling_window": (st8_tumbling_window, ST8_TUMBLING_SQL),
