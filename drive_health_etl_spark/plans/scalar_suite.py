@@ -377,6 +377,74 @@ FROM orders
 """
 
 
+def f_try_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``try_*`` error-handling surface — the sanctioned escapes from Spark
+    4's ANSI mode (where bare cast/divide/add THROW): failed casts, divide
+    by zero, and bigint overflow all yield NULL instead of killing the
+    1000-executor job at the one poison row. The oracle reproduces each
+    NULL contract with CASE/NULLIF equivalents (DuckDB double division
+    already yields NULL on zero)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderstatus").try_cast("int").alias("bad_cast"),  # always NULL
+        F.col("o_orderkey").cast("string").try_cast("long").alias("roundtrip_cast"),
+        F.try_divide(F.col("o_totalprice"), (F.col("o_orderkey") % 3).cast("double")).alias(
+            "div_or_null"
+        ),
+        F.try_add(F.lit(9223372036854775807), F.col("o_orderkey")).alias("overflow_add"),
+    )
+
+
+F_TRY_SQL = """
+SELECT o_orderkey,
+       try_cast(o_orderstatus AS INT) AS bad_cast,
+       try_cast(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS roundtrip_cast,
+       o_totalprice / CAST(o_orderkey % 3 AS DOUBLE) AS div_or_null,
+       CASE WHEN o_orderkey = 0 THEN 9223372036854775807 ELSE NULL END AS overflow_add
+FROM orders
+"""
+
+
+def a8_misc_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-function breadth: count_if, bool_and/bool_or, and
+    deterministic argmax/argmin via max_by/min_by over a (value, key)
+    struct (bare max_by ties are nondeterministic — the struct tiebreak is
+    the portable fix; the oracle uses the equivalent ROW_NUMBER pick)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.expr("count_if(o_totalprice > 250000.0)").alias("n_big"),
+        F.expr("bool_and(o_totalprice > 0.0)").alias("all_positive"),
+        F.expr("bool_or(o_totalprice > 490000.0)").alias("any_jumbo"),
+        F.expr(
+            "max_by(o_orderkey, struct(o_totalprice, o_orderkey))"
+        ).alias("priciest_order"),
+        F.expr(
+            "min_by(o_orderkey, struct(o_totalprice, -o_orderkey))"
+        ).alias("cheapest_order"),
+    )
+
+
+A8_MISC_AGGS_SQL = """
+WITH ranked AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+           ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn_max,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+           ORDER BY o_totalprice ASC, o_orderkey DESC) AS rn_min
+  FROM orders
+)
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(count_if(o_totalprice > 250000.0) AS BIGINT) AS n_big,
+       bool_and(o_totalprice > 0.0) AS all_positive,
+       bool_or(o_totalprice > 490000.0) AS any_jumbo,
+       MAX(CASE WHEN rn_max = 1 THEN o_orderkey END) AS priciest_order,
+       MAX(CASE WHEN rn_min = 1 THEN o_orderkey END) AS cheapest_order
+FROM ranked GROUP BY o_orderpriority
+"""
+
+
 def a5_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group exact percentiles (grouped quantile_cont twin)."""
     e = load_table(spark, sf_dir, "events")
@@ -595,6 +663,8 @@ QUERIES: dict[str, tuple] = {
     "f_regex_suite": (f_regex_suite, F_REGEX_SQL),
     "f_collation_suite": (f_collation_suite, F_COLLATION_SQL),
     "f_parse_suite": (f_parse_suite, F_PARSE_SQL),
+    "f_try_suite": (f_try_suite, F_TRY_SQL),
+    "a8_misc_aggs": (a8_misc_aggs, A8_MISC_AGGS_SQL),
     "f_date_suite": (f_date_suite, F_DATE_SQL),
     "f_math_suite": (f_math_suite, F_MATH_SQL),
     "sub_scalar_subquery": (sub_scalar_subquery, SUB_SCALAR_SQL),
