@@ -131,16 +131,43 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cached(spark, sf_dir, "sigs", lambda: _build_minhash_signatures(spark, sf_dir))
 
 
+def signatures_for(docs: DataFrame) -> DataFrame:
+    """MinHash signatures (mh0..mh7) for any (doc_id, text) DataFrame —
+    batch or micro-batch alike (the streaming dedup-on-arrival operator in
+    ``streaming/corpus_stream.py`` calls this per batch)."""
+    exploded = docs.withColumn("toks", tokens_col()).select(
+        "doc_id", F.explode(shingles_col()).alias("shingle")
+    )
+    return exploded.groupBy("doc_id").agg(*[_minhash_expr(i) for i in range(N_HASHES)])
+
+
+def band_keys(sigs: DataFrame) -> DataFrame:
+    """Explode signatures to LSH band keys: (doc_id, band, h1, h2) — the
+    join/bucket key for candidate generation, batch and streaming."""
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.col(f"mh{2 * b}").alias("h1"),
+                        F.col(f"mh{2 * b + 1}").alias("h2"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.h1", "bs.h2")
+
+
 def _build_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Repartition after the single-file scan so the shingle hashing runs on
     # all cores, not the one scan partition.
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    exploded = docs.withColumn("toks", tokens_col()).select(
-        "doc_id", F.explode(shingles_col()).alias("shingle")
-    )
-    return exploded.groupBy("doc_id").agg(*[_minhash_expr(i) for i in range(N_HASHES)])
+    return signatures_for(docs)
 
 
 MINHASH_SIG_SQL = f"""
@@ -172,27 +199,12 @@ def minhash_bucket_stats(spark: SparkSession, sf_dir: str, cap: int = BUCKET_CAP
 
 
 def _lsh_buckets(sigs: DataFrame) -> DataFrame:
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.col(f"mh{2 * b}").alias("h1"),
-                        F.col(f"mh{2 * b + 1}").alias("h2"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("bs"),
-    ).select("doc_id", "bs.band", "bs.h1", "bs.h2")
     # Group docs per LSH bucket, instead of a self-join: signatures are
     # computed ONCE (a self-join would recompute the whole minhash subtree
     # for each side) and the shuffle carries (band, h1, h2) -> [doc_id]
     # buckets.
     return (
-        bands.groupBy("band", "h1", "h2")
+        band_keys(sigs).groupBy("band", "h1", "h2")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )

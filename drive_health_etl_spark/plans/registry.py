@@ -206,7 +206,13 @@ FROM events GROUP BY user_id
 """
 
 
+from drive_health_etl_spark.streaming.corpus_stream import (
+    _st_corpus_dedup_sql,
+    st_corpus_dedup,
+)
+
 _MERGED: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "st_corpus_dedup": (st_corpus_dedup, _st_corpus_dedup_sql()),
     "st_stateful_counters": (st_stateful_counters, ST_STATEFUL_SQL),
     "st_stream_stream_join": (st_stream_stream_join, ST_STREAM_STREAM_SQL),
     "st_stream_dedup": (st_stream_dedup, ST_STREAM_DEDUP_SQL),
@@ -303,6 +309,7 @@ _ORDER = [
     "u6_arrow_udf", "u7_map_in_arrow",
     "multimodal_resize_stats", "multimodal_video_stats",
     "st_stateful_counters", "st_stream_stream_join", "st_stream_dedup",
+    "st_corpus_dedup",
 ]
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {

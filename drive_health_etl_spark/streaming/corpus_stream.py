@@ -1,0 +1,192 @@
+"""Streaming corpus construction: MinHash-LSH dedup-on-arrival.
+
+A training-corpus pipeline doesn't get its documents in one batch — crawls
+arrive continuously, and a near-duplicate of something ingested last week
+must be dropped ON ARRIVAL, not in a nightly O(corpus) re-dedup. This
+operator is the streaming composition of the batch dedup suite
+(``operators/dedup.py``): per micro-batch,
+
+1. compute MinHash signatures for the incoming docs (``signatures_for``),
+2. drop docs that band-collide with a LOWER doc_id in the same batch
+   (greedy first-wins, deterministic),
+3. anti-join the survivors' band keys against the persisted band-key store
+   — any collision with an already-accepted doc drops the newcomer,
+4. append surviving docs to the corpus sink and their band keys to the
+   store, in the same ``foreachBatch`` scope.
+
+Semantics: greedy prefix dedup — a doc is kept iff it shares no LSH band
+with any earlier-accepted doc (batch order, then doc_id order). Identical
+texts always share all bands, so exact re-deliveries are always dropped;
+near-dups are dropped with MinHash-LSH's usual probabilistic recall (the
+same r=2, b=4 S-curve as the batch path).
+
+Scale notes: the store is append-only parquet keyed by (band, h1, h2) —
+the per-batch anti-join shuffles on the band key, so state lookup cost
+tracks the BATCH size on the probe side; the store side is a scan that a
+real deployment prunes by band-hash bucketing (same layout argument as the
+warehouse's event-date partitioning). State never holds documents — only
+8-int signatures and band keys (~40 bytes/doc), the property that lets
+billion-doc dedup state fit a parquet store. Checkpointed foreachBatch
+gives at-least-once replay; re-appending the same batch after a crash is
+prevented by the store collision itself (a replayed doc collides with its
+own already-stored bands) — the same self-fencing idea as the ingest
+sink's idempotency anti-join.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from drive_health_etl_spark.operators.dedup import band_keys, signatures_for
+
+DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+@dataclass
+class CorpusStreamConfig:
+    input_path: str  # spool of parquet files with DOCS_SCHEMA
+    corpus_path: str  # accepted documents sink
+    store_path: str  # band-key state store (parquet)
+    checkpoint_path: str
+    max_files_per_trigger: int | None = 1
+
+
+def _accepted_in_batch(docs: DataFrame) -> DataFrame:
+    """Greedy in-batch LSH dedup: keep a doc iff no band collision with a
+    lower doc_id in the same batch. One shuffle on the band key; the
+    per-bucket min is a map-side-combinable aggregate."""
+    bands = band_keys(signatures_for(docs))
+    bucket_min = bands.groupBy("band", "h1", "h2").agg(F.min("doc_id").alias("keeper"))
+    colliding = (
+        bands.join(bucket_min, ["band", "h1", "h2"])
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select("doc_id")
+        .distinct()
+    )
+    return docs.join(colliding, "doc_id", "left_anti")
+
+
+def run_corpus_dedup_stream(spark: SparkSession, cfg: CorpusStreamConfig) -> StreamingQuery:
+    """Start the dedup-on-arrival stream (availableNow drain; callers pick
+    their trigger for continuous mode)."""
+    import os
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        docs = batch.localCheckpoint(eager=True)  # cut streaming lineage once
+        if not docs.head(1):
+            return
+        survivors = _accepted_in_batch(docs)
+        sig = signatures_for(survivors)
+        keys = band_keys(sig)
+        if os.path.isdir(cfg.store_path) and any(
+            f.endswith(".parquet") for f in os.listdir(cfg.store_path)
+        ):
+            store = docs.sparkSession.read.parquet(cfg.store_path)
+            dup_ids = (
+                keys.join(store, ["band", "h1", "h2"], "left_semi")
+                .select("doc_id")
+                .distinct()
+            )
+            survivors = survivors.join(dup_ids, "doc_id", "left_anti")
+            keys = keys.join(dup_ids, "doc_id", "left_anti")
+        survivors = survivors.localCheckpoint(eager=True)  # one pass, two sinks
+        survivors.write.mode("append").parquet(cfg.corpus_path)
+        keys.join(survivors.select("doc_id"), "doc_id", "left_semi").write.mode(
+            "append"
+        ).parquet(cfg.store_path)
+
+    stream = spark.readStream.schema(DOCS_SCHEMA)
+    if cfg.max_files_per_trigger:
+        stream = stream.option("maxFilesPerTrigger", cfg.max_files_per_trigger)
+    return (
+        stream.format("parquet")
+        .load(cfg.input_path)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", cfg.checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def st_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable twin: spool the documents table as two micro-batch
+    files (doc_id below/above the midpoint), drain the dedup-on-arrival
+    stream, and return the accepted doc_ids. The oracle replays the same
+    greedy two-phase semantics in SQL (in-batch lowest-id-wins per band
+    bucket, then cross-batch band anti-join against batch-1 survivors)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from drive_health_etl_spark.session import shuffle_partitions
+    from drive_health_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    half = docs.count() // 2  # dense 0..n-1 ids; metadata-scale driver value
+    base = tempfile.mkdtemp(prefix=f"dhe_corpus_stream_{uuid.uuid4().hex[:8]}_")
+    src = f"{base}/spool"
+    docs.filter(F.col("doc_id") < half).coalesce(1).write.mode("append").parquet(src)
+    docs.filter(F.col("doc_id") >= half).coalesce(1).write.mode("append").parquet(src)
+    cfg = CorpusStreamConfig(
+        input_path=src,
+        corpus_path=f"{base}/corpus",
+        store_path=f"{base}/store",
+        checkpoint_path=f"{base}/ckpt",
+    )
+    with shuffle_partitions(spark, 8):
+        q = run_corpus_dedup_stream(spark, cfg)
+        q.awaitTermination()
+    out = spark.read.parquet(cfg.corpus_path).select("doc_id", "source")
+    out = out.localCheckpoint(eager=True)  # survive the rmtree below
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+def _st_corpus_dedup_sql() -> str:
+    from drive_health_etl_spark.operators.dedup import (  # noqa: PLC0415
+        N_HASHES,
+        SHINGLES_SQL,
+        _minhash_sql,
+    )
+
+    band_union = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, mh{2 * b} AS h1, mh{2 * b + 1} AS h2 FROM sigs"
+        for b in range(4)
+    )
+    return f"""
+WITH half AS (SELECT CAST(COUNT(*) // 2 AS BIGINT) AS h FROM documents),
+sigs AS (
+  SELECT doc_id, {', '.join(_minhash_sql(i) for i in range(N_HASHES))}
+  FROM (SELECT doc_id, unnest({SHINGLES_SQL}) AS shingle FROM documents)
+  GROUP BY doc_id
+),
+bands AS (
+  {band_union}
+),
+b1 AS (SELECT * FROM bands WHERE doc_id < (SELECT h FROM half)),
+drop1 AS (
+  SELECT DISTINCT a.doc_id FROM b1 a
+  JOIN b1 b ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2 AND b.doc_id < a.doc_id
+),
+keep1 AS (
+  SELECT doc_id, source FROM documents
+  WHERE doc_id < (SELECT h FROM half) AND doc_id NOT IN (SELECT doc_id FROM drop1)
+),
+k1bands AS (SELECT * FROM b1 WHERE doc_id IN (SELECT doc_id FROM keep1)),
+b2 AS (SELECT * FROM bands WHERE doc_id >= (SELECT h FROM half)),
+drop2 AS (
+  SELECT DISTINCT a.doc_id FROM b2 a
+  JOIN b2 b ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2 AND b.doc_id < a.doc_id
+  UNION
+  SELECT DISTINCT a.doc_id FROM b2 a
+  JOIN k1bands k ON a.band = k.band AND a.h1 = k.h1 AND a.h2 = k.h2
+)
+SELECT doc_id, source FROM keep1
+UNION ALL
+SELECT doc_id, source FROM documents
+WHERE doc_id >= (SELECT h FROM half) AND doc_id NOT IN (SELECT doc_id FROM drop2)
+"""

@@ -1,0 +1,103 @@
+"""Streaming MinHash-LSH dedup-on-arrival: cross-batch state, exact-dup
+drops, and batch-equivalence of the greedy semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from drive_health_etl_spark.operators.dedup import band_keys, signatures_for
+from drive_health_etl_spark.sources.tables import load_table
+from drive_health_etl_spark.streaming.corpus_stream import (
+    CorpusStreamConfig,
+    run_corpus_dedup_stream,
+)
+
+
+def _expected_greedy(spark, batches):
+    """Reference implementation: sequential batch-mode greedy LSH dedup —
+    accepted = docs with no band collision against (earlier accepted ∪
+    lower-id same-batch docs)."""
+    accepted_keys = None
+    accepted_ids = []
+    for docs in batches:
+        bands = band_keys(signatures_for(docs))
+        bucket_min = bands.groupBy("band", "h1", "h2").agg(F.min("doc_id").alias("keeper"))
+        collide_in_batch = (
+            bands.join(bucket_min, ["band", "h1", "h2"])
+            .filter(F.col("doc_id") != F.col("keeper"))
+            .select("doc_id")
+            .distinct()
+        )
+        surv = docs.join(collide_in_batch, "doc_id", "left_anti")
+        keys = band_keys(signatures_for(surv))
+        if accepted_keys is not None:
+            dup = keys.join(accepted_keys, ["band", "h1", "h2"], "left_semi").select(
+                "doc_id"
+            ).distinct()
+            surv = surv.join(dup, "doc_id", "left_anti")
+            keys = keys.join(dup, "doc_id", "left_anti")
+        accepted_ids.extend(r["doc_id"] for r in surv.select("doc_id").collect())
+        keys = keys.localCheckpoint(eager=True)
+        accepted_keys = keys if accepted_keys is None else accepted_keys.union(keys)
+    return sorted(accepted_ids)
+
+
+def test_streaming_dedup_matches_batch_greedy(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    b1 = docs.filter(F.col("doc_id") < 250)
+    # batch 2: the rest, plus exact copies of 20 batch-1 docs under new ids
+    dups = (
+        docs.filter(F.col("doc_id") < 20)
+        .withColumn("doc_id", F.col("doc_id") + 10_000)
+    )
+    b2 = docs.filter(F.col("doc_id") >= 250).unionByName(dups)
+
+    src = str(tmp_path / "spool")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    cfg = CorpusStreamConfig(
+        input_path=src,
+        corpus_path=str(tmp_path / "corpus"),
+        store_path=str(tmp_path / "store"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    q = run_corpus_dedup_stream(spark, cfg)
+    q.awaitTermination()
+
+    got = sorted(
+        r["doc_id"] for r in spark.read.parquet(cfg.corpus_path).select("doc_id").collect()
+    )
+    # file-source order = write order, so the reference batches match
+    expected = _expected_greedy(spark, [b1, b2])
+    assert got == expected
+    # every injected exact copy was dropped (identical text -> all bands equal)
+    assert all(d < 10_000 for d in got)
+    # re-draining with the same checkpoint appends nothing
+    q2 = run_corpus_dedup_stream(spark, cfg)
+    q2.awaitTermination()
+    n_after = spark.read.parquet(cfg.corpus_path).count()
+    assert n_after == len(got)
+
+
+def test_streaming_dedup_accepts_all_uniques_first_batch(spark, sf_dir, tmp_path):
+    """A batch of pairwise-non-colliding docs passes through unchanged
+    (no false drops from the store path on a fresh stream)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    surviving = _expected_greedy(spark, [docs])
+    src = str(tmp_path / "spool")
+    docs.coalesce(1).write.mode("append").parquet(src)
+    cfg = CorpusStreamConfig(
+        input_path=src,
+        corpus_path=str(tmp_path / "corpus"),
+        store_path=str(tmp_path / "store"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    q = run_corpus_dedup_stream(spark, cfg)
+    q.awaitTermination()
+    got = sorted(
+        r["doc_id"] for r in spark.read.parquet(cfg.corpus_path).select("doc_id").collect()
+    )
+    assert got == surviving
+    store = spark.read.parquet(cfg.store_path)
+    assert store.select("doc_id").distinct().count() == len(got)
