@@ -1,0 +1,123 @@
+"""Declarative data-quality expectations compiled into ONE aggregate pass.
+
+Generalizes the reference's ad-hoc verification SQL (``src/load-test.js:135``
+re-queries the warehouse after every load) into the Deequ/Great-Expectations
+pattern a production table needs: a spec of named constraints, each compiled
+to aggregate EXPRESSIONS over the same scan, evaluated in a single
+partial+final aggregate — at 100 TB the whole suite costs one pass, not one
+query per check.
+
+Check types:
+- ``not_null(col)``       — null fraction must be 0
+- ``unique(col)``         — no value occurs twice (count == distinct count)
+- ``accepted_values``     — every value drawn from an enum
+- ``between(col, lo, hi)``— min/max bounds
+- ``row_count_at_least``  — table-level volume floor
+
+``validate()`` returns one row per expectation (name, passed, observed) —
+the dashboardable artifact; ``dq_expectations`` runs a representative spec
+over orders as the oracle-checked registry query.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from drive_health_etl_spark.sources.tables import load_table
+
+
+@dataclass(frozen=True)
+class Expectation:
+    name: str
+    # aggregate expression producing the observed metric (double)
+    observed: Column = field(compare=False)
+    # predicate over the observed metric
+    passed: Column = field(compare=False)
+
+
+def not_null(col: str) -> Expectation:
+    frac = F.avg(F.col(col).isNull().cast("double"))
+    return Expectation(f"not_null:{col}", frac, frac == 0.0)
+
+
+def unique(col: str) -> Expectation:
+    # count vs distinct-count in one pass; the distinct aggregate costs an
+    # Expand when mixed with plain aggs — acceptable for a QA pass, and the
+    # compile stays single-scan
+    dupes = (F.count(col) - F.count_distinct(F.col(col))).cast("double")
+    return Expectation(f"unique:{col}", dupes, dupes == 0.0)
+
+
+def accepted_values(col: str, values: list) -> Expectation:
+    bad = F.sum((~F.col(col).isin(values)).cast("long")).cast("double")
+    return Expectation(f"accepted_values:{col}", bad, bad == 0.0)
+
+
+def between(col: str, lo: float, hi: float) -> Expectation:
+    bad = F.sum(((F.col(col) < lo) | (F.col(col) > hi)).cast("long")).cast("double")
+    return Expectation(f"between:{col}", bad, bad == 0.0)
+
+
+def row_count_at_least(n: int) -> Expectation:
+    cnt = F.count(F.lit(1)).cast("double")
+    return Expectation(f"row_count_at_least:{n}", cnt, cnt >= float(n))
+
+
+def validate(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
+    """Evaluate every expectation in ONE aggregate over ``df``; returns
+    (expectation, passed, observed) rows. The unpivot from the 1-row wide
+    aggregate to per-expectation rows is driver-free (stack expression)."""
+    aggs = []
+    for i, e in enumerate(expectations):
+        aggs.append(e.observed.alias(f"_obs{i}"))
+        aggs.append(e.passed.alias(f"_ok{i}"))
+    wide = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{e.name}', _ok{i}, _obs{i}" for i, e in enumerate(expectations)
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(expectations)}, {stack}) AS (expectation, passed, observed)"
+        )
+    )
+
+
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative expectation suite over orders — one scan, five
+    constraints, per-constraint verdicts."""
+    o = load_table(spark, sf_dir, "orders")
+    return validate(
+        o,
+        [
+            not_null("o_custkey"),
+            unique("o_orderkey"),
+            accepted_values("o_orderstatus", ["O", "F", "P"]),
+            between("o_totalprice", 0.0, 1_000_000.0),
+            row_count_at_least(100),
+        ],
+    )
+
+
+DQ_EXPECTATIONS_SQL = """
+WITH m AS (
+  SELECT AVG(CASE WHEN o_custkey IS NULL THEN 1.0 ELSE 0.0 END) AS null_frac,
+         CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS DOUBLE) AS dupes,
+         CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS DOUBLE) AS bad_status,
+         CAST(SUM(CASE WHEN o_totalprice < 0.0 OR o_totalprice > 1000000.0 THEN 1 ELSE 0 END) AS DOUBLE) AS oob_price,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM orders
+)
+SELECT 'not_null:o_custkey' AS expectation, null_frac = 0.0 AS passed, null_frac AS observed FROM m
+UNION ALL SELECT 'unique:o_orderkey', dupes = 0.0, dupes FROM m
+UNION ALL SELECT 'accepted_values:o_orderstatus', bad_status = 0.0, bad_status FROM m
+UNION ALL SELECT 'between:o_totalprice', oob_price = 0.0, oob_price FROM m
+UNION ALL SELECT 'row_count_at_least:100', n >= 100.0, n FROM m
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "dq_expectations": (dq_expectations, DQ_EXPECTATIONS_SQL),
+}

@@ -16,6 +16,7 @@ from drive_health_etl_spark.operators import asof as _asof
 from drive_health_etl_spark.operators import corpus as _corpus
 from drive_health_etl_spark.operators import dedup as _dedup
 from drive_health_etl_spark.operators import featurize as _featurize
+from drive_health_etl_spark.operators import expectations as _expectations
 from drive_health_etl_spark.operators import graph as _graph
 from drive_health_etl_spark.operators import grouped_pandas as _grouped
 from drive_health_etl_spark.operators import layout as _layout
@@ -222,6 +223,7 @@ _MERGED: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     **_extended.QUERIES,
     **_advanced.QUERIES,
     **_layout.QUERIES,
+    **_expectations.QUERIES,
     **_scalar.QUERIES,
     **_text.QUERIES,
     **_quality.QUERIES,
@@ -264,7 +266,8 @@ _ORDER = [
     "t3b_set_ops_all",
     "w1_first_write_wins", "w2_rank_topn", "w3_lag_gap", "w4_running_sum",
     "st8_tumbling_window", "st8_sliding_window", "st8_session_window",
-    "dq_profile", "dq_constraints", "cdc_snapshot_diff", "scd2_order_status",
+    "dq_profile", "dq_constraints", "dq_expectations", "cdc_snapshot_diff",
+    "scd2_order_status",
     "sql_ansi_parity",
     # (2) LLM-data-pipeline suite, breadth-first (cheap members)
     "dedup_exact", "dedup_minhash_signatures", "dedup_minhash_pairs",

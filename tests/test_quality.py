@@ -132,3 +132,57 @@ def test_chunk_windows_cover_and_overlap(spark, tmp_path):
         (1, CHUNK_LEN),
         (2, n_tokens - 2 * CHUNK_STRIDE),
     ]
+
+
+def test_expectations_flag_injected_violations(spark, sf_dir):
+    """Each expectation type must flip to failed on data violating it."""
+    from pyspark.sql import functions as F
+
+    from drive_health_etl_spark.operators.expectations import (
+        accepted_values,
+        between,
+        not_null,
+        row_count_at_least,
+        unique,
+        validate,
+    )
+    from drive_health_etl_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").limit(50)
+    # inject: a duplicate key, a null custkey, a bad status, an out-of-range price
+    bad = o.limit(1).select(
+        F.col("o_orderkey"),  # duplicate of an existing key
+        F.lit(None).cast("long").alias("o_custkey"),
+        F.lit("X").alias("o_orderstatus"),
+        F.lit(2_000_000.0).alias("o_totalprice"),
+        F.col("o_orderdate"),
+        F.col("o_orderpriority"),
+    )
+    df = o.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    ).unionByName(bad)
+    spec = [
+        not_null("o_custkey"),
+        unique("o_orderkey"),
+        accepted_values("o_orderstatus", ["O", "F", "P"]),
+        between("o_totalprice", 0.0, 1_000_000.0),
+        row_count_at_least(1_000_000),
+    ]
+    res = {r["expectation"]: r["passed"] for r in validate(df, spec).collect()}
+    assert res == {
+        "not_null:o_custkey": False,
+        "unique:o_orderkey": False,
+        "accepted_values:o_orderstatus": False,
+        "between:o_totalprice": False,
+        "row_count_at_least:1000000": False,
+    }
+    # and the clean slice passes everything except the volume floor
+    res_clean = {
+        r["expectation"]: r["passed"]
+        for r in validate(
+            o.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"),
+            spec[:4],
+        ).collect()
+    }
+    assert all(res_clean.values())
