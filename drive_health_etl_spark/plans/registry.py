@@ -148,6 +148,77 @@ def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"SELECT click_id, purchase_id, user_id, lag_us FROM {sink}")
 
 
+def st_stream_stream_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join driven to completion: click->purchase
+    attribution where clicks with NO purchase inside 30 min still emit a
+    null row — but only once the join can provably never match, i.e. the
+    GLOBAL watermark (the MIN across both stream sides, Spark's
+    multipleWatermarkPolicy default) has passed click_ts + 30 min. The
+    oracle replays exactly that emission rule: matched rows always, null
+    rows only for clicks older than LEAST(max click ts, max purchase ts)
+    - 1s - 30min. This pins the state-eviction semantics every outer
+    stream-stream user depends on (inner results stream out immediately;
+    outer nulls wait for the watermark)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from drive_health_etl_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    src = tempfile.mkdtemp(prefix="dhe_ssl_src_")
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).format("parquet").load(src)
+    clicks = stream.filter(F.col("event_type") == "click").withWatermark("ts", "1 second").alias("c")
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase").withWatermark("ts", "1 second").alias("p")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c.user_id") == F.col("p.user_id"))
+        & (F.col("p.ts") >= F.col("c.ts"))
+        & (F.col("p.ts") <= F.col("c.ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    ).select(
+        F.col("c.event_id").alias("click_id"),
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("c.user_id").alias("user_id"),
+        (F.unix_micros(F.col("p.ts")) - F.unix_micros(F.col("c.ts"))).alias("lag_us"),
+    )
+    sink = f"ssl_out_{uuid.uuid4().hex[:8]}"
+    with _shuffle_partitions(spark, 8):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    shutil.rmtree(src, ignore_errors=True)
+    return spark.sql(f"SELECT click_id, purchase_id, user_id, lag_us FROM {sink}")
+
+
+ST_STREAM_STREAM_LEFT_SQL = """
+WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+wm AS (
+  SELECT LEAST((SELECT MAX(ts) FROM c), (SELECT MAX(ts) FROM p))
+         - INTERVAL 1 SECOND AS w
+)
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+FROM c LEFT JOIN p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 30 MINUTE
+WHERE p.event_id IS NOT NULL
+   OR c.ts + INTERVAL 30 MINUTE < (SELECT w FROM wm)
+"""
+
+
 def st_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark-native streaming dedup (``dropDuplicatesWithinWatermark``)
     driven to completion: the source spool carries every event TWICE; the
@@ -216,6 +287,7 @@ _MERGED: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "st_corpus_dedup": (st_corpus_dedup, _st_corpus_dedup_sql()),
     "st_stateful_counters": (st_stateful_counters, ST_STATEFUL_SQL),
     "st_stream_stream_join": (st_stream_stream_join, ST_STREAM_STREAM_SQL),
+    "st_stream_stream_left": (st_stream_stream_left, ST_STREAM_STREAM_LEFT_SQL),
     "st_stream_dedup": (st_stream_dedup, ST_STREAM_DEDUP_SQL),
     **_relational.QUERIES,
     **_tpch.QUERIES,
@@ -311,8 +383,8 @@ _ORDER = [
     "u4_udtf_chunks", "u5_grouped_agg_udaf", "u5_window_agg_udaf",
     "u6_arrow_udf", "u7_map_in_arrow",
     "multimodal_resize_stats", "multimodal_video_stats",
-    "st_stateful_counters", "st_stream_stream_join", "st_stream_dedup",
-    "st_corpus_dedup",
+    "st_stateful_counters", "st_stream_stream_join", "st_stream_stream_left",
+    "st_stream_dedup", "st_corpus_dedup",
 ]
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
