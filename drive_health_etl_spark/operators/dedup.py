@@ -661,7 +661,129 @@ FROM before b LEFT JOIN after a ON b.source = a.source
 """
 
 
+# --- LSH quality evaluation --------------------------------------------------
+
+_EVAL_N = 250  # fixed evaluation subset -> bounded all-pairs at any SF; the
+# corpus's tiny vocabulary makes the shared-shingle expansion dense, so the
+# subset size is the cost knob (scales ~quadratically)
+_EVAL_TAU = 0.5  # "true near-dup" ground-truth threshold
+
+
+def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured quality of the MinHash-LSH candidate generator: precision
+    and recall against EXACT-Jaccard ground truth (pairs with true 3-gram
+    Jaccard >= 0.5) on a fixed 500-doc evaluation subset. The "measure,
+    don't guess" twin of bench's ANN recall@3 — an LSH dedup whose recall
+    nobody measured is not done.
+
+    Ground truth is exact but bounded: candidate pairs come from a
+    shared-shingle inverted-index join on the SUBSET (never the corpus),
+    so the quadratic term is fenced to 500 docs at any SF; pairs sharing
+    zero shingles have Jaccard 0 and can't reach tau. Predictions are the
+    production LSH pair generator restricted to the same subset."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _EVAL_N)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    sets_df = docs.withColumn("toks", tokens_col()).select(
+        "doc_id", F.array_distinct(shingles_col()).alias("sh_set")
+    )
+    sh = sets_df.select("doc_id", F.explode("sh_set").alias("shingle")).distinct()
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = sets_df.select("doc_id", F.size("sh_set").alias("n_sh"))
+    truth = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .filter(
+            F.col("n_inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            >= _EVAL_TAU
+        )
+        .select("doc_a", "doc_b")
+    )
+    pred = dedup_minhash_pairs(spark, sf_dir).filter(
+        (F.col("doc_a") < _EVAL_N) & (F.col("doc_b") < _EVAL_N)
+    )
+    hits = pred.join(truth, ["doc_a", "doc_b"], "left_semi")
+    stats = (
+        truth.agg(F.count("*").alias("n_truth"))
+        .join(F.broadcast(pred.agg(F.count("*").alias("n_pred"))))
+        .join(F.broadcast(hits.agg(F.count("*").alias("n_hit"))))
+    )
+    return stats.select(
+        "n_truth",
+        "n_pred",
+        "n_hit",
+        # try_divide: an empty truth/pred set at some SF must yield NULL,
+        # not an ANSI divide-by-zero error
+        F.round(F.try_divide(F.col("n_hit").cast("double"), F.col("n_pred")), 6).alias(
+            "precision"
+        ),
+        F.round(F.try_divide(F.col("n_hit").cast("double"), F.col("n_truth")), 6).alias(
+            "recall"
+        ),
+    )
+
+
+def _dedup_lsh_quality_sql() -> str:
+    return f"""
+WITH sub AS (
+  SELECT doc_id, list_distinct({SHINGLES_SQL}) AS sh_set
+  FROM documents WHERE doc_id < {_EVAL_N}
+),
+sh AS (SELECT DISTINCT doc_id, unnest(sh_set) AS shingle FROM sub),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sub sa ON sa.doc_id = i.doc_a
+  JOIN sub sb ON sb.doc_id = i.doc_b
+  WHERE CAST(i.n_inter AS DOUBLE) / (len(sa.sh_set) + len(sb.sh_set) - i.n_inter) >= {_EVAL_TAU}
+),
+psigs AS (
+  -- signatures are doc-local, so LSH pairs among the subset == full-corpus
+  -- pairs filtered to the subset; computing only subset signatures keeps
+  -- the oracle O(subset)
+  SELECT doc_id, {', '.join(_minhash_sql(i) for i in range(N_HASHES))}
+  FROM (SELECT doc_id, unnest({SHINGLES_SQL}) AS shingle
+        FROM documents WHERE doc_id < {_EVAL_N})
+  GROUP BY doc_id
+),
+pred AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM psigs a JOIN psigs b ON a.doc_id < b.doc_id
+  WHERE (a.mh0 = b.mh0 AND a.mh1 = b.mh1)
+     OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3)
+     OR (a.mh4 = b.mh4 AND a.mh5 = b.mh5)
+     OR (a.mh6 = b.mh6 AND a.mh7 = b.mh7)
+),
+hit AS (SELECT p.doc_a, p.doc_b FROM pred p JOIN truth t ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b),
+m AS (
+  SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+         (SELECT COUNT(*) FROM pred) AS n_pred,
+         (SELECT COUNT(*) FROM hit) AS n_hit
+)
+SELECT n_truth, n_pred, n_hit,
+       ROUND(CAST(n_hit AS DOUBLE) / NULLIF(n_pred, 0), 6) AS precision,
+       ROUND(CAST(n_hit AS DOUBLE) / NULLIF(n_truth, 0), 6) AS recall
+FROM m
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "dedup_lsh_quality": (dedup_lsh_quality, _dedup_lsh_quality_sql()),
     "dedup_keep_best": (dedup_keep_best, DEDUP_KEEP_BEST_SQL),
     "dedup_near_pipeline": (dedup_near_pipeline, _dedup_near_pipeline_sql()),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
