@@ -106,6 +106,95 @@ def zorder_write(
     )
 
 
+# --- Hilbert curve (locality-superior alternative to Morton) ----------------
+
+
+def hilbert_steps(bits: int) -> list[int]:
+    """Bit levels high→low, shared by the column and SQL generators."""
+    return list(range(bits - 1, -1, -1))
+
+
+def hilbert_key_df(df: DataFrame, x: str, y: str, bits: int = 8, out: str = "hkey") -> DataFrame:
+    """Append the Hilbert d-index of integer columns (x, y) ∈ [0, 2^bits)^2.
+
+    The classic xy2d walk (per level: quadrant digit + rotate/reflect) is
+    inherently sequential in the bit levels, so it unrolls into ``bits``
+    chained projections mutating (x, y, d) — still pure integer expressions
+    inside whole-stage codegen, no UDF. Hilbert beats Morton on LOCALITY:
+    consecutive d values are always grid-adjacent (Morton jumps at quadrant
+    boundaries), so range scans over the key touch tighter (x, y)
+    rectangles — the same reason Hilbert is the curve in production
+    clustering implementations. Cost: the rotation state makes it ~3x the
+    expression count of the Morton interleave."""
+    n = 1 << bits
+    cur = df.withColumn("_hx", F.col(x).cast("long")).withColumn(
+        "_hy", F.col(y).cast("long")
+    ).withColumn("_hd", F.lit(0).cast("long"))
+    for k in hilbert_steps(bits):
+        s = 1 << k
+        rx = F.shiftrightunsigned("_hx", k).bitwiseAND(F.lit(1))
+        ry = F.shiftrightunsigned("_hy", k).bitwiseAND(F.lit(1))
+        d2 = F.col("_hd") + F.lit(s * s) * ((F.lit(3) * rx).bitwiseXOR(ry))
+        nx = F.when(ry == 0, F.when(rx == 1, F.lit(n - 1) - F.col("_hy")).otherwise(F.col("_hy"))).otherwise(F.col("_hx"))
+        ny = F.when(ry == 0, F.when(rx == 1, F.lit(n - 1) - F.col("_hx")).otherwise(F.col("_hx"))).otherwise(F.col("_hy"))
+        cur = cur.select("*", d2.alias("_hd2"), nx.alias("_hx2"), ny.alias("_hy2")).drop(
+            "_hd", "_hx", "_hy"
+        ).withColumnsRenamed({"_hd2": "_hd", "_hx2": "_hx", "_hy2": "_hy"})
+    return cur.withColumnRenamed("_hd", out).drop("_hx", "_hy")
+
+
+def hilbert_key_sql(x: str, y: str, bits: int = 8) -> str:
+    """The identical walk as nested SQL subqueries (engine-portable)."""
+    n = 1 << bits
+    inner = f"SELECT {x} AS hx, {y} AS hy, CAST(0 AS BIGINT) AS hd, t0.*"
+    sql = f"({inner} FROM __T__ t0)"
+    for k in hilbert_steps(bits):
+        s = 1 << k
+        rx = f"((hx >> {k}) & 1)"
+        ry = f"((hy >> {k}) & 1)"
+        sql = f"""(SELECT
+  hd + {s * s} * xor(3 * {rx}, {ry}) AS hd,
+  CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 THEN {n - 1} - hy ELSE hy END) ELSE hx END AS hx,
+  CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 THEN {n - 1} - hx ELSE hx END) ELSE hy END AS hy,
+  * EXCLUDE (hx, hy, hd)
+FROM {sql})"""
+    return sql
+
+
+def layout_hilbert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-key distribution over lineitem's masked (l_partkey,
+    l_suppkey): per top-2-bit segment of the curve, row count and key
+    bounds — the Hilbert twin of ``layout_zorder_stats``, hash-checking the
+    full rotate/reflect walk bit-for-bit against the oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    mask = F.lit((1 << _BITS) - 1)
+    base = li.select(
+        F.col("l_partkey").bitwiseAND(mask).alias("hx0"),
+        F.col("l_suppkey").bitwiseAND(mask).alias("hy0"),
+    )
+    keyed = hilbert_key_df(base, "hx0", "hy0", _BITS, out="hkey")
+    return keyed.groupBy(
+        F.shiftrightunsigned("hkey", 2 * _BITS - 2).alias("segment")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.min("hkey").alias("hkey_min"),
+        F.max("hkey").alias("hkey_max"),
+    )
+
+
+def _layout_hilbert_sql() -> str:
+    walk = hilbert_key_sql("hx0", "hy0", _BITS).replace(
+        "__T__",
+        f"(SELECT l_partkey & {(1 << _BITS) - 1} AS hx0, l_suppkey & {(1 << _BITS) - 1} AS hy0 FROM lineitem)",
+    )
+    return f"""
+SELECT hd >> {2 * _BITS - 2} AS segment, COUNT(*) AS n_rows,
+       MIN(hd) AS hkey_min, MAX(hd) AS hkey_max
+FROM {walk}
+GROUP BY 1
+"""
+
+
 # --- Oracle-checked key math ------------------------------------------------
 
 _BITS = 8
@@ -145,4 +234,5 @@ FROM z GROUP BY 1
 
 QUERIES = {
     "layout_zorder_stats": (layout_zorder_stats, LAYOUT_ZORDER_SQL),
+    "layout_hilbert_stats": (layout_hilbert_stats, _layout_hilbert_sql()),
 }

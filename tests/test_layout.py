@@ -115,3 +115,34 @@ def test_zorder_write_roundtrip(spark, sf_dir, layouts):
     back = spark.read.parquet(zpath)
     assert back.count() == li.count()
     assert set(back.columns) == {"l_orderkey", "l_partkey", "l_suppkey", "l_quantity"}
+
+
+def test_hilbert_locality_beats_morton(spark):
+    """The Hilbert property: EVERY pair of consecutive d values maps to
+    grid-ADJACENT cells (Manhattan distance 1); Morton jumps at quadrant
+    boundaries. This is why Hilbert range scans touch tighter rectangles."""
+    from pyspark.sql import functions as F
+
+    from drive_health_etl_spark.operators.layout import hilbert_key_df, morton_key
+
+    bits = 4  # full 16x16 grid = 256 cells, exhaustive
+    n = 1 << bits
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).cast("long").alias("x"),
+        (F.col("id") / n).cast("long").alias("y"),
+    )
+    hk = hilbert_key_df(grid, "x", "y", bits, out="d").select("x", "y", "d")
+    rows = sorted((r["d"], r["x"], r["y"]) for r in hk.collect())
+    # bijective onto [0, 256)
+    assert [r[0] for r in rows] == list(range(n * n))
+    manhattan = [
+        abs(a[1] - b[1]) + abs(a[2] - b[2]) for a, b in zip(rows, rows[1:])
+    ]
+    assert all(m == 1 for m in manhattan), "Hilbert consecutive cells must be adjacent"
+
+    mk = grid.select("x", "y", morton_key(F.col("x"), F.col("y"), bits).alias("d"))
+    mrows = sorted((r["d"], r["x"], r["y"]) for r in mk.collect())
+    m_manhattan = [
+        abs(a[1] - b[1]) + abs(a[2] - b[2]) for a, b in zip(mrows, mrows[1:])
+    ]
+    assert max(m_manhattan) > 1  # Morton demonstrably jumps
