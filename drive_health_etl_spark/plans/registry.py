@@ -338,6 +338,7 @@ _ORDER = [
     "t3b_set_ops_all",
     "w1_first_write_wins", "w2_rank_topn", "w3_lag_gap", "w4_running_sum",
     "st8_tumbling_window", "st8_sliding_window", "st8_session_window",
+    "st8_session_dynamic_gap",
     "dq_profile", "dq_constraints", "dq_expectations", "cdc_snapshot_diff",
     "scd2_order_status",
     "sql_ansi_parity",

@@ -1103,6 +1103,54 @@ FROM numbered GROUP BY user_id, sess_id
 """
 
 
+def st8_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a PER-EVENT gap (purchase keeps the session
+    alive 60 min, click 15, else 30) — the dynamic-gap form of
+    ``session_window`` that models intent-dependent session timeouts. Each
+    event contributes [ts, ts+gap); overlapping intervals merge. The
+    oracle rebuilds the same merge with a gaps-and-islands construction:
+    a new session starts when the running MAX of previous interval ends
+    (cummax window) is <= the current ts. Same single-shuffle cost as the
+    static-gap session window."""
+    # dynamic gaps must be CalendarIntervalType — make_interval, not the
+    # ANSI INTERVAL literal (which is DayTimeIntervalType and rejected)
+    gap = (
+        F.when(F.col("event_type") == "purchase", F.expr("make_interval(0,0,0,0,0,60,0)"))
+        .when(F.col("event_type") == "click", F.expr("make_interval(0,0,0,0,0,15,0)"))
+        .otherwise(F.expr("make_interval(0,0,0,0,0,30,0)"))
+    )
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+ST8_SESSION_DYN_SQL = """
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+         ts + CASE event_type WHEN 'purchase' THEN INTERVAL 60 MINUTE
+                              WHEN 'click' THEN INTERVAL 15 MINUTE
+                              ELSE INTERVAL 30 MINUTE END AS ev_end
+  FROM events
+), marked AS (
+  SELECT user_id, ts,
+         CASE WHEN MAX(ev_end) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) > ts
+              THEN 0 ELSE 1 END AS new_sess
+  FROM ev
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM marked
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+FROM numbered GROUP BY user_id, sess_id
+"""
+
+
 def w9_impute_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward-fill imputation (LOCF — last observation carried forward):
     null out a deterministic subset of readings ('click' events, standing in
@@ -1321,4 +1369,5 @@ QUERIES: dict[str, tuple] = {
     "st8_tumbling_window": (st8_tumbling_window, ST8_TUMBLING_SQL),
     "st8_sliding_window": (st8_sliding_window, ST8_SLIDING_SQL),
     "st8_session_window": (st8_session_window, ST8_SESSION_SQL),
+    "st8_session_dynamic_gap": (st8_session_dynamic_gap, ST8_SESSION_DYN_SQL),
 }
