@@ -64,6 +64,7 @@ def zorder_write(
     cols: tuple[str, str],
     bits: int = 8,
     num_files: int = 16,
+    curve: str = "morton",
 ) -> None:
     """Write ``df`` as parquet clustered on the Morton key of ``cols``:
     range-partition on the key (disjoint z-range per file) and sort within
@@ -91,13 +92,18 @@ def zorder_write(
             (F.col(col) - F.col(mn)).cast("double") * F.lit(float(n)) / span
         ).cast("long")
 
-    (
+    scaled = (
         df.crossJoin(F.broadcast(bounds))
-        .withColumn(
-            "__zkey",
-            morton_key(_scaled(x, "_minx", "_maxx"), _scaled(y, "_miny", "_maxy"), bits),
-        )
+        .withColumn("_sx", _scaled(x, "_minx", "_maxx"))
+        .withColumn("_sy", _scaled(y, "_miny", "_maxy"))
         .drop("_minx", "_maxx", "_miny", "_maxy")
+    )
+    if curve == "hilbert":
+        keyed = hilbert_key_df(scaled, "_sx", "_sy", bits, out="__zkey")
+    else:
+        keyed = scaled.withColumn("__zkey", morton_key(F.col("_sx"), F.col("_sy"), bits))
+    (
+        keyed.drop("_sx", "_sy")
         .repartitionByRange(num_files, "__zkey")
         .sortWithinPartitions("__zkey")
         .drop("__zkey")

@@ -146,3 +146,19 @@ def test_hilbert_locality_beats_morton(spark):
         abs(a[1] - b[1]) + abs(a[2] - b[2]) for a, b in zip(mrows, mrows[1:])
     ]
     assert max(m_manhattan) > 1  # Morton demonstrably jumps
+
+
+def test_hilbert_write_skips_on_both_columns(spark, sf_dir, tmp_path):
+    from drive_health_etl_spark.operators.layout import zorder_write as zw
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    hpath = str(tmp_path / "hilbert")
+    zw(li, hpath, ("l_partkey", "l_orderkey"), bits=8, num_files=16, curve="hilbert")
+    for col in ("l_partkey", "l_orderkey"):
+        bounds = _file_bounds(hpath, col)
+        probes = _probes(bounds)
+        avg = sum(_files_matching(bounds, v) for v in probes) / len(probes)
+        assert avg <= len(bounds) / 2, f"{col}: touches {avg}/{len(bounds)} files"
+    assert spark.read.parquet(hpath).count() == li.count()
