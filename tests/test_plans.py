@@ -127,6 +127,7 @@ BNLJ_BY_DESIGN = {
     "graph_triangles",  # 1-row edge-count x 1-row triangle-count metadata join
     "a5_approx_stats",  # 1-row distinct-agg x 1-row percentile-agg (Expand avoidance)
     "emb_pq_stats",  # 1-row codebook-matrix broadcast (keeps 4x16x16 weights out of the expr tree)
+    "dedup_lsh_quality",  # 1-row n_truth x n_pred x n_hit summary joins
 }
 CARTESIAN_BY_DESIGN = {"t5_cross_join"}  # 5 x 25 dims, explicitly cross
 
