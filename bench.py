@@ -69,8 +69,13 @@ HEADLINE = [
     "sketch_distinct_hll",
     "sql_recursive_cte",
     "layout_zorder_stats",
+    "layout_hilbert_stats",
     "graph_triangles",
     "corpus_source_overlap",
+    "emb_pq_stats",
+    "w10_mad_outliers",
+    "dq_expectations",
+    "st8_session_dynamic_gap",
     "pipeline_ingest_e2e",
 ]
 

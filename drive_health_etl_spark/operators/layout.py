@@ -181,7 +181,11 @@ def layout_hilbert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_suppkey): per top-2-bit segment of the curve, row count and key
     bounds — the Hilbert twin of ``layout_zorder_stats``, hash-checking the
     full rotate/reflect walk bit-for-bit against the oracle."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # The testdata parquet is one row group -> one scan partition; the
+    # 8-level fold is CPU-heavy, so spread it across cores post-scan.
+    li = load_table(spark, sf_dir, "lineitem").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     mask = F.lit((1 << _BITS) - 1)
     base = li.select(
         F.col("l_partkey").bitwiseAND(mask).alias("hx0"),
