@@ -36,8 +36,10 @@ from collections.abc import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 SCHEMA_DDL = "data string, attributes map<string,string>, message_id string, ordering_key string"
@@ -144,6 +146,9 @@ class EnvelopeDataSource(DataSource):
     def simpleStreamReader(self, schema) -> EnvelopeStreamReader:
         return EnvelopeStreamReader(self.options)
 
+    def writer(self, schema, overwrite: bool):
+        return EnvelopeBatchWriter(self.options, overwrite)
+
 
 def register_envelope_source(spark) -> None:
     """Idempotent registration: spark.dataSource.register survives re-calls."""
@@ -169,3 +174,64 @@ def write_spool_file(path: str, msgs: list[dict], name: str) -> str:
             fh.write(json.dumps(body) + "\n")
     os.replace(tmp, final)
     return final
+
+
+# --- Writer: spool as a SINK (Spark 4 Python DataSourceWriter) ---------------
+
+
+class _SpoolCommit(WriterCommitMessage):
+    def __init__(self, fname: str | None):
+        self.fname = fname
+
+
+class EnvelopeBatchWriter(DataSourceWriter):
+    """Per-partition spool writer: each task serializes its rows as
+    Pub/Sub-shaped JSON-lines into a dot-temp file and renames it into the
+    spool atomically (the reader ignores dotted in-flight files, so a
+    crashed task leaves no partial visibility — rename-as-commit, the same
+    contract as the ingest front door). ``commit`` stamps ``_SUCCESS``;
+    ``abort`` removes any renamed files.
+
+    The direction matters for the DLQ/export path: rows flow back OUT of
+    the warehouse into the push-body format external replayers consume —
+    the sink twin of the S1 source, completing the custom-DataSource
+    surface (reader + streaming reader + writer)."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("envelope sink requires option 'path'")
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> "_SpoolCommit":
+        import uuid
+
+        from pyspark import TaskContext
+
+        rows = list(iterator)
+        if not rows:
+            return _SpoolCommit(None)
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        name = f"spool-{pid:05d}-{uuid.uuid4().hex[:8]}.jsonl"
+        msgs = [
+            {
+                "data": r["data"],
+                "attributes": dict(r["attributes"]) if r["attributes"] is not None else {},
+                "message_id": r["message_id"],
+                "ordering_key": r["ordering_key"],
+            }
+            for r in rows
+        ]
+        return _SpoolCommit(os.path.basename(write_spool_file(self.path, msgs, name)))
+
+    def commit(self, messages) -> None:
+        with open(os.path.join(self.path, "_SUCCESS"), "w", encoding="utf-8") as fh:
+            fh.write("\n".join(m.fname for m in messages if m and m.fname))
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m and m.fname:
+                try:
+                    os.unlink(os.path.join(self.path, m.fname))
+                except OSError:
+                    pass

@@ -99,3 +99,34 @@ def test_stream_offsets_advance_per_file(spark, tmp_path):
     ids = [r["message_id"] for r in spark.read.parquet(out).collect()]
     assert len(ids) == 3 + 6
     assert len(ids) == len(set(ids))  # no re-delivery of file 1
+
+
+def test_envelope_writer_roundtrip(spark, tmp_path):
+    """df.write.format('envelope') -> spool files -> envelope reader yields
+    the identical rows (the sink twin of the source; rename-as-commit)."""
+    import os
+
+    from drive_health_etl_spark.sources.envelope_source import register_envelope_source
+
+    register_envelope_source(spark)
+    out = str(tmp_path / "spool_out")
+    src_rows = [
+        ("eyJhIjoxfQ==", {"tenant": "t1"}, "m-1", "k-1"),
+        ("eyJiIjoyfQ==", {"tenant": "t2"}, "m-2", None),
+        (None, {}, "m-3", "k-3"),
+    ]
+    df = spark.createDataFrame(
+        src_rows, "data string, attributes map<string,string>, message_id string, ordering_key string"
+    )
+    df.repartition(2).write.format("envelope").option("path", out).mode("append").save()
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+
+    back = spark.read.format("envelope").option("path", out).load()
+    got = {
+        (r["data"], tuple(sorted((r["attributes"] or {}).items())), r["message_id"], r["ordering_key"])
+        for r in back.collect()
+    }
+    want = {
+        (d, tuple(sorted((a or {}).items())), m, k) for d, a, m, k in src_rows
+    }
+    assert got == want
