@@ -182,6 +182,66 @@ FROM events GROUP BY event_type
 """
 
 
+def sketch_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users from MERGED daily sketches: one HLL per
+    day, then ``hll_union_agg`` as a RANGE-frame window aggregate — the
+    rolling-distinct construction that never re-touches raw events. The
+    exact twin (bounded day-grid join over distinct (user, day)) rides
+    along to assert the estimate in-engine; emitted columns stay exact.
+
+    Scale: exact rolling distinct must re-expand every (user, day) pair
+    into each of its 7 windows (7x shuffle volume, growing with the window
+    length); the sketch path unions 7 kilobyte-sized summaries per day —
+    O(days) state regardless of user count or window length. That
+    asymmetry is why production WAU/MAU dashboards run on sketch columns."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.unix_date(F.to_date("ts")).alias("day_num"),
+        F.to_date("ts").alias("day"),
+        "user_id",
+    )
+    daily = e.groupBy("day_num", "day").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    est = F.hll_sketch_estimate(
+        F.expr(
+            "hll_union_agg(sk) OVER (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)"
+        )
+    )
+    rolled = daily.select("day_num", "day", est.alias("est_wau"))
+    ud = e.select("day_num", "user_id").distinct()
+    days = daily.select(F.col("day_num").alias("d_end"))
+    exact = (
+        ud.join(
+            F.broadcast(days),
+            (F.col("day_num") >= F.col("d_end") - 6) & (F.col("day_num") <= F.col("d_end")),
+        )
+        .groupBy("d_end")
+        .agg(F.count_distinct("user_id").alias("exact_wau"))
+    )
+    return (
+        rolled.join(exact, rolled.day_num == exact.d_end)
+        .select(
+            "day",
+            "exact_wau",
+            (
+                F.abs(F.col("est_wau") - F.col("exact_wau"))
+                <= F.greatest(F.lit(1.0), F.lit(0.05) * F.col("exact_wau"))
+            ).alias("wau_ok"),
+        )
+    )
+
+
+SKETCH_ROLLING_WAU_SQL = """
+WITH ud AS (
+  SELECT DISTINCT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_num,
+         CAST(ts AS DATE) AS day, user_id
+  FROM events
+),
+days AS (SELECT DISTINCT day_num, day FROM ud)
+SELECT d.day, COUNT(DISTINCT u.user_id) AS exact_wau, TRUE AS wau_ok
+FROM days d JOIN ud u ON u.day_num BETWEEN d.day_num - 6 AND d.day_num
+GROUP BY d.day
+"""
+
+
 # --- Binned range join ------------------------------------------------------
 
 _PROMO_PRICE = 490000.0  # ~top-1% orders -> a calendar-bounded window set
@@ -317,5 +377,6 @@ QUERIES = {
     "sketch_distinct_hll": (sketch_distinct_hll, SKETCH_DISTINCT_HLL_SQL),
     "sketch_top_k": (sketch_top_k, SKETCH_TOP_K_SQL),
     "sketch_quantile_check": (sketch_quantile_check, SKETCH_QUANTILE_SQL),
+    "sketch_rolling_wau": (sketch_rolling_wau, SKETCH_ROLLING_WAU_SQL),
     "j5b_binned_range_join": (j5b_binned_range_join, J5B_BINNED_RANGE_SQL),
 }
