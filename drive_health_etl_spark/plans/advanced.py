@@ -242,6 +242,76 @@ GROUP BY d.day
 """
 
 
+def sketch_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra on Theta sketches: |clickers ∩ purchasers|,
+    |clickers \\ purchasers| and the union — estimated from two per-segment
+    sketches WITHOUT joining or re-scanning users. HLL can only union;
+    Theta's intersection/difference is what answers audience-overlap
+    questions ("how many users did both?") from pre-aggregated per-segment
+    state at any scale. Estimates are asserted against exact counts
+    in-engine; emitted columns are the exact ones.
+
+    Scale: the exact answer needs a groupBy over every user; the sketch
+    answer intersects two kilobyte summaries — per-segment sketches can be
+    maintained incrementally (mergeable) and combined on demand."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    sk = e.agg(
+        F.expr(
+            "theta_sketch_agg(CASE WHEN event_type = 'click' THEN user_id END)"
+        ).alias("sc"),
+        F.expr(
+            "theta_sketch_agg(CASE WHEN event_type = 'purchase' THEN user_id END)"
+        ).alias("sp"),
+    ).select(
+        F.expr("theta_sketch_estimate(theta_intersection(sc, sp))").alias("est_both"),
+        F.expr("theta_sketch_estimate(theta_difference(sc, sp))").alias("est_click_only"),
+        F.expr("theta_sketch_estimate(theta_union(sc, sp))").alias("est_either"),
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "click").cast("int")).alias("c"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("p"),
+    )
+    exact = per_user.agg(
+        F.sum((F.col("c") * F.col("p"))).alias("exact_both"),
+        F.sum(F.col("c") * (1 - F.col("p"))).alias("exact_click_only"),
+        F.sum(F.greatest("c", "p")).alias("exact_either"),
+    )
+
+    def _ok(est, ex):
+        return F.abs(F.col(est) - F.col(ex)) <= F.greatest(
+            F.lit(2.0), F.lit(0.05) * F.col(ex)
+        )
+
+    return (
+        exact.join(F.broadcast(sk))  # 1 row x 1 row
+        .select(
+            "exact_both",
+            "exact_click_only",
+            "exact_either",
+            (
+                _ok("est_both", "exact_both")
+                & _ok("est_click_only", "exact_click_only")
+                & _ok("est_either", "exact_either")
+            ).alias("theta_ok"),
+        )
+    )
+
+
+SKETCH_THETA_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+  FROM events GROUP BY user_id
+)
+SELECT CAST(SUM(c * p) AS BIGINT) AS exact_both,
+       CAST(SUM(c * (1 - p)) AS BIGINT) AS exact_click_only,
+       CAST(SUM(GREATEST(c, p)) AS BIGINT) AS exact_either,
+       TRUE AS theta_ok
+FROM per_user
+"""
+
+
 # --- Binned range join ------------------------------------------------------
 
 _PROMO_PRICE = 490000.0  # ~top-1% orders -> a calendar-bounded window set
@@ -378,5 +448,6 @@ QUERIES = {
     "sketch_top_k": (sketch_top_k, SKETCH_TOP_K_SQL),
     "sketch_quantile_check": (sketch_quantile_check, SKETCH_QUANTILE_SQL),
     "sketch_rolling_wau": (sketch_rolling_wau, SKETCH_ROLLING_WAU_SQL),
+    "sketch_theta_overlap": (sketch_theta_overlap, SKETCH_THETA_SQL),
     "j5b_binned_range_join": (j5b_binned_range_join, J5B_BINNED_RANGE_SQL),
 }

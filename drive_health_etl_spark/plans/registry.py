@@ -372,7 +372,7 @@ _ORDER = [
     "w8_range_frame", "w9_impute_ffill", "w10_mad_outliers",
     "sql_recursive_cte", "sql_pipe_syntax", "sql_scripting",
     "sketch_distinct_hll", "sketch_top_k", "sketch_quantile_check",
-    "sketch_rolling_wau",
+    "sketch_rolling_wau", "sketch_theta_overlap",
     "j5b_binned_range_join", "layout_zorder_stats", "layout_hilbert_stats",
     "corpus_source_overlap", "graph_triangles",
     "a6_listagg", "a7_winsorize", "u3_grouped_map_features", "u3_cogroup_join",

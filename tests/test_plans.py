@@ -128,6 +128,7 @@ BNLJ_BY_DESIGN = {
     "a5_approx_stats",  # 1-row distinct-agg x 1-row percentile-agg (Expand avoidance)
     "emb_pq_stats",  # 1-row codebook-matrix broadcast (keeps 4x16x16 weights out of the expr tree)
     "dedup_lsh_quality",  # 1-row n_truth x n_pred x n_hit summary joins
+    "sketch_theta_overlap",  # 1-row exact-agg x 1-row sketch-agg join
 }
 CARTESIAN_BY_DESIGN = {"t5_cross_join"}  # 5 x 25 dims, explicitly cross
 
