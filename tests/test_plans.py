@@ -129,6 +129,7 @@ BNLJ_BY_DESIGN = {
     "emb_pq_stats",  # 1-row codebook-matrix broadcast (keeps 4x16x16 weights out of the expr tree)
     "dedup_lsh_quality",  # 1-row n_truth x n_pred x n_hit summary joins
     "sketch_theta_overlap",  # 1-row exact-agg x 1-row sketch-agg join
+    "sketch_rolling_wau",  # calendar-sized day-grid broadcast range join (exact twin only)
 }
 CARTESIAN_BY_DESIGN = {"t5_cross_join"}  # 5 x 25 dims, explicitly cross
 
