@@ -220,8 +220,168 @@ FROM per_doc GROUP BY lang
 """
 
 
+NDCG_K = 10  # ranking-quality cutoff
+
+
+def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation of the BM25 retriever — MRR and NDCG@10
+    against a graded term-coverage relevance label (rel(d) = number of
+    distinct ``BM25_QUERY`` terms present in d; rel = 3 means "contains the
+    whole query" and counts as relevant for MRR). The eval harness a RAG /
+    retrieval pipeline runs after every index or scorer change.
+
+    Scale shape: the system ranking is ``BM25_TOP`` rows (config-sized);
+    relevance labels are one narrow corpus scan with no shuffle wider than
+    the label aggregation; DCG/IDCG/MRR are 1-row aggregates joined by
+    broadcast. Per-position gains are decimal-cast before summing so the
+    ±ULP of log2 on different engines is absorbed (same rule as BM25's
+    term_score). Tie-breaks are pinned on doc_id everywhere so the ranking
+    is engine-deterministic.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+
+    from pyspark.sql import Window
+
+    # Config-sized (BM25_TOP rows) global ranking; the lit(0) partition key
+    # pins the single-partition window explicitly (it IS tiny by design).
+    ranking = text_bm25(spark, sf_dir).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy(F.lit(0)).orderBy(
+                F.col("score").desc(), F.col("doc_id").asc()
+            )
+        ),
+    )
+
+    toks = tokens_col()
+    rel = sum(
+        F.array_contains(toks, F.lit(t)).cast("int") for t in sorted(BM25_QUERY)
+    )
+    rels = docs.select("doc_id", rel.alias("rel"))
+
+    # gain(pos, rel) = (2^rel - 1) / log2(pos + 1), decimal-cast per term
+    def gain(rel_col, pos_col):
+        return (
+            (F.pow(F.lit(2.0), rel_col) - F.lit(1.0))
+            / F.log2(pos_col.cast("double") + F.lit(1.0))
+        ).cast("decimal(18,12)")
+
+    # One pass over the judged ranking for DCG + MRR (the ranking subtree —
+    # a full BM25 evaluation — would otherwise re-execute per 1-row agg).
+    judged = rels.join(F.broadcast(ranking), "doc_id")
+    dcg = judged.agg(
+        F.sum(
+            F.when(F.col("rank") <= NDCG_K, gain(F.col("rel"), F.col("rank")))
+        ).alias("dcg_dec"),
+        F.min(F.when(F.col("rel") == 3, F.col("rank"))).alias("best_rank"),
+        F.count(F.when(F.col("rel") == 3, F.lit(1))).alias("n_relevant_ranked"),
+    )
+
+    pos_w = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("rel").desc(), F.col("doc_id").asc()
+    )
+    ideal = (
+        rels.orderBy(F.col("rel").desc(), F.col("doc_id").asc())
+        .limit(NDCG_K)
+        .withColumn("pos", F.row_number().over(pos_w))
+    )
+    idcg = ideal.agg(F.sum(gain(F.col("rel"), F.col("pos"))).alias("idcg_dec"))
+
+    n_rel = rels.agg(
+        F.count(F.when(F.col("rel") == 3, F.lit(1))).alias("n_relevant_corpus")
+    )
+
+    return (
+        dcg.crossJoin(F.broadcast(idcg))
+        .crossJoin(F.broadcast(n_rel))
+        .select(
+            F.lit(NDCG_K).cast("int").alias("k"),
+            "n_relevant_corpus",
+            "n_relevant_ranked",
+            "best_rank",
+            F.coalesce(
+                F.lit(1.0) / F.col("best_rank").cast("double"), F.lit(0.0)
+            ).alias("mrr"),
+            F.round(F.col("dcg_dec").cast("double"), 9).alias("dcg_at_k"),
+            F.round(F.col("idcg_dec").cast("double"), 9).alias("idcg_at_k"),
+            F.round(
+                F.col("dcg_dec").cast("double") / F.col("idcg_dec").cast("double"),
+                9,
+            ).alias("ndcg_at_k"),
+        )
+    )
+
+
+_REL_SQL = " + ".join(
+    f"CAST(list_contains({TOKENS_SQL}, '{t}') AS INT)" for t in sorted(BM25_QUERY)
+)
+
+RETRIEVAL_EVAL_NDCG_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM toks),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+  WHERE list_contains({_Q_LIST}, term)
+  GROUP BY doc_id, term
+),
+df_t AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+corpus AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(
+           ln(1.0 + (corpus.n_docs - df_t.df + 0.5) / (df_t.df + 0.5))
+           * (tf.tf * {BM25_K1 + 1.0})
+           / (tf.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * dl.dl / corpus.avgdl))
+         AS DECIMAL(18,8)) AS term_score
+  FROM tf JOIN df_t USING (term) JOIN dl ON tf.doc_id = dl.doc_id, corpus
+),
+bm25 AS (
+  SELECT doc_id, ROUND(CAST(SUM(term_score) AS DOUBLE), 6) AS score
+  FROM scored GROUP BY doc_id
+  ORDER BY score DESC, doc_id ASC
+  LIMIT {BM25_TOP}
+),
+ranking AS (
+  SELECT doc_id, score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM bm25
+),
+rels AS (SELECT doc_id, {_REL_SQL} AS rel FROM documents),
+judged AS (SELECT r.rank, l.rel FROM ranking r JOIN rels l USING (doc_id)),
+dcg AS (
+  SELECT SUM(CAST((power(2.0, rel) - 1.0) / log2(CAST(rank AS DOUBLE) + 1.0)
+             AS DECIMAL(18,12))) AS dcg_dec
+  FROM judged WHERE rank <= {NDCG_K}
+),
+ideal AS (
+  SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id ASC) AS pos
+  FROM rels ORDER BY rel DESC, doc_id ASC LIMIT {NDCG_K}
+),
+idcg AS (
+  SELECT SUM(CAST((power(2.0, rel) - 1.0) / log2(CAST(pos AS DOUBLE) + 1.0)
+             AS DECIMAL(18,12))) AS idcg_dec
+  FROM ideal
+),
+mrr AS (
+  SELECT MIN(CASE WHEN rel = 3 THEN rank END) AS best_rank,
+         COUNT(CASE WHEN rel = 3 THEN 1 END) AS n_relevant_ranked
+  FROM judged
+),
+nrel AS (SELECT COUNT(CASE WHEN rel = 3 THEN 1 END) AS n_relevant_corpus FROM rels)
+SELECT CAST({NDCG_K} AS INT) AS k,
+       n_relevant_corpus, n_relevant_ranked, best_rank,
+       COALESCE(1.0 / CAST(best_rank AS DOUBLE), 0.0) AS mrr,
+       ROUND(CAST(dcg_dec AS DOUBLE), 9) AS dcg_at_k,
+       ROUND(CAST(idcg_dec AS DOUBLE), 9) AS idcg_at_k,
+       ROUND(CAST(dcg_dec AS DOUBLE) / CAST(idcg_dec AS DOUBLE), 9) AS ndcg_at_k
+FROM dcg, idcg, mrr, nrel
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "text_inverted_index": (text_inverted_index, TEXT_INVERTED_INDEX_SQL),
     "text_bm25": (text_bm25, TEXT_BM25_SQL),
     "text_vocab_oov": (text_vocab_oov, TEXT_VOCAB_OOV_SQL),
+    "retrieval_eval_ndcg": (retrieval_eval_ndcg, RETRIEVAL_EVAL_NDCG_SQL),
 }

@@ -636,6 +636,95 @@ GROUP BY r_name, YEAR(o_orderdate)
 """
 
 
+# Bloom prefilter sizing: m bits / k hashes, fp ~ (1-e^{-kn/m})^k ≈ 0.7% at
+# n = 25k build keys. Config constants, not data-derived — the filter stays
+# a fixed 32 KiB broadcast no matter the corpus size.
+BLOOM_M_BITS = 1 << 18
+BLOOM_K_HASHES = 5
+_BLOOM_WORDS = BLOOM_M_BITS // 64
+
+
+def j7_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit distributed bloom-filter semi-join prefilter — the manual
+    runtime-filter pattern for a 100 TB probe side. Build: explode each
+    selective build-side key into ``BLOOM_K_HASHES`` bit positions
+    (``xxhash64(key, seed) mod m``), OR them into 64-bit words (one shuffle
+    over ≤4096 word ids, map-side combined), assemble the full word array in
+    a 1-row DataFrame. Probe: broadcast the 32 KiB array onto the orders
+    scan and drop rows where any probe bit is unset — BEFORE the semi-join
+    shuffle. Bloom filters have no false negatives, so the exact semi join
+    that follows returns precisely the oracle's plain semi-join answer;
+    false positives only cost shuffle bytes. Complements the
+    planner-injected runtime filter asserted by
+    ``tests/test_plans.py::test_runtime_bloom_filter_injection``.
+
+    Reference parity: the insertId-existence prefilter shape of
+    ``scripts/02_idempotency_test.js:170-173`` at warehouse scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    keys = li.select("l_orderkey")
+
+    seed = F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K_HASHES - 1))).alias("seed")
+    pos = F.pmod(F.xxhash64("l_orderkey", "seed"), F.lit(BLOOM_M_BITS))
+    bits = (
+        keys.select("l_orderkey", seed)
+        .select(
+            (pos / 64).cast("int").alias("word"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
+            ).alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    # Dense word array via a grid left-join + one sorted collect: O(n log n).
+    # (A map_from_entries + per-index element_at assembly is O(n^2) — Spark's
+    # MapType lookup is a linear scan.)
+    grid = spark.range(_BLOOM_WORDS).select(F.col("id").cast("int").alias("word"))
+    bloom = (
+        grid.join(F.broadcast(bits), "word", "left")
+        .select("word", F.coalesce("bits", F.lit(0).cast("long")).alias("b"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("word", "b"))),
+                lambda x: x["b"],
+            ).alias("words")
+        )
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    probe_pos = lambda s: F.pmod(F.xxhash64("o_orderkey", s), F.lit(BLOOM_M_BITS))  # noqa: E731
+    hit = F.forall(
+        F.sequence(F.lit(0), F.lit(BLOOM_K_HASHES - 1)),
+        lambda s: (
+            F.element_at("words", (probe_pos(s) / 64).cast("int") + 1).bitwiseAND(
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), (probe_pos(s) % 64).cast("int")
+                )
+            )
+            != 0
+        ),
+    )
+    pre = orders.join(F.broadcast(bloom)).filter(hit).drop("words")
+    return (
+        pre.join(keys, pre.o_orderkey == keys.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), _dsum("o_totalprice", 2, "sum_price"))
+        .orderBy("o_orderpriority")
+    )
+
+
+J7_SQL = f"""
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       {_sql_dsum('o_totalprice', 2, 'sum_price')}
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 # --- T1-T3: sorts / limits / set ops ---------------------------------------
 
 
@@ -1350,6 +1439,7 @@ QUERIES: dict[str, tuple] = {
     "j4_anti": (j4_anti, J4_ANTI_SQL),
     "j5_range_join": (j5_range_join, J5_SQL),
     "j6_star_join": (j6_star_join, J6_SQL),
+    "j7_bloom_prefilter_join": (j7_bloom_prefilter_join, J7_SQL),
     "t1_sort_desc": (t1_sort_desc, T1_SQL),
     "t2_topk": (t2_topk, T2_SQL),
     "t3_union": (t3_union, T3_UNION_SQL),

@@ -130,6 +130,8 @@ BNLJ_BY_DESIGN = {
     "dedup_lsh_quality",  # 1-row n_truth x n_pred x n_hit summary joins
     "sketch_theta_overlap",  # 1-row exact-agg x 1-row sketch-agg join
     "sketch_rolling_wau",  # calendar-sized day-grid broadcast range join (exact twin only)
+    "retrieval_eval_ndcg",  # 1-row DCG x IDCG x corpus-relevance metric joins
+    "j7_bloom_prefilter_join",  # 1-row 32KiB bloom-word-array broadcast onto the probe scan
 }
 CARTESIAN_BY_DESIGN = {"t5_cross_join"}  # 5 x 25 dims, explicitly cross
 
