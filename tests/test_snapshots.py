@@ -1,0 +1,61 @@
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from drive_health_etl_spark.operators.snapshots import (
+    commit_snapshot,
+    list_snapshots,
+    read_snapshot,
+)
+
+
+def _mkdf(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+
+
+def test_append_versions_accumulate(spark, tmp_path):
+    table = str(tmp_path / "t")
+    v1 = commit_snapshot(_mkdf(spark, 0, 100), table)
+    v2 = commit_snapshot(_mkdf(spark, 100, 150), table)
+    assert (v1, v2) == (1, 2)
+    assert list_snapshots(table) == [1, 2]
+    assert read_snapshot(spark, table, 1).count() == 100
+    assert read_snapshot(spark, table, 2).count() == 150
+    assert read_snapshot(spark, table).count() == 150  # latest
+
+
+def test_overwrite_keeps_old_versions_readable(spark, tmp_path):
+    table = str(tmp_path / "t")
+    commit_snapshot(_mkdf(spark, 0, 100), table)
+    commit_snapshot(_mkdf(spark, 500, 510), table, mode="overwrite")
+    # latest sees only the overwrite; v1 is untouched (immutable data files)
+    assert sorted(r["k"] for r in read_snapshot(spark, table).collect()) == list(
+        range(500, 510)
+    )
+    assert read_snapshot(spark, table, 1).count() == 100
+
+
+def test_uncommitted_files_are_invisible(spark, tmp_path):
+    """Data files without a published manifest must never appear in a read
+    — the property that makes crashed writers harmless."""
+    table = str(tmp_path / "t")
+    commit_snapshot(_mkdf(spark, 0, 10), table)
+    # simulate a crashed writer: data dir exists, no manifest published
+    orphan = os.path.join(table, "data", "c99999")
+    _mkdf(spark, 1000, 2000).write.parquet(orphan)
+    assert read_snapshot(spark, table).count() == 10
+    assert list_snapshots(table) == [1]
+
+
+def test_bad_version_and_empty_table_raise(spark, tmp_path):
+    table = str(tmp_path / "t")
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, table)
+    commit_snapshot(_mkdf(spark, 0, 10), table)
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, table, 7)
