@@ -76,6 +76,10 @@ HEADLINE = [
     "w10_mad_outliers",
     "dq_expectations",
     "st8_session_dynamic_gap",
+    "j7_bloom_prefilter_join",
+    "j8_skew_salted_join",
+    "retrieval_eval_ndcg",
+    "lake_time_travel",
     "pipeline_ingest_e2e",
 ]
 

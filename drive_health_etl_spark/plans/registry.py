@@ -261,6 +261,69 @@ SELECT DISTINCT event_id, user_id, ts, value FROM events
 """
 
 
+STREAM_STATIC_HEAVY_MIN = 50  # events/user to count as a "heavy" user
+
+
+def st_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join driven to completion: the event stream
+    joins a STATIC per-user profile dimension (total event count, computed
+    batch-side), then aggregates per event type — the canonical streaming
+    enrichment shape (stream fact + slowly-changing broadcast dim). The
+    static side is re-planned per micro-batch by Structured Streaming, which
+    is exactly how dim refreshes become visible mid-stream at scale; with
+    one availableNow batch the oracle is the plain batch join."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from drive_health_etl_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    profile = events.groupBy("user_id").agg(F.count("*").alias("n_total"))
+
+    src = tempfile.mkdtemp(prefix="dhe_sse_src_")
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).format("parquet").load(src)
+    enriched = stream.join(F.broadcast(profile), "user_id")
+    agg = enriched.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(
+            (F.col("n_total") >= STREAM_STATIC_HEAVY_MIN).cast("long")
+        ).alias("n_heavy"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 6
+        ).alias("sum_value"),
+    )
+    sink = f"sse_out_{uuid.uuid4().hex[:8]}"
+    with _shuffle_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    shutil.rmtree(src, ignore_errors=True)
+    return spark.sql(
+        f"SELECT event_type, n_events, n_heavy, sum_value FROM {sink}"
+    )
+
+
+ST_STREAM_STATIC_SQL = f"""
+WITH prof AS (SELECT user_id, COUNT(*) AS n_total FROM events GROUP BY user_id)
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN n_total >= {STREAM_STATIC_HEAVY_MIN} THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_value
+FROM events JOIN prof USING (user_id)
+GROUP BY event_type
+"""
+
+
 ST_STREAM_STREAM_SQL = """
 SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
        epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
@@ -290,6 +353,7 @@ _MERGED: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "st_stream_stream_join": (st_stream_stream_join, ST_STREAM_STREAM_SQL),
     "st_stream_stream_left": (st_stream_stream_left, ST_STREAM_STREAM_LEFT_SQL),
     "st_stream_dedup": (st_stream_dedup, ST_STREAM_DEDUP_SQL),
+    "st_stream_static_enrich": (st_stream_static_enrich, ST_STREAM_STATIC_SQL),
     **_relational.QUERIES,
     **_tpch.QUERIES,
     **_pipeline.QUERIES,

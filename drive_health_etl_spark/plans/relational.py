@@ -725,6 +725,52 @@ ORDER BY o_orderpriority
 """
 
 
+def j8_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join under extreme single-key skew, as a first-class query:
+    90% of events collapse onto one hot tenant (derived deterministically
+    from event_id), which would pin one reducer in a plain shuffle join at
+    scale. ``salted_join`` spreads the hot key over (key, salt) sub-keys and
+    replicates only the dim side — the oracle is the PLAIN join, because
+    salting must be invisible in the result. Complements the AQE skew-join
+    path (on by default in session.py) for skew too extreme to split by
+    shuffle-file size alone. See ``operators/skew.py``; equivalence is also
+    pytest-asserted in ``tests/test_skew.py``."""
+    from drive_health_etl_spark.operators.skew import salted_join
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "tenant",
+        F.when(F.col("event_id") % 10 < 9, F.lit("hot-tenant")).otherwise(
+            F.concat(F.lit("t-"), (F.col("event_id") % 50).cast("string"))
+        ),
+    )
+    dim = (
+        e.select("tenant")
+        .distinct()
+        .withColumn("region", F.substring("tenant", 1, 1))
+    )
+    joined = salted_join(
+        e, dim, "tenant", n_salts=16, salt_source=F.hash(F.col("event_id"))
+    )
+    return joined.groupBy("tenant", "region").agg(
+        F.count("*").alias("n_events"), _dsum("value", 2, "sum_value")
+    )
+
+
+J8_SQL = f"""
+WITH e AS (
+  SELECT *,
+         CASE WHEN event_id % 10 < 9 THEN 'hot-tenant'
+              ELSE 't-' || CAST(event_id % 50 AS VARCHAR) END AS tenant
+  FROM events
+),
+d AS (SELECT DISTINCT tenant, substr(tenant, 1, 1) AS region FROM e)
+SELECT tenant, region, COUNT(*) AS n_events,
+       {_sql_dsum('value', 2, 'sum_value')}
+FROM e JOIN d USING (tenant)
+GROUP BY tenant, region
+"""
+
+
 # --- T1-T3: sorts / limits / set ops ---------------------------------------
 
 
@@ -1440,6 +1486,7 @@ QUERIES: dict[str, tuple] = {
     "j5_range_join": (j5_range_join, J5_SQL),
     "j6_star_join": (j6_star_join, J6_SQL),
     "j7_bloom_prefilter_join": (j7_bloom_prefilter_join, J7_SQL),
+    "j8_skew_salted_join": (j8_skew_salted_join, J8_SQL),
     "t1_sort_desc": (t1_sort_desc, T1_SQL),
     "t2_topk": (t2_topk, T2_SQL),
     "t3_union": (t3_union, T3_UNION_SQL),
