@@ -101,3 +101,68 @@ def rollup_totals(spark: SparkSession, rollup_path: str) -> DataFrame:
         F.sum("n_events").alias("event_count"),
         F.sum("n_sampled").alias("sampled_count"),
     )
+
+
+# --- registered query -------------------------------------------------------
+
+
+def rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance, end to end: build the
+    day-rollup from an initial warehouse load (even-numbered days), append a
+    second batch (odd days), refresh ONLY the partitions that batch touched,
+    then serve per-(tenant, event_type) totals FROM the rollup. The oracle
+    aggregates the raw events directly — if the incremental refresh dropped,
+    duplicated, or left a stale partition, the totals diverge. The
+    touched-dates list is driver-side but O(days in the batch) (bounded
+    metadata, same as the upsert partition pruning).
+
+    The warehouse here is a deterministic projection of ``events`` (tenant
+    from ``user_id % 20``) so the oracle is plain SQL; the production chain
+    uses the ingest-derived warehouse with the same refresh call
+    (``tests/test_rollup.py``)."""
+    import shutil
+    import tempfile
+
+    from drive_health_etl_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("event_date"),
+        F.concat(F.lit("t"), F.pmod(F.col("user_id"), F.lit(20)).cast("string")).alias(
+            "tenant_id"
+        ),
+        "event_type",
+        (F.col("value") > 0).alias("sampled"),
+        F.col("event_id").cast("string").alias("idempotency_key"),
+    )
+    wh = tempfile.mkdtemp(prefix="dhe_ri_wh_")
+    ru = tempfile.mkdtemp(prefix="dhe_ri_ru_")
+    shutil.rmtree(wh, ignore_errors=True)
+    shutil.rmtree(ru, ignore_errors=True)
+    try:
+        batch1 = e.filter(F.dayofmonth(F.col("event_date")) % 2 == 0)
+        batch2 = e.filter(F.dayofmonth(F.col("event_date")) % 2 == 1)
+        batch1.write.partitionBy("event_date").parquet(wh)
+        refresh_rollup(spark, wh, ru)  # initial full build
+        batch2.write.mode("append").partitionBy("event_date").parquet(wh)
+        touched = [
+            r["event_date"] for r in batch2.select("event_date").distinct().collect()
+        ]  # bounded: one row per day in the batch
+        refresh_rollup(spark, wh, ru, touched_dates=touched)
+        return rollup_totals(spark, ru).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+        shutil.rmtree(ru, ignore_errors=True)
+
+
+ROLLUP_INCREMENTAL_SQL = """
+SELECT 't' || CAST(user_id % 20 AS VARCHAR) AS tenant_id, event_type,
+       COUNT(*) AS event_count,
+       CAST(SUM(CASE WHEN value > 0 THEN 1 ELSE 0 END) AS BIGINT) AS sampled_count
+FROM events
+GROUP BY 1, 2
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "rollup_incremental": (rollup_incremental, ROLLUP_INCREMENTAL_SQL),
+}

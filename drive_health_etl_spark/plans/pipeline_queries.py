@@ -459,9 +459,54 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize a keyed table from an ordered CDC changelog (Debezium /
+    Kafka-compaction shape): events form a per-user changelog where
+    ``error`` events are DELETEs and everything else an UPSERT of ``value``;
+    the latest operation per key wins (ordered by ts, event_id tiebreak) and
+    a final DELETE removes the key. Complements ``w1_first_write_wins``
+    (first-writer dedup) and ``cdc_snapshot_diff`` (diff two versions):
+    this is the APPLY side that turns a log into current state.
+
+    Plan: one shuffle on user_id, sort-local row_number — Spark's standard
+    compaction shape; at 100 TB the same window runs per key-bucket and the
+    changelog scan prunes to partitions newer than the last materialized
+    offset."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    latest = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .filter(F.col("event_type") != "error")  # final DELETE removes the key
+    )
+    return latest.select(
+        "user_id",
+        F.col("value").alias("current_value"),
+        F.col("ts").alias("updated_at"),
+        F.col("event_type").alias("last_op"),
+    )
+
+
+CDC_APPLY_SQL = """
+SELECT user_id, value AS current_value, ts AS updated_at,
+       event_type AS last_op
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "dq_constraints": (dq_constraints, DQ_CONSTRAINTS_SQL),
     "cdc_snapshot_diff": (cdc_snapshot_diff, CDC_DIFF_SQL),
+    "cdc_apply_changelog": (cdc_apply_changelog, CDC_APPLY_SQL),
     "a1_group_count": (a1_group_count, A1_SQL),
     "a2_dup_check": (a2_dup_check, A2_SQL),
     "a4_sampling_rate_observed": (a4_sampling_rate_observed, A4_SQL),

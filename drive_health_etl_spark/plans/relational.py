@@ -1325,6 +1325,70 @@ FROM events
 """
 
 
+CONCURRENCY_HOLD_MIN = 5  # minutes each event is considered "active"
+
+
+def w11_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak interval concurrency per event type — the classic +1/-1 boundary
+    sweep: each event holds a resource for ``CONCURRENCY_HOLD_MIN`` minutes;
+    emit +1 at start and -1 at end, running-sum in time order, take the max.
+    Capacity planning's core query (max simultaneous sessions / connections
+    / calls in flight).
+
+    Ordering contract: ends sort before starts at the same instant
+    (``ORDER BY t, delta``) — intervals are half-open, so an interval ending
+    exactly when another starts never overlaps it. Within equal (t, delta)
+    ties the running sum's intermediate values depend on row order, but the
+    per-type MAX is order-independent (the max prefix is reached after the
+    whole tie group either way) — so the result is engine-deterministic.
+
+    Plan: one shuffle on event_type, sort-local running sum. At 100 TB the
+    same sweep runs per (event_type, day) with a per-day carried-in offset
+    (the running sum at midnight), keeping partitions bounded."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    starts = e.select("event_type", F.col("ts").alias("t"), F.lit(1).alias("delta"))
+    ends = e.select(
+        "event_type",
+        (F.col("ts") + F.expr(f"INTERVAL {CONCURRENCY_HOLD_MIN} MINUTES")).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        starts.unionAll(ends)
+        .select("event_type", F.sum("delta").over(w).alias("cur"))
+        .groupBy("event_type")
+        .agg(
+            F.max("cur").alias("max_concurrent"),
+            (F.count("*") / 2).cast("long").alias("n_intervals"),
+        )
+    )
+
+
+W11_SQL = f"""
+WITH pts AS (
+  SELECT event_type, ts AS t, 1 AS delta FROM events
+  UNION ALL
+  SELECT event_type, ts + INTERVAL {CONCURRENCY_HOLD_MIN} MINUTE AS t, -1 AS delta
+  FROM events
+),
+run AS (
+  SELECT event_type,
+         SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+                          ROWS UNBOUNDED PRECEDING) AS cur
+  FROM pts
+)
+SELECT event_type, CAST(MAX(cur) AS BIGINT) AS max_concurrent,
+       CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals
+FROM run GROUP BY event_type
+"""
+
+
 # Tercile split points, computed once in Python and embedded verbatim in
 # both engines (1/3 is not exactly representable — the literal must be the
 # SAME double on both sides).
@@ -1462,6 +1526,7 @@ LIMIT {BASKET_TOP_N}
 
 QUERIES: dict[str, tuple] = {
     "w9_impute_ffill": (w9_impute_ffill, W9_SQL),
+    "w11_interval_concurrency": (w11_interval_concurrency, W11_SQL),
     "basket_part_pairs": (basket_part_pairs, BASKET_SQL),
     "rfm_segments": (rfm_segments, RFM_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
