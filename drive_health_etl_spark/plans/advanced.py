@@ -440,10 +440,66 @@ GROUP BY o_orderpriority
 """
 
 
+def sql_udf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined UDFs (Spark 4 ``CREATE FUNCTION ... RETURN``): a scalar
+    UDF (discounted price), a second scalar UDF composing the first into a
+    price band, and a TABLE-valued SQL UDF applied per row via LATERAL —
+    the catalog-persistable way to share business logic across jobs without
+    Python.
+
+    Scale note: SQL UDFs inline into the calling plan at analysis time
+    (pure parser/analyzer surface — the optimized plan is identical to
+    writing the expression inline), so they keep whole-stage codegen and
+    pushdown; the oracle proves it by inlining the same logic verbatim. The
+    table-valued UDF expands to a LATERAL explode — fan-out bounded by the
+    function body, not the input."""
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1.0 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION qty_band(q DOUBLE) RETURNS STRING "
+        "RETURN CASE WHEN q >= 40 THEN 'bulk' WHEN q >= 10 THEN 'mid' ELSE 'small' END"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION tax_steps(p DOUBLE) "
+        "RETURNS TABLE(step INT, taxed DOUBLE) "
+        "RETURN SELECT i AS step, p * (1.0 + 0.01 * i) AS taxed "
+        "FROM (SELECT explode(sequence(1, 3)) AS i)"
+    )
+    return spark.sql(
+        """
+        SELECT qty_band(l_quantity) AS band, t.step,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(disc_price(l_extendedprice, l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               CAST(SUM(CAST(t.taxed AS DECIMAL(18,4))) AS DOUBLE) AS taxed_total
+        FROM lineitem, LATERAL tax_steps(l_extendedprice) AS t
+        WHERE l_shipdate >= DATE '1998-01-01'
+        GROUP BY qty_band(l_quantity), t.step
+        """
+    )
+
+
+SQL_UDF_SQL = """
+SELECT CASE WHEN l_quantity >= 40 THEN 'bulk'
+            WHEN l_quantity >= 10 THEN 'mid' ELSE 'small' END AS band,
+       t.step,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       CAST(SUM(CAST(l_extendedprice * (1.0 + 0.01 * t.step) AS DECIMAL(18,4))) AS DOUBLE) AS taxed_total
+FROM lineitem,
+     LATERAL (SELECT unnest([1, 2, 3]) AS step) AS t
+WHERE l_shipdate >= DATE '1998-01-01'
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "sql_recursive_cte": (sql_recursive_cte, SQL_RECURSIVE_CTE_SQL),
     "sql_pipe_syntax": (sql_pipe_syntax, SQL_PIPE_SQL),
     "sql_scripting": (sql_scripting, SQL_SCRIPTING_SQL),
+    "sql_udf_suite": (sql_udf_suite, SQL_UDF_SQL),
     "sketch_distinct_hll": (sketch_distinct_hll, SKETCH_DISTINCT_HLL_SQL),
     "sketch_top_k": (sketch_top_k, SKETCH_TOP_K_SQL),
     "sketch_quantile_check": (sketch_quantile_check, SKETCH_QUANTILE_SQL),

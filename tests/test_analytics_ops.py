@@ -123,3 +123,111 @@ def test_equidepth_bins_are_balanced(spark):
         assert abs(r["n"] - n / N_BINS) <= max(2, 0.02 * n / N_BINS)
     for a, b in zip(rows, rows[1:]):
         assert b["lo"] >= a["hi"]
+
+
+def test_interval_concurrency_tie_rule(spark):
+    """Half-open interval semantics: an interval ending exactly when another
+    starts never overlaps it (ends sort before starts at the same instant),
+    and true overlaps count. Crafted timeline, one event type."""
+    import datetime as dt
+
+    from drive_health_etl_spark.plans.relational import CONCURRENCY_HOLD_MIN
+
+    hold = dt.timedelta(minutes=CONCURRENCY_HOLD_MIN)
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    # a: [t0, t0+hold); b starts exactly at a's end (no overlap);
+    # c+d overlap b (3-deep would need c,d,b concurrent: c,d inside b's span)
+    starts = [t0, t0 + hold, t0 + hold + dt.timedelta(minutes=1),
+              t0 + hold + dt.timedelta(minutes=2)]
+    df = spark.createDataFrame(
+        [(i, "x", s) for i, s in enumerate(starts)], "event_id long, event_type string, ts timestamp"
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type").orderBy("t", "delta").rowsBetween(W.unboundedPreceding, 0)
+    pts = df.select("event_type", F.col("ts").alias("t"), F.lit(1).alias("delta")).unionAll(
+        df.select("event_type", (F.col("ts") + F.expr(f"INTERVAL {CONCURRENCY_HOLD_MIN} MINUTES")).alias("t"), F.lit(-1).alias("delta"))
+    )
+    got = (
+        pts.select("event_type", F.sum("delta").over(w).alias("cur"))
+        .agg(F.max("cur").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    assert got == 3  # b, c, d concurrent; a never overlaps b
+
+
+def test_cdc_apply_delete_and_ordering(spark):
+    """A key whose LAST op is a delete disappears; a delete followed by a
+    later upsert resurrects the key with the later value; ties on ts break
+    by event_id (higher id wins)."""
+    rows = [
+        # user 1: upsert, then delete -> gone
+        (1, 1, "2026-01-01 10:00:00", "click", 5.0),
+        (2, 1, "2026-01-01 11:00:00", "error", 0.0),
+        # user 2: delete, then upsert -> present with 7.0
+        (3, 2, "2026-01-01 10:00:00", "error", 0.0),
+        (4, 2, "2026-01-01 11:00:00", "purchase", 7.0),
+        # user 3: two upserts at the SAME ts -> higher event_id wins
+        (5, 3, "2026-01-01 12:00:00", "click", 1.0),
+        (6, 3, "2026-01-01 12:00:00", "click", 2.0),
+    ]
+    src = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    latest = (
+        src.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .filter(F.col("event_type") != "error")
+    )
+    got = {r["user_id"]: r["value"] for r in latest.collect()}
+    assert got == {2: 7.0, 3: 2.0}
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    """Every true build-side key must pass the probe bloom test (no false
+    negatives by construction) on a crafted key set including negatives."""
+    from pyspark.sql import Row
+
+    from drive_health_etl_spark.plans.relational import (
+        BLOOM_K_HASHES,
+        BLOOM_M_BITS,
+        _BLOOM_WORDS,
+    )
+
+    build = spark.range(0, 1000).select(F.col("id").alias("l_orderkey"))
+    seed = F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K_HASHES - 1))).alias("seed")
+    pos = F.pmod(F.xxhash64("l_orderkey", "seed"), F.lit(BLOOM_M_BITS))
+    bits = (
+        build.select("l_orderkey", seed)
+        .select(
+            (pos / 64).cast("int").alias("word"),
+            F.call_function("shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")).alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    grid = spark.range(_BLOOM_WORDS).select(F.col("id").cast("int").alias("word"))
+    bloom = (
+        grid.join(F.broadcast(bits), "word", "left")
+        .select("word", F.coalesce("bits", F.lit(0).cast("long")).alias("b"))
+        .agg(F.transform(F.array_sort(F.collect_list(F.struct("word", "b"))), lambda x: x["b"]).alias("words"))
+    )
+    probe = spark.range(0, 2000).select(F.col("id").alias("o_orderkey"))
+    ppos = lambda s: F.pmod(F.xxhash64("o_orderkey", s), F.lit(BLOOM_M_BITS))  # noqa: E731
+    hit = F.forall(
+        F.sequence(F.lit(0), F.lit(BLOOM_K_HASHES - 1)),
+        lambda s: (
+            F.element_at("words", (ppos(s) / 64).cast("int") + 1).bitwiseAND(
+                F.call_function("shiftleft", F.lit(1).cast("long"), (ppos(s) % 64).cast("int"))
+            )
+            != 0
+        ),
+    )
+    passed = {r["o_orderkey"] for r in probe.join(F.broadcast(bloom)).filter(hit).collect()}
+    assert set(range(1000)) <= passed  # zero false negatives
+    fp = len(passed) - 1000
+    assert fp < 200  # fp rate sane for m/n = 262144/1000

@@ -48,6 +48,11 @@ EMPTY_SAFE = [
     "u3_grouped_map_features",
     "u5_grouped_agg_udaf",
     "graph_pagerank",
+    "w11_interval_concurrency",
+    "cdc_apply_changelog",
+    "j7_bloom_prefilter_join",
+    "j8_skew_salted_join",
+    "retrieval_eval_ndcg",
 ]
 
 

@@ -97,3 +97,23 @@ def test_salting_evens_partition_histogram(spark, sf_dir):
     )
     assert max(raw) / total > 0.85  # the hot key concentrates
     assert max(salted) / total < 0.30  # salting spreads it
+
+
+def test_salted_join_matches_under_forced_shuffle(spark, sf_dir):
+    """Equivalence with broadcast disabled (autoBroadcastJoinThreshold=-1):
+    the salted join must plan a SHUFFLE join on (key, _salt) — the scale
+    regime where salting matters — and still return exactly the plain-join
+    result."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        events = _skewed_events(spark, sf_dir)
+        dim = _tenant_dim(spark, events)
+        salted = salted_join(events, dim, "tenant", n_salts=8)
+        plan = salted._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan[:1500]
+        got = salted.groupBy("tenant", "region").count()
+        want = events.join(dim, "tenant").groupBy("tenant", "region").count()
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

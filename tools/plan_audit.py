@@ -188,6 +188,40 @@ AUDITS = [
         "the join fan-out; per-source totals broadcast back onto the "
         "n_sources^2-row result.",
     ),
+    (
+        "j7_bloom_prefilter_join",
+        "Explicit bloom prefilter: the filter build is one ≤4096-group "
+        "aggregate (map-side combined bit_or); the probe side evaluates the "
+        "membership test against the broadcast 32 KiB word array INSIDE the "
+        "scan stage, so non-candidate rows die before the semi-join "
+        "shuffle — the only BroadcastNestedLoopJoin is the 1-row array "
+        "attach.",
+    ),
+    (
+        "j8_skew_salted_join",
+        "Salted skew join: the join key is the composite (tenant, _salt), "
+        "so at scale the hot tenant's rows hash across 16 reducers instead "
+        "of one; only the dim side replicates (explode x16 on config-sized "
+        "rows). At sf0.01 the planner broadcasts the whole (tiny) fact side "
+        "— the plan evidence here is the composite key in the join "
+        "condition; the shuffle-spread behavior is size-triggered and "
+        "equivalence is pytest-asserted under forced shuffle in "
+        "tests/test_skew.py.",
+    ),
+    (
+        "w11_interval_concurrency",
+        "Interval concurrency sweep: union of +1/-1 boundary points, ONE "
+        "shuffle on event_type, sort-local running sum, partial+final max — "
+        "no global sort, no self-join; per-type partitions are the "
+        "parallelism unit.",
+    ),
+    (
+        "retrieval_eval_ndcg",
+        "Ranking eval: the BM25 ranking (config-sized, 20 rows) broadcasts "
+        "onto the corpus relevance scan; DCG/MRR reduce in one aggregate "
+        "pass; IDCG is a TakeOrdered top-10. The 1-row metric joins are "
+        "the only nested-loop shapes.",
+    ),
 ]
 
 
