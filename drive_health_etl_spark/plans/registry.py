@@ -22,6 +22,7 @@ from drive_health_etl_spark.operators import grouped_pandas as _grouped
 from drive_health_etl_spark.operators import layout as _layout
 from drive_health_etl_spark.operators import multimodal as _multimodal
 from drive_health_etl_spark.operators import quality as _quality
+from drive_health_etl_spark.operators import bpe as _bpe
 from drive_health_etl_spark.operators import rollup as _rollup
 from drive_health_etl_spark.operators import snapshots as _snapshots
 from drive_health_etl_spark.operators import retrieval as _retrieval
@@ -378,6 +379,7 @@ _MERGED: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     **_udtfs.QUERIES,
     **_snapshots.QUERIES,
     **_rollup.QUERIES,
+    **_bpe.QUERIES,
     "pipeline_ingest_e2e": (pipeline_ingest_e2e, None),
 }
 
