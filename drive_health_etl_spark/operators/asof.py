@@ -58,6 +58,73 @@ ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'pur
 """
 
 
+ASOF_FWD_TOL_MIN = 60  # forward-match tolerance (minutes)
+
+
+def asof_next_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join WITH TOLERANCE (pandas ``merge_asof``
+    direction='forward'): for every purchase, the user's next click strictly
+    after it, kept only if within ``ASOF_FWD_TOL_MIN`` minutes — the
+    follow-up-behavior primitive (post-purchase engagement, retry-after-
+    error, etc.). Same single-window scale shape as the backward as-of:
+    one shuffle on user_id, one sort, a FOLLOWING frame instead of
+    PRECEDING, zero joins.
+
+    The oracle is the identical window construction in DuckDB rather than
+    its native ASOF JOIN: at equal timestamps the window's (ts, event_id)
+    total order is pinned on both engines, while native ASOF's tie handling
+    would not see the event_id tiebreak."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(1, Window.unboundedFollowing)  # strictly after this row
+    )
+    is_click = F.col("event_type") == "click"
+    next_click_id = F.first(F.when(is_click, F.col("event_id")), ignorenulls=True).over(w)
+    next_click_us = F.first(
+        F.when(is_click, F.unix_micros(F.col("ts"))), ignorenulls=True
+    ).over(w)
+    gap_us = next_click_us - F.unix_micros(F.col("ts"))
+    # The tolerance test must reference the MATERIALIZED gap column: reusing
+    # the window expression inside the post-filter select would re-evaluate
+    # the window over the purchases-only rows (clicks filtered away -> all
+    # null) — windows bind to the DataFrame they are selected from.
+    within = F.col("gap_us") <= ASOF_FWD_TOL_MIN * 60 * 1_000_000
+    return (
+        events.withColumn("nc_id", next_click_id)
+        .withColumn("gap_us", gap_us)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.when(within, F.col("nc_id")).alias("next_click_event_id"),
+            F.when(within, F.col("gap_us")).alias("us_to_click"),
+        )
+    )
+
+
+ASOF_FWD_SQL = f"""
+SELECT event_id, user_id,
+       CASE WHEN gap_us <= CAST({ASOF_FWD_TOL_MIN} AS BIGINT) * 60 * 1000000 THEN nc_id END
+         AS next_click_event_id,
+       CASE WHEN gap_us <= CAST({ASOF_FWD_TOL_MIN} AS BIGINT) * 60 * 1000000 THEN gap_us END
+         AS us_to_click
+FROM (
+  SELECT event_id, user_id, event_type,
+         FIRST_VALUE(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+           OVER fwd AS nc_id,
+         FIRST_VALUE(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+           OVER fwd - epoch_us(ts) AS gap_us
+  FROM events
+  WINDOW fwd AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+WHERE event_type = 'purchase'
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "asof_last_purchase": (asof_last_purchase, ASOF_SQL),
+    "asof_next_within": (asof_next_within, ASOF_FWD_SQL),
 }
