@@ -772,7 +772,79 @@ FROM assigned GROUP BY m
 """
 
 
+# --- Gram matrix via numpy partial aggregation ------------------------------
+
+GRAM_SCALE = 1_000_000  # fixed-point quantization: floor(x * 1e6 + 0.5)
+GRAM_TOP = 20
+
+
+def emb_gram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gram matrix (X^T X) of the embedding corpus via numpy partial
+    aggregation — the X^T X / covariance primitive behind PCA, whitening,
+    and closed-form linear probes. Each Arrow batch computes its d x d
+    partial Gram with one int64 matmul inside ``mapInPandas`` and emits the
+    upper triangle as (i, j, partial) rows; one shuffle over at most
+    d(d+1)/2 keys reduces the partials. Output: the ``GRAM_TOP`` strongest
+    entries by |G_ij| (deterministic ties on (i, j)) — the correlated
+    dimension pairs.
+
+    Exactness trick: values are fixed-point quantized to int64
+    (``floor(x * 1e6 + 0.5)`` — floor, NOT round: round-half is
+    banker's in numpy but half-away in DuckDB) so every product and sum is
+    exact integer arithmetic on both engines — no float summation-order
+    divergence, no rounding discipline needed downstream. Magnitudes:
+    |x| <= ~1 -> products ~1e12, summed over the corpus << 2^63.
+
+    Scale shape: per-executor work is a vectorized matmul; shuffle volume
+    is O(d^2 x n_batches), independent of row count — the same partial-
+    aggregate layout a 1000-executor PCA uses."""
+    import numpy as np
+    import pandas as pd
+
+    d = EMB_DIM
+
+    def gram_partials(batches):
+        iu = np.triu_indices(d)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Q = np.floor(E * GRAM_SCALE + 0.5).astype(np.int64)
+            G = Q.T @ Q  # int64 matmul: exact
+            yield pd.DataFrame(
+                {"i": iu[0] + 1, "j": iu[1] + 1, "g": G[iu]}
+            )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    partials = emb.mapInPandas(gram_partials, schema="i int, j int, g long")
+    return (
+        partials.groupBy("i", "j")
+        .agg(F.sum("g").alias("g"))
+        .orderBy(F.abs("g").desc(), F.col("i").asc(), F.col("j").asc())
+        .limit(GRAM_TOP)
+    )
+
+
+EMB_GRAM_SQL = f"""
+WITH q AS (
+  SELECT list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * {GRAM_SCALE} + 0.5) AS BIGINT)) AS v
+  FROM embeddings
+),
+g AS (
+  SELECT i.range AS i, j.range AS j,
+         CAST(SUM(v[CAST(i.range AS INT)] * v[CAST(j.range AS INT)]) AS BIGINT) AS g
+  FROM q, range(1, {EMB_DIM} + 1) i, range(1, {EMB_DIM} + 1) j
+  WHERE i.range <= j.range
+  GROUP BY 1, 2
+)
+SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, g
+FROM g ORDER BY abs(g) DESC, i ASC, j ASC LIMIT {GRAM_TOP}
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "emb_gram_topk": (emb_gram_topk, EMB_GRAM_SQL),
     "emb_pq_stats": (emb_pq_stats, EMB_PQ_SQL),
     "emb_dim_energy": (emb_dim_energy, EMB_DIM_ENERGY_SQL),
     "sim_knn_classify": (sim_knn_classify, SIM_KNN_CLASSIFY_SQL),
