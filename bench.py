@@ -80,6 +80,9 @@ HEADLINE = [
     "j8_skew_salted_join",
     "retrieval_eval_ndcg",
     "lake_time_travel",
+    "text_bpe_train",
+    "emb_gram_topk",
+    "w11_interval_concurrency",
     "pipeline_ingest_e2e",
 ]
 
