@@ -503,10 +503,96 @@ WHERE rn = 1 AND event_type <> 'error'
 """
 
 
+PSI_BINS = 10
+
+
+def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two periods of the ``value``
+    feature (expected = even days, actual = odd days) — the standard ML-ops
+    drift monitor run before trusting a model on fresh data. Equi-width
+    bins over the global [min, max] (1-row broadcast bounds), Laplace
+    smoothing so empty bins stay finite, per-bin PSI contribution
+    ``(pA - pB) * ln(pA / pB)``.
+
+    Plan: one scan for bounds, one scan binned + counted per period (single
+    shuffle over ≤``PSI_BINS`` keys with map-side combine). The ln() terms
+    are decimal-cast before any cross-engine comparison surface (ln ULP).
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "value", (F.dayofmonth("ts") % 2 == 0).alias("is_expected")
+    )
+    bounds = e.agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx")
+    )
+    binned = e.crossJoin(F.broadcast(bounds)).select(
+        "is_expected",
+        F.least(
+            F.lit(PSI_BINS - 1),
+            F.floor(
+                (F.col("value") - F.col("mn"))
+                / (F.col("mx") - F.col("mn"))
+                * PSI_BINS
+            ).cast("int"),
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.count(F.when(F.col("is_expected"), 1)).alias("n_expected"),
+        F.count(F.when(~F.col("is_expected"), 1)).alias("n_actual"),
+    )
+    totals = counts.agg(
+        F.sum("n_expected").alias("te"), F.sum("n_actual").alias("ta")
+    )
+    pa = (F.col("n_expected") + 1).cast("double") / (F.col("te") + PSI_BINS)
+    pb = (F.col("n_actual") + 1).cast("double") / (F.col("ta") + PSI_BINS)
+    term = ((pa - pb) * F.log(pa / pb)).cast("decimal(18,12)")
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "bin",
+            "n_expected",
+            "n_actual",
+            F.round(term.cast("double"), 9).alias("psi_term"),
+        )
+        .orderBy("bin")
+    )
+
+
+DQ_PSI_SQL = f"""
+WITH e AS (
+  SELECT value, (EXTRACT(day FROM ts) % 2 = 0) AS is_expected FROM events
+),
+bounds AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM e),
+binned AS (
+  SELECT is_expected,
+         LEAST({PSI_BINS - 1},
+               CAST(FLOOR((value - mn) / (mx - mn) * {PSI_BINS}) AS INT)) AS bin
+  FROM e, bounds
+),
+counts AS (
+  SELECT bin,
+         COUNT(CASE WHEN is_expected THEN 1 END) AS n_expected,
+         COUNT(CASE WHEN NOT is_expected THEN 1 END) AS n_actual
+  FROM binned GROUP BY bin
+),
+totals AS (SELECT CAST(SUM(n_expected) AS BIGINT) AS te,
+                  CAST(SUM(n_actual) AS BIGINT) AS ta FROM counts)
+SELECT bin, n_expected, n_actual,
+       ROUND(CAST(CAST(
+         ((CAST(n_expected + 1 AS DOUBLE) / (te + {PSI_BINS}))
+          - (CAST(n_actual + 1 AS DOUBLE) / (ta + {PSI_BINS})))
+         * ln((CAST(n_expected + 1 AS DOUBLE) / (te + {PSI_BINS}))
+              / (CAST(n_actual + 1 AS DOUBLE) / (ta + {PSI_BINS})))
+       AS DECIMAL(18,12)) AS DOUBLE), 9) AS psi_term
+FROM counts, totals
+ORDER BY bin
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "dq_constraints": (dq_constraints, DQ_CONSTRAINTS_SQL),
     "cdc_snapshot_diff": (cdc_snapshot_diff, CDC_DIFF_SQL),
     "cdc_apply_changelog": (cdc_apply_changelog, CDC_APPLY_SQL),
+    "dq_psi_drift": (dq_psi_drift, DQ_PSI_SQL),
     "a1_group_count": (a1_group_count, A1_SQL),
     "a2_dup_check": (a2_dup_check, A2_SQL),
     "a4_sampling_rate_observed": (a4_sampling_rate_observed, A4_SQL),

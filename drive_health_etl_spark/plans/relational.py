@@ -1389,6 +1389,67 @@ FROM run GROUP BY event_type
 """
 
 
+EWMA_ALPHA = 0.3  # smoothing factor; parsed to the same double by both engines
+
+
+def w12_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of ``value`` over time
+    — the recursive smoother (s_t = a*x_t + (1-a)*s_{t-1}) behind alerting
+    baselines and trend features. Window functions cannot express the
+    recursion, so each user's series folds through ``aggregate`` over the
+    time-sorted value array: both engines run the IDENTICAL left-to-right
+    float fold, so the result is bit-exact with no rounding discipline.
+
+    Scale shape: one shuffle on user_id; per-key state is the user's own
+    history (fine for per-entity series; at 100 TB you bound it to a
+    trailing window per partition-day exactly like the rolling-WAU
+    pattern). Output: last smoothed value + series length per user."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    series = (
+        e.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ).alias("s")
+        )
+        .select(
+            "user_id",
+            F.transform("s", lambda x: x["value"]).alias("vals"),
+        )
+    )
+    a = EWMA_ALPHA
+    ewma = F.aggregate(
+        F.expr("slice(vals, 2, size(vals) - 1)"),
+        F.element_at("vals", 1).cast("double"),
+        lambda acc, x: F.lit(a) * x + F.lit(1.0 - a) * acc,
+    )
+    return series.select(
+        "user_id",
+        F.size("vals").alias("n_points"),
+        ewma.alias("ewma_last"),
+    )
+
+
+# DuckDB's list_reduce uses the first element as the initial accumulator and
+# folds the rest — exactly the Spark construction above (init = vals[1],
+# fold vals[2:]), so both engines run the same left-to-right float ops.
+W12_SQL = f"""
+SELECT user_id, CAST(len(vals) AS INT) AS n_points,
+       list_reduce(vals,
+         (acc, x) -> {EWMA_ALPHA!r}::DOUBLE * x + {1.0 - EWMA_ALPHA!r}::DOUBLE * acc
+       ) AS ewma_last
+FROM (
+  SELECT user_id,
+         list_transform(
+           list_sort(list(ROW(ts, event_id, value))),
+           r -> CAST(r[3] AS DOUBLE)
+         ) AS vals
+  FROM (SELECT user_id, ts, event_id, value FROM events)
+  GROUP BY user_id
+)
+"""
+
+
 # Tercile split points, computed once in Python and embedded verbatim in
 # both engines (1/3 is not exactly representable — the literal must be the
 # SAME double on both sides).
@@ -1527,6 +1588,7 @@ LIMIT {BASKET_TOP_N}
 QUERIES: dict[str, tuple] = {
     "w9_impute_ffill": (w9_impute_ffill, W9_SQL),
     "w11_interval_concurrency": (w11_interval_concurrency, W11_SQL),
+    "w12_ewma_smooth": (w12_ewma_smooth, W12_SQL),
     "basket_part_pairs": (basket_part_pairs, BASKET_SQL),
     "rfm_segments": (rfm_segments, RFM_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),

@@ -132,6 +132,7 @@ BNLJ_BY_DESIGN = {
     "sketch_rolling_wau",  # calendar-sized day-grid broadcast range join (exact twin only)
     "retrieval_eval_ndcg",  # 1-row DCG x IDCG x corpus-relevance metric joins
     "j7_bloom_prefilter_join",  # 1-row 32KiB bloom-word-array broadcast onto the probe scan
+    "dq_psi_drift",  # 1-row global-bounds + 1-row totals broadcasts onto the bin map
 }
 CARTESIAN_BY_DESIGN = {"t5_cross_join"}  # 5 x 25 dims, explicitly cross
 
