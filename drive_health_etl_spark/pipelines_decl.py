@@ -1,0 +1,168 @@
+"""Spark Declarative Pipelines (Spark 4 ``pyspark.pipelines``) surface.
+
+The reference's pipeline is an imperative chain of handlers
+(``src/handler.js``); Spark 4's SDP is the declarative successor: datasets
+are declared with ``@sdp.table`` / ``@sdp.materialized_view`` /
+``@sdp.temporary_view`` decorators and a runner derives the dataflow graph,
+ordering, and incremental maintenance. This module:
+
+1. **authors** a three-stage warehouse pipeline (raw -> cleaned -> daily
+   rollup) against the real SDP decorator API and registry protocol
+   (``GraphElementRegistry`` / ``graph_element_registration_context``), and
+2. **executes** it with a classic-mode mini-runner (registration order =
+   dependency order; materialized outputs round-trip through parquet, so
+   downstream stages read what was materialized, not the logical plan).
+
+HONEST GATING: the full SDP runner (``spark-pipelines run``) executes over
+Spark Connect and needs ``grpcio``, which is not in this container — the
+same gating story as ``streaming/stateful.py``'s transformWithState. The
+authoring surface, registry protocol, and dataflow semantics exercised here
+are identical; only the execution backend differs (the mini-runner
+materializes every table fully, where SDP would also support incremental
+refresh for streaming tables).
+
+Scale note: nothing in the declarations is driver-side — each query
+function returns an ordinary declarative DataFrame, so Catalyst sees every
+stage whole; materialization writes are ``partition_cols``-partitioned
+parquet exactly like the warehouse sink.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.pipelines.flow import Flow
+from pyspark.pipelines.graph_element_registry import (
+    GraphElementRegistry,
+    graph_element_registration_context,
+)
+from pyspark.pipelines.output import Output, TemporaryView
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from drive_health_etl_spark.sources.tables import load_table
+
+
+class LocalGraphRegistry(GraphElementRegistry):
+    """In-process registry: records outputs/flows in declaration order."""
+
+    def __init__(self) -> None:
+        self.outputs: dict[str, Output] = {}
+        self.flows: list[Flow] = []
+        self.sql: list[str] = []
+
+    def register_output(self, output: Output) -> None:
+        self.outputs[output.name] = output
+
+    def register_flow(self, flow: Flow) -> None:
+        self.flows.append(flow)
+
+    def register_sql(self, sql_text: str, file_path: Path) -> None:
+        self.sql.append(sql_text)
+
+
+def define_warehouse_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> LocalGraphRegistry:
+    """Declare the raw -> cleaned -> daily-rollup pipeline with the real SDP
+    decorators. Declaration does NOT execute anything — each decorator
+    registers an Output plus a Flow whose ``func`` returns the stage's
+    DataFrame."""
+    from pyspark import pipelines as sdp
+
+    registry = LocalGraphRegistry()
+    with graph_element_registration_context(registry):
+
+        @sdp.temporary_view(name="raw_events", comment="events table as ingested")
+        def raw_events() -> DataFrame:
+            return load_table(spark, sf_dir, "events")
+
+        @sdp.materialized_view(
+            name="cleaned_events",
+            comment="validity-filtered events with event_date",
+        )
+        def cleaned_events() -> DataFrame:
+            e = spark.table("raw_events")
+            return e.filter(
+                F.col("event_id").isNotNull() & F.col("ts").isNotNull()
+            ).withColumn("event_date", F.to_date("ts"))
+
+        @sdp.table(
+            name="daily_rollup",
+            comment="per-day/type counts and decimal-exact value sums",
+            partition_cols=["event_date"],
+            format="parquet",
+        )
+        def daily_rollup() -> DataFrame:
+            c = spark.table("cleaned_events")
+            return c.groupBy("event_date", "event_type").agg(
+                F.count("*").alias("n_events"),
+                F.round(
+                    F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 6
+                ).alias("sum_value"),
+            )
+
+    return registry
+
+
+def run_local(
+    spark: SparkSession, registry: LocalGraphRegistry, base_path: str
+) -> dict[str, DataFrame]:
+    """Classic-mode mini-runner: execute flows in declaration order (the
+    decorators register upstream stages first), materialize non-view
+    outputs to ``base_path/<name>`` parquet, and expose every output as a
+    temp view so downstream query functions resolve ``spark.table(name)``
+    against the MATERIALIZED data."""
+    results: dict[str, DataFrame] = {}
+    for flow in registry.flows:
+        out = registry.outputs[flow.target]
+        df = flow.func()
+        if isinstance(out, TemporaryView):
+            df.createOrReplaceTempView(out.name)
+        else:
+            writer = df.write.mode("overwrite")
+            if getattr(out, "partition_cols", None):
+                writer = writer.partitionBy(*out.partition_cols)
+            target = f"{base_path}/{out.name}"
+            writer.parquet(target)
+            df = spark.read.parquet(target)
+            df.createOrReplaceTempView(out.name)
+        results[out.name] = df
+    return results
+
+
+# --- registered query -------------------------------------------------------
+
+
+def sdp_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declare + run the SDP pipeline, return the materialized daily rollup.
+    The oracle recomputes the same aggregate straight from events — any
+    mis-ordering, partial materialization, or partition loss in the
+    declarative graph execution diverges."""
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="dhe_sdp_")
+    try:
+        registry = define_warehouse_pipeline(spark, sf_dir)
+        results = run_local(spark, registry, base)
+        return results["daily_rollup"].select(
+            "event_date", "event_type", "n_events", "sum_value"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+SDP_DAILY_ROLLUP_SQL = """
+SELECT CAST(ts AS DATE) AS event_date, event_type,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_value
+FROM events
+WHERE event_id IS NOT NULL AND ts IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "sdp_daily_rollup": (sdp_daily_rollup, SDP_DAILY_ROLLUP_SQL),
+}

@@ -22,6 +22,7 @@ from drive_health_etl_spark.operators import grouped_pandas as _grouped
 from drive_health_etl_spark.operators import layout as _layout
 from drive_health_etl_spark.operators import multimodal as _multimodal
 from drive_health_etl_spark.operators import quality as _quality
+from drive_health_etl_spark import pipelines_decl as _sdp
 from drive_health_etl_spark.operators import bpe as _bpe
 from drive_health_etl_spark.operators import rollup as _rollup
 from drive_health_etl_spark.operators import snapshots as _snapshots
@@ -380,6 +381,7 @@ _MERGED: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     **_snapshots.QUERIES,
     **_rollup.QUERIES,
     **_bpe.QUERIES,
+    **_sdp.QUERIES,
     "pipeline_ingest_e2e": (pipeline_ingest_e2e, None),
 }
 
