@@ -440,6 +440,33 @@ GROUP BY o_orderpriority
 """
 
 
+# One SQL text both engines run verbatim: lateral column aliases (a SELECT
+# item referencing an earlier alias), GROUP BY ALL (group on every
+# non-aggregate select item), ORDER BY ALL — the modern-SQL sugar a
+# migrating analyst types on day one. Zero translation = zero drift.
+SQL_SUGAR_TEXT = """
+SELECT o_orderpriority, YEAR(o_orderdate) AS yr, COUNT(*) AS n_orders,
+       CAST(SUM(fee) AS DOUBLE) AS sum_fee
+FROM (
+  SELECT o_orderpriority, o_orderdate,
+         CAST(o_totalprice AS DECIMAL(18,2)) * (1 - 0.05) AS discounted,
+         discounted * 0.1 AS fee
+  FROM orders
+)
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+def sql_sugar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern-SQL sugar parity: the SAME SQL string (lateral column alias
+    chain + GROUP BY ALL + ORDER BY ALL) executes verbatim on Spark and on
+    the DuckDB oracle. Sugar is parser surface only — the plan is the
+    ordinary pushdown-pruned partial+final aggregate."""
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_SUGAR_TEXT)
+
+
 def sql_udf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-defined UDFs (Spark 4 ``CREATE FUNCTION ... RETURN``): a scalar
     UDF (discounted price), a second scalar UDF composing the first into a
@@ -500,6 +527,7 @@ QUERIES = {
     "sql_pipe_syntax": (sql_pipe_syntax, SQL_PIPE_SQL),
     "sql_scripting": (sql_scripting, SQL_SCRIPTING_SQL),
     "sql_udf_suite": (sql_udf_suite, SQL_UDF_SQL),
+    "sql_sugar_suite": (sql_sugar_suite, SQL_SUGAR_TEXT),
     "sketch_distinct_hll": (sketch_distinct_hll, SKETCH_DISTINCT_HLL_SQL),
     "sketch_top_k": (sketch_top_k, SKETCH_TOP_K_SQL),
     "sketch_quantile_check": (sketch_quantile_check, SKETCH_QUANTILE_SQL),
