@@ -440,6 +440,37 @@ GROUP BY o_orderpriority
 """
 
 
+def sketch_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distributed distinct counting via Spark 4 bitmap aggregates:
+    keys bucket into 32k-bit bitmaps (``bitmap_bucket_number`` /
+    ``bitmap_bit_position``), per-(group, bucket) bitmaps OR-merge
+    (``bitmap_construct_agg`` — map-side combinable, bounded 4 KB state per
+    bucket), and the final count is a SUM of per-bucket popcounts. The
+    middle ground between COUNT DISTINCT (full shuffle of distinct keys)
+    and HLL (approximate): exact, mergeable, memory-bounded — the rollup
+    pattern for dense integer keys at 100 TB. The oracle is plain
+    COUNT(DISTINCT): values must be EQUAL, bitmaps are not approximate."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH b AS (
+          SELECT event_type, bitmap_bucket_number(user_id) AS bkt,
+                 bitmap_construct_agg(bitmap_bit_position(user_id)) AS bmp
+          FROM events GROUP BY 1, 2
+        )
+        SELECT event_type,
+               CAST(SUM(bitmap_count(bmp)) AS BIGINT) AS distinct_users
+        FROM b GROUP BY event_type
+        """
+    )
+
+
+SKETCH_BITMAP_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS distinct_users
+FROM events GROUP BY event_type
+"""
+
+
 # One SQL text both engines run verbatim: lateral column aliases (a SELECT
 # item referencing an earlier alias), GROUP BY ALL (group on every
 # non-aggregate select item), ORDER BY ALL — the modern-SQL sugar a
@@ -528,6 +559,7 @@ QUERIES = {
     "sql_scripting": (sql_scripting, SQL_SCRIPTING_SQL),
     "sql_udf_suite": (sql_udf_suite, SQL_UDF_SQL),
     "sql_sugar_suite": (sql_sugar_suite, SQL_SUGAR_TEXT),
+    "sketch_bitmap_distinct": (sketch_bitmap_distinct, SKETCH_BITMAP_SQL),
     "sketch_distinct_hll": (sketch_distinct_hll, SKETCH_DISTINCT_HLL_SQL),
     "sketch_top_k": (sketch_top_k, SKETCH_TOP_K_SQL),
     "sketch_quantile_check": (sketch_quantile_check, SKETCH_QUANTILE_SQL),
