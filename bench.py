@@ -83,6 +83,10 @@ HEADLINE = [
     "text_bpe_train",
     "emb_gram_topk",
     "w11_interval_concurrency",
+    "w12_ewma_smooth",
+    "dq_psi_drift",
+    "sketch_bitmap_distinct",
+    "sdp_daily_rollup",
     "pipeline_ingest_e2e",
 ]
 

@@ -72,28 +72,39 @@ def commit_snapshot(df: DataFrame, table_path: str, mode: str = "append") -> int
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported snapshot mode: {mode!r}")
-    versions = list_snapshots(table_path)
-    version = (versions[-1] + 1) if versions else 1
-    commit_dir = os.path.join(table_path, "data", f"c{version:05d}")
-    df.write.mode("error").parquet(commit_dir)
-    files = sorted(
-        os.path.join(commit_dir, name)
-        for name in os.listdir(commit_dir)
-        if name.endswith(".parquet")
-    )
-    if mode == "append" and versions:
-        files = _read_manifest(table_path, versions[-1])["files"] + files
-    os.makedirs(os.path.join(table_path, _MANIFEST_DIR), exist_ok=True)
-    # Publish atomically: manifest becomes visible all-or-nothing (rename on
-    # one filesystem), mirroring the spool sink's rename-as-commit protocol.
-    tmp = _manifest_path(table_path, version) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(
-            {"version": version, "mode": mode, "parent": versions[-1] if versions else None,
-             "files": files},
-            f,
+    # Single-writer fence (same lock as merge_upsert): without it two
+    # concurrent committers can allocate the SAME version number and the
+    # later manifest publish silently clobbers the earlier one.
+    from drive_health_etl_spark.operators.upsert import warehouse_write_lock
+
+    with warehouse_write_lock(table_path):
+        versions = list_snapshots(table_path)
+        version = (versions[-1] + 1) if versions else 1
+        commit_dir = os.path.join(table_path, "data", f"c{version:05d}")
+        df.write.mode("error").parquet(commit_dir)
+        files = sorted(
+            os.path.join(commit_dir, name)
+            for name in os.listdir(commit_dir)
+            if name.endswith(".parquet")
         )
-    os.replace(tmp, _manifest_path(table_path, version))
+        if mode == "append" and versions:
+            files = _read_manifest(table_path, versions[-1])["files"] + files
+        os.makedirs(os.path.join(table_path, _MANIFEST_DIR), exist_ok=True)
+        # Publish atomically: manifest becomes visible all-or-nothing
+        # (rename on one filesystem), mirroring the spool sink's
+        # rename-as-commit protocol.
+        tmp = _manifest_path(table_path, version) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "version": version,
+                    "mode": mode,
+                    "parent": versions[-1] if versions else None,
+                    "files": files,
+                },
+                f,
+            )
+        os.replace(tmp, _manifest_path(table_path, version))
     return version
 
 

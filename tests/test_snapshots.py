@@ -59,3 +59,25 @@ def test_bad_version_and_empty_table_raise(spark, tmp_path):
     commit_snapshot(_mkdf(spark, 0, 10), table)
     with pytest.raises(FileNotFoundError):
         read_snapshot(spark, table, 7)
+
+
+def test_concurrent_commit_is_fenced(spark, tmp_path):
+    """A second writer holding the table lock must fail fast instead of
+    clobbering the first writer's version allocation."""
+    import os
+
+    from drive_health_etl_spark.operators.upsert import ConcurrentWriteError
+
+    table = str(tmp_path / "t")
+    commit_snapshot(_mkdf(spark, 0, 10), table)
+    lock = table.rstrip("/") + "._merge.lock"
+    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    os.close(fd)
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            commit_snapshot(_mkdf(spark, 10, 20), table)
+    finally:
+        os.unlink(lock)
+    assert list_snapshots(table) == [1]
+    commit_snapshot(_mkdf(spark, 10, 20), table)
+    assert list_snapshots(table) == [1, 2]

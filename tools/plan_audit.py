@@ -222,6 +222,21 @@ AUDITS = [
         "pass; IDCG is a TakeOrdered top-10. The 1-row metric joins are "
         "the only nested-loop shapes.",
     ),
+    (
+        "sketch_bitmap_distinct",
+        "Bitmap exact-distinct: two-level aggregate — per-(type, bucket) "
+        "bitmap_construct_agg with map-side partials (bounded 4 KB state "
+        "per bucket regardless of cardinality), then a per-type popcount "
+        "sum. No shuffle of raw distinct keys, unlike COUNT DISTINCT's "
+        "Expand.",
+    ),
+    (
+        "w12_ewma_smooth",
+        "Recursive EWMA: one shuffle on user_id, per-key sorted "
+        "collect_list, then the smoother runs as a single higher-order "
+        "aggregate() fold inside codegen — the recursion window functions "
+        "cannot express, without any Python.",
+    ),
 ]
 
 
