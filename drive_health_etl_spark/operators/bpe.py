@@ -71,12 +71,15 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rows = []
     for rnd in range(1, BPE_ROUNDS + 1):
-        best = (
+        top = (
             _pair_counts(s_df)
             .orderBy(F.col("c").desc(), F.col("w1").asc(), F.col("w2").asc())
             .limit(1)
-            .collect()[0]  # bounded: one row per round
+            .collect()  # bounded: one row per round
         )
+        if not top:  # corpus empty or no adjacent pairs left — nothing to merge
+            break
+        best = top[0]
         w1, w2, c = best["w1"], best["w2"], best["c"]
         s_df = s_df.select(
             F.replace(

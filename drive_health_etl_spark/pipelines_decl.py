@@ -125,7 +125,10 @@ def run_local(
                 writer = writer.partitionBy(*out.partition_cols)
             target = f"{base_path}/{out.name}"
             writer.parquet(target)
-            df = spark.read.parquet(target)
+            # Explicit schema: a zero-row materialization writes no data
+            # files, and schema inference on the empty directory would fail
+            # (the quiet-day/backfill edge every incremental run hits).
+            df = spark.read.schema(df.schema).parquet(target)
             df.createOrReplaceTempView(out.name)
         results[out.name] = df
     return results

@@ -53,6 +53,15 @@ EMPTY_SAFE = [
     "j7_bloom_prefilter_join",
     "j8_skew_salted_join",
     "retrieval_eval_ndcg",
+    "w12_ewma_smooth",
+    "dq_psi_drift",
+    "sketch_bitmap_distinct",
+    "sql_sugar_suite",
+    "sql_udf_suite",
+    "text_bpe_train",
+    "emb_gram_topk",
+    "asof_next_within",
+    "sdp_daily_rollup",
 ]
 
 
