@@ -412,8 +412,11 @@ _ORDER = [
     "st8_tumbling_window", "st8_sliding_window", "st8_session_window",
     "st8_session_dynamic_gap",
     "dq_profile", "dq_constraints", "dq_expectations", "cdc_snapshot_diff",
-    "scd2_order_status",
-    "sql_ansi_parity",
+    "cdc_apply_changelog", "scd2_order_status",
+    "j7_bloom_prefilter_join", "j8_skew_salted_join",
+    "w11_interval_concurrency", "w12_ewma_smooth", "dq_psi_drift",
+    "sketch_bitmap_distinct",
+    "sql_ansi_parity", "sql_sugar_suite",
     # (2) LLM-data-pipeline suite, breadth-first (cheap members)
     "dedup_exact", "dedup_minhash_signatures", "dedup_minhash_pairs",
     "dedup_collapse", "dedup_keep_best", "dedup_simhash",
@@ -435,7 +438,8 @@ _ORDER = [
     "text_gopher_rules", "text_repetition", "text_pii_scrub",
     "text_decontaminate", "text_boilerplate", "text_bigram_logprob",
     "corpus_kl_drift",
-    "asof_last_purchase",
+    "asof_last_purchase", "asof_next_within", "emb_gram_topk",
+    "retrieval_eval_ndcg",
     "multimodal_bytes", "multimodal_decode_stats", "multimodal_audio_stats",
     # (3) headline analytics
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
@@ -460,6 +464,8 @@ _ORDER = [
     "multimodal_resize_stats", "multimodal_video_stats",
     "st_stateful_counters", "st_stream_stream_join", "st_stream_stream_left",
     "st_stream_dedup", "st_corpus_dedup",
+    "text_bpe_train", "sdp_daily_rollup", "lake_time_travel",
+    "rollup_incremental", "st_stream_static_enrich", "sql_udf_suite",
 ]
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
