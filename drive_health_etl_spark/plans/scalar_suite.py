@@ -649,7 +649,140 @@ FROM binned GROUP BY bin
 """
 
 
+def stat_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample test per event type between deterministic A/B
+    buckets (``user_id % 2``) — the experiment-analysis primitive. Sums of
+    values and squares are decimal-exact (order-independent across any
+    partitioning); the t statistic and Welch–Satterthwaite df are then pure
+    double arithmetic on IDENTICAL inputs written as the same operation
+    chain in both engines, so no rounding is needed. One shuffle with
+    map-side partial aggregation; the per-type pivot is an enum-sized
+    conditional aggregate, not a join."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.pmod(F.col("user_id"), F.lit(2)) == 0).alias("is_a"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    agg = e.groupBy("event_type").agg(
+        F.count(F.when(F.col("is_a"), 1)).alias("n_a"),
+        F.count(F.when(~F.col("is_a"), 1)).alias("n_b"),
+        F.sum(F.when(F.col("is_a"), F.col("v"))).alias("s1a"),
+        F.sum(F.when(~F.col("is_a"), F.col("v"))).alias("s1b"),
+        F.sum(F.when(F.col("is_a"), F.col("v") * F.col("v"))).alias("s2a"),
+        F.sum(F.when(~F.col("is_a"), F.col("v") * F.col("v"))).alias("s2b"),
+    )
+    s1a = F.col("s1a").cast("double")
+    s1b = F.col("s1b").cast("double")
+    s2a = F.col("s2a").cast("double")
+    s2b = F.col("s2b").cast("double")
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    mean_a = s1a / na
+    mean_b = s1b / nb
+    var_a = (s2a - s1a * s1a / na) / (na - 1)
+    var_b = (s2b - s1b * s1b / nb) / (nb - 1)
+    se2a = var_a / na
+    se2b = var_b / nb
+    t = (mean_a - mean_b) / F.sqrt(se2a + se2b)
+    df = (
+        (se2a + se2b) * (se2a + se2b)
+        / (se2a * se2a / (na - 1) + se2b * se2b / (nb - 1))
+    )
+    # t_stat and welch_df are the genuinely engine-divergent values here
+    # (the long division/sqrt chains associate differently in DuckDB's
+    # expression tree — observed 1-ULP drift), so they round; the exact-sum
+    # means do not.
+    return agg.select(
+        "event_type", "n_a", "n_b",
+        mean_a.alias("mean_a"), mean_b.alias("mean_b"),
+        F.round(t, 6).alias("t_stat"), F.round(df, 6).alias("welch_df"),
+    )
+
+
+STAT_AB_WELCH_SQL = """
+WITH e AS (
+  SELECT event_type, (user_id % 2 = 0) AS is_a,
+         CAST(value AS DECIMAL(18,6)) AS v
+  FROM events
+),
+agg AS (
+  SELECT event_type,
+         COUNT(CASE WHEN is_a THEN 1 END) AS n_a,
+         COUNT(CASE WHEN NOT is_a THEN 1 END) AS n_b,
+         CAST(SUM(CASE WHEN is_a THEN v END) AS DOUBLE) AS s1a,
+         CAST(SUM(CASE WHEN NOT is_a THEN v END) AS DOUBLE) AS s1b,
+         CAST(SUM(CASE WHEN is_a THEN v * v END) AS DOUBLE) AS s2a,
+         CAST(SUM(CASE WHEN NOT is_a THEN v * v END) AS DOUBLE) AS s2b
+  FROM e GROUP BY event_type
+)
+SELECT event_type, n_a, n_b,
+       s1a / n_a AS mean_a, s1b / n_b AS mean_b,
+       ROUND(((s1a / n_a) - (s1b / n_b))
+         / sqrt(((s2a - s1a * s1a / n_a) / (n_a - 1)) / n_a
+                + ((s2b - s1b * s1b / n_b) / (n_b - 1)) / n_b), 6) AS t_stat,
+       ROUND(
+       (((s2a - s1a * s1a / n_a) / (n_a - 1)) / n_a
+        + ((s2b - s1b * s1b / n_b) / (n_b - 1)) / n_b)
+       * (((s2a - s1a * s1a / n_a) / (n_a - 1)) / n_a
+          + ((s2b - s1b * s1b / n_b) / (n_b - 1)) / n_b)
+       / ((((s2a - s1a * s1a / n_a) / (n_a - 1)) / n_a)
+            * (((s2a - s1a * s1a / n_a) / (n_a - 1)) / n_a) / (n_a - 1)
+          + (((s2b - s1b * s1b / n_b) / (n_b - 1)) / n_b)
+            * (((s2b - s1b * s1b / n_b) / (n_b - 1)) / n_b) / (n_b - 1))
+       , 6) AS welch_df
+FROM agg
+"""
+
+
+def ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of daily event volume per type: the median of
+    all pairwise slopes between daily counts — outlier-resistant where OLS
+    is not. Daily counts first (one shuffle, calendar-bounded output), then
+    the pairwise-slope expansion is over DAYS (≤ C(31,2) pairs per type —
+    config-sized, never corpus-sized), then an exact median. Slopes are
+    exact-integer ratios evaluated identically in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").alias("n"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.d") < F.col("b.d")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.n") - F.col("a.n")).cast("double")
+            / F.datediff(F.col("b.d"), F.col("a.d")).cast("double")
+        ).alias("slope"),
+    )
+    return pairs.groupBy("event_type").agg(
+        F.count("*").alias("n_pairs"),
+        F.median("slope").alias("ts_slope"),
+    )
+
+
+TS_THEIL_SEN_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type,
+         CAST(b.n - a.n AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS slope
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.d < b.d
+)
+SELECT event_type, COUNT(*) AS n_pairs, median(slope) AS ts_slope
+FROM pairs GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "stat_ab_welch": (stat_ab_welch, STAT_AB_WELCH_SQL),
+    "ts_theil_sen_trend": (ts_theil_sen_trend, TS_THEIL_SEN_SQL),
     "feat_equidepth_bins": (feat_equidepth_bins, FEAT_BINS_SQL),
     "a5_stats_suite": (a5_stats_suite, A5_STATS_SQL),
     "f13_map_functions": (f13_map_functions, F13_SQL),
