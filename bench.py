@@ -87,6 +87,8 @@ HEADLINE = [
     "dq_psi_drift",
     "sketch_bitmap_distinct",
     "sdp_daily_rollup",
+    "stat_ab_welch",
+    "ts_theil_sen_trend",
     "pipeline_ingest_e2e",
 ]
 
