@@ -55,3 +55,92 @@ def test_sampling_reference_algorithm_deterministic(key, rate):
     ratio = int(h[:8], 16) / 0xFFFFFFFF
     assert 0.0 <= ratio <= 1.0
     assert (ratio < rate) == (int(h[:8], 16) < rate * 0xFFFFFFFF)
+
+
+# --- generated-input invariants for the windowed operators ------------------
+# Few examples (each builds a DataFrame on the shared session), but every
+# example exercises the tie-breaking and ordering contracts with adversarial
+# generated timelines — duplicate timestamps included on purpose.
+
+_ts_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=20),  # coarse ts -> forced ties
+        st.integers(min_value=0, max_value=3),   # user/key
+        st.sampled_from(["click", "purchase", "error"]),
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(_ts_strategy)
+@settings(max_examples=12, deadline=None)
+def test_cdc_apply_matches_reference_lww(rows):
+    """Spark last-writer-wins + delete materialization == a sequential
+    reference fold, for any timeline including ts ties (event_id breaks)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tests.conftest import get_shared_spark
+
+    spark = get_shared_spark()
+    data = [
+        (i, key, f"2026-01-01 00:00:{ts:02d}", etype, val)
+        for i, (ts, key, etype, val) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, user_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    got = {
+        r["user_id"]: r["value"]
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .collect()
+    }
+    # reference: sort by (ts, event_id), fold; delete removes the key
+    ref: dict[int, float] = {}
+    for i, (ts, key, etype, val) in sorted(enumerate(rows), key=lambda p: (p[1][0], p[0])):
+        if etype == "error":
+            ref.pop(key, None)
+        else:
+            ref[key] = val
+    # Spark keeps a key only if its LAST op is an upsert; the reference fold
+    # is equivalent because a later delete pops and a later upsert rewrites.
+    assert got == ref
+
+
+@given(_ts_strategy)
+@settings(max_examples=12, deadline=None)
+def test_interval_concurrency_matches_reference_sweep(rows):
+    """Spark +1/-1 running-sum max == a sequential sweep with the same
+    ends-before-starts tie rule, for generated timelines with ties."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tests.conftest import get_shared_spark
+
+    HOLD = 5  # seconds, to keep the generated timeline overlapping
+
+    spark = get_shared_spark()
+    data = [
+        (i, f"2026-01-01 00:00:{ts:02d}") for i, (ts, _k, _e, _v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "event_id long, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    pts = df.select(F.col("ts").alias("t"), F.lit(1).alias("delta")).unionAll(
+        df.select((F.col("ts") + F.expr(f"INTERVAL {HOLD} SECONDS")).alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy("t", "delta").rowsBetween(Window.unboundedPreceding, 0)
+    got = pts.select(F.sum("delta").over(w).alias("cur")).agg(F.max("cur")).collect()[0][0]
+
+    evs = sorted(
+        [(ts, 1) for ts, _k, _e, _v in rows] + [(ts + HOLD, -1) for ts, _k, _e, _v in rows]
+    )  # tuple sort = (t, delta): -1 before +1 at the same instant
+    cur = best = 0
+    for _t, d in evs:
+        cur += d
+        best = max(best, cur)
+    assert got == best
