@@ -81,3 +81,37 @@ def test_concurrent_commit_is_fenced(spark, tmp_path):
     assert list_snapshots(table) == [1]
     commit_snapshot(_mkdf(spark, 10, 20), table)
     assert list_snapshots(table) == [1, 2]
+
+
+def test_streaming_versioned_commits(spark, tmp_path):
+    """Streaming ingestion into the versioned table: each micro-batch is one
+    snapshot commit (foreachBatch -> commit_snapshot), so the table's
+    version history IS the micro-batch history — replayable time travel
+    over a stream, and the append manifests compose to the full corpus."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "t")
+    df = spark.range(0, 90).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    # three source files -> three micro-batches with maxFilesPerTrigger=1
+    df.repartition(3).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).option(
+        "maxFilesPerTrigger", 1
+    ).format("parquet").load(src)
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch, _id: commit_snapshot(batch, table)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    versions = list_snapshots(table)
+    assert len(versions) == 3
+    assert read_snapshot(spark, table).count() == 90  # latest = union of all
+    per_version = [read_snapshot(spark, table, v).count() for v in versions]
+    assert per_version == sorted(per_version)  # appends only grow
+    assert per_version[0] < 90
