@@ -36,6 +36,7 @@ from drive_health_etl_spark.plans import extended as _extended
 from drive_health_etl_spark.plans import pipeline_queries as _pipeline
 from drive_health_etl_spark.plans import relational as _relational
 from drive_health_etl_spark.plans import scalar_suite as _scalar
+from drive_health_etl_spark.plans import stats_suite as _stats
 from drive_health_etl_spark.plans import tpch_suite as _tpch
 
 
@@ -365,6 +366,7 @@ _MERGED: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     **_layout.QUERIES,
     **_expectations.QUERIES,
     **_scalar.QUERIES,
+    **_stats.QUERIES,
     **_text.QUERIES,
     **_quality.QUERIES,
     **_corpus.QUERIES,
@@ -454,6 +456,7 @@ _ORDER = [
     "a6_listagg", "a7_winsorize", "u3_grouped_map_features", "u3_cogroup_join",
     "corpus_mix_resample", "feat_equidepth_bins", "basket_part_pairs",
     "rfm_segments", "sess_markov_transitions",
+    "stat_chi2_independence", "stat_mann_whitney", "stat_ols_trend", "ts_acf",
     # (4) one-time-startup / iterative cost
     "sim_ann_lsh_multitable", "sim_ann_ivf", "sim_knn_classify",
     "dedup_semantic", "dedup_components", "dedup_near_pipeline",

@@ -1,0 +1,358 @@
+"""Inferential-statistics suite over the events table (north-star extension;
+complements `stat_ab_welch` / `ts_theil_sen_trend` in ``plans/scalar_suite.py``):
+chi-square independence, Mann-Whitney rank-sum, per-key OLS trend, and the
+autocorrelation function — the experiment-analysis and time-series primitives
+a training-data/metrics warehouse runs daily.
+
+Float policy (the repo-wide rule): every cross-row accumulation is either an
+exact integer/decimal sum (order-independent under any partitioning) or a
+per-term ``decimal(38,18)``-cast sum; only the genuinely engine-divergent
+final scalar chains (long division/sqrt trees that DuckDB's expression
+rewriter may re-associate, and the per-term double->decimal cast that rounds
+HALF_UP in Spark vs half-even in DuckDB) are rounded, at 6-9 dp.
+
+Scale design: every query here is one map-side-combinable aggregate over the
+fact table plus enum- or calendar-sized post-processing — no query touches a
+shuffle whose key cardinality grows with the data. Contingency cells are
+(event_type x bucket) counts; rank sums reuse one window sort per type; the
+OLS/ACF inputs are per-day rollups (calendar-bounded). All pure column
+expressions — no Python, fully codegen'd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from drive_health_etl_spark.sources.tables import load_table
+
+_CHI2_BUCKETS = 4  # user_id % 4 device-bucket stand-in
+
+
+def stat_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event_type and a deterministic
+    user bucket (``user_id % 4``): one row with the contingency shape, dof,
+    and the statistic.
+
+    Observed counts and the row/column totals are exact integers; each cell's
+    expected count ``row_total*col_total/n`` and term ``(o-e)^2/e`` are doubles
+    computed from identical integer inputs (bit-identical across engines); the
+    cross-cell sum is per-term decimal-cast so accumulation order cannot
+    matter, and the final statistic rounds 6 dp (the cast is the one
+    engine-divergent step: Spark HALF_UP vs DuckDB half-even)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.pmod(F.col("user_id"), F.lit(_CHI2_BUCKETS)).alias("bucket")
+    )
+    cells = e.groupBy("event_type", "bucket").agg(F.count("*").alias("o"))
+    row_t = cells.groupBy("event_type").agg(F.sum("o").alias("row_total"))
+    col_t = cells.groupBy("bucket").agg(F.sum("o").alias("col_total"))
+    n = cells.agg(F.sum("o").alias("n"))
+    # enum-sized dims: both totals broadcast; the cell relation itself is tiny
+    joined = (
+        cells.join(F.broadcast(row_t), "event_type")
+        .join(F.broadcast(col_t), "bucket")
+        .crossJoin(F.broadcast(n))
+    )
+    exp = (
+        F.col("row_total").cast("double")
+        * F.col("col_total").cast("double")
+        / F.col("n").cast("double")
+    )
+    term = (F.col("o").cast("double") - exp) * (F.col("o").cast("double") - exp) / exp
+    return joined.agg(
+        F.countDistinct("event_type").alias("n_types"),
+        F.countDistinct("bucket").alias("n_buckets"),
+        ((F.countDistinct("event_type") - 1) * (F.countDistinct("bucket") - 1)).alias("dof"),
+        F.max("n").alias("n"),
+        F.round(F.sum(term.cast("decimal(38,18)")).cast("double"), 6).alias("chi2"),
+    )
+
+
+STAT_CHI2_SQL = f"""
+WITH e AS (
+  SELECT event_type, user_id % {_CHI2_BUCKETS} AS bucket FROM events
+),
+cells AS (
+  SELECT event_type, bucket, COUNT(*) AS o FROM e GROUP BY event_type, bucket
+),
+row_t AS (SELECT event_type, SUM(o) AS row_total FROM cells GROUP BY event_type),
+col_t AS (SELECT bucket, SUM(o) AS col_total FROM cells GROUP BY bucket),
+n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+joined AS (
+  SELECT c.o,
+         CAST(r.row_total AS DOUBLE) * CAST(ct.col_total AS DOUBLE)
+           / CAST(n.n AS DOUBLE) AS exp_cnt,
+         c.event_type, c.bucket, n.n
+  FROM cells c
+  JOIN row_t r USING (event_type)
+  JOIN col_t ct USING (bucket)
+  CROSS JOIN n
+)
+SELECT COUNT(DISTINCT event_type) AS n_types,
+       COUNT(DISTINCT bucket) AS n_buckets,
+       (COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT bucket) - 1) AS dof,
+       MAX(n) AS n,
+       ROUND(CAST(SUM(CAST(
+         (CAST(o AS DOUBLE) - exp_cnt) * (CAST(o AS DOUBLE) - exp_cnt) / exp_cnt
+         AS DECIMAL(38,18))) AS DOUBLE), 6) AS chi2
+FROM joined
+"""
+
+
+def stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (rank-sum) per event type between the ``user_id % 2``
+    A/B buckets — the non-parametric sibling of `stat_ab_welch`.
+
+    Pooled average ranks (ties -> midrank) come from one window sort per
+    type: ``rank()`` gives the minimum rank of a tie group and the per-value
+    count gives its width, so midrank = rank + (cnt-1)/2 — an exact multiple
+    of 0.5, summed as decimal (exact, order-independent). U and its
+    tie-corrected normal approximation use only exact integer/decimal inputs;
+    the z statistic's division/sqrt chain rounds 6 dp."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())  # NULL sort position differs across engines
+        .select(
+            "event_type",
+            (F.pmod(F.col("user_id"), F.lit(2)) == 0).alias("is_a"),
+            F.col("value").alias("v"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("v")
+    wt = Window.partitionBy("event_type", "v")
+    ranked = e.select(
+        "event_type",
+        "is_a",
+        (
+            F.rank().over(w).cast("decimal(38,6)")
+            + (F.count("*").over(wt).cast("decimal(38,6)") - 1) / 2
+        ).alias("midrank"),
+        F.count("*").over(wt).alias("tie_n"),
+    )
+    agg = ranked.groupBy("event_type").agg(
+        F.count(F.when(F.col("is_a"), 1)).alias("n_a"),
+        F.count(F.when(~F.col("is_a"), 1)).alias("n_b"),
+        F.sum(F.when(F.col("is_a"), F.col("midrank"))).alias("r_a"),
+        # tie-group sizes: each tie group of width t contributes t rows each
+        # seeing tie_n = t, so sum(t^2) per row / t = t ... recover
+        # sum(t^3 - t) exactly as sum over rows of (tie_n^2 - 1)
+        F.sum(F.col("tie_n") * F.col("tie_n") - 1).alias("tie_cubes"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    nn = na + nb
+    u_a = F.col("r_a").cast("double") - na * (na + 1) / 2
+    mu = na * nb / 2
+    sigma2 = na * nb / 12 * ((nn + 1) - F.col("tie_cubes").cast("double") / (nn * (nn - 1)))
+    z = (u_a - mu) / F.sqrt(sigma2)
+    return agg.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.col("r_a").cast("double").alias("rank_sum_a"),
+        u_a.alias("u_a"),
+        F.round(z, 6).alias("z_stat"),
+    )
+
+
+STAT_MANN_WHITNEY_SQL = """
+WITH e AS (
+  SELECT event_type, (user_id % 2 = 0) AS is_a, value AS v
+  FROM events WHERE value IS NOT NULL
+),
+ranked AS (
+  SELECT event_type, is_a,
+         CAST(RANK() OVER (PARTITION BY event_type ORDER BY v) AS DECIMAL(38,6))
+           + (CAST(COUNT(*) OVER (PARTITION BY event_type, v) AS DECIMAL(38,6)) - 1) / 2
+           AS midrank,
+         COUNT(*) OVER (PARTITION BY event_type, v) AS tie_n
+  FROM e
+),
+agg AS (
+  SELECT event_type,
+         COUNT(CASE WHEN is_a THEN 1 END) AS n_a,
+         COUNT(CASE WHEN NOT is_a THEN 1 END) AS n_b,
+         SUM(CASE WHEN is_a THEN midrank END) AS r_a,
+         SUM(tie_n * tie_n - 1) AS tie_cubes
+  FROM ranked GROUP BY event_type
+)
+SELECT event_type, n_a, n_b,
+       CAST(r_a AS DOUBLE) AS rank_sum_a,
+       CAST(r_a AS DOUBLE) - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1) / 2 AS u_a,
+       ROUND(
+         (CAST(r_a AS DOUBLE) - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1) / 2
+          - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2)
+         / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12
+                * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1)
+                   - CAST(tie_cubes AS DOUBLE)
+                     / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                        * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1))))
+       , 6) AS z_stat
+FROM agg
+"""
+
+
+def stat_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS of daily total value on the day index: slope,
+    intercept, and R^2 — the linear-trend sibling of `ts_theil_sen_trend`.
+
+    Daily sums are decimal-exact; all five OLS moments (n, sum x, sum x^2,
+    sum y, sum xy, sum y^2) stay exact (x is a small int; decimal*int and
+    decimal^2 are exact at decimal(38,12)), so slope/intercept/R^2 are pure
+    double chains over identical exact inputs. The chains round 6 dp (DuckDB
+    may re-associate long division trees; same policy as stat_ab_welch)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.dayofmonth("ts").alias("x"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    daily = e.groupBy("event_type", "x").agg(F.sum("v").alias("y"))
+    mom = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("x")).alias("sxy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,12)")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    num = n * sxy - sx * sy
+    den_x = n * sxx - sx * sx
+    den_y = n * syy - sy * sy
+    slope = num / den_x
+    intercept = (sy - slope * sx) / n
+    r2 = num * num / (den_x * den_y)
+    return mom.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
+STAT_OLS_SQL = """
+WITH e AS (
+  SELECT event_type, EXTRACT(day FROM ts) AS x,
+         CAST(value AS DECIMAL(18,6)) AS v
+  FROM events
+),
+daily AS (
+  SELECT event_type, x, SUM(v) AS y FROM e GROUP BY event_type, x
+),
+mom AS (
+  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx,
+         SUM(y) AS sy, SUM(y * x) AS sxy,
+         SUM(CAST(y * y AS DECIMAL(38,12))) AS syy
+  FROM daily GROUP BY event_type
+)
+SELECT event_type, n,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+       ROUND((CAST(sy AS DOUBLE)
+              - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE), 6) AS intercept,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+FROM mom
+"""
+
+
+_ACF_MAX_LAG = 7
+
+
+def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily event-count series at lags
+    1..7 — the seasonality detector behind `ts_anomaly_dow`.
+
+    The series is calendar-bounded (one row per day); the mean comes from
+    exact integer sums. Each lag's numerator sum((x_t - m)(x_{t+k} - m)) and
+    the shared denominator sum((x_t - m)^2) are per-term decimal-cast sums of
+    doubles built from identical inputs; acf rounds 9 dp. The lag join is a
+    calendar-sized self-join (30 x 7 rows) — broadcast, no fact-table
+    re-scan."""
+    e = load_table(spark, sf_dir, "events").select(F.to_date("ts").alias("day"))
+    daily = e.groupBy("day").agg(F.count("*").alias("x"))
+    m = daily.agg(
+        (F.sum("x").cast("double") / F.count("*").cast("double")).alias("m")
+    )
+    centered = daily.crossJoin(F.broadcast(m)).select(
+        "day", (F.col("x").cast("double") - F.col("m")).alias("c")
+    )
+    den = centered.agg(
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,18)")).cast("double").alias("den")
+    )
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(F.col("id").cast("int").alias("lag"))
+    a = centered.select(F.col("day").alias("day_a"), F.col("c").alias("c_a"))
+    b = centered.select(F.col("day").alias("day_b"), F.col("c").alias("c_b"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("day_b") == F.date_add(F.col("day_a"), F.col("lag")))
+        .groupBy("lag")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.sum((F.col("c_a") * F.col("c_b")).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("num"),
+        )
+    )
+    return (
+        pairs.crossJoin(F.broadcast(den))
+        .select(
+            "lag", "n_terms", F.round(F.col("num") / F.col("den"), 9).alias("acf")
+        )
+        .orderBy("lag")
+    )
+
+
+TS_ACF_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x FROM events GROUP BY 1
+),
+m AS (
+  SELECT CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m FROM daily
+),
+centered AS (
+  SELECT day, CAST(x AS DOUBLE) - m.m AS c FROM daily CROSS JOIN m
+),
+den AS (
+  SELECT CAST(SUM(CAST(c * c AS DECIMAL(38,18))) AS DOUBLE) AS den FROM centered
+),
+lags AS (SELECT UNNEST(range(1, {_ACF_MAX_LAG + 1})) AS lag),
+pairs AS (
+  SELECT l.lag, COUNT(*) AS n_terms,
+         CAST(SUM(CAST(a.c * b.c AS DECIMAL(38,18))) AS DOUBLE) AS num
+  FROM centered a
+  CROSS JOIN lags l
+  JOIN centered b ON b.day = a.day + CAST(l.lag AS INTEGER)
+  GROUP BY l.lag
+)
+SELECT CAST(lag AS INTEGER) AS lag, n_terms, ROUND(num / den, 9) AS acf
+FROM pairs CROSS JOIN den
+ORDER BY lag
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "stat_chi2_independence": (stat_chi2_independence, STAT_CHI2_SQL),
+    "stat_mann_whitney": (stat_mann_whitney, STAT_MANN_WHITNEY_SQL),
+    "stat_ols_trend": (stat_ols_trend, STAT_OLS_SQL),
+    "ts_acf": (ts_acf, TS_ACF_SQL),
+}
