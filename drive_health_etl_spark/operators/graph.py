@@ -233,7 +233,105 @@ SELECT (SELECT COUNT(*) FROM edges) AS n_edges, n_triangles FROM tri
 """
 
 
+_BFS_HOPS = 3
+_BFS_SUPPORT = 2  # same recurring-pair threshold as the triangle census
+
+
+def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop BFS from the minimum part key over the support-filtered
+    co-purchase graph: histogram of shortest-path distance -> node count for
+    distances 0..``_BFS_HOPS`` (unreached nodes are absent, as in any
+    frontier traversal).
+
+    Scale design: each hop is one equi-join (frontier ⋈ edges on the source
+    key) + a min-combine on the node key — the Pregel shape, map-side
+    combinable, never materializing more than (reached nodes) rows. The hop
+    count is FIXED so the plan is a statically unrolled chain and the oracle
+    is the identical chain as CTEs; everything is exact integers. The
+    production variant for unbounded diameter swaps the unrolled chain for
+    an iterate-with-checkpoint loop (see dedup.py's large-star/small-star
+    collapse, which is the same traversal with min-label instead of
+    min-distance)."""
+    # Edge build runs at full parallelism (it shuffles the fact table), then
+    # the hop loop — tiny node-sized stages — runs under an 8-partition pin
+    # and drives to a localCheckpoint inside the pinned scope, exactly the
+    # pagerank recipe (stage setup dominates at test scale; results are
+    # partitioning-independent since MIN is order-insensitive).
+    edges = _support_edges(spark, sf_dir).localCheckpoint()
+    with shuffle_partitions(spark, 8):
+        dist = edges.agg(F.min("src").alias("node")).select(
+            "node", F.lit(0).alias("dist")
+        )
+        for _ in range(_BFS_HOPS):
+            hop = (
+                dist.join(edges, dist["node"] == edges["src"])
+                .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+            )
+            dist = dist.union(hop).groupBy("node").agg(F.min("dist").alias("dist"))
+        out = (
+            dist.groupBy("dist")
+            .agg(F.count("*").alias("n_nodes"))
+            .orderBy("dist")
+            .localCheckpoint()
+        )
+    return out
+
+
+def _support_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected support-filtered co-purchase edges, both directions."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= _BFS_SUPPORT)
+        .select("pa", "pb")
+    )
+    return pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).union(
+        pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+
+
+def _bfs_sql() -> str:
+    prev = "d0"
+    hops = []
+    for i in range(1, _BFS_HOPS + 1):
+        hops.append(
+            f"""d{i} AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM {prev}
+    UNION ALL
+    SELECT e.dst AS node, d.dist + 1 AS dist
+    FROM {prev} d JOIN edges e ON d.node = e.src
+  ) GROUP BY node
+)"""
+        )
+        prev = f"d{i}"
+    chain = ",\n".join(hops)
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_BFS_SUPPORT}
+),
+edges AS (SELECT pa AS src, pb AS dst FROM pairs
+          UNION ALL SELECT pb AS src, pa AS dst FROM pairs),
+d0 AS (SELECT MIN(src) AS node, 0 AS dist FROM edges),
+{chain}
+SELECT dist, COUNT(*) AS n_nodes FROM {prev} GROUP BY dist ORDER BY dist
+"""
+
+
+GRAPH_BFS_SQL = _bfs_sql()
+
+
 QUERIES: dict[str, tuple] = {
     "graph_pagerank": (graph_pagerank, GRAPH_PAGERANK_SQL),
     "graph_triangles": (graph_triangles, GRAPH_TRIANGLES_SQL),
+    "graph_bfs_distances": (graph_bfs_distances, GRAPH_BFS_SQL),
 }

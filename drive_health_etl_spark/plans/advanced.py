@@ -553,8 +553,106 @@ GROUP BY 1, 2
 """
 
 
+# --- Count-min sketch: mergeable frequency estimation ------------------------
+
+_CMS_DEPTH = 3  # independent hash rows
+_CMS_WIDTH = 512  # counters per row
+_CMS_TOP = 10  # exact heavy-hitters to probe
+
+
+def sketch_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream, probed at the exact
+    top-``_CMS_TOP`` words: (word, exact_n, est_n, overshoot). The CMS
+    guarantee est >= exact holds deterministically; overshoot is the
+    collision error (bounded by N/width per row in expectation, min across
+    ``_CMS_DEPTH`` rows).
+
+    Scale design: this is THE re-aggregable frequency structure — the sketch
+    is a fixed (depth x width) integer grid, built with one map-side-
+    combinable groupBy on (row, counter) after a depth-way posexplode (shuffle
+    key cardinality = depth*width = 1536, independent of corpus size); grids
+    from different partitions/days merge by cell-wise addition
+    (same property the HLL/Theta/bitmap queries pin for distinct counts).
+    Hash parity: md5-derived counter ids, identical bits in both engines.
+    All-integer outputs — no float policy involvement."""
+    from drive_health_etl_spark.operators.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens_col()).alias("word"))
+    cols = [
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"cms{r}:"), F.col("word"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_WIDTH
+        ).alias(f"c{r}")
+        for r in range(_CMS_DEPTH)
+    ]
+    cells = (
+        toks.select("word", F.posexplode(F.array(*cols)).alias("r", "c"))
+        .groupBy("r", "c")
+        .agg(F.count("*").alias("cnt"))
+    )
+    exact = (
+        toks.groupBy("word")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("word").asc())
+        .limit(_CMS_TOP)
+    )
+    probes = exact.select(
+        "word", "exact_n", F.posexplode(F.array(*cols)).alias("r", "c")
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["r", "c"])
+        .groupBy("word", "exact_n")
+        .agg(F.min("cnt").alias("est_n"))
+    )
+    return est.select(
+        "word",
+        "exact_n",
+        "est_n",
+        (F.col("est_n") - F.col("exact_n")).alias("overshoot"),
+    ).orderBy(F.col("exact_n").desc(), F.col("word").asc())
+
+
+def _cms_col_sql(r: int, word: str = "word") -> str:
+    return f"(('0x' || substr(md5('cms{r}:' || {word}), 1, 8))::BIGINT % {_CMS_WIDTH})"
+
+
+SKETCH_CMS_SQL = f"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS word
+  FROM documents
+),
+cells AS (
+  SELECT r, c, COUNT(*) AS cnt FROM (
+    {" UNION ALL ".join(f"SELECT {r} AS r, {_cms_col_sql(r)} AS c FROM toks" for r in range(_CMS_DEPTH))}
+  ) GROUP BY r, c
+),
+exact AS (
+  SELECT word, COUNT(*) AS exact_n FROM toks GROUP BY word
+  ORDER BY exact_n DESC, word ASC LIMIT {_CMS_TOP}
+),
+probes AS (
+  {" UNION ALL ".join(f"SELECT word, exact_n, {r} AS r, {_cms_col_sql(r)} AS c FROM exact" for r in range(_CMS_DEPTH))}
+),
+est AS (
+  SELECT word, exact_n, CAST(MIN(cnt) AS BIGINT) AS est_n
+  FROM probes JOIN cells USING (r, c)
+  GROUP BY word, exact_n
+)
+SELECT word, exact_n, est_n, est_n - exact_n AS overshoot
+FROM est ORDER BY exact_n DESC, word ASC
+"""
+
+
 QUERIES = {
     "sql_recursive_cte": (sql_recursive_cte, SQL_RECURSIVE_CTE_SQL),
+    "sketch_cms_estimate": (sketch_cms_estimate, SKETCH_CMS_SQL),
     "sql_pipe_syntax": (sql_pipe_syntax, SQL_PIPE_SQL),
     "sql_scripting": (sql_scripting, SQL_SCRIPTING_SQL),
     "sql_udf_suite": (sql_udf_suite, SQL_UDF_SQL),

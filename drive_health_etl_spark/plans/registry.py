@@ -457,6 +457,7 @@ _ORDER = [
     "corpus_mix_resample", "feat_equidepth_bins", "basket_part_pairs",
     "rfm_segments", "sess_markov_transitions",
     "stat_chi2_independence", "stat_mann_whitney", "stat_ols_trend", "ts_acf",
+    "graph_bfs_distances", "sketch_cms_estimate",
     # (4) one-time-startup / iterative cost
     "sim_ann_lsh_multitable", "sim_ann_ivf", "sim_knn_classify",
     "dedup_semantic", "dedup_components", "dedup_near_pipeline",
