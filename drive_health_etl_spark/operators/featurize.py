@@ -145,7 +145,88 @@ SELECT doc_id, term, rank, ROUND(score, 6) AS score FROM (
 """
 
 
+_TE_SMOOTH = 10  # pseudo-count weight toward the global prior
+
+
+def feat_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of ``event_type`` against ``value`` with
+    additive smoothing toward the global mean — the standard high-cardinality
+    categorical feature for gradient-boosted/linear models, LOO so a row
+    never sees its own label (no target leakage).
+
+        enc_i = (sum_type - v_i + m * prior) / (n_type - 1 + m)
+
+    Exactness: per-type and global sums are decimal (order-independent);
+    ``sum_type - v_i`` stays exact decimal per row; prior and the final
+    division are identical double chains. The re-aggregation to per-type
+    check stats sums encodings per-term decimal-cast and rounds 6 dp (the
+    one engine-divergent step, double->decimal cast rounding).
+
+    Scale: one group-by over the fact table plus an enum-sized broadcast
+    join back — no per-row shuffle beyond the single aggregate; encoding
+    then happens in the narrow map."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", F.col("value").cast("decimal(18,6)").alias("v"))
+    )
+    per_type = e.groupBy("event_type").agg(
+        F.sum("v").alias("sum_t"), F.count("*").alias("n_t")
+    )
+    glob = e.agg(
+        (F.sum("v").cast("double") / F.count("*").cast("double")).alias("prior")
+    )
+    enc = (
+        e.join(F.broadcast(per_type), "event_type")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "event_type",
+            (
+                (
+                    (F.col("sum_t") - F.col("v")).cast("double")
+                    + F.lit(float(_TE_SMOOTH)) * F.col("prior")
+                )
+                / (F.col("n_t").cast("double") - 1 + F.lit(float(_TE_SMOOTH)))
+            ).alias("enc"),
+        )
+    )
+    return enc.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("enc"), 6).alias("min_enc"),
+        F.round(F.max("enc"), 6).alias("max_enc"),
+        F.round(F.sum(F.col("enc").cast("decimal(38,18)")).cast("double"), 6).alias(
+            "sum_enc"
+        ),
+    )
+
+
+FEAT_TARGET_ENC_SQL = f"""
+WITH e AS (
+  SELECT event_type, CAST(value AS DECIMAL(18,6)) AS v
+  FROM events WHERE value IS NOT NULL
+),
+per_type AS (
+  SELECT event_type, SUM(v) AS sum_t, COUNT(*) AS n_t FROM e GROUP BY event_type
+),
+gmean AS (
+  SELECT CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS prior FROM e
+),
+enc AS (
+  SELECT e.event_type,
+         (CAST(p.sum_t - e.v AS DOUBLE) + CAST({float(_TE_SMOOTH)!r} AS DOUBLE) * g.prior)
+           / (CAST(p.n_t AS DOUBLE) - 1 + CAST({float(_TE_SMOOTH)!r} AS DOUBLE)) AS enc
+  FROM e JOIN per_type p USING (event_type) CROSS JOIN gmean g
+)
+SELECT event_type, COUNT(*) AS n,
+       ROUND(MIN(enc), 6) AS min_enc,
+       ROUND(MAX(enc), 6) AS max_enc,
+       ROUND(CAST(SUM(CAST(enc AS DECIMAL(38,18))) AS DOUBLE), 6) AS sum_enc
+FROM enc GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "feat_hashing_tf": (feat_hashing_tf, FEAT_HASHING_TF_SQL),
     "feat_tfidf_top_terms": (feat_tfidf_top_terms, FEAT_TFIDF_SQL),
+    "feat_target_encoding": (feat_target_encoding, FEAT_TARGET_ENC_SQL),
 }

@@ -499,8 +499,171 @@ GROUP BY doc_id
 """
 
 
+# --- Perceptual-hash image near-dup (dHash) ---------------------------------
+
+_PH_ROWS = 8  # dHash cell grid: 8 rows x 9 cols -> 8x8 = 64 bits
+_PH_COLS = 9
+_PH_BANDS = 4  # 4 x 16-bit bands for LSH-style candidate blocking
+_PH_HAM_MAX = 8  # near-dup threshold on 64-bit hamming distance
+
+
+def _dhash_bands(img: np.ndarray) -> list[int]:
+    """64-bit dHash of an RGB raster as 4 x 16-bit band integers.
+
+    ENTIRELY integer arithmetic so the SQL oracle can reproduce every bit:
+    per-cell luminance SUMS and COUNTS (exact ints; the grid assignment is
+    ``(row * 8) // h``, ``(col * 9) // w``), and the gradient comparison is
+    cross-multiplied (``s_a * n_b > s_b * n_a``) instead of dividing to a
+    float mean. Cells with no pixels (tiny images) contribute bit 0."""
+    h, w, _ = img.shape
+    lum = img.astype(np.int64).sum(axis=2)  # per-pixel r+g+b
+    rows = (np.arange(h) * _PH_ROWS) // h
+    cols = (np.arange(w) * _PH_COLS) // w
+    s = np.zeros((_PH_ROWS, _PH_COLS), dtype=np.int64)
+    n = np.zeros((_PH_ROWS, _PH_COLS), dtype=np.int64)
+    np.add.at(s, (rows[:, None], cols[None, :]), lum)
+    np.add.at(n, (rows[:, None], cols[None, :]), 1)
+    bands = [0] * _PH_BANDS
+    for r in range(_PH_ROWS):
+        for c in range(_PH_COLS - 1):
+            bit = int(
+                n[r, c] > 0
+                and n[r, c + 1] > 0
+                and s[r, c] * n[r, c + 1] > s[r, c + 1] * n[r, c]
+            )
+            idx = r * (_PH_COLS - 1) + c
+            bands[idx // 16] |= bit << (idx % 16)
+    return bands
+
+
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs by 64-bit dHash: decode every PPM FOR REAL
+    (numpy NetPBM codec) in mapInPandas, hash each raster, block candidates
+    on any shared 16-bit band (SimHash-style LSH — a pair within hamming 8
+    over 4 bands must agree exactly on >= 1 band by pigeonhole... not quite:
+    8 errors CAN spread 2-per-band, so banding is a recall-oriented filter,
+    the standard trade), then verify exact hamming <= ``_PH_HAM_MAX``.
+
+    Scale design: the hash table is one narrow row per image; candidate
+    generation is an equi-join on (band_pos, band_value) — shuffle-
+    partitionable, no cross join (the no-cartesian plan guard applies); the
+    verify join is two equi-joins on doc id. The oracle recomputes every
+    hash bit from the raster construction rule, so a decoder or hasher bug
+    breaks the match."""
+    media = attach_ppm_images(spark, sf_dir)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "b0": [], "b1": [], "b2": [], "b3": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                bands = _dhash_bands(decode_image(bytes(blob)))  # REAL decode
+                out["doc_id"].append(int(doc_id))
+                for i, b in enumerate(bands):
+                    out[f"b{i}"].append(b)
+            yield pd.DataFrame(out)
+
+    hashes = media.mapInPandas(
+        op, schema="doc_id long, b0 long, b1 long, b2 long, b3 long"
+    ).localCheckpoint()  # decode once; reused by candidate + both verify sides
+
+    bands_long = hashes.select(
+        "doc_id",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("bpos", "bval"),
+    )
+    a = bands_long.select(
+        F.col("doc_id").alias("doc_a"), "bpos", F.col("bval").alias("bval_a")
+    )
+    b = bands_long.select(
+        F.col("doc_id").alias("doc_b"), "bpos", F.col("bval").alias("bval_b")
+    )
+    cand = (
+        a.join(b, (a["bpos"] == b["bpos"]) & (a["bval_a"] == b["bval_b"]))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ha = hashes.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{i}").alias(f"ha{i}") for i in range(_PH_BANDS)],
+    )
+    hb = hashes.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{i}").alias(f"hb{i}") for i in range(_PH_BANDS)],
+    )
+    ham = sum(
+        F.bit_count(F.col(f"ha{i}").bitwiseXOR(F.col(f"hb{i}")))
+        for i in range(_PH_BANDS)
+    )
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= _PH_HAM_MAX)
+        .orderBy("hamming", "doc_a", "doc_b")
+    )
+
+
+MULTIMODAL_PHASH_SQL = f"""
+WITH img AS (
+  SELECT doc_id,
+         CAST(doc_id % 16 + 4 AS INTEGER) AS w,
+         CAST(doc_id % 12 + 4 AS INTEGER) AS h,
+         rpad(text || ' ', CAST((doc_id % 16 + 4) * (doc_id % 12 + 4) * 3 AS INTEGER),
+              text || ' ') AS payload
+  FROM documents WHERE doc_id % 3 = 0
+),
+px AS (
+  SELECT doc_id, w, h, p,
+         ord(substr(payload, 3 * p + 1, 1)) + ord(substr(payload, 3 * p + 2, 1))
+           + ord(substr(payload, 3 * p + 3, 1)) AS lum
+  FROM img, UNNEST(generate_series(0, w * h - 1)) AS t(p)
+),
+cells AS (
+  SELECT doc_id, ((p // w) * {_PH_ROWS}) // h AS cr, ((p % w) * {_PH_COLS}) // w AS cc,
+         SUM(lum) AS s, COUNT(*) AS n
+  FROM px GROUP BY 1, 2, 3
+),
+grid AS (
+  SELECT doc_id, r.r AS cr, c.c
+  FROM img,
+       UNNEST(generate_series(0, {_PH_ROWS - 1})) AS r(r),
+       UNNEST(generate_series(0, {_PH_COLS - 2})) AS c(c)
+),
+bits AS (
+  SELECT g.doc_id, g.cr, g.c,
+         CASE WHEN ca.n > 0 AND cb.n > 0 AND ca.s * cb.n > cb.s * ca.n
+              THEN 1 ELSE 0 END AS bit
+  FROM grid g
+  LEFT JOIN cells ca ON ca.doc_id = g.doc_id AND ca.cr = g.cr AND ca.cc = g.c
+  LEFT JOIN cells cb ON cb.doc_id = g.doc_id AND cb.cr = g.cr AND cb.cc = g.c + 1
+),
+bands AS (
+  SELECT doc_id, (cr * {_PH_COLS - 1} + c) // 16 AS bpos,
+         CAST(SUM(bit << ((cr * {_PH_COLS - 1} + c) % 16)) AS BIGINT) AS bval
+  FROM bits GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.bpos = b.bpos AND a.bval = b.bval AND a.doc_id < b.doc_id
+),
+ham AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(SUM(bit_count(xor(ha.bval, hb.bval))) AS INTEGER) AS hamming
+  FROM cand c
+  JOIN bands ha ON ha.doc_id = c.doc_a
+  JOIN bands hb ON hb.doc_id = c.doc_b AND hb.bpos = ha.bpos
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, hamming FROM ham
+WHERE hamming <= {_PH_HAM_MAX}
+ORDER BY hamming, doc_a, doc_b
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "multimodal_bytes": (multimodal_bytes, MULTIMODAL_BYTES_SQL),
+    "multimodal_phash_neardup": (multimodal_phash_neardup, MULTIMODAL_PHASH_SQL),
     "multimodal_decode_stats": (multimodal_decode_stats, MULTIMODAL_DECODE_SQL),
     "multimodal_audio_stats": (multimodal_audio_stats, MULTIMODAL_AUDIO_SQL),
     "multimodal_video_stats": (multimodal_video_stats, MULTIMODAL_VIDEO_SQL),

@@ -144,3 +144,33 @@ def test_binary_file_source_feeds_real_decode(spark, sf_dir, tmp_path):
         img = decode_image(bytes(r["content"]))
         assert img.shape == (doc_id % 12 + 4, doc_id % 16 + 4, 3)
         assert bytes(r["content"]) == by_id[doc_id]
+
+
+def test_dhash_bands_known_answers():
+    """dHash bit rule on crafted rasters: a left-to-right dark->bright
+    gradient sets every comparable bit 0 (right cell brighter), the reverse
+    gradient sets them 1, and a constant image sets none."""
+    import numpy as np
+
+    from drive_health_etl_spark.operators.multimodal import _dhash_bands
+
+    h, w = 16, 18  # every one of the 8x9 cells populated
+    ramp = np.tile(np.arange(w, dtype=np.uint8) * 10, (h, 1))
+    img_up = np.stack([ramp] * 3, axis=2)
+    assert _dhash_bands(img_up) == [0, 0, 0, 0]
+    img_down = img_up[:, ::-1, :]
+    assert _dhash_bands(img_down) == [0xFFFF] * 4
+    const = np.full((h, w, 3), 7, dtype=np.uint8)
+    assert _dhash_bands(const) == [0, 0, 0, 0]
+
+
+def test_dhash_empty_cells_are_zero_bits():
+    """A 4x4 image leaves grid cells empty; empty-cell comparisons must be
+    bit 0, never an exception or NaN-dependent."""
+    import numpy as np
+
+    from drive_health_etl_spark.operators.multimodal import _dhash_bands
+
+    img = np.random.default_rng(7).integers(0, 255, (4, 4, 3), dtype=np.uint8)
+    bands = _dhash_bands(img)
+    assert len(bands) == 4 and all(0 <= b <= 0xFFFF for b in bands)
