@@ -661,9 +661,131 @@ ORDER BY hamming, doc_a, doc_b
 """
 
 
+# --- Audio fingerprint near-dup ---------------------------------------------
+
+_AF_FRAMES = 8  # 256 samples -> 8 frames of 32
+_AF_FRAME = WAV_SAMPLES // _AF_FRAMES
+_AF_ENERGY_PCT = 10  # verify: total energies within 10% of the larger
+
+
+def _audio_fingerprint(samples: np.ndarray) -> tuple[int, int, int]:
+    """(fingerprint, zcr_total, energy_total) for one 8-bit PCM clip.
+
+    ENTIRELY integer arithmetic (oracle-reproducible bit for bit): center
+    samples at 128, frame into 8 x 32, per-frame energy = sum of squares and
+    per-frame zero-crossing count (sign change across consecutive samples
+    WITHIN a frame; sign(x) = x < 0). The 14-bit fingerprint packs 7
+    energy-gradient bits (frame f vs f+1 — the Haitsma-Kalker band-energy
+    difference shape, over time frames) and 7 zcr-gradient bits."""
+    c = samples.astype(np.int64) - 128
+    frames = c.reshape(_AF_FRAMES, _AF_FRAME)
+    energy = (frames * frames).sum(axis=1)
+    neg = frames < 0
+    zcr = (neg[:, 1:] != neg[:, :-1]).sum(axis=1)
+    fp = 0
+    for f in range(_AF_FRAMES - 1):
+        fp |= int(energy[f] > energy[f + 1]) << f
+        fp |= int(zcr[f] > zcr[f + 1]) << (_AF_FRAMES - 1 + f)
+    return fp, int(zcr.sum()), int(energy.sum())
+
+
+def multimodal_audio_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs by integer fingerprint: decode every WAV
+    FOR REAL (numpy RIFF parser) in mapInPandas, fingerprint each clip
+    (14-bit energy/zcr gradient code), block candidates on exact fingerprint
+    equality, then verify total energies within ``_AF_ENERGY_PCT``% of the
+    larger (all-integer comparison — no float anywhere in the operator).
+
+    Scale design: per-clip work is one narrow Arrow batch pass; the
+    candidate join is an equi-join on the fingerprint key (2^14 buckets
+    bound the fan-out; a production tuner widens the code to keep bucket
+    occupancy ~1). The oracle rebuilds every bit from the sample
+    construction rule: a chunk-walk, centering, or framing bug breaks it."""
+    media = attach_wav_audio(spark, sf_dir)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "fp": [], "zcr": [], "energy": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                _rate, samples = decode_audio(bytes(blob))  # REAL decode
+                fp, zcr, energy = _audio_fingerprint(samples)
+                out["doc_id"].append(int(doc_id))
+                out["fp"].append(fp)
+                out["zcr"].append(zcr)
+                out["energy"].append(energy)
+            yield pd.DataFrame(out)
+
+    prints = media.mapInPandas(
+        op, schema="doc_id long, fp long, zcr long, energy long"
+    ).localCheckpoint()  # decode once; both join sides reuse it
+    a = prints.select(
+        F.col("doc_id").alias("doc_a"), "fp", F.col("energy").alias("e_a")
+    )
+    b = prints.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("fp").alias("fp_b"),
+        F.col("energy").alias("e_b"),
+    )
+    return (
+        a.join(b, (a["fp"] == b["fp_b"]) & (a["doc_a"] < b["doc_b"]))
+        .filter(
+            F.abs(F.col("e_a") - F.col("e_b")) * _AF_ENERGY_PCT
+            <= F.greatest("e_a", "e_b")
+        )
+        .select("doc_a", "doc_b", "fp", "e_a", "e_b")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+MULTIMODAL_AUDIO_MATCH_SQL = f"""
+WITH wav AS (
+  SELECT doc_id, rpad(text || ' ', {WAV_SAMPLES}, text || ' ') AS payload
+  FROM documents WHERE doc_id % 3 = 1
+),
+s AS (
+  SELECT doc_id, i, (i - 1) // {_AF_FRAME} AS f,
+         ord(substr(payload, i, 1)) - 128 AS c
+  FROM wav, UNNEST(generate_series(1, {WAV_SAMPLES})) AS t(i)
+),
+frame AS (
+  SELECT doc_id, f, SUM(c * c) AS energy FROM s GROUP BY doc_id, f
+),
+zc AS (
+  SELECT a.doc_id, a.f,
+         SUM(CASE WHEN (a.c < 0) <> (b.c < 0) THEN 1 ELSE 0 END) AS zcr
+  FROM s a JOIN s b ON a.doc_id = b.doc_id AND b.i = a.i + 1 AND a.i % {_AF_FRAME} <> 0
+  GROUP BY a.doc_id, a.f
+),
+bits AS (
+  SELECT e1.doc_id,
+         SUM(CASE WHEN e1.energy > e2.energy THEN 1 ELSE 0 END << e1.f)
+           + SUM(CASE WHEN z1.zcr > z2.zcr THEN 1 ELSE 0 END << ({_AF_FRAMES - 1} + e1.f))
+           AS fp
+  FROM frame e1
+  JOIN frame e2 ON e2.doc_id = e1.doc_id AND e2.f = e1.f + 1
+  JOIN zc z1 ON z1.doc_id = e1.doc_id AND z1.f = e1.f
+  JOIN zc z2 ON z2.doc_id = e1.doc_id AND z2.f = e1.f + 1
+  GROUP BY e1.doc_id
+),
+prints AS (
+  SELECT b.doc_id, CAST(b.fp AS BIGINT) AS fp,
+         CAST((SELECT SUM(energy) FROM frame fe WHERE fe.doc_id = b.doc_id) AS BIGINT)
+           AS energy
+  FROM bits b
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.fp,
+       a.energy AS e_a, b.energy AS e_b
+FROM prints a JOIN prints b
+  ON a.fp = b.fp AND a.doc_id < b.doc_id
+WHERE abs(a.energy - b.energy) * {_AF_ENERGY_PCT} <= greatest(a.energy, b.energy)
+ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "multimodal_bytes": (multimodal_bytes, MULTIMODAL_BYTES_SQL),
     "multimodal_phash_neardup": (multimodal_phash_neardup, MULTIMODAL_PHASH_SQL),
+    "multimodal_audio_match": (multimodal_audio_match, MULTIMODAL_AUDIO_MATCH_SQL),
     "multimodal_decode_stats": (multimodal_decode_stats, MULTIMODAL_DECODE_SQL),
     "multimodal_audio_stats": (multimodal_audio_stats, MULTIMODAL_AUDIO_SQL),
     "multimodal_video_stats": (multimodal_video_stats, MULTIMODAL_VIDEO_SQL),

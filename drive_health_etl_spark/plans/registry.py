@@ -443,7 +443,7 @@ _ORDER = [
     "asof_last_purchase", "asof_next_within", "emb_gram_topk",
     "retrieval_eval_ndcg",
     "multimodal_bytes", "multimodal_decode_stats", "multimodal_audio_stats",
-    "multimodal_phash_neardup",
+    "multimodal_phash_neardup", "multimodal_audio_match",
     # (3) headline analytics
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "q6_forecast_revenue", "a5_grouping_sets", "w2b_rank_dense",
@@ -458,6 +458,7 @@ _ORDER = [
     "corpus_mix_resample", "feat_equidepth_bins", "basket_part_pairs",
     "rfm_segments", "sess_markov_transitions",
     "stat_chi2_independence", "stat_mann_whitney", "stat_ols_trend", "ts_acf",
+    "ts_cusum_changepoint",
     "graph_bfs_distances", "sketch_cms_estimate", "feat_target_encoding",
     # (4) one-time-startup / iterative cost
     "sim_ann_lsh_multitable", "sim_ann_ivf", "sim_knn_classify",

@@ -350,8 +350,65 @@ ORDER BY lag
 """
 
 
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change detection on the daily total-value series: the cumulative
+    sum of deviations from the global mean, per day, plus a flag on the
+    |CUSUM|-argmax day (the classic single-changepoint estimate).
+
+    Exactness: daily totals and their running prefix are decimal sums (exact
+    under any partition order); the mean-removal ``cum - t*m`` is one double
+    chain over identical inputs, rounded 6 dp; the argmax is taken on the
+    ROUNDED value with a day tiebreak so both engines flag the same row.
+    Scale: one fact-table aggregate, then a calendar-sized window — the
+    series is days, never rows."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), F.col("value").cast("decimal(18,6)").alias("v")
+    )
+    daily = e.groupBy("day").agg(F.sum("v").alias("y"))
+    gm = daily.agg(
+        (F.sum("y").cast("double") / F.count("*").cast("double")).alias("m")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = daily.crossJoin(F.broadcast(gm)).select(
+        "day",
+        F.round(F.col("y").cast("double"), 6).alias("daily_total"),
+        F.round(
+            F.sum("y").over(w).cast("double")
+            - F.row_number().over(Window.orderBy("day")).cast("double") * F.col("m"),
+            6,
+        ).alias("cusum"),
+    )
+    wmax = Window.orderBy(F.abs(F.col("cusum")).desc(), F.col("day").asc())
+    return cum.select(
+        "day",
+        "daily_total",
+        "cusum",
+        (F.row_number().over(wmax) == 1).alias("is_changepoint"),
+    ).orderBy("day")
+
+
+TS_CUSUM_SQL = """
+WITH e AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(value AS DECIMAL(18,6)) AS v FROM events
+),
+daily AS (SELECT day, SUM(v) AS y FROM e GROUP BY day),
+gm AS (SELECT CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m FROM daily),
+cum AS (
+  SELECT day,
+         ROUND(CAST(y AS DOUBLE), 6) AS daily_total,
+         ROUND(CAST(SUM(y) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+               - CAST(ROW_NUMBER() OVER (ORDER BY day) AS DOUBLE) * gm.m, 6) AS cusum
+  FROM daily CROSS JOIN gm
+)
+SELECT day, daily_total, cusum,
+       ROW_NUMBER() OVER (ORDER BY abs(cusum) DESC, day ASC) = 1 AS is_changepoint
+FROM cum ORDER BY day
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "stat_chi2_independence": (stat_chi2_independence, STAT_CHI2_SQL),
+    "ts_cusum_changepoint": (ts_cusum_changepoint, TS_CUSUM_SQL),
     "stat_mann_whitney": (stat_mann_whitney, STAT_MANN_WHITNEY_SQL),
     "stat_ols_trend": (stat_ols_trend, STAT_OLS_SQL),
     "ts_acf": (ts_acf, TS_ACF_SQL),
