@@ -169,6 +169,121 @@ SELECT event_id, user_id, ts, event_type, value FROM events
 """
 
 
+def merge_into(target: DataFrame, source: DataFrame, key: str, op_col: str = "op") -> DataFrame:
+    """ANSI MERGE semantics over a snapshot table read: WHEN MATCHED AND
+    op='U' THEN UPDATE (source row wins), WHEN MATCHED AND op='D' THEN
+    DELETE, WHEN NOT MATCHED AND op='I' THEN INSERT; everything else is a
+    no-op. One full-outer equi-join on the key — the Delta/Iceberg MERGE
+    execution shape. At scale the join is preceded by touched-file pruning
+    (join source key bounds against manifest min/max stats — the partition-
+    pruned variant lives in ``operators/upsert.py:merge_upsert``); semantics
+    here, pruning there.
+
+    The source carries the full target schema plus ``op_col``; unmatched
+    source rows with op 'U'/'D' fall through silently (MERGE's standard
+    not-matched-by-source behavior)."""
+    from pyspark.sql import functions as F
+
+    data_cols = [c for c in target.columns]
+    t = target.alias("t")
+    s = source.alias("s")
+    joined = t.join(s, F.col(f"t.{key}").eqNullSafe(F.col(f"s.{key}")), "full_outer")
+    matched = F.col(f"t.{key}").isNotNull() & F.col(f"s.{key}").isNotNull()
+    src_only = F.col(f"t.{key}").isNull() & F.col(f"s.{key}").isNotNull()
+    op = F.col(f"s.{op_col}")
+    keep = ~(matched & (op == "D")) & ~(src_only & (op != "I"))
+    use_source = (matched & (op == "U")) | (src_only & (op == "I"))
+    return joined.filter(keep).select(
+        *[
+            F.when(use_source, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+            for c in data_cols
+        ]
+    )
+
+
+def lake_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end MERGE INTO the versioned lake: commit events as v1, apply
+    a deterministic change batch (update every id%10==0, delete id%10==5,
+    insert shifted copies of id%10==7) through :func:`merge_into`, commit
+    the result as v2-overwrite, and return the v2 read. The oracle replays
+    the same MERGE as plain SQL — so join semantics, the delete filter, and
+    the insert branch are all value-checked, and the snapshot machinery
+    must round-trip the merged table byte-exactly."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from drive_health_etl_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    source = (
+        events.filter(F.col("event_id") % 10 == 0)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "event_type",
+            (F.col("value") + 1000).alias("value"),
+            F.lit("U").alias("op"),
+        )
+        .unionByName(
+            events.filter(F.col("event_id") % 10 == 5).select(
+                "event_id", "user_id", "ts", "event_type", "value", F.lit("D").alias("op")
+            )
+        )
+        .unionByName(
+            events.filter(F.col("event_id") % 10 == 7).select(
+                (F.col("event_id") + 10_000_000).alias("event_id"),
+                "user_id",
+                "ts",
+                F.lit("backfill").alias("event_type"),
+                "value",
+                F.lit("I").alias("op"),
+            )
+        )
+    )
+    table = tempfile.mkdtemp(prefix="dhe_merge_")
+    shutil.rmtree(table, ignore_errors=True)
+    try:
+        commit_snapshot(events, table, mode="append")
+        target = read_snapshot(spark, table)
+        merged = merge_into(target, source, key="event_id")
+        v2 = commit_snapshot(merged, table, mode="overwrite")
+        return read_snapshot(spark, table, version=v2).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+
+
+LAKE_MERGE_SQL = """
+WITH src AS (
+  SELECT event_id, user_id, ts, event_type, value + 1000 AS value, 'U' AS op
+  FROM events WHERE event_id % 10 = 0
+  UNION ALL
+  SELECT event_id, user_id, ts, event_type, value, 'D' AS op
+  FROM events WHERE event_id % 10 = 5
+  UNION ALL
+  SELECT event_id + 10000000 AS event_id, user_id, ts,
+         'backfill' AS event_type, value, 'I' AS op
+  FROM events WHERE event_id % 10 = 7
+)
+SELECT CASE WHEN s.op = 'U' THEN s.event_id ELSE t.event_id END AS event_id,
+       CASE WHEN s.op = 'U' THEN s.user_id ELSE t.user_id END AS user_id,
+       CASE WHEN s.op = 'U' THEN s.ts ELSE t.ts END AS ts,
+       CASE WHEN s.op = 'U' THEN s.event_type ELSE t.event_type END AS event_type,
+       CASE WHEN s.op = 'U' THEN s.value ELSE t.value END AS value
+FROM events t LEFT JOIN src s ON t.event_id = s.event_id
+WHERE s.op IS NULL OR s.op <> 'D'
+UNION ALL
+SELECT s.event_id, s.user_id, s.ts, s.event_type, s.value
+FROM src s LEFT JOIN events t ON t.event_id = s.event_id
+WHERE t.event_id IS NULL AND s.op = 'I'
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "lake_time_travel": (lake_time_travel, LAKE_TIME_TRAVEL_SQL),
+    "lake_merge": (lake_merge, LAKE_MERGE_SQL),
 }

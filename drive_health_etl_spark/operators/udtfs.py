@@ -164,9 +164,57 @@ FROM documents GROUP BY 1
 """
 
 
+def u8_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``groupBy().applyInArrow`` surface (Spark 4's zero-copy grouped-map):
+    per event type, the top-3 events by (value desc, event_id asc), ranked —
+    computed with pyarrow.compute sort+slice on the group's RecordBatch, no
+    pandas materialization. The deliberate semantics twin of a ROW_NUMBER
+    window so the oracle checks the grouped-Arrow transport end to end.
+
+    Scale: one shuffle on the (enum-sized) group key; each group streams
+    through Python as Arrow buffers. For high-cardinality keys this is the
+    API for per-key logic Catalyst can't express; for THIS query a window
+    is the native plan — the point here is exercising the surface."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyspark.sql import functions as F
+
+    from drive_health_etl_spark.sources.tables import load_table
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "event_id", "value")
+    )
+
+    def top3(table: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            table,
+            sort_keys=[("value", "descending"), ("event_id", "ascending")],
+        )[:3]
+        picked = table.take(idx)
+        return picked.append_column(
+            "rnk", pa.array(range(1, picked.num_rows + 1), pa.int32())
+        )
+
+    return events.groupBy("event_type").applyInArrow(
+        top3, "event_type string, event_id long, value double, rnk int"
+    )
+
+
+U8_APPLY_IN_ARROW_SQL = """
+SELECT event_type, event_id, value, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rnk
+  FROM events WHERE value IS NOT NULL
+) WHERE rnk <= 3
+"""
+
+
 QUERIES: dict[str, tuple] = {
     # identical semantics to the native operator -> identical oracle
     "u4_udtf_chunks": (u4_udtf_chunks, CORPUS_CHUNK_SQL),
     "u6_arrow_udf": (u6_arrow_udf, U6_ARROW_UDF_SQL),
     "u7_map_in_arrow": (u7_map_in_arrow, U7_MAP_IN_ARROW_SQL),
+    "u8_apply_in_arrow": (u8_apply_in_arrow, U8_APPLY_IN_ARROW_SQL),
 }

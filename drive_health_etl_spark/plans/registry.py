@@ -466,11 +466,11 @@ _ORDER = [
     "dedup_lsh_quality",
     "graph_pagerank", "corpus_prep_pipeline",
     "u4_udtf_chunks", "u5_grouped_agg_udaf", "u5_window_agg_udaf",
-    "u6_arrow_udf", "u7_map_in_arrow",
+    "u6_arrow_udf", "u7_map_in_arrow", "u8_apply_in_arrow",
     "multimodal_resize_stats", "multimodal_video_stats",
     "st_stateful_counters", "st_stream_stream_join", "st_stream_stream_left",
     "st_stream_dedup", "st_corpus_dedup",
-    "text_bpe_train", "sdp_daily_rollup", "lake_time_travel",
+    "text_bpe_train", "sdp_daily_rollup", "lake_time_travel", "lake_merge",
     "rollup_incremental", "st_stream_static_enrich", "sql_udf_suite",
 ]
 
