@@ -551,7 +551,107 @@ FROM counts c JOIN marg m ON c.prev_type = m.prev_type
 """
 
 
+_ATTR_WINDOW_DAYS = 7  # clicks within 7 days before the purchase get credit
+
+
+def sess_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch conversion attribution: every purchase distributes credit
+    to the user's clicks in the prior ``_ATTR_WINDOW_DAYS`` days under three
+    models at once — first-touch (1.0 to the earliest click), last-touch
+    (1.0 to the latest), linear (1/n to each) — rolled up to credit per
+    (model, click day). The marketing-analytics staple.
+
+    Determinism: touch order is pinned on (ts, event_id); linear credit
+    1.0/n is the same double in both engines; per-day totals sum per-term
+    decimal-cast and round 6 dp (double->decimal cast is the one divergent
+    step). Scale: one range equi-join on user_id (the as-of family shape),
+    two windows over per-purchase touch lists, then an enum-by-calendar
+    sized aggregate — no cross join, no driver loop."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts"), F.col("event_id").alias("cid")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts"), F.col("event_id").alias("pid")
+    )
+    touches = clicks.join(
+        purchases,
+        (F.col("cu") == F.col("pu"))
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") >= F.col("pts") - F.expr(f"INTERVAL {_ATTR_WINDOW_DAYS} DAYS")),
+    )
+    wf = Window.partitionBy("pid").orderBy(F.col("cts").asc(), F.col("cid").asc())
+    wl = Window.partitionBy("pid").orderBy(F.col("cts").desc(), F.col("cid").desc())
+    wn = Window.partitionBy("pid")
+    ranked = touches.select(
+        "pid",
+        F.to_date("cts").alias("day"),
+        F.row_number().over(wf).alias("rn_f"),
+        F.row_number().over(wl).alias("rn_l"),
+        F.count("*").over(wn).alias("n_touch"),
+    )
+    first = ranked.filter(F.col("rn_f") == 1).select(
+        F.lit("first_touch").alias("model"), "day", F.lit(1.0).alias("credit")
+    )
+    last = ranked.filter(F.col("rn_l") == 1).select(
+        F.lit("last_touch").alias("model"), "day", F.lit(1.0).alias("credit")
+    )
+    linear = ranked.select(
+        F.lit("linear").alias("model"),
+        "day",
+        (F.lit(1.0) / F.col("n_touch").cast("double")).alias("credit"),
+    )
+    return (
+        first.unionByName(last)
+        .unionByName(linear)
+        .groupBy("model", "day")
+        .agg(
+            F.round(
+                F.sum(F.col("credit").cast("decimal(38,18)")).cast("double"), 6
+            ).alias("credit")
+        )
+        .orderBy("model", "day")
+    )
+
+
+SESS_ATTRIBUTION_SQL = f"""
+WITH clicks AS (
+  SELECT user_id AS cu, ts AS cts, event_id AS cid FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id AS pu, ts AS pts, event_id AS pid FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT pid, CAST(cts AS DATE) AS day, cts, cid
+  FROM clicks JOIN purchases
+    ON cu = pu AND cts <= pts AND cts >= pts - INTERVAL {_ATTR_WINDOW_DAYS} DAY
+),
+ranked AS (
+  SELECT pid, day,
+         ROW_NUMBER() OVER (PARTITION BY pid ORDER BY cts ASC, cid ASC) AS rn_f,
+         ROW_NUMBER() OVER (PARTITION BY pid ORDER BY cts DESC, cid DESC) AS rn_l,
+         COUNT(*) OVER (PARTITION BY pid) AS n_touch
+  FROM touches
+),
+credits AS (
+  SELECT 'first_touch' AS model, day, CAST(1.0 AS DOUBLE) AS credit
+  FROM ranked WHERE rn_f = 1
+  UNION ALL
+  SELECT 'last_touch' AS model, day, CAST(1.0 AS DOUBLE) AS credit
+  FROM ranked WHERE rn_l = 1
+  UNION ALL
+  SELECT 'linear' AS model, day, CAST(1.0 AS DOUBLE) / CAST(n_touch AS DOUBLE) AS credit
+  FROM ranked
+)
+SELECT model, day,
+       ROUND(CAST(SUM(CAST(credit AS DECIMAL(38,18))) AS DOUBLE), 6) AS credit
+FROM credits GROUP BY model, day
+ORDER BY model, day
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "sess_attribution": (sess_attribution, SESS_ATTRIBUTION_SQL),
     "sess_markov_transitions": (sess_markov_transitions, SESS_MARKOV_SQL),
     "ts_anomaly_dow": (ts_anomaly_dow, TS_ANOMALY_SQL),
     "sess_retention_cohorts": (sess_retention_cohorts, SESS_RETENTION_SQL),

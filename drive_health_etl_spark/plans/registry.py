@@ -430,7 +430,7 @@ _ORDER = [
     "emb_dim_energy", "emb_pq_stats",
     "sess_stats", "sess_funnel", "sess_daily", "sess_rolling_actives",
     "sess_conversion_lag", "sess_retention_cohorts", "sess_daily_gapfill",
-    "sess_event_assoc", "ts_anomaly_dow",
+    "sess_event_assoc", "ts_anomaly_dow", "sess_attribution",
     "text_inverted_index", "text_bm25", "text_vocab_oov",
     "feat_hashing_tf", "feat_tfidf_top_terms",
     "corpus_stratified_split", "corpus_importance_sample",
@@ -458,7 +458,7 @@ _ORDER = [
     "corpus_mix_resample", "feat_equidepth_bins", "basket_part_pairs",
     "rfm_segments", "sess_markov_transitions",
     "stat_chi2_independence", "stat_mann_whitney", "stat_ols_trend", "ts_acf",
-    "ts_cusum_changepoint",
+    "ts_cusum_changepoint", "ts_holt_linear",
     "graph_bfs_distances", "sketch_cms_estimate", "feat_target_encoding",
     # (4) one-time-startup / iterative cost
     "sim_ann_lsh_multitable", "sim_ann_ivf", "sim_knn_classify",

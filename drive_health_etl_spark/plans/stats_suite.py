@@ -406,9 +406,96 @@ FROM cum ORDER BY day
 """
 
 
+_HOLT_A = 0.3  # level smoothing
+_HOLT_G = 0.2  # trend smoothing
+
+
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing of the daily event-count
+    series, with 1/2/3-day-ahead forecasts — the trend-aware sibling of
+    `w12_ewma_smooth`. The coupled recursion
+
+        s_t = a*x_t + (1-a)*(s_{t-1} + b_{t-1})
+        b_t = g*(s_t - s_{t-1}) + (1-g)*b_{t-1}
+
+    cannot be a window function; both engines run the IDENTICAL
+    left-to-right struct fold (init = (x_1, 0), matching DuckDB's
+    list_reduce first-element init), so every float op associates the same
+    way and the result is BIT-exact — no rounding discipline needed, per
+    the w12 precedent. Smoothing constants are embedded via Python repr in
+    both engines (same exact doubles).
+
+    Scale: the series is calendar-sized; the fold runs on one row. Per-key
+    variants shuffle once on the key exactly like w12."""
+    e = load_table(spark, sf_dir, "events").select(F.to_date("ts").alias("day"))
+    daily = e.groupBy("day").agg(F.count("*").cast("double").alias("x"))
+    series = daily.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "x"))), lambda r: r["x"]
+        ).alias("vals")
+    )
+    a, g = _HOLT_A, _HOLT_G
+    init = F.struct(
+        F.element_at("vals", 1).alias("s"), F.lit(0.0).alias("b")
+    )
+    new_s = lambda acc, x: F.lit(a) * x + F.lit(1.0 - a) * (acc["s"] + acc["b"])  # noqa: E731
+    folded = F.aggregate(
+        F.expr("slice(vals, 2, size(vals) - 1)"),
+        init,
+        lambda acc, x: F.struct(
+            new_s(acc, x).alias("s"),
+            (F.lit(g) * (new_s(acc, x) - acc["s"]) + F.lit(1.0 - g) * acc["b"]).alias(
+                "b"
+            ),
+        ),
+    )
+    return series.select(
+        F.size("vals").alias("n_days"),
+        folded["s"].alias("level"),
+        folded["b"].alias("trend"),
+        (folded["s"] + folded["b"]).alias("forecast_1"),
+        (folded["s"] + F.lit(2.0) * folded["b"]).alias("forecast_2"),
+        (folded["s"] + F.lit(3.0) * folded["b"]).alias("forecast_3"),
+    )
+
+
+# Oracle is a recursive CTE, NOT list_reduce: DuckDB's list_reduce evaluates
+# struct_pack fields SEQUENTIALLY and rebinds acc fields mid-struct (the b
+# field of a (s, b) state sees the NEW s — verified: fold (acc,x) ->
+# (s := acc.s + x.s, b := (acc.s + x.s) * 2) over [1,2,3] returns b = 18,
+# not 12). The recursive CTE has standard all-old-values semantics, and its
+# per-step op chain is written identically to Spark's fold, so the result
+# stays bit-exact.
+TS_HOLT_SQL = f"""
+WITH RECURSIVE daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS DOUBLE) AS x
+  FROM events GROUP BY 1
+),
+ds AS (SELECT ROW_NUMBER() OVER (ORDER BY day) AS rn, x FROM daily),
+hw AS (
+  SELECT rn, x AS s, CAST(0.0 AS DOUBLE) AS b FROM ds WHERE rn = 1
+  UNION ALL
+  SELECT d.rn,
+         {_HOLT_A!r}::DOUBLE * d.x + {1.0 - _HOLT_A!r}::DOUBLE * (h.s + h.b) AS s,
+         {_HOLT_G!r}::DOUBLE
+           * (({_HOLT_A!r}::DOUBLE * d.x
+               + {1.0 - _HOLT_A!r}::DOUBLE * (h.s + h.b)) - h.s)
+         + {1.0 - _HOLT_G!r}::DOUBLE * h.b AS b
+  FROM hw h JOIN ds d ON d.rn = h.rn + 1
+),
+last AS (SELECT rn, s, b FROM hw ORDER BY rn DESC LIMIT 1)
+SELECT CAST(rn AS INT) AS n_days, s AS level, b AS trend,
+       s + b AS forecast_1,
+       s + CAST(2.0 AS DOUBLE) * b AS forecast_2,
+       s + CAST(3.0 AS DOUBLE) * b AS forecast_3
+FROM last
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "stat_chi2_independence": (stat_chi2_independence, STAT_CHI2_SQL),
     "ts_cusum_changepoint": (ts_cusum_changepoint, TS_CUSUM_SQL),
+    "ts_holt_linear": (ts_holt_linear, TS_HOLT_SQL),
     "stat_mann_whitney": (stat_mann_whitney, STAT_MANN_WHITNEY_SQL),
     "stat_ols_trend": (stat_ols_trend, STAT_OLS_SQL),
     "ts_acf": (ts_acf, TS_ACF_SQL),
