@@ -296,6 +296,66 @@ SELECT doc_a, doc_b, jaccard FROM (
 """
 
 
+_CONTAIN_MIN = 0.5  # keep pairs where either direction's containment >= 0.5
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT over MinHash-LSH candidate pairs:
+    C(A->B) = |sh(A) n sh(B)| / |sh(A)| — the quote/subset detector Jaccard
+    misses (a paragraph fully quoted inside a much longer document has low
+    Jaccard but containment ~1). Emits both directions where either is >=
+    ``_CONTAIN_MIN``.
+
+    Same scale shape as `dedup_ngram_jaccard` (this is its directional
+    twin): candidates come from the banded-LSH join, the verify joins are
+    keyed on doc_id. The division is exact-int / exact-int -> identical
+    doubles; round 6 per the float policy."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sets_df = docs.withColumn("toks", tokens_col()).select(
+        "doc_id", F.array_distinct(shingles_col()).alias("sh_set")
+    )
+    cand = dedup_minhash_pairs(spark, sf_dir)
+    joined = cand.join(
+        sets_df.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a")),
+        "doc_a",
+    ).join(
+        sets_df.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b")),
+        "doc_b",
+    )
+    inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b"))).cast("double")
+    c_ab = F.round(inter / F.size("set_a").cast("double"), 6)
+    c_ba = F.round(inter / F.size("set_b").cast("double"), 6)
+    return (
+        joined.select(
+            "doc_a", "doc_b", c_ab.alias("contain_ab"), c_ba.alias("contain_ba")
+        )
+        .filter(
+            (F.col("contain_ab") >= _CONTAIN_MIN) | (F.col("contain_ba") >= _CONTAIN_MIN)
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DEDUP_CONTAINMENT_SQL = f"""
+WITH pairs AS ({DEDUP_MINHASH_PAIRS_SQL}),
+t AS (
+  SELECT doc_id, list_distinct({SHINGLES_SQL}) AS sh_set
+  FROM documents
+)
+SELECT doc_a, doc_b, contain_ab, contain_ba FROM (
+  SELECT p.doc_a, p.doc_b,
+         ROUND(CAST(len(list_intersect(a.sh_set, b.sh_set)) AS DOUBLE)
+               / CAST(len(a.sh_set) AS DOUBLE), 6) AS contain_ab,
+         ROUND(CAST(len(list_intersect(a.sh_set, b.sh_set)) AS DOUBLE)
+               / CAST(len(b.sh_set) AS DOUBLE), 6) AS contain_ba
+  FROM pairs p JOIN t a ON a.doc_id = p.doc_a JOIN t b ON b.doc_id = p.doc_b
+) WHERE contain_ab >= {_CONTAIN_MIN} OR contain_ba >= {_CONTAIN_MIN}
+ORDER BY doc_a, doc_b
+"""
+
+
 N_SIMHASH_BITS = 16
 
 
@@ -792,6 +852,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_minhash_signatures": (minhash_signatures, MINHASH_SIG_SQL),
     "dedup_minhash_pairs": (dedup_minhash_pairs, DEDUP_MINHASH_PAIRS_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
+    "dedup_containment": (dedup_containment, DEDUP_CONTAINMENT_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_embedding_near": (dedup_embedding_near, _dedup_embedding_near_sql()),
 }

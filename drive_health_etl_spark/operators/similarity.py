@@ -843,7 +843,74 @@ FROM g ORDER BY abs(g) DESC, i ASC, j ASC LIMIT {GRAM_TOP}
 """
 
 
+def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding centroids —
+    the cluster/source drift monitor (are two corpora occupying the same
+    region of embedding space?) behind training-mix decisions.
+
+    Float policy: per-(label, dim) centroid components are plain AVG rounded
+    9 dp (the emb_norm_stats precedent — sub-ULP partition-order drift
+    absorbed by the rounding margin); the cosine then runs on IDENTICAL
+    rounded inputs as the same left-to-right dot fold in both engines
+    (Spark aggregate vs list_dot_product), rounded 6 dp.
+
+    Scale: one narrow posexplode + (label, dim) aggregate — map-side
+    combinable, key space = labels x dims; the pairwise stage is
+    label-count-sized (broadcast), never row-sized."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v")
+    )
+    cent = (
+        emb.groupBy("label", "dim")
+        .agg(F.round(F.avg("v"), 9).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda r: r["c"]
+            ).alias("cv")
+        )
+    )
+    a = cent.select(F.col("label").alias("label_a"), F.col("cv").alias("ca"))
+    b = cent.select(F.col("label").alias("label_b"), F.col("cv").alias("cb"))
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                _dot(F.col("ca"), F.col("cb"))
+                / (_norm(F.col("ca")) * _norm(F.col("cb"))),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+EMB_CENTROID_DRIFT_SQL = """
+WITH e AS (
+  SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+),
+cd AS (
+  SELECT label, dim, ROUND(AVG(v), 9) AS c FROM e GROUP BY label, dim
+),
+cent AS (
+  SELECT label,
+         list_transform(list_sort(list(ROW(dim, c))), r -> CAST(r[2] AS DOUBLE)) AS cv
+  FROM cd GROUP BY label
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       ROUND(list_dot_product(a.cv, b.cv)
+             / (sqrt(list_dot_product(a.cv, a.cv)) * sqrt(list_dot_product(b.cv, b.cv))),
+             6) AS cosine
+FROM cent a JOIN cent b ON a.label < b.label
+ORDER BY label_a, label_b
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "emb_centroid_drift": (emb_centroid_drift, EMB_CENTROID_DRIFT_SQL),
     "emb_gram_topk": (emb_gram_topk, EMB_GRAM_SQL),
     "emb_pq_stats": (emb_pq_stats, EMB_PQ_SQL),
     "emb_dim_energy": (emb_dim_energy, EMB_DIM_ENERGY_SQL),

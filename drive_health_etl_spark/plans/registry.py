@@ -422,12 +422,13 @@ _ORDER = [
     # (2) LLM-data-pipeline suite, breadth-first (cheap members)
     "dedup_exact", "dedup_minhash_signatures", "dedup_minhash_pairs",
     "dedup_collapse", "dedup_keep_best", "dedup_simhash",
-    "dedup_ngram_jaccard", "dedup_embedding_near", "link_entity_resolution",
+    "dedup_ngram_jaccard", "dedup_containment", "dedup_embedding_near",
+    "link_entity_resolution",
     "text_tokens", "text_word_freq", "text_quality", "text_fingerprint",
     "text_langid", "text_bpe_token_count", "text_lang_dist",
     "sim_cosine_topk", "sim_lsh_buckets", "sim_ann_lsh",
     "sim_ann_lsh_multiprobe", "emb_norm_stats", "emb_quantize_stats",
-    "emb_dim_energy", "emb_pq_stats",
+    "emb_dim_energy", "emb_pq_stats", "emb_centroid_drift",
     "sess_stats", "sess_funnel", "sess_daily", "sess_rolling_actives",
     "sess_conversion_lag", "sess_retention_cohorts", "sess_daily_gapfill",
     "sess_event_assoc", "ts_anomaly_dow", "sess_attribution",

@@ -133,6 +133,11 @@ BNLJ_BY_DESIGN = {
     "retrieval_eval_ndcg",  # 1-row DCG x IDCG x corpus-relevance metric joins
     "j7_bloom_prefilter_join",  # 1-row 32KiB bloom-word-array broadcast onto the probe scan
     "dq_psi_drift",  # 1-row global-bounds + 1-row totals broadcasts onto the bin map
+    "emb_centroid_drift",  # label-count-sized (<=10 rows/side) centroid pair broadcast
+    "stat_chi2_independence",  # 1-row grand-total broadcast onto the enum-sized cell table
+    "ts_acf",  # 7-row lag grid + 1-row mean/denominator broadcasts on the calendar series
+    "ts_cusum_changepoint",  # 1-row global-mean broadcast onto the calendar series
+    "feat_target_encoding",  # 1-row global-prior broadcast onto the encode map
 }
 CARTESIAN_BY_DESIGN = {"t5_cross_join"}  # 5 x 25 dims, explicitly cross
 
