@@ -89,6 +89,18 @@ HEADLINE = [
     "sdp_daily_rollup",
     "stat_ab_welch",
     "ts_theil_sen_trend",
+    "stat_chi2_independence",
+    "stat_mann_whitney",
+    "ts_holt_linear",
+    "sess_attribution",
+    "sketch_cms_estimate",
+    "graph_bfs_distances",
+    "dedup_containment",
+    "emb_centroid_drift",
+    "multimodal_phash_neardup",
+    "multimodal_audio_match",
+    "feat_target_encoding",
+    "lake_merge",
     "pipeline_ingest_e2e",
 ]
 

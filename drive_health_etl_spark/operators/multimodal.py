@@ -782,10 +782,78 @@ ORDER BY doc_a, doc_b
 """
 
 
+# --- Video scene-cut detection ----------------------------------------------
+
+_CUT_THRESHOLD = 40 * _FRAME_PAYLOAD // 100  # jump > 0.4 brightness-units/pixel
+
+
+def multimodal_video_scenecut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over the REAL-decoded frame sequence: a cut is a
+    frame whose total-luminance jump from the previous frame exceeds
+    ``_CUT_THRESHOLD`` (an all-integer per-pixel-scaled threshold). Emits
+    per-video cut count, the largest jump, and the first cut's frame index
+    (-1 when none) — the shot-boundary primitive video curation pipelines
+    run before frame sampling.
+
+    Integer-exact end to end: per-frame sums are ints, jumps are int
+    differences, the threshold is a compile-time int. The oracle rebuilds
+    every frame sum from the construction rule, so a frame-boundary or
+    ordering bug breaks the match."""
+    media = attach_video(spark, sf_dir)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_cuts": [], "max_jump": [], "first_cut": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                frames = decode_video(bytes(blob))  # REAL decode
+                sums = [int(f.astype(np.int64).sum()) for f in frames]
+                jumps = [abs(b - a) for a, b in zip(sums, sums[1:])]
+                cuts = [i + 1 for i, j in enumerate(jumps) if j > _CUT_THRESHOLD]
+                out["doc_id"].append(int(doc_id))
+                out["n_cuts"].append(len(cuts))
+                out["max_jump"].append(max(jumps) if jumps else 0)
+                out["first_cut"].append(cuts[0] if cuts else -1)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        op, schema="doc_id long, n_cuts int, max_jump long, first_cut int"
+    )
+
+
+MULTIMODAL_SCENECUT_SQL = f"""
+WITH v AS (
+  SELECT doc_id, text || ' ' AS t FROM documents WHERE doc_id % 3 = 2
+),
+fr AS (
+  {" UNION ALL ".join(
+    f"SELECT doc_id, {f} AS fidx, rpad(substr(t, {7 * f + 1}), {_FRAME_PAYLOAD}, t) AS payload FROM v"
+    for f in range(VID_FRAMES)
+  )}
+),
+fs AS (
+  SELECT doc_id, fidx, SUM(ord(substr(payload, i, 1))) AS s
+  FROM fr, UNNEST(generate_series(1, {_FRAME_PAYLOAD})) AS u(i)
+  GROUP BY doc_id, fidx
+),
+jumps AS (
+  SELECT doc_id, fidx,
+         abs(s - LAG(s) OVER (PARTITION BY doc_id ORDER BY fidx)) AS jump
+  FROM fs
+)
+SELECT doc_id,
+       CAST(COUNT(CASE WHEN jump > {_CUT_THRESHOLD} THEN 1 END) AS INT) AS n_cuts,
+       CAST(COALESCE(MAX(jump), 0) AS BIGINT) AS max_jump,
+       CAST(COALESCE(MIN(CASE WHEN jump > {_CUT_THRESHOLD} THEN fidx END), -1) AS INT)
+         AS first_cut
+FROM jumps GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "multimodal_bytes": (multimodal_bytes, MULTIMODAL_BYTES_SQL),
     "multimodal_phash_neardup": (multimodal_phash_neardup, MULTIMODAL_PHASH_SQL),
     "multimodal_audio_match": (multimodal_audio_match, MULTIMODAL_AUDIO_MATCH_SQL),
+    "multimodal_video_scenecut": (multimodal_video_scenecut, MULTIMODAL_SCENECUT_SQL),
     "multimodal_decode_stats": (multimodal_decode_stats, MULTIMODAL_DECODE_SQL),
     "multimodal_audio_stats": (multimodal_audio_stats, MULTIMODAL_AUDIO_SQL),
     "multimodal_video_stats": (multimodal_video_stats, MULTIMODAL_VIDEO_SQL),

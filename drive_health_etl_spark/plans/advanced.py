@@ -650,9 +650,46 @@ FROM est ORDER BY exact_n DESC, word ASC
 """
 
 
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 session variables at the TOP level (the `sql_scripting` twin
+    outside BEGIN/END): ``DECLARE VARIABLE``, ``SET VAR`` from a scalar
+    subquery, an ``IDENTIFIER(:var)``-style dynamic table reference, and
+    variable use inside an ordinary aggregate — the parameterized-job
+    surface analysts use to avoid string-formatting SQL on the driver.
+
+    The oracle inlines the same parameters as literals/scalar subqueries
+    (variables are a binding mechanism, not an execution model — the plan
+    under them is ordinary Catalyst)."""
+    register_views(spark, sf_dir)
+    spark.sql("DECLARE OR REPLACE VARIABLE fact_table STRING DEFAULT 'lineitem'")
+    spark.sql("DECLARE OR REPLACE VARIABLE qty_floor DOUBLE DEFAULT 0.0")
+    spark.sql("SET VAR qty_floor = (SELECT AVG(l_quantity) FROM lineitem)")
+    return spark.sql(
+        """
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM IDENTIFIER(fact_table)
+        WHERE l_quantity > qty_floor
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
+
+
+SQL_SESSION_VARIABLES_SQL = """
+SELECT l_returnflag, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+WHERE l_quantity > (SELECT AVG(l_quantity) FROM lineitem)
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "sql_recursive_cte": (sql_recursive_cte, SQL_RECURSIVE_CTE_SQL),
     "sketch_cms_estimate": (sketch_cms_estimate, SKETCH_CMS_SQL),
+    "sql_session_variables": (sql_session_variables, SQL_SESSION_VARIABLES_SQL),
     "sql_pipe_syntax": (sql_pipe_syntax, SQL_PIPE_SQL),
     "sql_scripting": (sql_scripting, SQL_SCRIPTING_SQL),
     "sql_udf_suite": (sql_udf_suite, SQL_UDF_SQL),
