@@ -539,7 +539,54 @@ JOIN counts cb ON cb.source = src_b
 """
 
 
+_CURRICULUM_BUCKETS = 4
+
+
+def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic curriculum ordering: documents are quartile-bucketed by
+    length (short -> long, the classic easy-first curriculum) and hash-
+    shuffled WITHIN each bucket — the epoch ordering a trainer consumes so
+    early steps see short documents while intra-bucket order stays unbiased
+    and reproducible across runs/partitionings.
+
+    Bucketing uses ntile over a total order ((n_chars, doc_id) — the tie
+    key makes ntile engine-deterministic); intra-bucket order is md5 of a
+    salted doc id. One window sort each — at 100 TB the bucket assignment
+    comes from pre-aggregated length percentiles (the feat_equidepth_bins
+    broadcast pattern) instead of a global sort; semantics identical."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    wb = Window.orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+    wpos = Window.partitionBy("bucket").orderBy(
+        F.md5(F.concat(F.lit("curriculum:"), F.col("doc_id").cast("string"))).asc(),
+        F.col("doc_id").asc(),
+    )
+    return (
+        docs.select(
+            "doc_id", "n_chars", F.ntile(_CURRICULUM_BUCKETS).over(wb).alias("bucket")
+        )
+        .select("doc_id", "n_chars", "bucket", F.row_number().over(wpos).alias("pos"))
+        .orderBy("bucket", "pos")
+    )
+
+
+CORPUS_CURRICULUM_SQL = f"""
+WITH b AS (
+  SELECT doc_id, n_chars,
+         CAST(NTILE({_CURRICULUM_BUCKETS}) OVER (ORDER BY n_chars ASC, doc_id ASC) AS INT) AS bucket
+  FROM documents
+)
+SELECT doc_id, n_chars, bucket,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY bucket
+         ORDER BY md5('curriculum:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+       ) AS INT) AS pos
+FROM b
+ORDER BY bucket, pos
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "corpus_curriculum_order": (corpus_curriculum_order, CORPUS_CURRICULUM_SQL),
     "corpus_source_overlap": (corpus_source_overlap, _corpus_overlap_sql()),
     "corpus_kl_drift": (corpus_kl_drift, CORPUS_KL_DRIFT_SQL),
     "corpus_reservoir_per_source": (corpus_reservoir_per_source, CORPUS_RESERVOIR_SQL),

@@ -330,8 +330,92 @@ SELECT dist, COUNT(*) AS n_nodes FROM {prev} GROUP BY dist ORDER BY dist
 GRAPH_BFS_SQL = _bfs_sql()
 
 
+_LP_ROUNDS = 2
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    support-filtered co-purchase graph: labels start as node ids; each round
+    every node adopts its neighbors' most frequent label (ties -> smallest
+    label — the determinism pin plain LPA lacks). Emits the community-size
+    histogram after ``_LP_ROUNDS`` rounds: (community_size, n_communities).
+
+    Scale design: a round is edges ⋈ labels (equi-join on the node key) ->
+    a (node, label) count aggregate -> an argmax via max(struct) — all
+    map-side combinable, the Pregel shape again; the round count is fixed,
+    so the plan is a statically unrolled chain mirrored by the oracle's
+    CTEs. Production LPA adds per-round checkpointing exactly like the
+    connected-components collapse in dedup.py."""
+    edges = _support_edges(spark, sf_dir).localCheckpoint()
+    with shuffle_partitions(spark, 8):
+        labels = edges.select(F.col("src").alias("node")).distinct().select(
+            "node", F.col("node").alias("label")
+        )
+        for _ in range(_LP_ROUNDS):
+            votes = (
+                edges.join(
+                    labels.select(F.col("node").alias("dst"), "label"), "dst"
+                )
+                .groupBy(F.col("src").alias("node"), "label")
+                .agg(F.count("*").alias("n"))
+            )
+            # argmax (n desc, label asc) without a window: max over
+            # (n, -label) structs — the documented argmax pattern
+            labels = votes.groupBy("node").agg(
+                (-F.max(F.struct(F.col("n"), (-F.col("label")).alias("neg")))["neg"]).alias(
+                    "label"
+                )
+            )
+        sizes = labels.groupBy("label").agg(F.count("*").alias("community_size"))
+        out = (
+            sizes.groupBy("community_size")
+            .agg(F.count("*").alias("n_communities"))
+            .orderBy("community_size")
+            .localCheckpoint()
+        )
+    return out
+
+
+def _lp_sql() -> str:
+    prev = "l0"
+    rounds = []
+    for i in range(1, _LP_ROUNDS + 1):
+        rounds.append(
+            f"""l{i} AS (
+  SELECT node, label FROM (
+    SELECT src AS node, label, COUNT(*) AS n,
+           ROW_NUMBER() OVER (PARTITION BY src ORDER BY COUNT(*) DESC, label ASC) AS rn
+    FROM edges e JOIN {prev} p ON e.dst = p.node
+    GROUP BY src, label
+  ) WHERE rn = 1
+)"""
+        )
+        prev = f"l{i}"
+    chain = ",\n".join(rounds)
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_BFS_SUPPORT}
+),
+edges AS (SELECT pa AS src, pb AS dst FROM pairs
+          UNION ALL SELECT pb AS src, pa AS dst FROM pairs),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+{chain},
+sizes AS (SELECT label, COUNT(*) AS community_size FROM {prev} GROUP BY label)
+SELECT community_size, COUNT(*) AS n_communities
+FROM sizes GROUP BY community_size ORDER BY community_size
+"""
+
+
+GRAPH_LP_SQL = _lp_sql()
+
+
 QUERIES: dict[str, tuple] = {
     "graph_pagerank": (graph_pagerank, GRAPH_PAGERANK_SQL),
     "graph_triangles": (graph_triangles, GRAPH_TRIANGLES_SQL),
     "graph_bfs_distances": (graph_bfs_distances, GRAPH_BFS_SQL),
+    "graph_label_propagation": (graph_label_propagation, GRAPH_LP_SQL),
 }

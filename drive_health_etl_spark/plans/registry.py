@@ -436,7 +436,7 @@ _ORDER = [
     "feat_hashing_tf", "feat_tfidf_top_terms",
     "corpus_stratified_split", "corpus_importance_sample",
     "corpus_reservoir_per_source",
-    "corpus_chunk_windows", "corpus_pack_sequences",
+    "corpus_chunk_windows", "corpus_pack_sequences", "corpus_curriculum_order",
     "corpus_span_dedup",
     "text_gopher_rules", "text_repetition", "text_pii_scrub",
     "text_decontaminate", "text_boilerplate", "text_bigram_logprob",
@@ -455,12 +455,12 @@ _ORDER = [
     "sketch_distinct_hll", "sketch_top_k", "sketch_quantile_check",
     "sketch_rolling_wau", "sketch_theta_overlap",
     "j5b_binned_range_join", "layout_zorder_stats", "layout_hilbert_stats",
-    "corpus_source_overlap", "graph_triangles",
+    "corpus_source_overlap", "graph_triangles", "graph_label_propagation",
     "a6_listagg", "a7_winsorize", "u3_grouped_map_features", "u3_cogroup_join",
     "corpus_mix_resample", "feat_equidepth_bins", "basket_part_pairs",
     "rfm_segments", "sess_markov_transitions",
     "stat_chi2_independence", "stat_mann_whitney", "stat_ols_trend", "ts_acf",
-    "ts_cusum_changepoint", "ts_holt_linear",
+    "ts_cusum_changepoint", "ts_holt_linear", "ts_seasonal_decompose",
     "graph_bfs_distances", "sketch_cms_estimate", "feat_target_encoding",
     # (4) one-time-startup / iterative cost
     "sim_ann_lsh_multitable", "sim_ann_ivf", "sim_knn_classify",

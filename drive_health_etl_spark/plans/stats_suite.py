@@ -492,10 +492,105 @@ FROM last
 """
 
 
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the daily total-value series:
+    trend = centered 7-day moving average (only where the full window
+    exists), seasonal = day-of-week mean of the detrended series re-centered
+    to sum to zero, residual = y - trend - seasonal — the STL-lite monitor
+    behind `ts_anomaly_dow`.
+
+    Exactness: daily totals are decimal; the 7-day trend divides an exact
+    decimal window sum by 7; the seasonal means and centering sum per-term
+    decimal-cast doubles; every emitted float rounds 6 dp. All windows are
+    calendar-sized."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), F.col("value").cast("decimal(18,6)").alias("v")
+    )
+    daily = e.groupBy("day").agg(F.sum("v").alias("y"))
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    with_trend = daily.select(
+        "day",
+        F.col("y").cast("double").alias("y"),
+        F.when(
+            F.count("*").over(w7) == 7,
+            F.sum("y").over(w7).cast("double") / F.lit(7.0),
+        ).alias("trend"),
+        F.dayofweek("day").alias("dow"),
+    )
+    seas = (
+        with_trend.filter(F.col("trend").isNotNull())
+        .groupBy("dow")
+        .agg(
+            (
+                F.sum((F.col("y") - F.col("trend")).cast("decimal(38,18)")).cast(
+                    "double"
+                )
+                / F.count("*").cast("double")
+            ).alias("s_raw")
+        )
+    )
+    center = seas.agg(
+        (
+            F.sum(F.col("s_raw").cast("decimal(38,18)")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("s_mean")
+    )
+    seas_c = seas.crossJoin(F.broadcast(center)).select(
+        "dow", (F.col("s_raw") - F.col("s_mean")).alias("seasonal")
+    )
+    return (
+        with_trend.join(F.broadcast(seas_c), "dow")
+        .select(
+            "day",
+            F.round("y", 6).alias("y"),
+            F.round("trend", 6).alias("trend"),
+            F.round("seasonal", 6).alias("seasonal"),
+            F.round(F.col("y") - F.col("trend") - F.col("seasonal"), 6).alias(
+                "residual"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+TS_SEASONAL_SQL = """
+WITH e AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(value AS DECIMAL(18,6)) AS v FROM events
+),
+daily AS (SELECT day, SUM(v) AS y FROM e GROUP BY day),
+wt AS (
+  SELECT day, CAST(y AS DOUBLE) AS y,
+         CASE WHEN COUNT(*) OVER w = 7
+              THEN CAST(SUM(y) OVER w AS DOUBLE) / 7.0 END AS trend,
+         dayofweek(day) + 1 AS dow
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+seas AS (
+  SELECT dow,
+         CAST(SUM(CAST(y - trend AS DECIMAL(38,18))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS s_raw
+  FROM wt WHERE trend IS NOT NULL GROUP BY dow
+),
+center AS (
+  SELECT CAST(SUM(CAST(s_raw AS DECIMAL(38,18))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS s_mean
+  FROM seas
+),
+sc AS (SELECT dow, s_raw - s_mean AS seasonal FROM seas CROSS JOIN center)
+SELECT day, ROUND(y, 6) AS y, ROUND(trend, 6) AS trend,
+       ROUND(seasonal, 6) AS seasonal,
+       ROUND(y - trend - seasonal, 6) AS residual
+FROM wt JOIN sc USING (dow)
+ORDER BY day
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "stat_chi2_independence": (stat_chi2_independence, STAT_CHI2_SQL),
     "ts_cusum_changepoint": (ts_cusum_changepoint, TS_CUSUM_SQL),
     "ts_holt_linear": (ts_holt_linear, TS_HOLT_SQL),
+    "ts_seasonal_decompose": (ts_seasonal_decompose, TS_SEASONAL_SQL),
     "stat_mann_whitney": (stat_mann_whitney, STAT_MANN_WHITNEY_SQL),
     "stat_ols_trend": (stat_ols_trend, STAT_OLS_SQL),
     "ts_acf": (ts_acf, TS_ACF_SQL),

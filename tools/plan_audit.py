@@ -237,6 +237,49 @@ AUDITS = [
         "aggregate() fold inside codegen — the recursion window functions "
         "cannot express, without any Python.",
     ),
+    (
+        "stat_chi2_independence",
+        "Chi-square: ONE map-side-combinable aggregate over the fact scan "
+        "builds the enum-sized contingency cells; row/column totals are "
+        "broadcast joins over that tiny relation — the fact table is read "
+        "exactly once, and nothing downstream scales with rows.",
+    ),
+    (
+        "sketch_cms_estimate",
+        "Count-min sketch: the token explode feeds a groupBy keyed on "
+        "(hash row, counter) — shuffle key cardinality fixed at 1536 "
+        "regardless of corpus size, partial-aggregated map-side; the probe "
+        "side joins the exact top-k against the broadcast sketch grid.",
+    ),
+    (
+        "multimodal_phash_neardup",
+        "Perceptual-hash near-dup: one Arrow-batched decode pass emits "
+        "4 band ints per image (localCheckpoint so candidate and verify "
+        "sides reuse it); candidates come from an EQUI join on "
+        "(band position, band value) — no cross join — and the hamming "
+        "verify joins back on doc id.",
+    ),
+    (
+        "graph_bfs_distances",
+        "Bounded-hop BFS: the support-filtered edge list materializes once "
+        "(localCheckpoint), then each hop is one equi-join frontier ⋈ edges "
+        "plus a MIN-combine on node — the Pregel shape; the statically "
+        "unrolled chain never re-scans the fact table.",
+    ),
+    (
+        "lake_merge",
+        "MERGE INTO: one full-outer sort-merge join on the key computes "
+        "update/delete/insert in a single pass (the Delta/Iceberg MERGE "
+        "execution shape); the snapshot commit republishes a manifest, not "
+        "a directory listing.",
+    ),
+    (
+        "sess_attribution",
+        "Multi-touch attribution: clicks ⋈ purchases is an equi-join on "
+        "user_id with a range residual (the as-of family shape), the three "
+        "credit models share two windows over the same per-purchase "
+        "partitioning, and the rollup is enum-by-calendar sized.",
+    ),
 ]
 
 
