@@ -118,6 +118,79 @@ UNION ALL SELECT 'row_count_at_least:100', n >= 100.0, n FROM m
 """
 
 
+def dq_reconcile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation — the invoice audit every finance
+    warehouse runs nightly: recompute each order's total from its line items
+    (extendedprice * (1-discount) * (1+tax), summed as exact decimals) and
+    report, per order status, how many headers disagree with their detail
+    rows beyond a cent and the worst absolute discrepancy.
+
+    Exactness: the per-line recompute and the per-order sum stay in decimal
+    end to end (order-independent under any partitioning); the discrepancy
+    is a decimal subtraction; only the final reporting columns cast out.
+    Scale: one equi-join orders ⋈ pre-aggregated lineitem on the key both
+    sides already shuffle on, then an enum-sized rollup."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+            * (F.lit(1).cast("decimal(18,2)") + F.col("l_tax").cast("decimal(18,2)"))
+        ).alias("line_total"),
+    )
+    recomputed = li.groupBy("l_orderkey").agg(
+        F.sum("line_total").cast("decimal(28,6)").alias("detail_total")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.col("o_totalprice").cast("decimal(28,6)").alias("header_total")
+    )
+    joined = orders.join(
+        recomputed, orders["o_orderkey"] == recomputed["l_orderkey"], "left"
+    ).select(
+        "o_orderstatus",
+        "header_total",
+        F.coalesce("detail_total", F.lit(0).cast("decimal(28,6)")).alias("detail_total"),
+    )
+    diff = F.abs(F.col("header_total") - F.col("detail_total"))
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum((diff > 0.01).cast("long")).alias("n_mismatch"),
+            F.max(diff).cast("double").alias("max_abs_diff"),
+            F.round(F.sum(diff).cast("double"), 2).alias("total_abs_diff"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+DQ_RECONCILE_SQL = """
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+           * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2))) AS line_total
+  FROM lineitem
+),
+rec AS (
+  SELECT l_orderkey, CAST(SUM(line_total) AS DECIMAL(28,6)) AS detail_total
+  FROM li GROUP BY l_orderkey
+),
+j AS (
+  SELECT o.o_orderstatus,
+         CAST(o.o_totalprice AS DECIMAL(28,6)) AS header_total,
+         COALESCE(r.detail_total, CAST(0 AS DECIMAL(28,6))) AS detail_total
+  FROM orders o LEFT JOIN rec r ON o.o_orderkey = r.l_orderkey
+)
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN abs(header_total - detail_total) > 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+       CAST(MAX(abs(header_total - detail_total)) AS DOUBLE) AS max_abs_diff,
+       ROUND(CAST(SUM(abs(header_total - detail_total)) AS DOUBLE), 2) AS total_abs_diff
+FROM j GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "dq_expectations": (dq_expectations, DQ_EXPECTATIONS_SQL),
+    "dq_reconcile_orders": (dq_reconcile_orders, DQ_RECONCILE_SQL),
 }

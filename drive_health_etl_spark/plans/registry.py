@@ -460,6 +460,7 @@ _ORDER = [
     "corpus_mix_resample", "feat_equidepth_bins", "basket_part_pairs",
     "rfm_segments", "sess_markov_transitions",
     "stat_chi2_independence", "stat_mann_whitney", "stat_ols_trend", "ts_acf",
+    "stat_ab_proportion", "stat_zipf_exponent", "dq_reconcile_orders",
     "ts_cusum_changepoint", "ts_holt_linear", "ts_seasonal_decompose",
     "graph_bfs_distances", "sketch_cms_estimate", "feat_target_encoding",
     # (4) one-time-startup / iterative cost

@@ -586,8 +586,141 @@ ORDER BY day
 """
 
 
+def stat_ab_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test per event type between the ``user_id % 2`` A/B
+    buckets on the 'did this event carry a value above the type median'
+    proportion — the conversion-rate readout complementing `stat_ab_welch`
+    (means) and `stat_mann_whitney` (ranks). Pooled-variance z with exact
+    integer counts; the z chain rounds 6 dp (same policy as Welch).
+
+    Scale: the median bound is one percentile aggregate broadcast back; the
+    test is a single conditional aggregate over the fact table."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    flagged = e.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        (F.pmod(F.col("user_id"), F.lit(2)) == 0).alias("is_a"),
+        (F.col("value") > F.col("med")).alias("hit"),
+    )
+    agg = flagged.groupBy("event_type").agg(
+        F.count(F.when(F.col("is_a"), 1)).alias("n_a"),
+        F.count(F.when(~F.col("is_a"), 1)).alias("n_b"),
+        F.count(F.when(F.col("is_a") & F.col("hit"), 1)).alias("x_a"),
+        F.count(F.when(~F.col("is_a") & F.col("hit"), 1)).alias("x_b"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    xa = F.col("x_a").cast("double")
+    xb = F.col("x_b").cast("double")
+    p_pool = (xa + xb) / (na + nb)
+    z = (xa / na - xb / nb) / F.sqrt(p_pool * (1 - p_pool) * (1 / na + 1 / nb))
+    return agg.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "x_a",
+        "x_b",
+        F.round(z, 6).alias("z_stat"),
+    )
+
+
+STAT_AB_PROP_SQL = """
+WITH e AS (SELECT * FROM events WHERE value IS NOT NULL),
+med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med FROM e GROUP BY event_type
+),
+flagged AS (
+  SELECT e.event_type, (e.user_id % 2 = 0) AS is_a, (e.value > m.med) AS hit
+  FROM e JOIN med m USING (event_type)
+),
+agg AS (
+  SELECT event_type,
+         COUNT(CASE WHEN is_a THEN 1 END) AS n_a,
+         COUNT(CASE WHEN NOT is_a THEN 1 END) AS n_b,
+         COUNT(CASE WHEN is_a AND hit THEN 1 END) AS x_a,
+         COUNT(CASE WHEN NOT is_a AND hit THEN 1 END) AS x_b
+  FROM flagged GROUP BY event_type
+)
+SELECT event_type, n_a, n_b, x_a, x_b,
+       ROUND(
+         (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+          - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+         / sqrt((CAST(x_a AS DOUBLE) + CAST(x_b AS DOUBLE))
+                  / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                * (1 - (CAST(x_a AS DOUBLE) + CAST(x_b AS DOUBLE))
+                         / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                * (1 / CAST(n_a AS DOUBLE) + 1 / CAST(n_b AS DOUBLE)))
+       , 6) AS z_stat
+FROM agg
+"""
+
+
+def stat_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf/power-law fit of user activity: rank users by event count, OLS of
+    ln(count) on ln(rank) — the heavy-tail diagnostic for per-key skew
+    (its slope is the exponent the salting/AQE skew machinery exists for).
+
+    Determinism: rank ties pinned on user_id; ln of identical integer
+    inputs is the same double; the OLS moments sum per-term decimal-cast;
+    slope/intercept chains round 6 dp."""
+    e = load_table(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("user_id").asc())
+    lg = e.select(
+        F.log(F.row_number().over(w).cast("double")).alias("lx"),
+        F.log(F.col("cnt").cast("double")).alias("ly"),
+    )
+    mom = lg.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("lx").cast("decimal(38,18)")).cast("double").alias("sx"),
+        F.sum((F.col("lx") * F.col("lx")).cast("decimal(38,18)")).cast("double").alias("sxx"),
+        F.sum(F.col("ly").cast("decimal(38,18)")).cast("double").alias("sy"),
+        F.sum((F.col("lx") * F.col("ly")).cast("decimal(38,18)")).cast("double").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    return mom.select(
+        "n",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )
+
+
+STAT_ZIPF_SQL = """
+WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id),
+lg AS (
+  SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id ASC) AS DOUBLE)) AS lx,
+         ln(CAST(cnt AS DOUBLE)) AS ly
+  FROM c
+),
+mom AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(lx AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(lx * lx AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(ly AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(lx * ly AS DECIMAL(38,18))) AS DOUBLE) AS sxy
+  FROM lg
+)
+SELECT n,
+       ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS zipf_slope,
+       ROUND((sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+                     / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
+             / CAST(n AS DOUBLE), 6) AS intercept
+FROM mom
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "stat_chi2_independence": (stat_chi2_independence, STAT_CHI2_SQL),
+    "stat_ab_proportion": (stat_ab_proportion, STAT_AB_PROP_SQL),
+    "stat_zipf_exponent": (stat_zipf_exponent, STAT_ZIPF_SQL),
     "ts_cusum_changepoint": (ts_cusum_changepoint, TS_CUSUM_SQL),
     "ts_holt_linear": (ts_holt_linear, TS_HOLT_SQL),
     "ts_seasonal_decompose": (ts_seasonal_decompose, TS_SEASONAL_SQL),
