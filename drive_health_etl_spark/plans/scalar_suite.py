@@ -166,6 +166,64 @@ WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGE
 """
 
 
+def sub_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery join (Spark 4 `... JOIN LATERAL (...)`):
+    each nation pulls its own top customer by account balance from a
+    dependent subquery — the 'top-1 per outer row' idiom that decorrelates
+    into a window/aggregate under the hood. Identical SQL text runs on both
+    engines (DuckDB supports LATERAL natively); ties pinned on custkey."""
+    register_views(spark, sf_dir)
+    return spark.sql(SUB_LATERAL_SQL)
+
+
+SUB_LATERAL_SQL = """
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n, LATERAL (
+  SELECT c_name, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 1
+) t
+ORDER BY n.n_name
+"""
+
+
+def f_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise-function breadth: AND/OR/XOR, NOT, shifts, bit_count,
+    get/set-style masks — the ops the bloom/bitmap/fingerprint operators
+    build on, exercised directly as a day-one function-parity suite.
+    Integer-exact everywhere; identical SQL-level semantics pinned by the
+    oracle (DuckDB shift/xor are functions, not operators — spelled per
+    engine, same bits)."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    k = F.col("event_id")
+    u = F.col("user_id")
+    return e.select(
+        "event_id",
+        k.bitwiseAND(u).alias("b_and"),
+        k.bitwiseOR(u).alias("b_or"),
+        k.bitwiseXOR(u).alias("b_xor"),
+        F.bitwise_not(k).alias("b_not"),
+        F.call_function("shiftleft", k.cast("int"), F.lit(3)).cast("long").alias("shl3"),
+        F.call_function("shiftright", k.cast("int"), F.lit(2)).cast("long").alias("shr2"),
+        F.bit_count(k).alias("popcnt"),
+        (k.bitwiseAND(F.lit(0xFF))).alias("low_byte"),
+    )
+
+
+F_BITWISE_SQL = """
+SELECT event_id,
+       event_id & user_id AS b_and,
+       event_id | user_id AS b_or,
+       xor(event_id, user_id) AS b_xor,
+       ~event_id AS b_not,
+       CAST(CAST(event_id AS INTEGER) << 3 AS BIGINT) AS shl3,
+       CAST(CAST(event_id AS INTEGER) >> 2 AS BIGINT) AS shr2,
+       CAST(bit_count(event_id) AS INTEGER) AS popcnt,
+       event_id & 255 AS low_byte
+FROM events
+"""
+
+
 def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-handling corners: COUNT(col) vs COUNT(*), null-safe equality,
     COALESCE/NULLIF, null grouping key — with nulls injected 1-in-5."""
@@ -802,5 +860,7 @@ QUERIES: dict[str, tuple] = {
     "f_math_suite": (f_math_suite, F_MATH_SQL),
     "sub_scalar_subquery": (sub_scalar_subquery, SUB_SCALAR_SQL),
     "sub_in_subquery": (sub_in_subquery, SUB_IN_SQL),
+    "sub_lateral_join": (sub_lateral_join, SUB_LATERAL_SQL),
+    "f_bitwise_suite": (f_bitwise_suite, F_BITWISE_SQL),
     "null_semantics": (null_semantics, NULL_SEMANTICS_SQL),
 }
