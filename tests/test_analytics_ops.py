@@ -231,3 +231,39 @@ def test_bloom_prefilter_no_false_negatives(spark):
     assert set(range(1000)) <= passed  # zero false negatives
     fp = len(passed) - 1000
     assert fp < 200  # fp rate sane for m/n = 262144/1000
+
+
+def test_label_propagation_histogram_covers_all_nodes(spark):
+    """Community sizes must sum to the node count of the support graph."""
+    from drive_health_etl_spark.operators.graph import (
+        _support_edges,
+        graph_label_propagation,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    n_nodes = _support_edges(spark, sf).select("src").distinct().count()
+    hist = graph_label_propagation(spark, sf).collect()
+    assert sum(r["community_size"] * r["n_communities"] for r in hist) == n_nodes
+
+
+def test_scenecut_counts_bounded_by_frames(spark):
+    from drive_health_etl_spark.operators.multimodal import (
+        VID_FRAMES,
+        multimodal_video_scenecut,
+    )
+
+    rows = multimodal_video_scenecut(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_cuts"] <= VID_FRAMES - 1
+        assert r["first_cut"] == -1 or 1 <= r["first_cut"] < VID_FRAMES
+
+
+def test_reconcile_orders_totals_positive(spark):
+    from drive_health_etl_spark.operators.expectations import dq_reconcile_orders
+
+    rows = dq_reconcile_orders(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["n_mismatch"] <= r["n_orders"]
+        assert r["max_abs_diff"] >= 0

@@ -70,3 +70,47 @@ def test_acf_bounds_and_lag0_identity(spark):
     for r in rows:
         assert not math.isnan(r["acf"])
         assert abs(r["acf"]) <= 1.5
+
+
+def test_ab_proportion_zero_for_identical_buckets(spark):
+    """U a/b bucket split of identical data: z is finite and |z| modest on
+    hash-random buckets (sanity, not a distributional claim)."""
+    for r in __import__("drive_health_etl_spark.plans.stats_suite", fromlist=["stat_ab_proportion"]).stat_ab_proportion(spark, SF).collect():
+        assert r["x_a"] <= r["n_a"] and r["x_b"] <= r["n_b"]
+        assert abs(r["z_stat"]) < 10
+
+
+def test_zipf_slope_negative(spark):
+    """Rank-frequency slope must be negative (counts fall with rank)."""
+    row = __import__("drive_health_etl_spark.plans.stats_suite", fromlist=["stat_zipf_exponent"]).stat_zipf_exponent(spark, SF).collect()[0]
+    assert row["zipf_slope"] < 0
+
+
+def test_seasonal_decompose_identity(spark):
+    """Wherever trend exists, y == trend + seasonal + residual (to rounding)."""
+    from drive_health_etl_spark.plans.stats_suite import ts_seasonal_decompose
+
+    for r in ts_seasonal_decompose(spark, SF).collect():
+        if r["trend"] is not None:
+            assert abs(r["y"] - (r["trend"] + r["seasonal"] + r["residual"])) < 2e-5
+
+
+def test_holt_constant_series_converges_to_level(spark, tmp_path):
+    """A constant daily series: level == the constant, trend == 0."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from drive_health_etl_spark.plans.stats_suite import ts_holt_linear
+
+    rows = []
+    for d in range(1, 11):
+        for i in range(5):  # 5 events per day -> x_t = 5
+            rows.append(pd.Timestamp(f"2024-02-{d:02d} 01:00:00") + pd.Timedelta(minutes=i))
+    pdf = pd.DataFrame({"ts": rows})
+    spark.createDataFrame(pdf).select(
+        F.lit(1).alias("event_id"), "ts", F.lit(1).alias("user_id"),
+        F.lit("t").alias("event_type"), F.lit(1.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = ts_holt_linear(spark, str(tmp_path)).collect()[0]
+    assert got["level"] == 5.0 and got["trend"] == 0.0 and got["forecast_3"] == 5.0
