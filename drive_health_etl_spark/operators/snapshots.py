@@ -109,10 +109,15 @@ def commit_snapshot(df: DataFrame, table_path: str, mode: str = "append") -> int
 
 
 def read_snapshot(
-    spark: SparkSession, table_path: str, version: int | None = None
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Read the table AS OF ``version`` (latest when omitted) — plans from
-    the manifest's explicit file list, never a directory listing."""
+    the manifest's explicit file list, never a directory listing.
+    ``merge_schema=True`` unions file schemas across commits (schema
+    evolution: files written before a column existed read it as null)."""
     versions = list_snapshots(table_path)
     if not versions:
         raise FileNotFoundError(f"no snapshots published at {table_path}")
@@ -121,7 +126,10 @@ def read_snapshot(
     if version not in versions:
         raise FileNotFoundError(f"version {version} not in {versions}")
     files = _read_manifest(table_path, version)["files"]
-    return spark.read.parquet(*files)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*files)
 
 
 # --- registered query -------------------------------------------------------
@@ -283,7 +291,69 @@ WHERE t.event_id IS NULL AND s.op = 'I'
 """
 
 
+def lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across snapshot commits: v1 holds half the events
+    with the ORIGINAL schema; v2 appends the other half WITH A NEW
+    ``region`` column. A merged-schema read of the latest version must
+    null-fill the pre-evolution files (the Parquet/Iceberg add-column
+    contract), which the per-region rollup then surfaces as a 'legacy'
+    bucket. The oracle replays the same split + null-fill in SQL, so a
+    dropped column, wrong null-fill, or mis-merged schema breaks the hash.
+
+    Scale: schema merge here is a footer union across the manifest's file
+    list (metadata work); production caches the unioned schema IN the
+    manifest so readers skip footer sampling entirely."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from drive_health_etl_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    v1_rows = events.filter(F.col("event_id") % 2 == 0)
+    v2_rows = events.filter(F.col("event_id") % 2 == 1).withColumn(
+        "region", F.concat(F.lit("r"), F.pmod(F.col("user_id"), F.lit(4)).cast("string"))
+    )
+    table = tempfile.mkdtemp(prefix="dhe_schevo_")
+    shutil.rmtree(table, ignore_errors=True)
+    try:
+        commit_snapshot(v1_rows, table, mode="append")
+        commit_snapshot(v2_rows, table, mode="append")
+        latest = read_snapshot(spark, table, merge_schema=True)
+        out = (
+            latest.groupBy(F.coalesce("region", F.lit("legacy")).alias("region"))
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(
+                    F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+                ).alias("sum_value"),
+            )
+            .orderBy("region")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+
+
+LAKE_SCHEMA_EVOLUTION_SQL = """
+WITH evolved AS (
+  SELECT event_id, user_id, value, NULL AS region
+  FROM events WHERE event_id % 2 = 0
+  UNION ALL
+  SELECT event_id, user_id, value, 'r' || CAST(user_id % 4 AS VARCHAR) AS region
+  FROM events WHERE event_id % 2 = 1
+)
+SELECT COALESCE(region, 'legacy') AS region, COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
+FROM evolved GROUP BY 1 ORDER BY region
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "lake_time_travel": (lake_time_travel, LAKE_TIME_TRAVEL_SQL),
     "lake_merge": (lake_merge, LAKE_MERGE_SQL),
+    "lake_schema_evolution": (lake_schema_evolution, LAKE_SCHEMA_EVOLUTION_SQL),
 }

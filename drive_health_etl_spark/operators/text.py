@@ -53,6 +53,56 @@ FROM documents
 """
 
 
+def text_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation (split on terminal-punctuation runs — RE2-safe,
+    no lookbehind, so the identical pattern runs in both engines) with
+    per-document sentence statistics: count, mean length in tokens (exact
+    int/int division), and the longest sentence's token count — the
+    chunking precursor for context-window packing.
+
+    Pure column expressions (split -> transform -> filter -> array aggs);
+    narrow map, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    sents = F.filter(
+        F.transform(F.split(F.col("text"), r"[.!?]+"), lambda s: F.trim(s)),
+        lambda s: s != F.lit(""),
+    )
+    tok_counts = F.transform(
+        sents, lambda s: F.size(F.filter(F.split(s, r"\s+"), lambda x: x != F.lit("")))
+    )
+    total_toks = F.aggregate(tok_counts, F.lit(0), lambda acc, x: acc + x)
+    return docs.select(
+        "doc_id",
+        F.size(sents).alias("n_sentences"),
+        F.round(
+            total_toks.cast("double") / F.size(sents).cast("double"), 6
+        ).alias("mean_sentence_tokens"),
+        F.array_max(tok_counts).alias("max_sentence_tokens"),
+    ).filter(F.col("n_sentences") > 0)
+
+
+TEXT_SENTENCES_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'),
+                                    x -> trim(x)), x -> x <> '') AS sents
+  FROM documents
+),
+t AS (
+  SELECT doc_id, sents,
+         list_transform(sents,
+           x -> len(list_filter(regexp_split_to_array(x, '\\s+'), y -> y <> ''))) AS tc
+  FROM s
+)
+SELECT doc_id,
+       len(sents) AS n_sentences,
+       ROUND(CAST(list_sum(tc) AS DOUBLE) / CAST(len(sents) AS DOUBLE), 6)
+         AS mean_sentence_tokens,
+       CAST(list_max(tc) AS INTEGER) AS max_sentence_tokens
+FROM t WHERE len(sents) > 0
+"""
+
+
 def text_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide word frequency, top 20. Explode -> groupBy: Spark's partial
     aggregation combines per-partition counts before the single shuffle."""
@@ -232,6 +282,7 @@ QUERIES: dict[str, tuple] = {
     "text_langid": (text_langid, _langid_sql()),
     "text_bpe_token_count": (text_bpe_token_count, TEXT_BPE_SQL),
     "text_tokens": (text_tokens, TEXT_TOKENS_SQL),
+    "text_sentences": (text_sentences, TEXT_SENTENCES_SQL),
     "text_word_freq": (text_word_freq, TEXT_WORD_FREQ_SQL),
     "text_lang_dist": (text_lang_dist, TEXT_LANG_DIST_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),

@@ -424,7 +424,8 @@ _ORDER = [
     "dedup_collapse", "dedup_keep_best", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_containment", "dedup_embedding_near",
     "link_entity_resolution",
-    "text_tokens", "text_word_freq", "text_quality", "text_fingerprint",
+    "text_tokens", "text_sentences", "text_word_freq", "text_quality",
+    "text_fingerprint",
     "text_langid", "text_bpe_token_count", "text_lang_dist",
     "sim_cosine_topk", "sim_lsh_buckets", "sim_ann_lsh",
     "sim_ann_lsh_multiprobe", "emb_norm_stats", "emb_quantize_stats",
@@ -475,6 +476,7 @@ _ORDER = [
     "st_stateful_counters", "st_stream_stream_join", "st_stream_stream_left",
     "st_stream_dedup", "st_corpus_dedup",
     "text_bpe_train", "sdp_daily_rollup", "lake_time_travel", "lake_merge",
+    "lake_schema_evolution",
     "rollup_incremental", "st_stream_static_enrich", "sql_udf_suite",
 ]
 
