@@ -195,17 +195,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     node, bounding per-node join fan-out by arboricity — the node-iterator
     bound); ID ordering keeps the oracle SQL identical and is exact on this
     graph."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
-    edges = (
-        a.join(b, "o")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count("*").alias("support"))
-        .filter(F.col("support") >= _TRI_SUPPORT)
-        .select("pa", "pb")
-    )
+    edges = _support_pairs(spark, sf_dir)  # cached; _TRI_SUPPORT == _BFS_SUPPORT
     e1 = edges.select(F.col("pa").alias("x"), F.col("pb").alias("y"))
     e2 = edges.select(F.col("pa").alias("y"), F.col("pb").alias("z"))
     e3 = edges.select(F.col("pa").alias("x"), F.col("pb").alias("z"))
@@ -257,7 +247,7 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and drives to a localCheckpoint inside the pinned scope, exactly the
     # pagerank recipe (stage setup dominates at test scale; results are
     # partitioning-independent since MIN is order-insensitive).
-    edges = _support_edges(spark, sf_dir).localCheckpoint()
+    edges = _support_edges(spark, sf_dir)  # pairs subtree already checkpointed
     with shuffle_partitions(spark, 8):
         dist = edges.agg(F.min("src").alias("node")).select(
             "node", F.lit(0).alias("dist")
@@ -277,19 +267,39 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# The support-filtered pair relation is the expensive subtree (fact self-join
+# + aggregate) shared by the triangle census, BFS, and label propagation —
+# cache it per (app, sf_dir) like the pagerank edge list (a real deployment
+# materializes the edge table once and every graph job reads it).
+_SUPPORT_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _support_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected support-filtered co-purchase pairs (pa < pb), cached."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    pairs = _SUPPORT_CACHE.get(key)
+    if pairs is None:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        ).distinct()
+        a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+        b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+        pairs = (
+            a.join(b, "o")
+            .filter(F.col("pa") < F.col("pb"))
+            .groupBy("pa", "pb")
+            .agg(F.count("*").alias("support"))
+            .filter(F.col("support") >= _BFS_SUPPORT)
+            .select("pa", "pb")
+            .localCheckpoint()
+        )
+        _SUPPORT_CACHE[key] = pairs
+    return pairs
+
+
 def _support_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected support-filtered co-purchase edges, both directions."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
-    pairs = (
-        a.join(b, "o")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count("*").alias("support"))
-        .filter(F.col("support") >= _BFS_SUPPORT)
-        .select("pa", "pb")
-    )
+    pairs = _support_pairs(spark, sf_dir)
     return pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).union(
         pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     )
@@ -346,7 +356,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the plan is a statically unrolled chain mirrored by the oracle's
     CTEs. Production LPA adds per-round checkpointing exactly like the
     connected-components collapse in dedup.py."""
-    edges = _support_edges(spark, sf_dir).localCheckpoint()
+    edges = _support_edges(spark, sf_dir)  # pairs subtree already checkpointed
     with shuffle_partitions(spark, 8):
         labels = edges.select(F.col("src").alias("node")).distinct().select(
             "node", F.col("node").alias("label")
