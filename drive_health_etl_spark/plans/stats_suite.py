@@ -435,17 +435,23 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("vals")
     )
     a, g = _HOLT_A, _HOLT_G
+    # try_element_at + a when() guard keep the zero-row case (empty vals
+    # array from the agg) returning nulls instead of tripping ANSI
+    # element_at/negative-length slice errors.
     init = F.struct(
-        F.element_at("vals", 1).alias("s"), F.lit(0.0).alias("b")
+        F.try_element_at("vals", F.lit(1)).alias("s"), F.lit(0.0).alias("b")
     )
     new_s = lambda acc, x: F.lit(a) * x + F.lit(1.0 - a) * (acc["s"] + acc["b"])  # noqa: E731
-    folded = F.aggregate(
-        F.expr("slice(vals, 2, size(vals) - 1)"),
-        init,
-        lambda acc, x: F.struct(
-            new_s(acc, x).alias("s"),
-            (F.lit(g) * (new_s(acc, x) - acc["s"]) + F.lit(1.0 - g) * acc["b"]).alias(
-                "b"
+    folded = F.when(
+        F.size("vals") > 0,
+        F.aggregate(
+            F.expr("slice(vals, 2, greatest(size(vals) - 1, 0))"),
+            init,
+            lambda acc, x: F.struct(
+                new_s(acc, x).alias("s"),
+                (
+                    F.lit(g) * (new_s(acc, x) - acc["s"]) + F.lit(1.0 - g) * acc["b"]
+                ).alias("b"),
             ),
         ),
     )

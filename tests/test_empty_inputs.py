@@ -62,6 +62,32 @@ EMPTY_SAFE = [
     "emb_gram_topk",
     "asof_next_within",
     "sdp_daily_rollup",
+    "stat_chi2_independence",
+    "stat_mann_whitney",
+    "stat_ols_trend",
+    "stat_ab_proportion",
+    "stat_zipf_exponent",
+    "ts_acf",
+    "ts_cusum_changepoint",
+    "ts_holt_linear",
+    "ts_seasonal_decompose",
+    "sketch_cms_estimate",
+    "graph_bfs_distances",
+    "graph_label_propagation",
+    "dedup_containment",
+    "emb_centroid_drift",
+    "feat_target_encoding",
+    "sess_attribution",
+    "multimodal_phash_neardup",
+    "multimodal_audio_match",
+    "multimodal_video_scenecut",
+    "text_sentences",
+    "corpus_curriculum_order",
+    "dq_reconcile_orders",
+    "sub_lateral_join",
+    "f_bitwise_suite",
+    "lake_merge",
+    "lake_schema_evolution",
 ]
 
 
