@@ -650,7 +650,61 @@ ORDER BY model, day
 """
 
 
+_JOURNEY_LEN = 5  # first N event types form the journey signature
+_JOURNEY_TOP = 15
+
+
+def sess_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey prefixes: each user's first ``_JOURNEY_LEN`` events
+    (time order, event_id tiebreak) joined into a path string, counted
+    corpus-wide, top ``_JOURNEY_TOP`` (count desc, path asc) — the
+    product-analytics view `sess_markov_transitions` aggregates away.
+
+    One shuffle on user_id for the prefix window, then an enum^N-bounded
+    path aggregate — path cardinality is capped by the event-type alphabet,
+    not the user count."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prefix = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _JOURNEY_LEN)
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                    lambda r: r["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        prefix.groupBy("path")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), F.col("path").asc())
+        .limit(_JOURNEY_TOP)
+    )
+
+
+SESS_JOURNEY_SQL = f"""
+WITH r AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+p AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM r WHERE rn <= {_JOURNEY_LEN} GROUP BY user_id
+)
+SELECT path, COUNT(*) AS n_users
+FROM p GROUP BY path
+ORDER BY n_users DESC, path ASC LIMIT {_JOURNEY_TOP}
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "sess_journey_paths": (sess_journey_paths, SESS_JOURNEY_SQL),
     "sess_attribution": (sess_attribution, SESS_ATTRIBUTION_SQL),
     "sess_markov_transitions": (sess_markov_transitions, SESS_MARKOV_SQL),
     "ts_anomaly_dow": (ts_anomaly_dow, TS_ANOMALY_SQL),

@@ -164,6 +164,64 @@ FROM documents GROUP BY 1
 """
 
 
+class TopTokensUDTF:
+    """Polymorphic UDTF (Spark 4 ``analyze`` static method): output schema is
+    computed AT ANALYSIS TIME from the constant argument — here, ``k`` token
+    columns plus a count. The dynamic-schema surface static UDTFs (u4) can't
+    express."""
+
+    @staticmethod
+    def analyze(text, k):  # noqa: D102 — UDTF analysis contract
+        from pyspark.sql.functions import AnalyzeResult
+        from pyspark.sql.types import IntegerType, StringType, StructType
+
+        schema = StructType()
+        for i in range(k.value):
+            schema = schema.add(f"tok{i}", StringType())
+        return AnalyzeResult(schema.add("n_tokens", IntegerType()))
+
+    def eval(self, text, k):  # noqa: D102 — UDTF contract method
+        # in eval the argument is the plain value (analyze sees the
+        # AnalyzeArgument wrapper with .value)
+        toks = [t for t in re.split(r"\s+", text or "") if t]
+        head = toks[:k]
+        head += [None] * (k - len(head))
+        yield (*head, len(toks))
+
+
+def u9_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-3-tokens + count per document via a polymorphic UDTF whose
+    column list is derived in ``analyze()`` from the literal ``k`` — the
+    Spark 4 dynamic-schema UDTF surface, oracle-checked against plain
+    array indexing."""
+    from pyspark.sql.functions import udtf
+
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    docs.createOrReplaceTempView("_udtf_docs9")
+    spark.udtf.register("top_tokens_udtf", udtf(TopTokensUDTF))
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.tok0, t.tok1, t.tok2, t.n_tokens
+        FROM _udtf_docs9 d, LATERAL top_tokens_udtf(d.text, 3) t
+        """
+    )
+
+
+U9_UDTF_POLY_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id, toks[1] AS tok0, toks[2] AS tok1, toks[3] AS tok2,
+       CAST(len(toks) AS INTEGER) AS n_tokens
+FROM t
+"""
+
+
 def u8_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``groupBy().applyInArrow`` surface (Spark 4's zero-copy grouped-map):
     per event type, the top-3 events by (value desc, event_id asc), ranked —
@@ -217,4 +275,5 @@ QUERIES: dict[str, tuple] = {
     "u6_arrow_udf": (u6_arrow_udf, U6_ARROW_UDF_SQL),
     "u7_map_in_arrow": (u7_map_in_arrow, U7_MAP_IN_ARROW_SQL),
     "u8_apply_in_arrow": (u8_apply_in_arrow, U8_APPLY_IN_ARROW_SQL),
+    "u9_udtf_polymorphic": (u9_udtf_polymorphic, U9_UDTF_POLY_SQL),
 }

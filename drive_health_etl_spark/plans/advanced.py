@@ -686,10 +686,36 @@ ORDER BY l_returnflag
 """
 
 
+def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``EXECUTE IMMEDIATE``: a SQL string held in a session
+    variable, executed with ``USING`` parameter binding — the injection-safe
+    dynamic-SQL surface (templated jobs bind parameters instead of
+    formatting strings). The oracle inlines the bound parameter; the plan
+    under the dynamic shell is ordinary Catalyst."""
+    register_views(spark, sf_dir)
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE stmt STRING DEFAULT "
+        "'SELECT o_orderpriority, COUNT(*) AS n, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total "
+        "FROM orders WHERE o_orderstatus = ? "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority'"
+    )
+    return spark.sql("EXECUTE IMMEDIATE stmt USING 'F'")
+
+
+SQL_EXECUTE_IMMEDIATE_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "sql_recursive_cte": (sql_recursive_cte, SQL_RECURSIVE_CTE_SQL),
     "sketch_cms_estimate": (sketch_cms_estimate, SKETCH_CMS_SQL),
     "sql_session_variables": (sql_session_variables, SQL_SESSION_VARIABLES_SQL),
+    "sql_execute_immediate": (sql_execute_immediate, SQL_EXECUTE_IMMEDIATE_SQL),
     "sql_pipe_syntax": (sql_pipe_syntax, SQL_PIPE_SQL),
     "sql_scripting": (sql_scripting, SQL_SCRIPTING_SQL),
     "sql_udf_suite": (sql_udf_suite, SQL_UDF_SQL),

@@ -460,7 +460,8 @@ _ORDER = [
     "corpus_source_overlap", "graph_triangles", "graph_label_propagation",
     "a6_listagg", "a7_winsorize", "u3_grouped_map_features", "u3_cogroup_join",
     "corpus_mix_resample", "feat_equidepth_bins", "basket_part_pairs",
-    "rfm_segments", "sess_markov_transitions",
+    "rfm_segments", "sess_markov_transitions", "sess_journey_paths",
+    "sql_execute_immediate",
     "stat_chi2_independence", "stat_mann_whitney", "stat_ols_trend", "ts_acf",
     "stat_ab_proportion", "stat_zipf_exponent", "dq_reconcile_orders",
     "ts_cusum_changepoint", "ts_holt_linear", "ts_seasonal_decompose",
@@ -472,6 +473,7 @@ _ORDER = [
     "graph_pagerank", "corpus_prep_pipeline",
     "u4_udtf_chunks", "u5_grouped_agg_udaf", "u5_window_agg_udaf",
     "u6_arrow_udf", "u7_map_in_arrow", "u8_apply_in_arrow",
+    "u9_udtf_polymorphic",
     "multimodal_resize_stats", "multimodal_video_stats",
     "st_stateful_counters", "st_stream_stream_join", "st_stream_stream_left",
     "st_stream_dedup", "st_corpus_dedup",
