@@ -190,7 +190,43 @@ FROM j GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream freshness audit: last-seen event time per event type,
+    reported as integer microseconds of lag behind the global max — the
+    staleness monitor every ingestion dashboard leads with (a silent
+    stream shows up as a growing lag, not a missing row). All
+    integer/timestamp-exact; one map-side-combinable MAX aggregate plus a
+    1-row broadcast."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    per = e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"), F.max("ts").alias("last_ts")
+    )
+    glob = e.agg(F.max("ts").alias("global_max"))
+    return (
+        per.crossJoin(F.broadcast(glob))
+        .select(
+            "event_type",
+            "n_events",
+            "last_ts",
+            (F.unix_micros("global_max") - F.unix_micros("last_ts")).alias("lag_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+DQ_FRESHNESS_SQL = """
+WITH per AS (
+  SELECT event_type, COUNT(*) AS n_events, MAX(ts) AS last_ts FROM events GROUP BY event_type
+),
+g AS (SELECT MAX(ts) AS global_max FROM events)
+SELECT event_type, n_events, last_ts,
+       epoch_us(global_max) - epoch_us(last_ts) AS lag_us
+FROM per CROSS JOIN g ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "dq_expectations": (dq_expectations, DQ_EXPECTATIONS_SQL),
     "dq_reconcile_orders": (dq_reconcile_orders, DQ_RECONCILE_SQL),
+    "dq_freshness": (dq_freshness, DQ_FRESHNESS_SQL),
 }

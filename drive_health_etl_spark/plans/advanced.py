@@ -686,6 +686,89 @@ ORDER BY l_returnflag
 """
 
 
+def sketch_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min MERGEABILITY, proven end to end: build one sketch per
+    document source (partition-local grids), merge them by CELL-WISE
+    ADDITION, and probe the merged grid at the exact corpus-wide top
+    words — per probe, the merged estimate must equal the whole-corpus
+    sketch's estimate exactly (same hash family, addition commutes) and
+    still dominate the exact count. This is the property that lets daily
+    sketch rollups answer range queries without re-scanning raw tokens.
+
+    The shuffle keys are (source, row, counter) then (row, counter) —
+    both bounded by depth*width, never by corpus size."""
+    from drive_health_etl_spark.operators.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(tokens_col()).alias("word"))
+    cols = [
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"cms{r}:"), F.col("word"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_WIDTH
+        ).alias(f"c{r}")
+        for r in range(_CMS_DEPTH)
+    ]
+    per_source = (
+        toks.select("source", "word", F.posexplode(F.array(*cols)).alias("r", "c"))
+        .groupBy("source", "r", "c")
+        .agg(F.count("*").alias("cnt"))
+    )
+    merged = per_source.groupBy("r", "c").agg(F.sum("cnt").alias("cnt"))
+    exact = (
+        toks.groupBy("word")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("word").asc())
+        .limit(_CMS_TOP)
+    )
+    probes = exact.select("word", "exact_n", F.posexplode(F.array(*cols)).alias("r", "c"))
+    est = (
+        probes.join(F.broadcast(merged), ["r", "c"])
+        .groupBy("word", "exact_n")
+        .agg(F.min("cnt").alias("est_merged"))
+    )
+    return est.select(
+        "word",
+        "exact_n",
+        "est_merged",
+        (F.col("est_merged") >= F.col("exact_n")).alias("dominates"),
+    ).orderBy(F.col("exact_n").desc(), F.col("word").asc())
+
+
+SKETCH_CMS_MERGE_SQL = f"""
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS word
+  FROM documents
+),
+cells AS (
+  SELECT source, r, c, COUNT(*) AS cnt FROM (
+    {" UNION ALL ".join(f"SELECT source, word, {r} AS r, {_cms_col_sql(r)} AS c FROM toks" for r in range(_CMS_DEPTH))}
+  ) GROUP BY source, r, c
+),
+merged AS (
+  SELECT r, c, CAST(SUM(cnt) AS BIGINT) AS cnt FROM cells GROUP BY r, c
+),
+exact AS (
+  SELECT word, COUNT(*) AS exact_n FROM toks GROUP BY word
+  ORDER BY exact_n DESC, word ASC LIMIT {_CMS_TOP}
+),
+probes AS (
+  {" UNION ALL ".join(f"SELECT word, exact_n, {r} AS r, {_cms_col_sql(r)} AS c FROM exact" for r in range(_CMS_DEPTH))}
+),
+est AS (
+  SELECT word, exact_n, CAST(MIN(cnt) AS BIGINT) AS est_merged
+  FROM probes JOIN merged USING (r, c)
+  GROUP BY word, exact_n
+)
+SELECT word, exact_n, est_merged, est_merged >= exact_n AS dominates
+FROM est ORDER BY exact_n DESC, word ASC
+"""
+
+
 def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 ``EXECUTE IMMEDIATE``: a SQL string held in a session
     variable, executed with ``USING`` parameter binding — the injection-safe
@@ -716,6 +799,7 @@ QUERIES = {
     "sketch_cms_estimate": (sketch_cms_estimate, SKETCH_CMS_SQL),
     "sql_session_variables": (sql_session_variables, SQL_SESSION_VARIABLES_SQL),
     "sql_execute_immediate": (sql_execute_immediate, SQL_EXECUTE_IMMEDIATE_SQL),
+    "sketch_cms_merge": (sketch_cms_merge, SKETCH_CMS_MERGE_SQL),
     "sql_pipe_syntax": (sql_pipe_syntax, SQL_PIPE_SQL),
     "sql_scripting": (sql_scripting, SQL_SCRIPTING_SQL),
     "sql_udf_suite": (sql_udf_suite, SQL_UDF_SQL),

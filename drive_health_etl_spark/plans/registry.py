@@ -451,6 +451,7 @@ _ORDER = [
     "q6_forecast_revenue", "a5_grouping_sets", "w2b_rank_dense",
     "w5_distribution_funcs", "w6_value_funcs", "w7_zscore_outliers",
     "w8_range_frame", "w9_impute_ffill", "w10_mad_outliers",
+    "w13_interpolate_linear", "dq_freshness", "sketch_cms_merge",
     "sql_recursive_cte", "sql_pipe_syntax", "sql_scripting",
     "sql_session_variables", "multimodal_video_scenecut",
     "sub_lateral_join", "f_bitwise_suite",

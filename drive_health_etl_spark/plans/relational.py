@@ -1325,6 +1325,85 @@ FROM events
 """
 
 
+def w13_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted linear interpolation of dropped-out readings — the
+    upgrade of `w9_impute_ffill` real telemetry repair uses: each nulled
+    'click' reading is rebuilt from the straight line between the user's
+    surrounding non-null readings, weighted by actual event-time distance
+    (boundary gaps fall back to the single available neighbor).
+
+    Same plan shape as w9: ONE shuffle on user_id, four sort-local window
+    expressions (prev/next value and timestamp, ignore-nulls frames). The
+    interpolation arithmetic is an identical double chain over exact
+    microsecond integers, rounded 6 dp."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value", "event_type"
+    )
+    v = F.when(F.col("event_type") != "click", F.col("value"))
+    t_of_v = F.when(v.isNotNull(), F.unix_micros("ts"))
+    wp = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    wn = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        1, W.unboundedFollowing
+    )
+    prev_v = F.last(v, ignorenulls=True).over(wp)
+    next_v = F.first(v, ignorenulls=True).over(wn)
+    prev_t = F.last(t_of_v, ignorenulls=True).over(wp)
+    next_t = F.first(t_of_v, ignorenulls=True).over(wn)
+    t = F.unix_micros("ts")
+    interp = prev_v + (next_v - prev_v) * (
+        (t - prev_t).cast("double") / (next_t - prev_t).cast("double")
+    )
+    repaired = F.when(v.isNotNull(), v).otherwise(
+        F.when(prev_v.isNotNull() & next_v.isNotNull(), interp)
+        .when(prev_v.isNotNull(), prev_v)
+        .otherwise(next_v)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        v.alias("raw_value"),
+        F.round(repaired, 6).alias("repaired_value"),
+    )
+
+
+W13_SQL = """
+WITH b AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN event_type <> 'click' THEN value END AS v,
+         CASE WHEN event_type <> 'click' THEN epoch_us(ts) END AS tv
+  FROM events
+),
+w AS (
+  SELECT user_id, event_id, v, epoch_us(ts) AS t,
+         LAST_VALUE(v IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_v,
+         FIRST_VALUE(v IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_v,
+         LAST_VALUE(tv IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_t,
+         FIRST_VALUE(tv IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_t
+  FROM b
+)
+SELECT user_id, event_id, v AS raw_value,
+       ROUND(CASE WHEN v IS NOT NULL THEN v
+                  WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+                    prev_v + (next_v - prev_v)
+                      * (CAST(t - prev_t AS DOUBLE) / CAST(next_t - prev_t AS DOUBLE))
+                  WHEN prev_v IS NOT NULL THEN prev_v
+                  ELSE next_v END, 6) AS repaired_value
+FROM w
+"""
+
+
 CONCURRENCY_HOLD_MIN = 5  # minutes each event is considered "active"
 
 
@@ -1587,6 +1666,7 @@ LIMIT {BASKET_TOP_N}
 
 QUERIES: dict[str, tuple] = {
     "w9_impute_ffill": (w9_impute_ffill, W9_SQL),
+    "w13_interpolate_linear": (w13_interpolate_linear, W13_SQL),
     "w11_interval_concurrency": (w11_interval_concurrency, W11_SQL),
     "w12_ewma_smooth": (w12_ewma_smooth, W12_SQL),
     "basket_part_pairs": (basket_part_pairs, BASKET_SQL),
