@@ -352,6 +352,48 @@ FROM evolved GROUP BY 1 ORDER BY region
 """
 
 
+def snapshots_table(spark: SparkSession, table_path: str) -> DataFrame:
+    """The snapshot log as a queryable DataFrame — the Iceberg
+    ``table$snapshots`` metadata-table idea: (version, mode, n_files,
+    n_parent_files). Metadata-only (reads manifests, no data files)."""
+    rows = []
+    for v in list_snapshots(table_path):
+        m = _read_manifest(table_path, v)
+        rows.append((v, m.get("mode", "append"), len(m["files"]), m.get("parent")))
+    return spark.createDataFrame(
+        rows, "version int, mode string, n_files int, parent int"
+    )
+
+
+def vacuum_snapshots(table_path: str, keep_last: int = 1) -> dict:
+    """Expire old snapshots and delete data files no retained version
+    references — Delta VACUUM / Iceberg expire_snapshots. Safety order:
+    (1) delete expired manifests FIRST (so a crash mid-vacuum can never
+    leave a manifest pointing at deleted files), then (2) delete
+    unreferenced data files. Returns counts for the audit log."""
+    versions = list_snapshots(table_path)
+    keep = set(versions[-keep_last:]) if keep_last > 0 else set(versions)
+    expired = [v for v in versions if v not in keep]
+    referenced: set[str] = set()
+    for v in keep:
+        referenced.update(_read_manifest(table_path, v)["files"])
+    candidates: set[str] = set()
+    for v in expired:
+        candidates.update(_read_manifest(table_path, v)["files"])
+    for v in expired:
+        os.remove(_manifest_path(table_path, v))
+    removed = 0
+    for f in sorted(candidates - referenced):
+        if os.path.exists(f):
+            os.remove(f)
+            removed += 1
+    return {
+        "expired_versions": len(expired),
+        "files_removed": removed,
+        "files_retained": len(referenced),
+    }
+
+
 QUERIES: dict[str, tuple] = {
     "lake_time_travel": (lake_time_travel, LAKE_TIME_TRAVEL_SQL),
     "lake_merge": (lake_merge, LAKE_MERGE_SQL),
