@@ -9,7 +9,7 @@ narrow map; word-frequency is one shuffle with map-side partial aggregation.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from drive_health_etl_spark.sources.tables import load_table
@@ -101,6 +101,129 @@ SELECT doc_id,
        CAST(list_max(tc) AS INTEGER) AS max_sentence_tokens
 FROM t WHERE len(sents) > 0
 """
+
+
+_RAKE_TOP = 15
+_RAKE_MAX_LEN = 4
+
+
+def text_keyphrases_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction — the classic unsupervised keyword miner:
+    candidate phrases are maximal stopword-free token runs (gaps-and-islands
+    over token positions), each word scores deg/freq (deg = co-occurring
+    phrase mass), and a phrase scores the sum of its word scores. Returns
+    the top corpus-wide phrases (score desc, phrase asc).
+
+    Plan: one explode + two aggregates (phrase table, then word stats) and
+    a rejoin keyed on the word — all map-side combinable; phrase
+    cardinality is vocabulary-bounded. deg/freq are exact ints; the score
+    division is an identical double chain summed per-term decimal-cast,
+    rounded 6 dp."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens_col()).alias("pos", "tok")
+    ).filter(~F.lower("tok").isin(*STOPWORDS))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = toks.withColumn("run", F.col("pos") - F.row_number().over(w))
+    phrases = (
+        runs.groupBy("doc_id", "run")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda r: r["tok"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count("*").alias("plen"),
+        )
+        .filter(F.col("plen") <= _RAKE_MAX_LEN)
+    )
+    members = phrases.select(
+        "phrase", "plen", F.explode(F.split("phrase", " ")).alias("tok")
+    )
+    word_stats = members.groupBy("tok").agg(
+        F.count("*").alias("freq"), F.sum(F.col("plen") - 1).alias("deg")
+    )
+    scored = (
+        members.join(word_stats, "tok")
+        .groupBy("phrase")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.round(
+                F.sum(
+                    (
+                        F.col("deg").cast("double") / F.col("freq").cast("double")
+                        + F.lit(1.0)
+                    ).cast("decimal(38,18)")
+                ).cast("double"),
+                6,
+            ).alias("rake_score_sum"),
+        )
+    )
+    # per-occurrence word-score sums accumulate across duplicate phrase
+    # occurrences; normalize to the per-phrase score
+    return (
+        scored.select(
+            "phrase",
+            (F.col("n_occurrences") / F.size(F.split("phrase", " "))).alias("n_phrase"),
+            F.round(
+                F.col("rake_score_sum") / (F.col("n_occurrences") / F.size(F.split("phrase", " "))).cast("double"),
+                6,
+            ).alias("rake_score"),
+        )
+        .select("phrase", F.col("n_phrase").cast("long").alias("n_phrase"), "rake_score")
+        .orderBy(F.col("rake_score").desc(), F.col("phrase").asc())
+        .limit(_RAKE_TOP)
+    )
+
+
+def _rake_sql() -> str:
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.i - 1 AS pos, toks[t.i] AS tok
+  FROM (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents),
+       UNNEST(generate_series(1, len(toks))) AS t(i)
+  WHERE lower(toks[t.i]) NOT IN ({stop_list})
+),
+runs AS (
+  SELECT doc_id, tok, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS run
+  FROM toks
+),
+phrases AS (
+  SELECT doc_id, run, string_agg(tok, ' ' ORDER BY pos) AS phrase,
+         COUNT(*) AS plen
+  FROM runs GROUP BY doc_id, run
+  HAVING COUNT(*) <= {_RAKE_MAX_LEN}
+),
+members AS (
+  SELECT phrase, plen, unnest(string_split(phrase, ' ')) AS tok FROM phrases
+),
+word_stats AS (
+  SELECT tok, COUNT(*) AS freq, CAST(SUM(plen - 1) AS BIGINT) AS deg
+  FROM members GROUP BY tok
+),
+scored AS (
+  SELECT m.phrase, COUNT(*) AS n_occurrences,
+         ROUND(CAST(SUM(CAST(CAST(w.deg AS DOUBLE) / CAST(w.freq AS DOUBLE)
+                             + 1.0 AS DECIMAL(38,18))) AS DOUBLE), 6)
+           AS rake_score_sum
+  FROM members m JOIN word_stats w USING (tok)
+  GROUP BY m.phrase
+)
+SELECT phrase,
+       CAST(n_occurrences / len(string_split(phrase, ' ')) AS BIGINT) AS n_phrase,
+       ROUND(rake_score_sum
+             / CAST(n_occurrences / len(string_split(phrase, ' ')) AS DOUBLE), 6)
+         AS rake_score
+FROM scored
+ORDER BY rake_score DESC, phrase ASC LIMIT {_RAKE_TOP}
+"""
+
+
+TEXT_RAKE_SQL = _rake_sql()
 
 
 def text_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -283,6 +406,7 @@ QUERIES: dict[str, tuple] = {
     "text_bpe_token_count": (text_bpe_token_count, TEXT_BPE_SQL),
     "text_tokens": (text_tokens, TEXT_TOKENS_SQL),
     "text_sentences": (text_sentences, TEXT_SENTENCES_SQL),
+    "text_keyphrases_rake": (text_keyphrases_rake, TEXT_RAKE_SQL),
     "text_word_freq": (text_word_freq, TEXT_WORD_FREQ_SQL),
     "text_lang_dist": (text_lang_dist, TEXT_LANG_DIST_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
