@@ -226,6 +226,58 @@ ORDER BY rake_score DESC, phrase ASC LIMIT {_RAKE_TOP}
 TEXT_RAKE_SQL = _rake_sql()
 
 
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability per document: words/sentence and a vowel-
+    group syllable heuristic feed the standard 206.835 - 1.015*(W/S) -
+    84.6*(Syl/W) formula — the grade-level proxy quality filters bucket
+    corpora by.
+
+    Syllables = count of vowel runs per word (regexp_extract_all — the
+    identical RE2 pattern in both engines); sentences from the terminal-
+    punctuation splitter (`text_sentences`). Pure column expressions;
+    integer counts feed one double chain, rounded 6 dp."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    n_words = F.size(toks)
+    n_sents = F.size(
+        F.filter(
+            F.transform(F.split(F.col("text"), r"[.!?]+"), lambda s: F.trim(s)),
+            lambda s: s != F.lit(""),
+        )
+    )
+    n_syll = F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sents.cast("double"))
+        - F.lit(84.6) * (n_syll.cast("double") / n_words.cast("double"))
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sents.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+        F.round(score, 6).alias("flesch_score"),
+    ).filter((F.col("n_words") > 0) & (F.col("n_sentences") > 0))
+
+
+TEXT_READABILITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         len({TOKENS_SQL}) AS n_words,
+         len(list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'),
+                                        x -> trim(x)), x -> x <> '')) AS n_sentences,
+         len(regexp_extract_all(lower(text), '[aeiouy]+', 0)) AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       ROUND(206.835
+             - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 6)
+         AS flesch_score
+FROM t WHERE n_words > 0 AND n_sentences > 0
+"""
+
+
 def text_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide word frequency, top 20. Explode -> groupBy: Spark's partial
     aggregation combines per-partition counts before the single shuffle."""
@@ -407,6 +459,7 @@ QUERIES: dict[str, tuple] = {
     "text_tokens": (text_tokens, TEXT_TOKENS_SQL),
     "text_sentences": (text_sentences, TEXT_SENTENCES_SQL),
     "text_keyphrases_rake": (text_keyphrases_rake, TEXT_RAKE_SQL),
+    "text_readability": (text_readability, TEXT_READABILITY_SQL),
     "text_word_freq": (text_word_freq, TEXT_WORD_FREQ_SQL),
     "text_lang_dist": (text_lang_dist, TEXT_LANG_DIST_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),

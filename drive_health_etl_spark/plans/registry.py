@@ -424,7 +424,8 @@ _ORDER = [
     "dedup_collapse", "dedup_keep_best", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_containment", "dedup_embedding_near",
     "link_entity_resolution",
-    "text_tokens", "text_sentences", "text_keyphrases_rake", "text_word_freq",
+    "text_tokens", "text_sentences", "text_keyphrases_rake", "text_readability",
+    "text_word_freq",
     "text_quality",
     "text_fingerprint",
     "text_langid", "text_bpe_token_count", "text_lang_dist",
