@@ -909,7 +909,146 @@ ORDER BY label_a, label_b
 """
 
 
+_MMR_LAMBDA = 0.7
+_MMR_POOL = 20  # relevance-ranked candidate pool
+_MMR_K = 5  # diversified picks
+
+
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking: from the top-``_MMR_POOL``
+    cosine candidates for a fixed query vector (vec_id = MIN), greedily pick
+    ``_MMR_K`` results maximizing ``λ·rel(d) − (1−λ)·max_{s∈picked}
+    sim(d,s)`` — the diversity-aware re-rank every RAG retrieval stack runs
+    after ANN.
+
+    Determinism: relevance and pairwise similarities round 9 dp BEFORE the
+    greedy loop (so both engines compare identical doubles) and every
+    argmax ties on vec_id; the fixed pick count unrolls statically, CTE-
+    mirrored by the oracle. Scale: the pool is top-k-bounded (the ANN
+    stage's job), so the quadratic pairwise stage is k², independent of
+    corpus size; the scan feeding it is the brute/ANN ranking already
+    audited."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    q = emb.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    cos = F.round(
+        _dot(F.col("qe"), F.col("e")) / (_norm(F.col("qe")) * _norm(F.col("e"))), 9
+    )
+    cand = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("vec_id", "e", cos.alias("rel"))
+        .orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+        .limit(_MMR_POOL)
+        .localCheckpoint()
+    )
+    a = cand.select(F.col("vec_id").alias("ia"), F.col("e").alias("ea"))
+    b = cand.select(F.col("vec_id").alias("ib"), F.col("e").alias("eb"))
+    sims = (
+        a.join(F.broadcast(b), F.col("ia") != F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            F.round(
+                _dot(F.col("ea"), F.col("eb"))
+                / (_norm(F.col("ea")) * _norm(F.col("eb"))),
+                9,
+            ).alias("sim"),
+        )
+        .localCheckpoint()
+    )
+    pool = cand.select("vec_id", "rel")
+    picked = pool.orderBy(F.col("rel").desc(), F.col("vec_id").asc()).limit(1).select(
+        "vec_id", "rel", F.lit(1).alias("rank")
+    )
+    for step in range(2, _MMR_K + 1):
+        rem = pool.join(picked.select("vec_id"), "vec_id", "left_anti")
+        penalty = (
+            sims.join(
+                picked.select(F.col("vec_id").alias("ib")), "ib"
+            )
+            .groupBy(F.col("ia").alias("vec_id"))
+            .agg(F.max("sim").alias("pen"))
+        )
+        scored = rem.join(penalty, "vec_id").select(
+            "vec_id",
+            "rel",
+            F.round(
+                F.lit(_MMR_LAMBDA) * F.col("rel")
+                - F.lit(1.0 - _MMR_LAMBDA) * F.col("pen"),
+                9,
+            ).alias("mmr"),
+        )
+        nxt = (
+            scored.orderBy(F.col("mmr").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .select("vec_id", "rel", F.lit(step).alias("rank"))
+        )
+        picked = picked.unionByName(nxt).localCheckpoint()
+    return picked.select("rank", "vec_id", "rel").orderBy("rank")
+
+
+def _mmr_sql() -> str:
+    steps = []
+    prev = "p1"
+    for step in range(2, _MMR_K + 1):
+        steps.append(
+            f"""p{step} AS (
+  SELECT * FROM {prev}
+  UNION ALL
+  SELECT vec_id, rel, {step} AS rank FROM (
+    SELECT r.vec_id, r.rel,
+           ROUND({_MMR_LAMBDA!r} * r.rel - {1.0 - _MMR_LAMBDA!r} * pen.pen, 9) AS mmr
+    FROM pool r
+    JOIN (
+      SELECT s.ia AS vec_id, MAX(s.sim) AS pen
+      FROM sims s JOIN {prev} p ON s.ib = p.vec_id
+      GROUP BY s.ia
+    ) pen ON pen.vec_id = r.vec_id
+    WHERE r.vec_id NOT IN (SELECT vec_id FROM {prev})
+    ORDER BY mmr DESC, r.vec_id ASC LIMIT 1
+  )
+)"""
+        )
+        prev = f"p{step}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+q AS (SELECT vec_id AS qid, emb AS qe FROM e ORDER BY vec_id LIMIT 1),
+cand AS (
+  SELECT e.vec_id, e.emb,
+         ROUND(list_dot_product(q.qe, e.emb)
+               / (sqrt(list_dot_product(q.qe, q.qe))
+                  * sqrt(list_dot_product(e.emb, e.emb))), 9) AS rel
+  FROM e CROSS JOIN q WHERE e.vec_id <> q.qid
+  ORDER BY rel DESC, e.vec_id ASC LIMIT {_MMR_POOL}
+),
+sims AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         ROUND(list_dot_product(a.emb, b.emb)
+               / (sqrt(list_dot_product(a.emb, a.emb))
+                  * sqrt(list_dot_product(b.emb, b.emb))), 9) AS sim
+  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+),
+pool AS (SELECT vec_id, rel FROM cand),
+p1 AS (
+  SELECT vec_id, rel, 1 AS rank FROM pool ORDER BY rel DESC, vec_id ASC LIMIT 1
+),
+{chain}
+SELECT CAST(rank AS INT) AS rank, vec_id, rel FROM {prev} ORDER BY rank
+"""
+
+
+SIM_MMR_SQL = _mmr_sql()
+
+
 QUERIES: dict[str, tuple] = {
+    "sim_mmr_rerank": (sim_mmr_rerank, SIM_MMR_SQL),
     "emb_centroid_drift": (emb_centroid_drift, EMB_CENTROID_DRIFT_SQL),
     "emb_gram_topk": (emb_gram_topk, EMB_GRAM_SQL),
     "emb_pq_stats": (emb_pq_stats, EMB_PQ_SQL),

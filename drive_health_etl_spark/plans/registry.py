@@ -430,7 +430,8 @@ _ORDER = [
     "text_fingerprint",
     "text_langid", "text_bpe_token_count", "text_lang_dist",
     "sim_cosine_topk", "sim_lsh_buckets", "sim_ann_lsh",
-    "sim_ann_lsh_multiprobe", "emb_norm_stats", "emb_quantize_stats",
+    "sim_ann_lsh_multiprobe", "sim_mmr_rerank", "emb_norm_stats",
+    "emb_quantize_stats",
     "emb_dim_energy", "emb_pq_stats", "emb_centroid_drift",
     "sess_stats", "sess_funnel", "sess_daily", "sess_rolling_actives",
     "sess_conversion_lag", "sess_retention_cohorts", "sess_daily_gapfill",

@@ -138,6 +138,7 @@ BNLJ_BY_DESIGN = {
     "ts_acf",  # 7-row lag grid + 1-row mean/denominator broadcasts on the calendar series
     "ts_cusum_changepoint",  # 1-row global-mean broadcast onto the calendar series
     "feat_target_encoding",  # 1-row global-prior broadcast onto the encode map
+    "sim_mmr_rerank",  # 1-row query broadcast + k^2-bounded candidate pair stage
 }
 CARTESIAN_BY_DESIGN = {"t5_cross_join"}  # 5 x 25 dims, explicitly cross
 
