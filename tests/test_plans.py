@@ -139,6 +139,8 @@ BNLJ_BY_DESIGN = {
     "ts_cusum_changepoint",  # 1-row global-mean broadcast onto the calendar series
     "feat_target_encoding",  # 1-row global-prior broadcast onto the encode map
     "sim_mmr_rerank",  # 1-row query broadcast + k^2-bounded candidate pair stage
+    "dq_freshness",  # 1-row global-max broadcast onto the enum-sized lag table
+    "ts_seasonal_decompose",  # 1-row seasonal-center broadcast onto the calendar series
 }
 CARTESIAN_BY_DESIGN = {"t5_cross_join"}  # 5 x 25 dims, explicitly cross
 
