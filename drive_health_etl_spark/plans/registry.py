@@ -467,7 +467,8 @@ _ORDER = [
     "rfm_segments", "sess_markov_transitions", "sess_journey_paths",
     "sql_execute_immediate",
     "stat_chi2_independence", "stat_mann_whitney", "stat_ols_trend", "ts_acf",
-    "stat_ab_proportion", "stat_zipf_exponent", "dq_reconcile_orders",
+    "stat_ab_proportion", "stat_zipf_exponent", "stat_ks_test",
+    "dq_reconcile_orders",
     "ts_cusum_changepoint", "ts_holt_linear", "ts_seasonal_decompose",
     "graph_bfs_distances", "sketch_cms_estimate", "feat_target_encoding",
     # (4) one-time-startup / iterative cost

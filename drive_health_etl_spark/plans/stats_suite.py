@@ -663,6 +663,87 @@ FROM agg
 """
 
 
+def stat_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic per event type between the
+    ``user_id % 2`` A/B buckets: D = max over pooled values of
+    |F_a(x) - F_b(x)| — the distribution-equality test that catches shape
+    changes means/ranks miss.
+
+    Exact construction: per distinct value, running counts per bucket come
+    from one window cumsum over the pooled sort (integers); each ECDF step
+    is an exact-int / exact-int division — identical doubles — and the max
+    runs over identical inputs, rounded 9 dp only on output. One shuffle
+    (window sort per type; enum-sized key space), then an enum-sized max."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            (F.pmod(F.col("user_id"), F.lit(2)) == 0).alias("is_a"),
+            F.col("value").alias("v"),
+        )
+    )
+    per_val = e.groupBy("event_type", "v").agg(
+        F.count(F.when(F.col("is_a"), 1)).alias("ca"),
+        F.count(F.when(~F.col("is_a"), 1)).alias("cb"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("event_type")
+    steps = per_val.select(
+        "event_type",
+        (
+            F.sum("ca").over(w).cast("double") / F.sum("ca").over(wn).cast("double")
+            - F.sum("cb").over(w).cast("double") / F.sum("cb").over(wn).cast("double")
+        ).alias("diff"),
+        F.sum("ca").over(wn).alias("n_a"),
+        F.sum("cb").over(wn).alias("n_b"),
+    )
+    return (
+        steps.groupBy("event_type")
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.round(F.max(F.abs(F.col("diff"))), 9).alias("ks_d"),
+        )
+        .orderBy("event_type")
+    )
+
+
+STAT_KS_SQL = """
+WITH e AS (
+  SELECT event_type, (user_id % 2 = 0) AS is_a, value AS v
+  FROM events WHERE value IS NOT NULL
+),
+per_val AS (
+  SELECT event_type, v,
+         COUNT(CASE WHEN is_a THEN 1 END) AS ca,
+         COUNT(CASE WHEN NOT is_a THEN 1 END) AS cb
+  FROM e GROUP BY event_type, v
+),
+steps AS (
+  SELECT event_type,
+         CAST(SUM(ca) OVER (PARTITION BY event_type ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+           / CAST(SUM(ca) OVER (PARTITION BY event_type) AS DOUBLE)
+         - CAST(SUM(cb) OVER (PARTITION BY event_type ORDER BY v
+                              ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+           / CAST(SUM(cb) OVER (PARTITION BY event_type) AS DOUBLE) AS diff,
+         SUM(ca) OVER (PARTITION BY event_type) AS n_a,
+         SUM(cb) OVER (PARTITION BY event_type) AS n_b
+  FROM per_val
+)
+SELECT event_type,
+       CAST(MAX(n_a) AS BIGINT) AS n_a,
+       CAST(MAX(n_b) AS BIGINT) AS n_b,
+       ROUND(MAX(abs(diff)), 9) AS ks_d
+FROM steps GROUP BY event_type ORDER BY event_type
+"""
+
+
 def stat_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf/power-law fit of user activity: rank users by event count, OLS of
     ln(count) on ln(rank) — the heavy-tail diagnostic for per-key skew
@@ -727,6 +808,7 @@ QUERIES: dict[str, tuple] = {
     "stat_chi2_independence": (stat_chi2_independence, STAT_CHI2_SQL),
     "stat_ab_proportion": (stat_ab_proportion, STAT_AB_PROP_SQL),
     "stat_zipf_exponent": (stat_zipf_exponent, STAT_ZIPF_SQL),
+    "stat_ks_test": (stat_ks_test, STAT_KS_SQL),
     "ts_cusum_changepoint": (ts_cusum_changepoint, TS_CUSUM_SQL),
     "ts_holt_linear": (ts_holt_linear, TS_HOLT_SQL),
     "ts_seasonal_decompose": (ts_seasonal_decompose, TS_SEASONAL_SQL),
