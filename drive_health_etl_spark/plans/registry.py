@@ -468,6 +468,7 @@ _ORDER = [
     "sql_execute_immediate",
     "stat_chi2_independence", "stat_mann_whitney", "stat_ols_trend", "ts_acf",
     "stat_ab_proportion", "stat_zipf_exponent", "stat_ks_test",
+    "stat_anova_oneway", "ts_max_drawdown",
     "dq_reconcile_orders",
     "ts_cusum_changepoint", "ts_holt_linear", "ts_seasonal_decompose",
     "graph_bfs_distances", "sketch_cms_estimate", "feat_target_encoding",

@@ -744,6 +744,140 @@ FROM steps GROUP BY event_type ORDER BY event_type
 """
 
 
+def stat_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across event types: F = (between-group SS / (k-1)) /
+    (within-group SS / (n-k)) from exact decimal moments — does the metric
+    differ across the k groups at all, before pairwise tests.
+
+    Per-group (n, sum, sum-of-squares) are decimal-exact; SS terms and F
+    are one double chain over identical inputs, rounded 6 dp. One
+    map-side-combinable aggregate; everything after is k-row scalar math."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", F.col("value").cast("decimal(18,6)").alias("v"))
+    )
+    g = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,12)")).alias("s2"),
+    )
+    tot = g.agg(
+        F.count("*").alias("k"),
+        F.sum("n").alias("n_tot"),
+        F.sum("s1").cast("double").alias("s1_tot"),
+        F.sum("s2").cast("double").alias("s2_tot"),
+        F.sum(
+            (
+                F.col("s1").cast("double")
+                * F.col("s1").cast("double")
+                / F.col("n").cast("double")
+            ).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("group_means_ss"),
+    )
+    k = F.col("k").cast("double")
+    n = F.col("n_tot").cast("double")
+    grand_sq = F.col("s1_tot") * F.col("s1_tot") / n
+    ss_between = F.col("group_means_ss") - grand_sq
+    ss_within = F.col("s2_tot") - F.col("group_means_ss")
+    f_stat = (ss_between / (k - 1)) / (ss_within / (n - k))
+    return tot.select(
+        "k",
+        F.col("n_tot").cast("long").alias("n_tot"),
+        F.round(ss_between, 6).alias("ss_between"),
+        F.round(ss_within, 6).alias("ss_within"),
+        F.round(f_stat, 6).alias("f_stat"),
+    )
+
+
+STAT_ANOVA_SQL = """
+WITH e AS (
+  SELECT event_type, CAST(value AS DECIMAL(18,6)) AS v
+  FROM events WHERE value IS NOT NULL
+),
+g AS (
+  SELECT event_type, COUNT(*) AS n, SUM(v) AS s1,
+         SUM(CAST(v * v AS DECIMAL(38,12))) AS s2
+  FROM e GROUP BY event_type
+),
+tot AS (
+  SELECT COUNT(*) AS k, CAST(SUM(n) AS BIGINT) AS n_tot,
+         CAST(SUM(s1) AS DOUBLE) AS s1_tot,
+         CAST(SUM(s2) AS DOUBLE) AS s2_tot,
+         CAST(SUM(CAST(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                       / CAST(n AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+           AS group_means_ss
+  FROM g
+)
+SELECT k, n_tot,
+       ROUND(group_means_ss - s1_tot * s1_tot / CAST(n_tot AS DOUBLE), 6) AS ss_between,
+       ROUND(s2_tot - group_means_ss, 6) AS ss_within,
+       ROUND(((group_means_ss - s1_tot * s1_tot / CAST(n_tot AS DOUBLE))
+              / (CAST(k AS DOUBLE) - 1))
+             / ((s2_tot - group_means_ss)
+                / (CAST(n_tot AS DOUBLE) - CAST(k AS DOUBLE))), 6) AS f_stat
+FROM tot
+"""
+
+
+def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the cumulative daily-value series: running peak
+    minus current equity, maxed over time, plus the peak and trough days —
+    the risk metric any metered/revenue series is monitored with.
+
+    The equity curve and its running max are exact decimal window sums
+    (order-independent); drawdown subtraction stays decimal; only the
+    reported doubles round. Calendar-sized windows after one fact
+    aggregate."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), F.col("value").cast("decimal(18,6)").alias("v")
+    )
+    daily = e.groupBy("day").agg(F.sum("v").alias("y"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    eq = daily.select(
+        "day",
+        F.sum("y").over(w).alias("equity"),
+        F.max(F.sum("y").over(w)).over(w).alias("peak"),
+    ).select("day", "equity", "peak", (F.col("peak") - F.col("equity")).alias("dd"))
+    wmax = Window.orderBy(F.col("dd").desc(), F.col("day").asc())
+    worst = eq.withColumn("rn", F.row_number().over(wmax)).filter(F.col("rn") == 1)
+    return worst.select(
+        F.col("day").alias("trough_day"),
+        F.round(F.col("equity").cast("double"), 6).alias("equity_at_trough"),
+        F.round(F.col("peak").cast("double"), 6).alias("peak_equity"),
+        F.round(F.col("dd").cast("double"), 6).alias("max_drawdown"),
+    )
+
+
+TS_DRAWDOWN_SQL = """
+WITH e AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(value AS DECIMAL(18,6)) AS v FROM events
+),
+daily AS (SELECT day, SUM(v) AS y FROM e GROUP BY day),
+cum AS (
+  SELECT day, SUM(y) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS equity
+  FROM daily
+),
+eq AS (
+  SELECT day, equity,
+         MAX(equity) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS peak
+  FROM cum
+),
+dd AS (
+  SELECT day, equity, peak, peak - equity AS dd,
+         ROW_NUMBER() OVER (ORDER BY peak - equity DESC, day ASC) AS rn
+  FROM eq
+)
+SELECT day AS trough_day,
+       ROUND(CAST(equity AS DOUBLE), 6) AS equity_at_trough,
+       ROUND(CAST(peak AS DOUBLE), 6) AS peak_equity,
+       ROUND(CAST(dd AS DOUBLE), 6) AS max_drawdown
+FROM dd WHERE rn = 1
+"""
+
+
 def stat_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf/power-law fit of user activity: rank users by event count, OLS of
     ln(count) on ln(rank) — the heavy-tail diagnostic for per-key skew
@@ -809,6 +943,8 @@ QUERIES: dict[str, tuple] = {
     "stat_ab_proportion": (stat_ab_proportion, STAT_AB_PROP_SQL),
     "stat_zipf_exponent": (stat_zipf_exponent, STAT_ZIPF_SQL),
     "stat_ks_test": (stat_ks_test, STAT_KS_SQL),
+    "stat_anova_oneway": (stat_anova_oneway, STAT_ANOVA_SQL),
+    "ts_max_drawdown": (ts_max_drawdown, TS_DRAWDOWN_SQL),
     "ts_cusum_changepoint": (ts_cusum_changepoint, TS_CUSUM_SQL),
     "ts_holt_linear": (ts_holt_linear, TS_HOLT_SQL),
     "ts_seasonal_decompose": (ts_seasonal_decompose, TS_SEASONAL_SQL),
