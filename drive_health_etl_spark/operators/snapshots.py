@@ -394,8 +394,131 @@ def vacuum_snapshots(table_path: str, keep_last: int = 1) -> dict:
     }
 
 
+# --- Write-audit-publish (branch staging) -----------------------------------
+
+
+def commit_branch(df: DataFrame, table_path: str, branch: str, mode: str = "overwrite") -> int:
+    """Commit ``df`` to a STAGING BRANCH: data files land under the table's
+    data dir, but the manifest publishes under ``_manifests/branches/<b>/``
+    — invisible to main readers. The Iceberg write-audit-publish setup:
+    produce, then audit the branch, then promote."""
+    branch_root = os.path.join(table_path, _MANIFEST_DIR, "branches", branch)
+    os.makedirs(branch_root, exist_ok=True)
+    versions = sorted(
+        int(f[1:-5]) for f in os.listdir(branch_root) if f.endswith(".json")
+    )
+    version = (versions[-1] + 1) if versions else 1
+    commit_dir = os.path.join(table_path, "data", f"b-{branch}-c{version:05d}")
+    df.write.mode("error").parquet(commit_dir)
+    files = sorted(
+        os.path.join(commit_dir, name)
+        for name in os.listdir(commit_dir)
+        if name.endswith(".parquet")
+    )
+    tmp = os.path.join(branch_root, f"v{version}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"version": version, "mode": mode, "files": files}, f)
+    os.replace(tmp, os.path.join(branch_root, f"v{version}.json"))
+    return version
+
+
+def read_branch(spark: SparkSession, table_path: str, branch: str) -> DataFrame:
+    """Read the staging branch's latest version (the audit step's input)."""
+    branch_root = os.path.join(table_path, _MANIFEST_DIR, "branches", branch)
+    versions = sorted(
+        int(f[1:-5]) for f in os.listdir(branch_root) if f.endswith(".json")
+    )
+    with open(os.path.join(branch_root, f"v{versions[-1]}.json")) as f:
+        manifest = json.load(f)
+    return spark.read.parquet(*manifest["files"])
+
+
+def publish_branch(table_path: str, branch: str) -> int:
+    """Promote the branch's latest manifest as the next MAIN version —
+    METADATA-ONLY (the data files were already written); then retire the
+    branch manifests. Under the single-writer lock so the promoted version
+    number can't collide."""
+    from drive_health_etl_spark.operators.upsert import warehouse_write_lock
+
+    branch_root = os.path.join(table_path, _MANIFEST_DIR, "branches", branch)
+    versions = sorted(
+        int(f[1:-5]) for f in os.listdir(branch_root) if f.endswith(".json")
+    )
+    with open(os.path.join(branch_root, f"v{versions[-1]}.json")) as f:
+        staged = json.load(f)
+    with warehouse_write_lock(table_path):
+        main_versions = list_snapshots(table_path)
+        version = (main_versions[-1] + 1) if main_versions else 1
+        files = staged["files"]
+        if staged.get("mode") == "append" and main_versions:
+            files = _read_manifest(table_path, main_versions[-1])["files"] + files
+        tmp = _manifest_path(table_path, version) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "version": version,
+                    "mode": staged.get("mode", "overwrite"),
+                    "parent": main_versions[-1] if main_versions else None,
+                    "files": files,
+                },
+                f,
+            )
+        os.replace(tmp, _manifest_path(table_path, version))
+    for v in versions:
+        os.remove(os.path.join(branch_root, f"v{v}.json"))
+    return version
+
+
+def lake_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish end to end: raw events commit to main (v1), a
+    CLEANED batch (error events quarantined, values clamped non-negative)
+    commits to the ``audit`` branch — invisible to main readers — passes
+    its audit gate (no error rows, no negative values), and only then
+    publishes as main v2, a metadata-only promotion. The returned read of
+    main-latest must equal the cleaned projection, which the oracle
+    recomputes in SQL: a branch leak, a failed promotion, or an
+    audit-order bug all break the hash."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from drive_health_etl_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    cleaned = events.filter(F.col("event_type") != "error").withColumn(
+        # null stays null: engines disagree on greatest()'s null handling,
+        # CASE semantics are identical
+        "value", F.when(F.col("value") < 0, F.lit(0.0)).otherwise(F.col("value"))
+    )
+    table = tempfile.mkdtemp(prefix="dhe_wap_")
+    shutil.rmtree(table, ignore_errors=True)
+    try:
+        commit_snapshot(events, table, mode="append")
+        commit_branch(cleaned, table, branch="audit", mode="overwrite")
+        staged = read_branch(spark, table, "audit")
+        # the audit gate: staged data must satisfy the publish contract,
+        # while main still serves the raw v1
+        assert staged.filter(F.col("event_type") == "error").count() == 0
+        assert staged.filter(F.col("value") < 0).count() == 0
+        publish_branch(table, "audit")
+        return read_snapshot(spark, table).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+
+
+LAKE_WAP_SQL = """
+SELECT event_id, user_id, ts, event_type,
+       CASE WHEN value < 0 THEN 0.0 ELSE value END AS value
+FROM events WHERE event_type <> 'error'
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "lake_time_travel": (lake_time_travel, LAKE_TIME_TRAVEL_SQL),
     "lake_merge": (lake_merge, LAKE_MERGE_SQL),
     "lake_schema_evolution": (lake_schema_evolution, LAKE_SCHEMA_EVOLUTION_SQL),
+    "lake_wap_publish": (lake_wap_publish, LAKE_WAP_SQL),
 }
