@@ -394,6 +394,113 @@ def vacuum_snapshots(table_path: str, keep_last: int = 1) -> dict:
     }
 
 
+# --- File-level min/max stats + pruned reads --------------------------------
+
+
+def attach_file_stats(table_path: str, version: int, columns: list[str]) -> int:
+    """Backfill per-file min/max stats for ``columns`` into the manifest —
+    read from parquet FOOTERS (row-group statistics), no data scan. This is
+    the manifest half of Iceberg's scan planning: with stats in the
+    manifest, a reader prunes files entirely driver-side. Returns the
+    number of files profiled."""
+    import pyarrow.parquet as pq
+
+    manifest = _read_manifest(table_path, version)
+    stats: dict[str, dict] = {}
+    for path in manifest["files"]:
+        meta = pq.ParquetFile(path).metadata
+        per_col: dict[str, list] = {}
+        for rg in range(meta.num_row_groups):
+            row_group = meta.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                name = col.path_in_schema
+                if name not in columns or col.statistics is None:
+                    continue
+                s = col.statistics
+                if not s.has_min_max:
+                    continue
+                cur = per_col.get(name)
+                lo, hi = s.min, s.max
+                if cur is None:
+                    per_col[name] = [lo, hi]
+                else:
+                    per_col[name] = [min(cur[0], lo), max(cur[1], hi)]
+        stats[path] = per_col
+    manifest["file_stats"] = stats
+    tmp = _manifest_path(table_path, version) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, _manifest_path(table_path, version))
+    return len(stats)
+
+
+def read_snapshot_pruned(
+    spark: SparkSession, table_path: str, column: str, lo, hi, version: int | None = None
+) -> tuple[DataFrame, int, int]:
+    """Read AS OF ``version`` keeping only files whose manifest [min, max]
+    for ``column`` intersects [lo, hi] — DRIVER-SIDE file pruning from
+    manifest stats, before any footer or data I/O. Files without stats are
+    conservatively kept. Returns (df, files_kept, files_total); the caller
+    still applies the row-level filter (stats prune files, not rows)."""
+    versions = list_snapshots(table_path)
+    if version is None:
+        version = versions[-1]
+    manifest = _read_manifest(table_path, version)
+    stats = manifest.get("file_stats", {})
+    kept = []
+    for path in manifest["files"]:
+        col_stats = stats.get(path, {}).get(column)
+        if col_stats is None or (col_stats[0] <= hi and col_stats[1] >= lo):
+            kept.append(path)
+    if not kept:
+        empty = spark.read.parquet(manifest["files"][0]).filter("1=0")
+        return empty, 0, len(manifest["files"])
+    return spark.read.parquet(*kept), len(kept), len(manifest["files"])
+
+
+def lake_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stats scan pruning end to end: commit events REPARTITIONED
+    BY RANGE on user_id (so files have tight, disjoint user_id bounds),
+    backfill per-file min/max from parquet footers into the manifest, then
+    answer a selective user_id range query through the pruned read — which
+    must plan FEWER files (asserted) yet return exactly the rows the plain
+    filtered table returns (the oracle). This is Iceberg's
+    stats-in-metadata scan planning on this module's manifests."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from drive_health_etl_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    lo, hi = 10, 40
+    table = tempfile.mkdtemp(prefix="dhe_prune_")
+    shutil.rmtree(table, ignore_errors=True)
+    try:
+        v = commit_snapshot(
+            events.repartitionByRange(8, "user_id"), table, mode="append"
+        )
+        attach_file_stats(table, v, ["user_id"])
+        df, kept, total = read_snapshot_pruned(spark, table, "user_id", lo, hi)
+        assert kept < total, f"pruning must drop files ({kept}/{total})"
+        out = df.filter((F.col("user_id") >= lo) & (F.col("user_id") <= hi)).select(
+            "event_id", "user_id", "ts", "event_type", "value"
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+
+
+LAKE_STATS_PRUNED_SQL = """
+SELECT event_id, user_id, ts, event_type, value
+FROM events WHERE user_id BETWEEN 10 AND 40
+"""
+
+
 # --- Write-audit-publish (branch staging) -----------------------------------
 
 
@@ -521,4 +628,5 @@ QUERIES: dict[str, tuple] = {
     "lake_merge": (lake_merge, LAKE_MERGE_SQL),
     "lake_schema_evolution": (lake_schema_evolution, LAKE_SCHEMA_EVOLUTION_SQL),
     "lake_wap_publish": (lake_wap_publish, LAKE_WAP_SQL),
+    "lake_stats_pruned_read": (lake_stats_pruned_read, LAKE_STATS_PRUNED_SQL),
 }

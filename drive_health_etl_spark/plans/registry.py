@@ -484,7 +484,7 @@ _ORDER = [
     "st_stateful_counters", "st_stream_stream_join", "st_stream_stream_left",
     "st_stream_dedup", "st_corpus_dedup",
     "text_bpe_train", "sdp_daily_rollup", "lake_time_travel", "lake_merge",
-    "lake_schema_evolution", "lake_wap_publish",
+    "lake_schema_evolution", "lake_wap_publish", "lake_stats_pruned_read",
     "rollup_incremental", "st_stream_static_enrich", "sql_udf_suite",
 ]
 
