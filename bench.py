@@ -101,6 +101,16 @@ HEADLINE = [
     "multimodal_audio_match",
     "feat_target_encoding",
     "lake_merge",
+    "sim_mmr_rerank",
+    "text_keyphrases_rake",
+    "graph_label_propagation",
+    "stat_ks_test",
+    "ts_seasonal_decompose",
+    "w13_interpolate_linear",
+    "sess_journey_paths",
+    "lake_wap_publish",
+    "lake_stats_pruned_read",
+    "text_readability",
     "pipeline_ingest_e2e",
 ]
 

@@ -88,6 +88,15 @@ EMPTY_SAFE = [
     "f_bitwise_suite",
     "lake_merge",
     "lake_schema_evolution",
+    "stat_ks_test",
+    "stat_anova_oneway",
+    "ts_max_drawdown",
+    "text_keyphrases_rake",
+    "text_readability",
+    "sim_mmr_rerank",
+    "sess_journey_paths",
+    "sql_execute_immediate",
+    "u9_udtf_polymorphic",
 ]
 
 
