@@ -772,6 +772,164 @@ FROM assigned GROUP BY m
 """
 
 
+_ADC_TOP = 10
+
+
+def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) search over PQ codes — how billion-vector
+    ANN actually scores candidates: vectors are stored as 2-byte PQ codes;
+    at query time a (subspace x codeword) lookup table of exact
+    ``||q_m - c||^2`` distances is built ONCE, and each candidate's
+    approximate distance is the sum of ``PQ_M`` table lookups — no float
+    vector is ever touched per candidate. Returns the top-``_ADC_TOP`` by
+    approximate distance (ties on vec_id). Composing this scorer with the
+    `sim_ann_ivf` cell probe is exactly IVF-PQ.
+
+    Determinism: codes come from the same argmin-fold as `emb_pq_stats`;
+    the LUT is computed IN-ENGINE with the identical dot-fold expansion
+    (never driver-side floats); per-candidate sums are decimal-cast and
+    the output distance rounds 6 dp. Scale: encode is a narrow map; the
+    score join is (n x PQ_M) rows against a broadcast 64-entry LUT with a
+    map-side-combinable sum."""
+    import pyspark.sql.types as T
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    )
+    qid = emb.agg(F.max("vec_id")).collect()[0][0]  # driver-side id only
+    q = emb.filter(F.col("vec_id") == qid).select(F.col("e").alias("qe"))
+    cb_rows = emb.filter(F.col("vec_id") < PQ_K).select("vec_id", "e").collect()
+    schema = T.StructType(
+        [
+            T.StructField(
+                "pqmat",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("code", T.IntegerType()),
+                            T.StructField("cv", T.ArrayType(T.DoubleType())),
+                        ]
+                    )
+                ),
+            )
+        ]
+    )
+    code_parts = []
+    lut_parts = []
+    for m in range(PQ_M):
+        cb = [
+            {"code": int(r["vec_id"]), "cv": list(r["e"])[m * PQ_SUB : (m + 1) * PQ_SUB]}
+            for r in sorted(cb_rows, key=lambda r: r["vec_id"])
+        ]
+        cb_df = spark.createDataFrame([(cb,)], schema)
+        base = (
+            emb.filter(F.col("vec_id") != qid)
+            .join(F.broadcast(cb_df))
+            .select("vec_id", "pqmat", F.slice("e", m * PQ_SUB + 1, PQ_SUB).alias("sv"))
+            .withColumn("svv", _dot(F.col("sv"), F.col("sv")))
+        )
+        best = F.array_min(
+            F.transform(
+                F.col("pqmat"),
+                lambda c: F.struct(
+                    (
+                        F.col("svv")
+                        - F.lit(2.0) * _dot(F.col("sv"), c["cv"])
+                        + _dot(c["cv"], c["cv"])
+                    ).alias("d"),
+                    c["code"].alias("code"),
+                ),
+            )
+        )
+        code_parts.append(
+            base.select("vec_id", F.lit(m).alias("m"), best["code"].alias("code"))
+        )
+        qsub = (
+            q.join(F.broadcast(cb_df))
+            .select("pqmat", F.slice("qe", m * PQ_SUB + 1, PQ_SUB).alias("sv"))
+            .withColumn("svv", _dot(F.col("sv"), F.col("sv")))
+        )
+        lut_parts.append(
+            qsub.select(
+                F.lit(m).alias("m"),
+                F.explode(
+                    F.transform(
+                        F.col("pqmat"),
+                        lambda c: F.struct(
+                            c["code"].alias("code"),
+                            (
+                                F.col("svv")
+                                - F.lit(2.0) * _dot(F.col("sv"), c["cv"])
+                                + _dot(c["cv"], c["cv"])
+                            ).alias("d"),
+                        ),
+                    )
+                ).alias("lc"),
+            ).select("m", F.col("lc.code").alias("code"), F.col("lc.d").alias("d"))
+        )
+    codes = code_parts[0]
+    for p in code_parts[1:]:
+        codes = codes.unionByName(p)
+    lut = lut_parts[0]
+    for p in lut_parts[1:]:
+        lut = lut.unionByName(p)
+    dist = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .groupBy("vec_id")
+        .agg(
+            F.round(
+                F.sum(F.col("d").cast("decimal(38,18)")).cast("double"), 6
+            ).alias("approx_dist")
+        )
+    )
+    w = Window.orderBy(F.col("approx_dist").asc(), F.col("vec_id").asc())
+    return (
+        dist.orderBy(F.col("approx_dist").asc(), F.col("vec_id").asc())
+        .limit(_ADC_TOP)
+        .withColumn("rank", F.row_number().over(w))
+        .select("rank", "vec_id", "approx_dist")
+    )
+
+
+SIM_PQ_ADC_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+qid AS (SELECT MAX(vec_id) AS qid FROM e),
+sub AS (
+  SELECT vec_id, m, emb[(m*{PQ_SUB}+1):((m+1)*{PQ_SUB})] AS sv
+  FROM e CROSS JOIN (SELECT unnest(range({PQ_M})) AS m)
+),
+cb AS (SELECT vec_id AS code, m, sv AS cv FROM sub WHERE vec_id < {PQ_K}),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT s.vec_id, s.m, c.code,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+             ORDER BY list_dot_product(s.sv, s.sv) - 2*list_dot_product(s.sv, c.cv)
+                      + list_dot_product(c.cv, c.cv) ASC, c.code ASC) AS rn
+    FROM sub s JOIN cb c ON c.m = s.m
+    WHERE s.vec_id <> (SELECT qid FROM qid)
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT c.m, c.code,
+         list_dot_product(s.sv, s.sv) - 2*list_dot_product(s.sv, c.cv)
+           + list_dot_product(c.cv, c.cv) AS d
+  FROM sub s JOIN cb c ON c.m = s.m
+  WHERE s.vec_id = (SELECT qid FROM qid)
+),
+dist AS (
+  SELECT codes.vec_id,
+         ROUND(CAST(SUM(CAST(lut.d AS DECIMAL(38,18))) AS DOUBLE), 6) AS approx_dist
+  FROM codes JOIN lut ON lut.m = codes.m AND lut.code = codes.code
+  GROUP BY codes.vec_id
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY approx_dist ASC, vec_id ASC) AS INT) AS rank,
+       vec_id, approx_dist
+FROM dist ORDER BY approx_dist ASC, vec_id ASC LIMIT {_ADC_TOP}
+"""
+
+
 # --- Gram matrix via numpy partial aggregation ------------------------------
 
 GRAM_SCALE = 1_000_000  # fixed-point quantization: floor(x * 1e6 + 0.5)
@@ -1049,6 +1207,7 @@ SIM_MMR_SQL = _mmr_sql()
 
 QUERIES: dict[str, tuple] = {
     "sim_mmr_rerank": (sim_mmr_rerank, SIM_MMR_SQL),
+    "sim_ann_pq_adc": (sim_ann_pq_adc, SIM_PQ_ADC_SQL),
     "emb_centroid_drift": (emb_centroid_drift, EMB_CENTROID_DRIFT_SQL),
     "emb_gram_topk": (emb_gram_topk, EMB_GRAM_SQL),
     "emb_pq_stats": (emb_pq_stats, EMB_PQ_SQL),
