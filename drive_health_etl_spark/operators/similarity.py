@@ -930,6 +930,61 @@ FROM dist ORDER BY approx_dist ASC, vec_id ASC LIMIT {_ADC_TOP}
 """
 
 
+def sim_adc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured PQ-ADC quality: the overlap between the ADC top-10 and the
+    EXACT squared-L2 top-10 for the same query — the recall readout that
+    decides codebook size in production (the `dedup_lsh_quality` pattern
+    applied to the PQ scorer). One row: pool sizes, overlap, recall."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    )
+    qid = emb.agg(F.max("vec_id")).collect()[0][0]
+    q = emb.filter(F.col("vec_id") == qid).select(F.col("e").alias("qe"))
+    d2 = (
+        _dot(F.col("qe"), F.col("qe"))
+        - F.lit(2.0) * _dot(F.col("qe"), F.col("e"))
+        + _dot(F.col("e"), F.col("e"))
+    )
+    exact = (
+        emb.filter(F.col("vec_id") != qid)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(d2, 9).alias("dist"))
+        .orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+        .limit(_ADC_TOP)
+    )
+    adc = sim_ann_pq_adc(spark, sf_dir).select("vec_id")
+    overlap = exact.join(adc, "vec_id").count()
+    return spark.createDataFrame(
+        [(int(_ADC_TOP), int(_ADC_TOP), int(overlap), round(overlap / _ADC_TOP, 6))],
+        "n_exact int, n_adc int, n_overlap int, recall double",
+    )
+
+
+def _adc_quality_sql() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+qid AS (SELECT MAX(vec_id) AS qid FROM e),
+q AS (SELECT emb AS qe FROM e WHERE vec_id = (SELECT qid FROM qid)),
+exact AS (
+  SELECT e.vec_id,
+         ROUND(list_dot_product(q.qe, q.qe) - 2*list_dot_product(q.qe, e.emb)
+               + list_dot_product(e.emb, e.emb), 9) AS dist
+  FROM e CROSS JOIN q WHERE e.vec_id <> (SELECT qid FROM qid)
+  ORDER BY dist ASC, e.vec_id ASC LIMIT {_ADC_TOP}
+),
+adc AS (SELECT vec_id FROM ({SIM_PQ_ADC_SQL}) t)
+SELECT {_ADC_TOP} AS n_exact, {_ADC_TOP} AS n_adc,
+       CAST((SELECT COUNT(*) FROM exact JOIN adc USING (vec_id)) AS INT) AS n_overlap,
+       ROUND(CAST((SELECT COUNT(*) FROM exact JOIN adc USING (vec_id)) AS DOUBLE)
+             / {_ADC_TOP}, 6) AS recall
+"""
+
+
+SIM_ADC_QUALITY_SQL = _adc_quality_sql()
+
+
 # --- Gram matrix via numpy partial aggregation ------------------------------
 
 GRAM_SCALE = 1_000_000  # fixed-point quantization: floor(x * 1e6 + 0.5)
@@ -1208,6 +1263,7 @@ SIM_MMR_SQL = _mmr_sql()
 QUERIES: dict[str, tuple] = {
     "sim_mmr_rerank": (sim_mmr_rerank, SIM_MMR_SQL),
     "sim_ann_pq_adc": (sim_ann_pq_adc, SIM_PQ_ADC_SQL),
+    "sim_adc_quality": (sim_adc_quality, SIM_ADC_QUALITY_SQL),
     "emb_centroid_drift": (emb_centroid_drift, EMB_CENTROID_DRIFT_SQL),
     "emb_gram_topk": (emb_gram_topk, EMB_GRAM_SQL),
     "emb_pq_stats": (emb_pq_stats, EMB_PQ_SQL),
