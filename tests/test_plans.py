@@ -141,6 +141,8 @@ BNLJ_BY_DESIGN = {
     "sim_mmr_rerank",  # 1-row query broadcast + k^2-bounded candidate pair stage
     "dq_freshness",  # 1-row global-max broadcast onto the enum-sized lag table
     "ts_seasonal_decompose",  # 1-row seasonal-center broadcast onto the calendar series
+    "sim_ann_pq_adc",  # 1-row codebook-matrix broadcast (same as emb_pq_stats)
+    "sim_adc_quality",  # 1-row query-vector broadcast onto the exact-distance scan
 }
 CARTESIAN_BY_DESIGN = {"t5_cross_join"}  # 5 x 25 dims, explicitly cross
 
