@@ -426,6 +426,69 @@ FROM scored
 """
 
 
+def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured language-ID quality: the confusion matrix of the heuristic
+    classifier (`text_langid`) against the corpus's ground-truth ``lang``
+    column, plus per-cell share of the true language — the evaluation loop
+    that decides whether a cheap heuristic suffices before paying for a
+    model. Classifier and truth are both in-engine; counts exact; the
+    share division rounds 6 dp."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(tokens_col())
+    scores = F.array(
+        *[
+            F.struct(
+                F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in ms]))).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, ms in sorted(LANG_MARKERS.items())
+        ]
+    )
+    best = F.sort_array(scores, asc=False).getItem(0)
+    pred = docs.select(
+        F.col("lang").alias("true_lang"), best.getField("lang").alias("predicted_lang")
+    )
+    cells = pred.groupBy("true_lang", "predicted_lang").agg(F.count("*").alias("n"))
+    wt = Window.partitionBy("true_lang")
+    return (
+        cells.select(
+            "true_lang",
+            "predicted_lang",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.sum("n").over(wt).cast("double"), 6
+            ).alias("share_of_true"),
+        )
+        .orderBy("true_lang", "predicted_lang")
+    )
+
+
+def _langid_eval_sql() -> str:
+    structs = ", ".join(
+        f"{{'score': len(list_intersect(toks, {list(ms)!r})), 'lang': '{lang}'}}"
+        for lang, ms in sorted(LANG_MARKERS.items())
+    )
+    return f"""
+WITH t AS (SELECT doc_id, lang AS true_lang, list_distinct({TOKENS_SQL}) AS toks
+           FROM documents),
+pred AS (
+  SELECT true_lang, list_reverse_sort([{structs}])[1].lang AS predicted_lang FROM t
+),
+cells AS (
+  SELECT true_lang, predicted_lang, COUNT(*) AS n
+  FROM pred GROUP BY true_lang, predicted_lang
+)
+SELECT true_lang, predicted_lang, n,
+       ROUND(CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY true_lang) AS DOUBLE), 6)
+         AS share_of_true
+FROM cells ORDER BY true_lang, predicted_lang
+"""
+
+
+TEXT_LANGID_EVAL_SQL = _langid_eval_sql()
+
+
 BPE_ISH_REGEX = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
 
 
@@ -460,6 +523,7 @@ QUERIES: dict[str, tuple] = {
     "text_sentences": (text_sentences, TEXT_SENTENCES_SQL),
     "text_keyphrases_rake": (text_keyphrases_rake, TEXT_RAKE_SQL),
     "text_readability": (text_readability, TEXT_READABILITY_SQL),
+    "text_langid_eval": (text_langid_eval, TEXT_LANGID_EVAL_SQL),
     "text_word_freq": (text_word_freq, TEXT_WORD_FREQ_SQL),
     "text_lang_dist": (text_lang_dist, TEXT_LANG_DIST_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),

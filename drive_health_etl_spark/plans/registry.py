@@ -428,7 +428,7 @@ _ORDER = [
     "text_word_freq",
     "text_quality",
     "text_fingerprint",
-    "text_langid", "text_bpe_token_count", "text_lang_dist",
+    "text_langid", "text_langid_eval", "text_bpe_token_count", "text_lang_dist",
     "sim_cosine_topk", "sim_lsh_buckets", "sim_ann_lsh",
     "sim_ann_lsh_multiprobe", "sim_mmr_rerank", "emb_norm_stats",
     "emb_quantize_stats",
