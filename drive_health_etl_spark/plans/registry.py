@@ -346,6 +346,78 @@ FROM events GROUP BY user_id
 """
 
 
+def st_lake_merge_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE INTO the versioned lake: a CDC-style change stream
+    (updates, then deletes+inserts, as two micro-batches) applies through
+    ``merge_into`` + ``commit_snapshot`` inside ``foreachBatch`` — one
+    atomic snapshot per micro-batch, the Delta streaming-MERGE pattern.
+    The final table state must equal the single batch MERGE (the change
+    sets are key-disjoint, so batch boundaries cannot change the result —
+    that invariance is exactly what the oracle pins)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from drive_health_etl_spark.operators.snapshots import (
+        commit_snapshot,
+        merge_into,
+        read_snapshot,
+    )
+    from drive_health_etl_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    updates = events.filter(F.col("event_id") % 10 == 0).select(
+        "event_id", "user_id", "ts", "event_type",
+        (F.col("value") + 1000).alias("value"), F.lit("U").alias("op"),
+    )
+    dels_ins = (
+        events.filter(F.col("event_id") % 10 == 5)
+        .select("event_id", "user_id", "ts", "event_type", "value", F.lit("D").alias("op"))
+        .unionByName(
+            events.filter(F.col("event_id") % 10 == 7).select(
+                (F.col("event_id") + 10_000_000).alias("event_id"),
+                "user_id", "ts",
+                F.lit("backfill").alias("event_type"),
+                "value", F.lit("I").alias("op"),
+            )
+        )
+    )
+    table = tempfile.mkdtemp(prefix="dhe_stmerge_tbl_")
+    shutil.rmtree(table, ignore_errors=True)
+    src = tempfile.mkdtemp(prefix="dhe_stmerge_src_")
+    try:
+        commit_snapshot(events, table, mode="append")
+        updates.coalesce(1).write.mode("append").parquet(src)
+        dels_ins.coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(updates.schema)
+            .option("maxFilesPerTrigger", 1)
+            .format("parquet")
+            .load(src)
+        )
+
+        def _apply(batch, _id):
+            if batch.isEmpty():
+                return
+            merged = merge_into(read_snapshot(spark, table), batch, key="event_id")
+            commit_snapshot(merged, table, mode="overwrite")
+
+        with _shuffle_partitions(spark, 8):
+            q = (
+                stream.writeStream.foreachBatch(_apply)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return read_snapshot(spark, table).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+        shutil.rmtree(src, ignore_errors=True)
+
+
 from drive_health_etl_spark.streaming.corpus_stream import (
     _st_corpus_dedup_sql,
     st_corpus_dedup,
@@ -353,6 +425,7 @@ from drive_health_etl_spark.streaming.corpus_stream import (
 
 _MERGED: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "st_corpus_dedup": (st_corpus_dedup, _st_corpus_dedup_sql()),
+    "st_lake_merge_stream": (st_lake_merge_stream, _snapshots.LAKE_MERGE_SQL),
     "st_stateful_counters": (st_stateful_counters, ST_STATEFUL_SQL),
     "st_stream_stream_join": (st_stream_stream_join, ST_STREAM_STREAM_SQL),
     "st_stream_stream_left": (st_stream_stream_left, ST_STREAM_STREAM_LEFT_SQL),
@@ -486,6 +559,7 @@ _ORDER = [
     "text_bpe_train", "sdp_daily_rollup", "lake_time_travel", "lake_merge",
     "lake_schema_evolution", "lake_wap_publish", "lake_stats_pruned_read",
     "rollup_incremental", "st_stream_static_enrich", "sql_udf_suite",
+    "st_lake_merge_stream",
 ]
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
