@@ -128,6 +128,27 @@ FROM lineitem WHERE l_linenumber = 1
 """
 
 
+A9_AGG_FILTER_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_all,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS open_total,
+       MAX(o_orderdate) FILTER (WHERE o_orderstatus = 'P') AS last_pending
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def a9_agg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI ``FILTER (WHERE ...)`` aggregate clause — the standard spelling
+    of conditional aggregation (clearer than CASE-in-SUM and pushed to the
+    same partial-aggregate plan). IDENTICAL SQL text runs on both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(A9_AGG_FILTER_SQL)
+
+
 def sub_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar subquery via the SQL API: orders above the global mean price."""
     register_views(spark, sf_dir)
@@ -856,6 +877,7 @@ QUERIES: dict[str, tuple] = {
     "f_parse_suite": (f_parse_suite, F_PARSE_SQL),
     "f_try_suite": (f_try_suite, F_TRY_SQL),
     "a8_misc_aggs": (a8_misc_aggs, A8_MISC_AGGS_SQL),
+    "a9_agg_filter": (a9_agg_filter, A9_AGG_FILTER_SQL),
     "f_date_suite": (f_date_suite, F_DATE_SQL),
     "f_math_suite": (f_math_suite, F_MATH_SQL),
     "sub_scalar_subquery": (sub_scalar_subquery, SUB_SCALAR_SQL),

@@ -144,3 +144,53 @@ def test_interval_concurrency_matches_reference_sweep(rows):
         cur += d
         best = max(best, cur)
     assert got == best
+
+
+_merge_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=15),  # key -> forced overlaps
+        st.sampled_from(["U", "D", "I"]),
+        st.floats(min_value=-50, max_value=50, allow_nan=False),
+    ),
+    min_size=0,
+    max_size=20,
+    unique_by=lambda t: t[0],  # MERGE source: one op per key (ANSI constraint)
+)
+
+
+@given(
+    st.sets(st.integers(min_value=0, max_value=15), max_size=12),
+    _merge_strategy,
+)
+@settings(max_examples=10, deadline=None)
+def test_merge_into_matches_reference_semantics(target_keys, ops):
+    """merge_into == the dictionary reference of ANSI MERGE for any target
+    key set and any one-op-per-key source: matched+U updates, matched+D
+    deletes, unmatched+I inserts, everything else no-ops."""
+    from drive_health_etl_spark.operators.snapshots import merge_into
+    from tests.conftest import get_shared_spark
+
+    spark = get_shared_spark()
+    target = spark.createDataFrame(
+        [(k, float(k) * 10) for k in sorted(target_keys)] or [(None, None)],
+        "k long, v double",
+    )
+    if not target_keys:
+        target = target.filter("k IS NOT NULL")
+    source = spark.createDataFrame(
+        [(k, v, op) for (k, op, v) in ops] or [(None, None, None)],
+        "k long, v double, op string",
+    )
+    if not ops:
+        source = source.filter("k IS NOT NULL")
+    got = {r["k"]: r["v"] for r in merge_into(target, source, key="k").collect()}
+
+    ref = {k: float(k) * 10 for k in target_keys}
+    for k, op, v in ops:
+        if k in ref and op == "U":
+            ref[k] = v
+        elif k in ref and op == "D":
+            del ref[k]
+        elif k not in ref and op == "I":
+            ref[k] = v
+    assert got == ref
