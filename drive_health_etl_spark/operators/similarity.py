@@ -1056,6 +1056,133 @@ FROM g ORDER BY abs(g) DESC, i ASC, j ASC LIMIT {GRAM_TOP}
 """
 
 
+_POWER_ITERS = 3
+
+
+def emb_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding Gram matrix by power
+    iteration — the PCA primitive, distributed where it matters and exact
+    where it's hard: the d x d Gram accumulates EXACTLY (the int64
+    fixed-point partial-matmul layout of `emb_gram_topk`, full matrix),
+    then ``v <- normalize(G v)`` runs ``_POWER_ITERS`` fixed rounds as
+    single-row array algebra — every matvec/norm is the same left-to-right
+    fold in both engines, so the iteration is bit-exact and only the
+    reported floats round (6 dp). Output: the Rayleigh-quotient eigenvalue
+    and the first components of the eigenvector.
+
+    Scale: the corpus only ever feeds the Gram partials (shuffle O(d^2 x
+    batches)); the iteration itself is O(d^2) driver-free single-row work
+    regardless of row count."""
+    import numpy as np
+    import pandas as pd
+
+    d = EMB_DIM
+
+    def gram_partials(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Q = np.floor(E * GRAM_SCALE + 0.5).astype(np.int64)
+            G = Q.T @ Q  # int64 matmul: exact
+            ii, jj = np.indices((d, d))
+            yield pd.DataFrame(
+                {"i": ii.ravel() + 1, "j": jj.ravel() + 1, "g": G.ravel()}
+            )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    cells = (
+        emb.mapInPandas(gram_partials, schema="i int, j int, g long")
+        .groupBy("i", "j")
+        .agg(F.sum("g").cast("double").alias("g"))
+    )
+    rows = cells.groupBy("i").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "g"))), lambda r: r["g"]
+        ).alias("grow")
+    )
+    gmat = rows.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "grow"))), lambda r: r["grow"]
+        ).alias("G")
+    )
+    df = gmat
+    v = F.array(*([F.lit(1.0)] + [F.lit(0.0)] * (d - 1)))
+    for t in range(_POWER_ITERS):
+        df = df.withColumn(f"w{t}", F.transform("G", lambda row: _dot(row, v)))
+        df = df.withColumn(f"n{t}", F.sqrt(_dot(F.col(f"w{t}"), F.col(f"w{t}"))))
+        df = df.withColumn(
+            f"v{t}",
+            F.transform(F.col(f"w{t}"), lambda x: x / F.col(f"n{t}")),
+        )
+        v = F.col(f"v{t}")
+    df = df.withColumn("wf", F.transform("G", lambda row: _dot(row, v)))
+    lam = _dot(v, F.col("wf"))
+    return df.select(
+        F.round(lam, 6).alias("eigenvalue"),
+        *[
+            F.round(F.element_at(v, k + 1), 6).alias(f"v{k}")
+            for k in range(5)
+        ],
+    )
+
+
+def _power_sql() -> str:
+    d = EMB_DIM
+    v0 = "[" + ", ".join(["CAST(1.0 AS DOUBLE)"] + ["CAST(0.0 AS DOUBLE)"] * (d - 1)) + "]"
+    steps = []
+    vexpr = "v_init"
+    pre = f"it_init AS (SELECT G, {v0} AS v_init FROM gmat)"
+    prev = "it_init"
+    for t in range(_POWER_ITERS):
+        steps.append(
+            f"""itw{t} AS (
+  SELECT *, list_transform(G, row -> list_dot_product(row, {vexpr})) AS w{t}
+  FROM {prev}
+),
+itn{t} AS (SELECT *, sqrt(list_dot_product(w{t}, w{t})) AS n{t} FROM itw{t}),
+itv{t} AS (
+  SELECT *, list_transform(w{t}, x -> x / n{t}) AS v{t} FROM itn{t}
+)"""
+        )
+        vexpr = f"v{t}"
+        prev = f"itv{t}"
+    chain = ",\n".join(steps)
+    comps = ", ".join(
+        f"ROUND({vexpr}[{k + 1}], 6) AS v{k}" for k in range(5)
+    )
+    return f"""
+WITH q AS (
+  SELECT list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * {GRAM_SCALE} + 0.5) AS BIGINT)) AS vq
+  FROM embeddings
+),
+cells AS (
+  SELECT i.range AS i, j.range AS j,
+         CAST(SUM(vq[CAST(i.range AS INT)] * vq[CAST(j.range AS INT)]) AS DOUBLE) AS g
+  FROM q, range(1, {d} + 1) i, range(1, {d} + 1) j
+  GROUP BY 1, 2
+),
+rows_ AS (
+  SELECT i, list_transform(list_sort(list(ROW(j, g))), r -> CAST(r[2] AS DOUBLE)) AS grow
+  FROM cells GROUP BY i
+),
+gmat AS (
+  SELECT list_transform(list_sort(list(ROW(i, grow))), r -> r[2]) AS G FROM rows_
+),
+{pre},
+{chain},
+fin AS (
+  SELECT *, list_transform(G, row -> list_dot_product(row, {vexpr})) AS wf FROM {prev}
+)
+SELECT ROUND(list_dot_product({vexpr}, wf), 6) AS eigenvalue, {comps}
+FROM fin
+"""
+
+
+EMB_POWER_SQL = _power_sql()
+
+
 def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise cosine similarity between per-label embedding centroids —
     the cluster/source drift monitor (are two corpora occupying the same
@@ -1264,6 +1391,7 @@ QUERIES: dict[str, tuple] = {
     "sim_mmr_rerank": (sim_mmr_rerank, SIM_MMR_SQL),
     "sim_ann_pq_adc": (sim_ann_pq_adc, SIM_PQ_ADC_SQL),
     "sim_adc_quality": (sim_adc_quality, SIM_ADC_QUALITY_SQL),
+    "emb_power_iteration": (emb_power_iteration, EMB_POWER_SQL),
     "emb_centroid_drift": (emb_centroid_drift, EMB_CENTROID_DRIFT_SQL),
     "emb_gram_topk": (emb_gram_topk, EMB_GRAM_SQL),
     "emb_pq_stats": (emb_pq_stats, EMB_PQ_SQL),

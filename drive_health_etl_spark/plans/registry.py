@@ -518,7 +518,7 @@ _ORDER = [
     "text_gopher_rules", "text_repetition", "text_pii_scrub",
     "text_decontaminate", "text_boilerplate", "text_bigram_logprob",
     "corpus_kl_drift",
-    "asof_last_purchase", "asof_next_within", "emb_gram_topk",
+    "asof_last_purchase", "asof_next_within", "emb_gram_topk", "emb_power_iteration",
     "retrieval_eval_ndcg",
     "multimodal_bytes", "multimodal_decode_stats", "multimodal_audio_stats",
     "multimodal_phash_neardup", "multimodal_audio_match",
