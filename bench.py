@@ -111,6 +111,12 @@ HEADLINE = [
     "lake_wap_publish",
     "lake_stats_pruned_read",
     "text_readability",
+    "sim_ann_pq_adc",
+    "emb_power_iteration",
+    "stat_anova_oneway",
+    "ts_max_drawdown",
+    "text_langid_eval",
+    "dq_reconcile_orders",
     "pipeline_ingest_e2e",
 ]
 
