@@ -471,6 +471,68 @@ FROM u
 """
 
 
+def text_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the normalization pass URL-level dedup keys on
+    (Common-Crawl style): lowercase scheme+host (path stays case-sensitive),
+    drop the fragment, strip tracking parameters (utm_*, ref, fbclid),
+    repair separator debris, trim trailing '?'/'&'. Seeded per-doc URLs are
+    deliberately messy (mixed-case host, tracking params, fragment) so every
+    rule fires. Pure regex column expressions; the replacement spelling
+    differs per engine ($1 Java vs \\1 RE2) but the semantics are pinned by
+    the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.upper("source"),
+        F.lit(".Example.COM/Doc/"),
+        F.col("doc_id"),
+        F.lit("?utm_source=feed&id="),
+        F.col("doc_id") % 100,
+        F.lit("&utm_campaign=x&ref=rss#section-"),
+        F.col("doc_id") % 7,
+    )
+    u = F.regexp_replace(raw, r"#.*$", "")  # fragment
+    u = F.regexp_replace(u, r"([?&])(utm_[a-z]+|ref|fbclid)=[^&]*", "$1")  # tracking
+    u = F.regexp_replace(u, r"&{2,}", "&")
+    u = F.regexp_replace(u, r"\?&", "?")
+    u = F.regexp_replace(u, r"[?&]+$", "")
+    host = F.lower(F.regexp_extract(u, r"^([A-Za-z]+://[^/]+)", 1))
+    canonical = F.concat(host, F.regexp_replace(u, r"^[A-Za-z]+://[^/]+", ""))
+    return docs.select(
+        "doc_id",
+        raw.alias("raw_url"),
+        canonical.alias("canonical_url"),
+        (F.length(raw) - F.length(canonical)).alias("chars_removed"),
+    )
+
+
+TEXT_URL_CANONICAL_SQL = r"""
+WITH raw AS (
+  SELECT doc_id,
+         'HTTPS://WWW.' || upper(source) || '.Example.COM/Doc/' || CAST(doc_id AS VARCHAR)
+           || '?utm_source=feed&id=' || CAST(doc_id % 100 AS VARCHAR)
+           || '&utm_campaign=x&ref=rss#section-' || CAST(doc_id % 7 AS VARCHAR) AS raw_url
+  FROM documents
+),
+c1 AS (SELECT doc_id, raw_url,
+              regexp_replace(raw_url, '#.*$', '') AS u FROM raw),
+c2 AS (SELECT doc_id, raw_url,
+              regexp_replace(u, '([?&])(utm_[a-z]+|ref|fbclid)=[^&]*', '\1', 'g') AS u FROM c1),
+c3 AS (SELECT doc_id, raw_url, regexp_replace(u, '&{2,}', '&', 'g') AS u FROM c2),
+c4 AS (SELECT doc_id, raw_url, regexp_replace(u, '\?&', '?') AS u FROM c3),
+c5 AS (SELECT doc_id, raw_url, regexp_replace(u, '[?&]+$', '') AS u FROM c4),
+fin AS (
+  SELECT doc_id, raw_url,
+         lower(regexp_extract(u, '^([A-Za-z]+://[^/]+)', 1))
+           || regexp_replace(u, '^[A-Za-z]+://[^/]+', '') AS canonical_url
+  FROM c5
+)
+SELECT doc_id, raw_url, canonical_url,
+       CAST(length(raw_url) - length(canonical_url) AS INTEGER) AS chars_removed
+FROM fin
+"""
+
+
 def text_domain_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide domain histogram over the extracted URLs — the occupancy
     view a crawler curates against. Explode -> one map-side-combined count
@@ -656,4 +718,5 @@ QUERIES: dict[str, tuple] = {
     "text_unigram_logprob": (text_unigram_logprob, TEXT_UNIGRAM_LOGPROB_SQL),
     "text_url_filter": (text_url_filter, TEXT_URL_FILTER_SQL),
     "text_domain_hist": (text_domain_hist, TEXT_DOMAIN_HIST_SQL),
+    "text_url_canonical": (text_url_canonical, TEXT_URL_CANONICAL_SQL),
 }

@@ -517,6 +517,7 @@ _ORDER = [
     "corpus_span_dedup",
     "text_gopher_rules", "text_repetition", "text_pii_scrub",
     "text_decontaminate", "text_boilerplate", "text_bigram_logprob",
+    "text_url_canonical",
     "corpus_kl_drift",
     "asof_last_purchase", "asof_next_within", "emb_gram_topk", "emb_power_iteration",
     "retrieval_eval_ndcg",
@@ -544,6 +545,7 @@ _ORDER = [
     "stat_anova_oneway", "ts_max_drawdown",
     "dq_reconcile_orders",
     "ts_cusum_changepoint", "ts_holt_linear", "ts_seasonal_decompose",
+    "ts_residual_anomalies",
     "graph_bfs_distances", "sketch_cms_estimate", "feat_target_encoding",
     # (4) one-time-startup / iterative cost
     "sim_ann_lsh_multitable", "sim_ann_ivf", "sim_ann_pq_adc", "sim_adc_quality", "sim_knn_classify",

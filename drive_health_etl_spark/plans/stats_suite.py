@@ -938,8 +938,57 @@ FROM mom
 """
 
 
+def ts_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly flags: the days whose DECOMPOSED residual
+    (y - trend - seasonal, from `ts_seasonal_decompose`) is a robust
+    outlier — |modified z| = |r - median| / (1.4826 * MAD) > 2.5. Detrending
+    + deseasonalizing first is what separates real incidents from weekend
+    effects; the MAD scale makes the threshold outlier-resistant (the w10
+    recipe applied to residuals).
+
+    Residuals round 6 dp BEFORE the percentile so both engines interpolate
+    identical inputs; the z chain rounds 6. Calendar-sized throughout."""
+    resid = ts_seasonal_decompose(spark, sf_dir).filter(
+        F.col("trend").isNotNull()
+    )
+    med = resid.agg(F.expr("percentile(residual, 0.5)").alias("med"))
+    absdev = resid.crossJoin(F.broadcast(med)).select(
+        "day", "residual", "med", F.abs(F.col("residual") - F.col("med")).alias("adev")
+    )
+    mad = absdev.agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    z = (F.col("residual") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    return (
+        absdev.crossJoin(F.broadcast(mad))
+        .select(
+            "day",
+            F.round("residual", 6).alias("residual"),
+            F.round(z, 6).alias("robust_z"),
+            (F.abs(z) > 2.5).alias("is_anomaly"),
+        )
+        .orderBy("day")
+    )
+
+
+TS_RESIDUAL_ANOM_SQL = f"""
+WITH decomp AS ({TS_SEASONAL_SQL.replace("ORDER BY day", "")}),
+r AS (SELECT day, residual FROM decomp WHERE trend IS NOT NULL),
+med AS (SELECT quantile_cont(residual, 0.5) AS med FROM r),
+ad AS (
+  SELECT day, residual, med, abs(residual - med) AS adev
+  FROM r CROSS JOIN med
+),
+mad AS (SELECT quantile_cont(adev, 0.5) AS mad FROM ad)
+SELECT day, ROUND(residual, 6) AS residual,
+       ROUND((residual - med) / (1.4826 * mad), 6) AS robust_z,
+       abs((residual - med) / (1.4826 * mad)) > 2.5 AS is_anomaly
+FROM ad CROSS JOIN mad
+ORDER BY day
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "stat_chi2_independence": (stat_chi2_independence, STAT_CHI2_SQL),
+    "ts_residual_anomalies": (ts_residual_anomalies, TS_RESIDUAL_ANOM_SQL),
     "stat_ab_proportion": (stat_ab_proportion, STAT_AB_PROP_SQL),
     "stat_zipf_exponent": (stat_zipf_exponent, STAT_ZIPF_SQL),
     "stat_ks_test": (stat_ks_test, STAT_KS_SQL),
