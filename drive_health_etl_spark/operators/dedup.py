@@ -842,8 +842,123 @@ FROM m
 """
 
 
+def dedup_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH S-curve, MEASURED: on the fixed evaluation subset, bucket
+    every shared-shingle pair by exact-Jaccard decile and report the
+    fraction the banded-MinHash generator captures in each bucket — the
+    empirical capture-probability curve `P(candidate | J)` that the
+    (bands, rows) configuration is chosen against. Completes
+    `dedup_lsh_quality` (one point on the curve) with the whole curve.
+
+    Counts exact; only the capture-rate division rounds. The quadratic
+    pair term stays fenced to the subset (same argument as lsh_quality)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _EVAL_N)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    sets_df = docs.withColumn("toks", tokens_col()).select(
+        "doc_id", F.array_distinct(shingles_col()).alias("sh_set")
+    )
+    sh = sets_df.select("doc_id", F.explode("sh_set").alias("shingle")).distinct()
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = sets_df.select("doc_id", F.size("sh_set").alias("n_sh"))
+    jac = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.least(
+                F.floor(
+                    F.col("n_inter").cast("double")
+                    / (F.col("na") + F.col("nb") - F.col("n_inter"))
+                    * 10
+                ).cast("int"),
+                F.lit(9),
+            ).alias("decile"),
+        )
+    )
+    pred = dedup_minhash_pairs(spark, sf_dir).filter(
+        (F.col("doc_a") < _EVAL_N) & (F.col("doc_b") < _EVAL_N)
+    )
+    flagged = jac.join(
+        pred.withColumn("cap", F.lit(1)), ["doc_a", "doc_b"], "left"
+    ).select("decile", F.coalesce("cap", F.lit(0)).alias("cap"))
+    return (
+        flagged.groupBy("decile")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("cap").alias("n_captured"),
+            F.round(
+                F.sum("cap").cast("double") / F.count("*").cast("double"), 6
+            ).alias("capture_rate"),
+        )
+        .orderBy("decile")
+    )
+
+
+def _dedup_lsh_scurve_sql() -> str:
+    return f"""
+WITH sub AS (
+  SELECT doc_id, list_distinct({SHINGLES_SQL}) AS sh_set
+  FROM documents WHERE doc_id < {_EVAL_N}
+),
+sh AS (SELECT DISTINCT doc_id, unnest(sh_set) AS shingle FROM sub),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT i.doc_a, i.doc_b,
+         LEAST(CAST(floor(CAST(i.n_inter AS DOUBLE)
+                          / (len(sa.sh_set) + len(sb.sh_set) - i.n_inter) * 10)
+                    AS INTEGER), 9) AS decile
+  FROM inter i
+  JOIN sub sa ON sa.doc_id = i.doc_a
+  JOIN sub sb ON sb.doc_id = i.doc_b
+),
+psigs AS (
+  SELECT doc_id, {', '.join(_minhash_sql(i) for i in range(N_HASHES))}
+  FROM (SELECT doc_id, unnest({SHINGLES_SQL}) AS shingle
+        FROM documents WHERE doc_id < {_EVAL_N})
+  GROUP BY doc_id
+),
+pred AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM psigs a JOIN psigs b ON a.doc_id < b.doc_id
+  WHERE (a.mh0 = b.mh0 AND a.mh1 = b.mh1)
+     OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3)
+     OR (a.mh4 = b.mh4 AND a.mh5 = b.mh5)
+     OR (a.mh6 = b.mh6 AND a.mh7 = b.mh7)
+),
+flagged AS (
+  SELECT j.decile, CASE WHEN p.doc_a IS NULL THEN 0 ELSE 1 END AS cap
+  FROM jac j LEFT JOIN pred p ON p.doc_a = j.doc_a AND p.doc_b = j.doc_b
+)
+SELECT decile, COUNT(*) AS n_pairs, CAST(SUM(cap) AS BIGINT) AS n_captured,
+       ROUND(CAST(SUM(cap) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS capture_rate
+FROM flagged GROUP BY decile ORDER BY decile
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "dedup_lsh_quality": (dedup_lsh_quality, _dedup_lsh_quality_sql()),
+    "dedup_lsh_scurve": (dedup_lsh_scurve, _dedup_lsh_scurve_sql()),
     "dedup_keep_best": (dedup_keep_best, DEDUP_KEEP_BEST_SQL),
     "dedup_near_pipeline": (dedup_near_pipeline, _dedup_near_pipeline_sql()),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
