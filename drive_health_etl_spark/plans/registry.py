@@ -531,7 +531,7 @@ _ORDER = [
     "w13_interpolate_linear", "dq_freshness", "sketch_cms_merge",
     "sql_recursive_cte", "sql_pipe_syntax", "sql_scripting",
     "sql_session_variables", "multimodal_video_scenecut",
-    "sub_lateral_join", "f_bitwise_suite", "a9_agg_filter",
+    "sub_lateral_join", "f_bitwise_suite", "a9_agg_filter", "t7_generators",
     "sketch_distinct_hll", "sketch_top_k", "sketch_quantile_check",
     "sketch_rolling_wau", "sketch_theta_overlap",
     "j5b_binned_range_join", "layout_zorder_stats", "layout_hilbert_stats",

@@ -128,6 +128,68 @@ FROM lineitem WHERE l_linenumber = 1
 """
 
 
+def t7_generators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator breadth beyond ``explode``/``posexplode`` (t6): ``stack``
+    (n-column unpivot), ``inline`` (array-of-structs expansion), and
+    ``posexplode_outer`` (NULL/empty arrays keep their parent row with null
+    position — the left-outer contract every flatten pipeline needs when
+    rows must never vanish). One labeled union; the oracle rebuilds each
+    generator from first principles (UNION ALL / ordinality unnest /
+    explicit empty-case branch)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH e AS (
+          SELECT event_id, user_id, value,
+                 CASE WHEN event_id % 5 = 0 THEN array()
+                      WHEN event_id % 7 = 0 THEN CAST(NULL AS ARRAY<DOUBLE>)
+                      ELSE array(value, CAST(user_id AS DOUBLE)) END AS arr
+          FROM events WHERE event_id < 500
+        )
+        SELECT event_id, 'stack' AS gen, k, v
+        FROM e LATERAL VIEW stack(2, 'value', value, 'uid', CAST(user_id AS DOUBLE)) AS k, v
+        UNION ALL
+        SELECT event_id, 'inline' AS gen, k, v FROM e
+        LATERAL VIEW inline(array(named_struct('k', 'double_val', 'v', value * 2),
+                                  named_struct('k', 'neg_uid', 'v', -CAST(user_id AS DOUBLE)))) AS k, v
+        UNION ALL
+        SELECT event_id, 'pexp' AS gen, CAST(pos AS STRING) AS k, val AS v
+        FROM e LATERAL VIEW OUTER posexplode(arr) AS pos, val
+        """
+    )
+
+
+T7_GENERATORS_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, value,
+         CASE WHEN event_id % 5 = 0 THEN []::DOUBLE[]
+              WHEN event_id % 7 = 0 THEN NULL
+              ELSE [value, CAST(user_id AS DOUBLE)] END AS arr
+  FROM events WHERE event_id < 500
+)
+SELECT event_id, 'stack' AS gen, k, v FROM (
+  SELECT event_id, 'value' AS k, value AS v FROM e
+  UNION ALL
+  SELECT event_id, 'uid' AS k, CAST(user_id AS DOUBLE) AS v FROM e
+)
+UNION ALL
+SELECT event_id, 'inline' AS gen, k, v FROM (
+  SELECT event_id, 'double_val' AS k, value * 2 AS v FROM e
+  UNION ALL
+  SELECT event_id, 'neg_uid' AS k, -CAST(user_id AS DOUBLE) AS v FROM e
+)
+UNION ALL
+SELECT event_id, 'pexp' AS gen, k, v FROM (
+  SELECT event_id, CAST(NULL AS VARCHAR) AS k, CAST(NULL AS DOUBLE) AS v
+  FROM e WHERE arr IS NULL OR len(arr) = 0
+  UNION ALL
+  SELECT event_id, CAST(t.i - 1 AS VARCHAR) AS k, arr[t.i] AS v
+  FROM e, UNNEST(generate_series(1, len(arr))) AS t(i)
+  WHERE arr IS NOT NULL AND len(arr) > 0
+)
+"""
+
+
 A9_AGG_FILTER_SQL = """
 SELECT o_orderpriority,
        COUNT(*) AS n_all,
@@ -878,6 +940,7 @@ QUERIES: dict[str, tuple] = {
     "f_try_suite": (f_try_suite, F_TRY_SQL),
     "a8_misc_aggs": (a8_misc_aggs, A8_MISC_AGGS_SQL),
     "a9_agg_filter": (a9_agg_filter, A9_AGG_FILTER_SQL),
+    "t7_generators": (t7_generators, T7_GENERATORS_SQL),
     "f_date_suite": (f_date_suite, F_DATE_SQL),
     "f_math_suite": (f_math_suite, F_MATH_SQL),
     "sub_scalar_subquery": (sub_scalar_subquery, SUB_SCALAR_SQL),
