@@ -225,8 +225,55 @@ FROM per CROSS JOIN g ORDER BY event_type
 """
 
 
+_PK_COLUMNS = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
+def dq_pk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse-wide primary-key audit in one pass: for every table with a
+    declared key, row count, distinct keys, duplicate keys, and null keys —
+    the first page of any data-quality report. Each table contributes one
+    count-distinct aggregate; the union is table-count-sized."""
+    parts = []
+    for table, pk in sorted(_PK_COLUMNS.items()):
+        t = load_table(spark, sf_dir, table)
+        parts.append(
+            t.agg(
+                F.lit(table).alias("table_name"),
+                F.count("*").alias("n_rows"),
+                F.count_distinct(F.col(pk)).alias("n_distinct_keys"),
+                (F.count(F.col(pk)) - F.count_distinct(F.col(pk))).alias("n_dup_rows"),
+                (F.count("*") - F.count(F.col(pk))).alias("n_null_keys"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("table_name")
+
+
+DQ_PK_AUDIT_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{table}' AS table_name, COUNT(*) AS n_rows,
+       COUNT(DISTINCT {pk}) AS n_distinct_keys,
+       CAST(COUNT({pk}) - COUNT(DISTINCT {pk}) AS BIGINT) AS n_dup_rows,
+       CAST(COUNT(*) - COUNT({pk}) AS BIGINT) AS n_null_keys
+FROM {table}"""
+    for table, pk in sorted(_PK_COLUMNS.items())
+) + "\nORDER BY table_name"
+
+
 QUERIES: dict[str, tuple] = {
     "dq_expectations": (dq_expectations, DQ_EXPECTATIONS_SQL),
     "dq_reconcile_orders": (dq_reconcile_orders, DQ_RECONCILE_SQL),
     "dq_freshness": (dq_freshness, DQ_FRESHNESS_SQL),
+    "dq_pk_audit": (dq_pk_audit, DQ_PK_AUDIT_SQL),
 }

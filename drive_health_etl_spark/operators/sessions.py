@@ -703,7 +703,85 @@ ORDER BY n_users DESC, path ASC LIMIT {_JOURNEY_TOP}
 """
 
 
+def sess_cohort_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: users cohorted by first-seen day; for each cohort
+    age (days since first seen), the cohort's CUMULATIVE value per user —
+    the revenue twin of `sess_retention_cohorts` (counts) and the curve
+    payback decisions read. Decimal-exact sums end to end; the per-user
+    normalization divides exact decimals as doubles, rounded 6 dp.
+
+    Plan: one window for first-seen, one (cohort, age) aggregate, one
+    calendar-sized cumulative window — never row-sized state."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), F.col("value").cast("decimal(18,6)").alias("v")
+    )
+    w = Window.partitionBy("user_id")
+    cohorted = e.withColumn("cohort", F.min("day").over(w)).select(
+        "cohort",
+        F.datediff(F.col("day"), F.col("cohort")).alias("age"),
+        "v",
+        "user_id",
+    )
+    sizes = cohorted.groupBy("cohort").agg(
+        F.countDistinct("user_id").alias("cohort_users")
+    )
+    daily = cohorted.groupBy("cohort", "age").agg(F.sum("v").alias("day_value"))
+    wc = Window.partitionBy("cohort").orderBy("age").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        daily.withColumn("cum_value", F.sum("day_value").over(wc))
+        .join(sizes, "cohort")
+        .filter(F.col("age") <= 14)
+        .select(
+            "cohort",
+            "age",
+            "cohort_users",
+            F.round(
+                F.col("cum_value").cast("double")
+                / F.col("cohort_users").cast("double"),
+                6,
+            ).alias("ltv_per_user"),
+        )
+        .orderBy("cohort", "age")
+    )
+
+
+SESS_COHORT_VALUE_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, CAST(value AS DECIMAL(18,6)) AS v
+  FROM events
+),
+c AS (
+  SELECT user_id, day, v,
+         MIN(day) OVER (PARTITION BY user_id) AS cohort
+  FROM e
+),
+sizes AS (
+  SELECT cohort, COUNT(DISTINCT user_id) AS cohort_users FROM c GROUP BY cohort
+),
+daily AS (
+  SELECT cohort, date_diff('day', cohort, day) AS age, SUM(v) AS day_value
+  FROM c GROUP BY 1, 2
+),
+cum AS (
+  SELECT cohort, age,
+         SUM(day_value) OVER (PARTITION BY cohort ORDER BY age
+                              ROWS UNBOUNDED PRECEDING) AS cum_value
+  FROM daily
+)
+SELECT m.cohort, CAST(m.age AS INTEGER) AS age,
+       CAST(s.cohort_users AS BIGINT) AS cohort_users,
+       ROUND(CAST(m.cum_value AS DOUBLE) / CAST(s.cohort_users AS DOUBLE), 6)
+         AS ltv_per_user
+FROM cum m JOIN sizes s USING (cohort)
+WHERE m.age <= 14
+ORDER BY cohort, age
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "sess_cohort_value": (sess_cohort_value, SESS_COHORT_VALUE_SQL),
     "sess_journey_paths": (sess_journey_paths, SESS_JOURNEY_SQL),
     "sess_attribution": (sess_attribution, SESS_ATTRIBUTION_SQL),
     "sess_markov_transitions": (sess_markov_transitions, SESS_MARKOV_SQL),

@@ -507,7 +507,8 @@ _ORDER = [
     "emb_quantize_stats",
     "emb_dim_energy", "emb_pq_stats", "emb_centroid_drift",
     "sess_stats", "sess_funnel", "sess_daily", "sess_rolling_actives",
-    "sess_conversion_lag", "sess_retention_cohorts", "sess_daily_gapfill",
+    "sess_conversion_lag", "sess_retention_cohorts", "sess_cohort_value",
+    "sess_daily_gapfill",
     "sess_event_assoc", "ts_anomaly_dow", "sess_attribution",
     "text_inverted_index", "text_bm25", "text_vocab_oov",
     "feat_hashing_tf", "feat_tfidf_top_terms",
@@ -528,7 +529,8 @@ _ORDER = [
     "q6_forecast_revenue", "a5_grouping_sets", "w2b_rank_dense",
     "w5_distribution_funcs", "w6_value_funcs", "w7_zscore_outliers",
     "w8_range_frame", "w9_impute_ffill", "w10_mad_outliers",
-    "w13_interpolate_linear", "dq_freshness", "sketch_cms_merge",
+    "w13_interpolate_linear", "w15_percent_of_total", "dq_freshness",
+    "dq_pk_audit", "sketch_cms_merge",
     "sql_recursive_cte", "sql_pipe_syntax", "sql_scripting",
     "sql_session_variables", "multimodal_video_scenecut",
     "sub_lateral_join", "f_bitwise_suite", "a9_agg_filter", "t7_generators",

