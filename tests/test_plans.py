@@ -143,6 +143,8 @@ BNLJ_BY_DESIGN = {
     "ts_seasonal_decompose",  # 1-row seasonal-center broadcast onto the calendar series
     "sim_ann_pq_adc",  # 1-row codebook-matrix broadcast (same as emb_pq_stats)
     "sim_adc_quality",  # 1-row query-vector broadcast onto the exact-distance scan
+    "sim_ann_ivfpq",  # 1-row centroid-matrix + 64-entry LUT broadcasts (IVF+PQ)
+    "ts_residual_anomalies",  # 1-row median/MAD broadcasts onto the calendar series
 }
 CARTESIAN_BY_DESIGN = {"t5_cross_join"}  # 5 x 25 dims, explicitly cross
 
