@@ -117,6 +117,13 @@ HEADLINE = [
     "ts_max_drawdown",
     "text_langid_eval",
     "dq_reconcile_orders",
+    "sim_ann_ivfpq",
+    "dedup_lsh_scurve",
+    "sess_cohort_value",
+    "w15_percent_of_total",
+    "dq_pk_audit",
+    "text_url_canonical",
+    "ts_residual_anomalies",
     "pipeline_ingest_e2e",
 ]
 
