@@ -544,7 +544,8 @@ _ORDER = [
     "sql_execute_immediate",
     "stat_chi2_independence", "stat_mann_whitney", "stat_ols_trend", "ts_acf",
     "stat_ab_proportion", "stat_zipf_exponent", "stat_ks_test",
-    "stat_anova_oneway", "ts_max_drawdown",
+    "stat_anova_oneway", "ts_max_drawdown", "stat_kruskal_wallis",
+    "stat_correlation",
     "dq_reconcile_orders",
     "ts_cusum_changepoint", "ts_holt_linear", "ts_seasonal_decompose",
     "ts_residual_anomalies",

@@ -878,6 +878,199 @@ FROM dd WHERE rn = 1
 """
 
 
+def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across ALL event types — the k-group omnibus rank
+    test completing the family (`stat_mann_whitney` = 2 groups, ANOVA =
+    means): H = (12 / (n(n+1))) * Σ R_g²/n_g - 3(n+1), divided by the tie
+    correction 1 - Σ(t³-t)/(n³-n). Midranks over the POOLED sort come from
+    one global window; rank sums are exact decimals (midranks are halves);
+    the H chain rounds 6 dp.
+
+    Scale note: the pooled global sort is the test-scale shape; at 100 TB
+    ranks come from a two-pass value-histogram (same outputs), exactly the
+    Mann-Whitney note."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", F.col("value").alias("v"))
+    )
+    w = Window.orderBy("v")
+    wt = Window.partitionBy("v")
+    ranked = e.select(
+        "event_type",
+        (
+            F.rank().over(w).cast("decimal(38,6)")
+            + (F.count("*").over(wt).cast("decimal(38,6)") - 1) / 2
+        ).alias("midrank"),
+        F.count("*").over(wt).alias("tie_n"),
+    )
+    per_g = ranked.groupBy("event_type").agg(
+        F.count("*").alias("n_g"), F.sum("midrank").alias("r_g")
+    )
+    tot = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("tie_n") * F.col("tie_n") - 1).alias("tie_cubes"),
+    )
+    gsum = per_g.agg(
+        F.count("*").alias("k"),
+        F.sum(
+            (
+                F.col("r_g").cast("double")
+                * F.col("r_g").cast("double")
+                / F.col("n_g").cast("double")
+            ).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("rr"),
+    )
+    n = F.col("n").cast("double")
+    h_raw = F.lit(12.0) / (n * (n + 1)) * F.col("rr") - F.lit(3.0) * (n + 1)
+    correction = 1 - F.col("tie_cubes").cast("double") / (n * n * n - n)
+    return (
+        gsum.crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            F.col("n").alias("n"),
+            F.round(h_raw / correction, 6).alias("h_stat"),
+        )
+    )
+
+
+STAT_KRUSKAL_SQL = """
+WITH e AS (
+  SELECT event_type, value AS v FROM events WHERE value IS NOT NULL
+),
+ranked AS (
+  SELECT event_type,
+         CAST(RANK() OVER (ORDER BY v) AS DECIMAL(38,6))
+           + (CAST(COUNT(*) OVER (PARTITION BY v) AS DECIMAL(38,6)) - 1) / 2 AS midrank,
+         COUNT(*) OVER (PARTITION BY v) AS tie_n
+  FROM e
+),
+per_g AS (
+  SELECT event_type, COUNT(*) AS n_g, SUM(midrank) AS r_g
+  FROM ranked GROUP BY event_type
+),
+tot AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(tie_n * tie_n - 1) AS BIGINT) AS tie_cubes
+  FROM ranked
+),
+gsum AS (
+  SELECT COUNT(*) AS k,
+         CAST(SUM(CAST(CAST(r_g AS DOUBLE) * CAST(r_g AS DOUBLE)
+                       / CAST(n_g AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS rr
+  FROM per_g
+)
+SELECT k, CAST(n AS BIGINT) AS n,
+       ROUND((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)) * rr
+              - 3.0 * (CAST(n AS DOUBLE) + 1))
+             / (1 - CAST(tie_cubes AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                       - CAST(n AS DOUBLE))), 6) AS h_stat
+FROM gsum CROSS JOIN tot
+"""
+
+
+def stat_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson AND Spearman correlation between line-item quantity and
+    extended price — the relationship readout (linear vs monotonic) behind
+    any pricing model sanity check. Pearson from exact decimal moments;
+    Spearman = Pearson ON MIDRANKS (two windows, exact half-integer
+    decimals); both r chains round 6 dp."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y")
+    )
+    wx = Window.orderBy("x")
+    wtx = Window.partitionBy("x")
+    wy = Window.orderBy("y")
+    wty = Window.partitionBy("y")
+    # DECIMAL(19,6): products stay within int128 (19+19 = 38) in BOTH
+    # engines — DECIMAL(18) is int64-backed in DuckDB and x*y overflows it
+    ranked = li.select(
+        F.col("x").cast("decimal(19,6)").alias("x"),
+        F.col("y").cast("decimal(19,6)").alias("y"),
+        (
+            F.rank().over(wx).cast("decimal(38,6)")
+            + (F.count("*").over(wtx).cast("decimal(38,6)") - 1) / 2
+        ).cast("decimal(19,6)").alias("rx"),
+        (
+            F.rank().over(wy).cast("decimal(38,6)")
+            + (F.count("*").over(wty).cast("decimal(38,6)") - 1) / 2
+        ).cast("decimal(19,6)").alias("ry"),
+    )
+
+    def _pearson(a, b, asq, bsq, ab, n):
+        num = n * ab - a * b
+        den = F.sqrt(n * asq - a * a) * F.sqrt(n * bsq - b * b)
+        return num / den
+
+    mom = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)")).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,12)")).cast("double").alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,12)")).cast("double").alias("sxy"),
+        F.sum("rx").cast("double").alias("srx"),
+        F.sum("ry").cast("double").alias("sry"),
+        F.sum((F.col("rx") * F.col("rx")).cast("decimal(38,12)")).cast("double").alias("srxx"),
+        F.sum((F.col("ry") * F.col("ry")).cast("decimal(38,12)")).cast("double").alias("sryy"),
+        F.sum((F.col("rx") * F.col("ry")).cast("decimal(38,12)")).cast("double").alias("srxy"),
+    )
+    n = F.col("n").cast("double")
+    return mom.select(
+        "n",
+        F.round(
+            _pearson(
+                F.col("sx"), F.col("sy"), F.col("sxx"), F.col("syy"), F.col("sxy"), n
+            ),
+            6,
+        ).alias("pearson_r"),
+        F.round(
+            _pearson(
+                F.col("srx"), F.col("sry"), F.col("srxx"), F.col("sryy"), F.col("srxy"), n
+            ),
+            6,
+        ).alias("spearman_r"),
+    )
+
+
+STAT_CORRELATION_SQL = """
+WITH ranked AS (
+  SELECT CAST(l_quantity AS DECIMAL(19,6)) AS x,
+         CAST(l_extendedprice AS DECIMAL(19,6)) AS y,
+         CAST(CAST(RANK() OVER (ORDER BY l_quantity) AS DECIMAL(38,6))
+           + (CAST(COUNT(*) OVER (PARTITION BY l_quantity) AS DECIMAL(38,6)) - 1) / 2
+           AS DECIMAL(19,6)) AS rx,
+         CAST(CAST(RANK() OVER (ORDER BY l_extendedprice) AS DECIMAL(38,6))
+           + (CAST(COUNT(*) OVER (PARTITION BY l_extendedprice) AS DECIMAL(38,6)) - 1) / 2
+           AS DECIMAL(19,6)) AS ry
+  FROM lineitem
+),
+mom AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+         CAST(SUM(rx) AS DOUBLE) AS srx, CAST(SUM(ry) AS DOUBLE) AS sry,
+         CAST(SUM(CAST(rx * rx AS DECIMAL(38,12))) AS DOUBLE) AS srxx,
+         CAST(SUM(CAST(ry * ry AS DECIMAL(38,12))) AS DOUBLE) AS sryy,
+         CAST(SUM(CAST(rx * ry AS DECIMAL(38,12))) AS DOUBLE) AS srxy
+  FROM ranked
+)
+SELECT n,
+       ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS pearson_r,
+       ROUND((CAST(n AS DOUBLE) * srxy - srx * sry)
+             / (sqrt(CAST(n AS DOUBLE) * srxx - srx * srx)
+                * sqrt(CAST(n AS DOUBLE) * sryy - sry * sry)), 6) AS spearman_r
+FROM mom
+"""
+
+
 def stat_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf/power-law fit of user activity: rank users by event count, OLS of
     ln(count) on ln(rank) — the heavy-tail diagnostic for per-key skew
@@ -992,6 +1185,8 @@ QUERIES: dict[str, tuple] = {
     "stat_ab_proportion": (stat_ab_proportion, STAT_AB_PROP_SQL),
     "stat_zipf_exponent": (stat_zipf_exponent, STAT_ZIPF_SQL),
     "stat_ks_test": (stat_ks_test, STAT_KS_SQL),
+    "stat_kruskal_wallis": (stat_kruskal_wallis, STAT_KRUSKAL_SQL),
+    "stat_correlation": (stat_correlation, STAT_CORRELATION_SQL),
     "stat_anova_oneway": (stat_anova_oneway, STAT_ANOVA_SQL),
     "ts_max_drawdown": (ts_max_drawdown, TS_DRAWDOWN_SQL),
     "ts_cusum_changepoint": (ts_cusum_changepoint, TS_CUSUM_SQL),
