@@ -956,9 +956,141 @@ FROM flagged GROUP BY decile ORDER BY decile
 """
 
 
+def dedup_minhash_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured MinHash ESTIMATOR accuracy: on the evaluation subset's
+    shared-shingle pairs, compare the signature-agreement estimate
+    (matching minhashes / N_HASHES) against exact Jaccard, reporting mean
+    absolute error and bias per exact-Jaccard quintile — the estimator
+    audit behind choosing the signature width. Agreement counts and exact
+    Jaccard are integers/exact ratios; the error means sum per-term
+    decimal-cast and round 6 dp."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _EVAL_N)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    sets_df = docs.withColumn("toks", tokens_col()).select(
+        "doc_id", F.array_distinct(shingles_col()).alias("sh_set")
+    )
+    sh = sets_df.select("doc_id", F.explode("sh_set").alias("shingle")).distinct()
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = sets_df.select("doc_id", F.size("sh_set").alias("n_sh"))
+    exact = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            ).alias("jac"),
+        )
+    )
+    sigs = minhash_signatures(spark, sf_dir).filter(F.col("doc_id") < _EVAL_N)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_HASHES)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_HASHES)],
+    )
+    agree = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(N_HASHES)
+    )
+    est = (
+        exact.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            (agree.cast("double") / N_HASHES).alias("est"),
+            "jac",
+            F.least(F.floor(F.col("jac") * 5).cast("int"), F.lit(4)).alias("quintile"),
+        )
+    )
+    return (
+        est.groupBy("quintile")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(
+                F.sum(F.abs(F.col("est") - F.col("jac")).cast("decimal(38,18)"))
+                .cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_abs_err"),
+            F.round(
+                F.sum((F.col("est") - F.col("jac")).cast("decimal(38,18)"))
+                .cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_bias"),
+        )
+        .orderBy("quintile")
+    )
+
+
+def _dedup_minhash_bias_sql() -> str:
+    agree = " + ".join(
+        f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(N_HASHES)
+    )
+    return f"""
+WITH sub AS (
+  SELECT doc_id, list_distinct({SHINGLES_SQL}) AS sh_set
+  FROM documents WHERE doc_id < {_EVAL_N}
+),
+sh AS (SELECT DISTINCT doc_id, unnest(sh_set) AS shingle FROM sub),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT i.doc_a, i.doc_b,
+         CAST(i.n_inter AS DOUBLE)
+           / (len(sa.sh_set) + len(sb.sh_set) - i.n_inter) AS jac
+  FROM inter i
+  JOIN sub sa ON sa.doc_id = i.doc_a
+  JOIN sub sb ON sb.doc_id = i.doc_b
+),
+psigs AS (
+  SELECT doc_id, {', '.join(_minhash_sql(i) for i in range(N_HASHES))}
+  FROM (SELECT doc_id, unnest({SHINGLES_SQL}) AS shingle
+        FROM documents WHERE doc_id < {_EVAL_N})
+  GROUP BY doc_id
+),
+est AS (
+  SELECT CAST(({agree}) AS DOUBLE) / {N_HASHES} AS est, e.jac,
+         LEAST(CAST(floor(e.jac * 5) AS INTEGER), 4) AS quintile
+  FROM exact e
+  JOIN psigs a ON a.doc_id = e.doc_a
+  JOIN psigs b ON b.doc_id = e.doc_b
+)
+SELECT quintile, COUNT(*) AS n_pairs,
+       ROUND(CAST(SUM(CAST(abs(est - jac) AS DECIMAL(38,18))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_abs_err,
+       ROUND(CAST(SUM(CAST(est - jac AS DECIMAL(38,18))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_bias
+FROM est GROUP BY quintile ORDER BY quintile
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "dedup_lsh_quality": (dedup_lsh_quality, _dedup_lsh_quality_sql()),
     "dedup_lsh_scurve": (dedup_lsh_scurve, _dedup_lsh_scurve_sql()),
+    "dedup_minhash_bias": (dedup_minhash_bias, _dedup_minhash_bias_sql()),
     "dedup_keep_best": (dedup_keep_best, DEDUP_KEEP_BEST_SQL),
     "dedup_near_pipeline": (dedup_near_pipeline, _dedup_near_pipeline_sql()),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),

@@ -548,12 +548,12 @@ _ORDER = [
     "stat_correlation",
     "dq_reconcile_orders",
     "ts_cusum_changepoint", "ts_holt_linear", "ts_seasonal_decompose",
-    "ts_residual_anomalies",
+    "ts_residual_anomalies", "ts_streaks",
     "graph_bfs_distances", "sketch_cms_estimate", "feat_target_encoding",
     # (4) one-time-startup / iterative cost
     "sim_ann_lsh_multitable", "sim_ann_ivf", "sim_ann_pq_adc", "sim_adc_quality", "sim_ann_ivfpq", "sim_knn_classify",
     "dedup_semantic", "dedup_components", "dedup_near_pipeline",
-    "dedup_lsh_quality", "dedup_lsh_scurve",
+    "dedup_lsh_quality", "dedup_lsh_scurve", "dedup_minhash_bias",
     "graph_pagerank", "corpus_prep_pipeline",
     "u4_udtf_chunks", "u5_grouped_agg_udaf", "u5_window_agg_udaf",
     "u6_arrow_udf", "u7_map_in_arrow", "u8_apply_in_arrow",

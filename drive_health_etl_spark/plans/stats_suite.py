@@ -1131,6 +1131,72 @@ FROM mom
 """
 
 
+def ts_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streak analytics via gaps-and-islands on condition runs: the longest
+    consecutive-day runs of above-median daily totals (and below-median),
+    with start/end days — the 'N days above target' readout. Median from
+    the audited interpolated-percentile parity; runs from the classic
+    rownum-difference island key; all counts exact."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), F.col("value").cast("decimal(18,6)").alias("v")
+    )
+    daily = e.groupBy("day").agg(F.sum("v").cast("double").alias("y"))
+    med = daily.agg(F.expr("percentile(y, 0.5)").alias("med"))
+    flagged = daily.crossJoin(F.broadcast(med)).select(
+        "day", (F.col("y") > F.col("med")).alias("above")
+    )
+    w = Window.orderBy("day")
+    wg = Window.partitionBy("above").orderBy("day")
+    runs = flagged.select(
+        "day",
+        "above",
+        (F.row_number().over(w) - F.row_number().over(wg)).alias("island"),
+    )
+    streaks = runs.groupBy("above", "island").agg(
+        F.count("*").alias("streak_len"),
+        F.min("day").alias("start_day"),
+        F.max("day").alias("end_day"),
+    )
+    wbest = Window.partitionBy("above").orderBy(
+        F.col("streak_len").desc(), F.col("start_day").asc()
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select("above", "streak_len", "start_day", "end_day")
+        .orderBy("above")
+    )
+
+
+TS_STREAKS_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS y
+  FROM events GROUP BY 1
+),
+med AS (SELECT quantile_cont(y, 0.5) AS med FROM daily),
+flagged AS (
+  SELECT day, y > med AS above FROM daily CROSS JOIN med
+),
+runs AS (
+  SELECT day, above,
+         ROW_NUMBER() OVER (ORDER BY day)
+           - ROW_NUMBER() OVER (PARTITION BY above ORDER BY day) AS island
+  FROM flagged
+),
+streaks AS (
+  SELECT above, island, COUNT(*) AS streak_len,
+         MIN(day) AS start_day, MAX(day) AS end_day
+  FROM runs GROUP BY above, island
+)
+SELECT above, streak_len, start_day, end_day FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY above
+            ORDER BY streak_len DESC, start_day ASC) AS rn
+  FROM streaks
+) WHERE rn = 1 ORDER BY above
+"""
+
+
 def ts_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonality-aware anomaly flags: the days whose DECOMPOSED residual
     (y - trend - seasonal, from `ts_seasonal_decompose`) is a robust
@@ -1182,6 +1248,7 @@ ORDER BY day
 QUERIES: dict[str, tuple] = {
     "stat_chi2_independence": (stat_chi2_independence, STAT_CHI2_SQL),
     "ts_residual_anomalies": (ts_residual_anomalies, TS_RESIDUAL_ANOM_SQL),
+    "ts_streaks": (ts_streaks, TS_STREAKS_SQL),
     "stat_ab_proportion": (stat_ab_proportion, STAT_AB_PROP_SQL),
     "stat_zipf_exponent": (stat_zipf_exponent, STAT_ZIPF_SQL),
     "stat_ks_test": (stat_ks_test, STAT_KS_SQL),
