@@ -780,7 +780,83 @@ ORDER BY cohort, age
 """
 
 
+def sess_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning user split — the growth-accounting view (is
+    today's traffic acquisition or retention?): a user is 'new' on their
+    first-seen day, 'returning' on any later active day. One first-seen
+    window + one calendar-sized aggregate; all counts exact."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id")
+    flagged = e.withColumn("first_day", F.min("day").over(w)).select(
+        "day", (F.col("day") == F.col("first_day")).alias("is_new")
+    )
+    return (
+        flagged.groupBy("day")
+        .agg(
+            F.sum(F.col("is_new").cast("long")).alias("new_users"),
+            F.sum((~F.col("is_new")).cast("long")).alias("returning_users"),
+        )
+        .orderBy("day")
+    )
+
+
+SESS_NEW_RETURNING_SQL = """
+WITH e AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+f AS (
+  SELECT day, day = MIN(day) OVER (PARTITION BY user_id) AS is_new FROM e
+)
+SELECT day,
+       CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+       CAST(SUM(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS BIGINT) AS returning_users
+FROM f GROUP BY day ORDER BY day
+"""
+
+
+def sess_interarrival_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type interarrival-time distribution as a log2 histogram of
+    microsecond gaps (bucket = floor(log2(gap_us))) — the burstiness
+    profile capacity planning reads (tight buckets = bursts, fat tail =
+    idle). One per-user lag window + one enum-by-bucket aggregate;
+    log2 of identical exact integers, floor, all counts exact."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = e.select(
+        "event_type",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull() & (F.col("gap_us") > 0))
+    return (
+        gaps.select(
+            "event_type",
+            F.floor(F.log2(F.col("gap_us").cast("double"))).cast("int").alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").alias("n_gaps"))
+        .orderBy("event_type", "bucket")
+    )
+
+
+SESS_INTERARRIVAL_SQL = """
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT event_type,
+       CAST(floor(log2(CAST(gap_us AS DOUBLE))) AS INTEGER) AS bucket,
+       COUNT(*) AS n_gaps
+FROM g WHERE gap_us IS NOT NULL AND gap_us > 0
+GROUP BY 1, 2 ORDER BY event_type, bucket
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "sess_new_vs_returning": (sess_new_vs_returning, SESS_NEW_RETURNING_SQL),
+    "sess_interarrival_hist": (sess_interarrival_hist, SESS_INTERARRIVAL_SQL),
     "sess_cohort_value": (sess_cohort_value, SESS_COHORT_VALUE_SQL),
     "sess_journey_paths": (sess_journey_paths, SESS_JOURNEY_SQL),
     "sess_attribution": (sess_attribution, SESS_ATTRIBUTION_SQL),

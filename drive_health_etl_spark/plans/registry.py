@@ -508,6 +508,7 @@ _ORDER = [
     "emb_dim_energy", "emb_pq_stats", "emb_centroid_drift",
     "sess_stats", "sess_funnel", "sess_daily", "sess_rolling_actives",
     "sess_conversion_lag", "sess_retention_cohorts", "sess_cohort_value",
+    "sess_new_vs_returning", "sess_interarrival_hist",
     "sess_daily_gapfill",
     "sess_event_assoc", "ts_anomaly_dow", "sess_attribution",
     "text_inverted_index", "text_bm25", "text_vocab_oov",
