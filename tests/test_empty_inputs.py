@@ -97,6 +97,21 @@ EMPTY_SAFE = [
     "sess_journey_paths",
     "sql_execute_immediate",
     "u9_udtf_polymorphic",
+    "stat_kruskal_wallis",
+    "stat_correlation",
+    "ts_streaks",
+    "dedup_minhash_bias",
+    "sess_new_vs_returning",
+    "sess_interarrival_hist",
+    "sess_cohort_value",
+    "w15_percent_of_total",
+    "dq_pk_audit",
+    "dq_freshness",
+    "t7_generators",
+    "text_url_canonical",
+    "ts_residual_anomalies",
+    "dedup_containment",
+    "sim_ann_pq_adc",
 ]
 
 
