@@ -145,6 +145,8 @@ BNLJ_BY_DESIGN = {
     "sim_adc_quality",  # 1-row query-vector broadcast onto the exact-distance scan
     "sim_ann_ivfpq",  # 1-row centroid-matrix + 64-entry LUT broadcasts (IVF+PQ)
     "ts_residual_anomalies",  # 1-row median/MAD broadcasts onto the calendar series
+    "stat_kruskal_wallis",  # 1-row rank-sum x 1-row tie-total broadcast join
+    "ts_streaks",  # 1-row global-median broadcast onto the calendar series
 }
 CARTESIAN_BY_DESIGN = {"t5_cross_join"}  # 5 x 25 dims, explicitly cross
 
