@@ -280,6 +280,38 @@ AUDITS = [
         "credit models share two windows over the same per-purchase "
         "partitioning, and the rollup is enum-by-calendar sized.",
     ),
+    (
+        "sim_ann_ivfpq",
+        "IVF-PQ: the centroid matrix and the 64-entry ADC lookup table ride "
+        "in as 1-row broadcasts (never the expression tree); cell assignment "
+        "and PQ encoding are narrow maps over one corpus scan each; the "
+        "probe fence and the codes⋈LUT score are equi-joins — candidates "
+        "outside the probed cells never reach the scorer's aggregate.",
+    ),
+    (
+        "emb_power_iteration",
+        "PCA power iteration: the corpus feeds ONLY the int64 Gram partials "
+        "(mapInPandas matmuls, shuffle keyed on d^2 cells); the iteration is "
+        "single-row array algebra built as withColumn steps, so each round "
+        "references the previous round's COLUMN instead of re-inlining its "
+        "expression tree.",
+    ),
+    (
+        "sim_mmr_rerank",
+        "MMR re-rank: the candidate pool is top-k-bounded before the "
+        "quadratic pairwise stage (k^2, corpus-size-independent); both the "
+        "pool and its pairwise similarities localCheckpoint once and every "
+        "greedy round reuses them — 5 rounds of tiny argmax plans, no "
+        "re-scan.",
+    ),
+    (
+        "dedup_lsh_scurve",
+        "LSH S-curve: the quadratic exact-Jaccard term is fenced to the "
+        "fixed evaluation subset via a shared-shingle inverted-index join "
+        "(pairs sharing zero shingles never materialize); the capture flag "
+        "is a left join against the production candidate generator "
+        "restricted to the same subset.",
+    ),
 ]
 
 
