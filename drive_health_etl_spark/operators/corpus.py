@@ -585,7 +585,73 @@ ORDER BY bucket, pos
 """
 
 
+_N_SHARDS = 16
+
+
+def corpus_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic output sharding + balance audit: every document hashes
+    to one of ``_N_SHARDS`` shards (md5-based, reproducible across runs and
+    engines — the writer layout for a training corpus), and the audit
+    reports per-shard document and byte counts plus each shard's deviation
+    from the ideal 1/N byte share — the skew check run before shipping
+    shards to trainers. All counts exact; the share math rounds 6 dp."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _N_SHARDS
+        ).alias("shard"),
+    )
+    per = docs.groupBy("shard").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_bytes")
+    )
+    tot = per.agg(F.sum("n_bytes").alias("total_bytes"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "shard",
+            "n_docs",
+            "n_bytes",
+            F.round(
+                F.col("n_bytes").cast("double") / F.col("total_bytes").cast("double")
+                - F.lit(1.0 / _N_SHARDS),
+                6,
+            ).alias("share_deviation"),
+        )
+        .orderBy("shard")
+    )
+
+
+CORPUS_SHARD_SQL = f"""
+WITH d AS (
+  SELECT doc_id, n_chars,
+         ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % {_N_SHARDS} AS shard
+  FROM documents
+),
+per AS (
+  SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_bytes
+  FROM d GROUP BY shard
+),
+tot AS (SELECT CAST(SUM(n_bytes) AS BIGINT) AS total_bytes FROM per)
+SELECT shard, n_docs, n_bytes,
+       ROUND(CAST(n_bytes AS DOUBLE) / CAST(total_bytes AS DOUBLE)
+             - {1.0 / _N_SHARDS!r}, 6) AS share_deviation
+FROM per CROSS JOIN tot ORDER BY shard
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "corpus_shard_balance": (corpus_shard_balance, CORPUS_SHARD_SQL),
     "corpus_curriculum_order": (corpus_curriculum_order, CORPUS_CURRICULUM_SQL),
     "corpus_source_overlap": (corpus_source_overlap, _corpus_overlap_sql()),
     "corpus_kl_drift": (corpus_kl_drift, CORPUS_KL_DRIFT_SQL),

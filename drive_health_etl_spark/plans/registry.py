@@ -516,6 +516,7 @@ _ORDER = [
     "corpus_stratified_split", "corpus_importance_sample",
     "corpus_reservoir_per_source",
     "corpus_chunk_windows", "corpus_pack_sequences", "corpus_curriculum_order",
+    "corpus_shard_balance",
     "corpus_span_dedup",
     "text_gopher_rules", "text_repetition", "text_pii_scrub",
     "text_decontaminate", "text_boilerplate", "text_bigram_logprob",

@@ -147,6 +147,7 @@ BNLJ_BY_DESIGN = {
     "ts_residual_anomalies",  # 1-row median/MAD broadcasts onto the calendar series
     "stat_kruskal_wallis",  # 1-row rank-sum x 1-row tie-total broadcast join
     "ts_streaks",  # 1-row global-median broadcast onto the calendar series
+    "corpus_shard_balance",  # 1-row total-bytes broadcast onto the 16-shard audit
 }
 CARTESIAN_BY_DESIGN = {"t5_cross_join"}  # 5 x 25 dims, explicitly cross
 
