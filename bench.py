@@ -1,6 +1,13 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
-on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE compact JSON summary line (<1 KB — the driver's tail capture has a
+fixed budget, and round 2's 100-query inline map exceeded it, truncating the
+artifact to parsed:null). The full per-query map + ANN recall detail is
+written to BENCH_DETAIL.json beside this file; the summary line carries only
+the headline scalars plus a small `queries` map of the top-N slowest queries
+so a round-over-round diff of the hot set stays possible from the driver
+artifact alone.
 
 Each query is forced through the noop sink (full computation, zero
 collect/serialization cost) so timings measure the engine, not the driver.
@@ -49,6 +56,7 @@ HEADLINE = [
     "text_decontaminate",
     "corpus_pack_sequences",
     "multimodal_decode_stats",
+    "multimodal_png_stats",
     "asof_last_purchase",
     "sess_stats",
     "sess_funnel",
@@ -196,20 +204,48 @@ def main() -> None:
         }
         ann_recall[ann] = round(len(got & truth) / len(truth), 3) if truth else 1.0
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "cpus": CPUS,
-                "ingest_rows_per_sec": ingest_rows_per_sec,
-                "ann_recall_at_3": ann_recall,
-            }
-        )
-    )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Full detail → file (unbounded size is fine on disk); compact summary →
+    # stdout (bounded, so the driver's tail capture can never truncate it).
+    detail = {
+        "metric": "headline_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "cpus": CPUS,
+        "ingest_rows_per_sec": ingest_rows_per_sec,
+        "ann_recall_at_3": ann_recall,
+        "ann_production_tier": "sim_ann_lsh_multitable",
+        "ann_tiers": {
+            "sim_ann_lsh": "ablation (single probe, single table)",
+            "sim_ann_lsh_multiprobe": "ablation (multiprobe, single table)",
+            "sim_ann_lsh_multitable": "production (multiprobe, multitable)",
+            "sim_ann_ivf": "production (IVF-flat, trained centroids)",
+        },
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+
+    top = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    summary = {
+        "metric": "headline_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "cpus": CPUS,
+        "n_queries": len(timings),
+        "ingest_rows_per_sec": ingest_rows_per_sec,
+        "recall_at_3": ann_recall.get("sim_ann_lsh_multitable"),
+        "production_ann_tier": "sim_ann_lsh_multitable",
+        "queries": top,
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(summary)
+    assert len(line) < 1024, f"summary line {len(line)}B breaches tail-capture budget"
+    print(line)
 
 
 if __name__ == "__main__":

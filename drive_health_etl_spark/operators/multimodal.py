@@ -6,13 +6,16 @@ resize / frame-sample run as Arrow-batched ``mapInPandas`` so each Python
 worker touches a whole batch of blobs at once — the only viable shape at
 100 TB (per-row UDFs would serialize per blob).
 
-Codec status: NetPBM images (P6/P5, ``_decode_netpbm``) and RIFF/WAVE 8-bit
-PCM audio (``decode_audio``) decode FOR REAL via pure-numpy parsers —
-`multimodal_decode_stats` / `multimodal_audio_stats` oracle-check the
-decoded raster/sample statistics end to end. Compressed formats (PNG/JPEG/
-mp3/ffmpeg media) still raise ``NotImplementedError`` because their codecs
-(PIL/ffmpeg) are not in this container; the deterministic fake remains for
-format-agnostic plumbing tests.
+Codec status: NetPBM images (P6/P5, ``_decode_netpbm``), 8-bit gray/RGB
+non-interlaced PNG (``_decode_png`` — stdlib zlib inflate + the five RFC
+2083 scanline filters, CRC-verified chunks, with ``encode_png`` as its
+round-trip twin), and RIFF/WAVE 8-bit PCM audio (``decode_audio``) decode
+FOR REAL via pure-python/numpy parsers — `multimodal_decode_stats` /
+`multimodal_png_stats` / `multimodal_audio_stats` oracle-check the decoded
+raster/sample statistics end to end. JPEG/mp3/ffmpeg media still raise
+``NotImplementedError`` because their codecs (DCT/Huffman, PIL/ffmpeg) are
+not in this container; the deterministic fake remains for format-agnostic
+plumbing tests.
 """
 
 from __future__ import annotations
@@ -71,10 +74,12 @@ def decode_image(blob: bytes, *, fake: bool = False) -> np.ndarray:
     magic = blob[:2]
     if magic in (b"P6", b"P5"):
         return _decode_netpbm(blob)
+    if blob[:8] == _PNG_SIG:
+        return _decode_png(blob)
     raise NotImplementedError(
-        f"no pure-numpy codec for magic {magic!r} (PNG/JPEG need PIL/cv2, "
-        "not available in this container); P5/P6 NetPBM decode natively, or "
-        "pass fake=True for the deterministic test double"
+        f"no pure-python codec for magic {magic!r} (JPEG/mp3 need PIL/ffmpeg, "
+        "not available in this container); P5/P6 NetPBM and 8-bit gray/RGB "
+        "PNG decode natively, or pass fake=True for the deterministic test double"
     )
 
 
@@ -100,6 +105,158 @@ def _decode_netpbm(blob: bytes) -> np.ndarray:
     channels = 3 if blob[:2] == b"P6" else 1
     raster = np.frombuffer(blob, dtype=np.uint8, count=w * h * channels, offset=pos)
     return raster.reshape(h, w, 3) if channels == 3 else raster.reshape(h, w)
+
+
+# --- PNG codec: stdlib zlib + pure-python filters ---------------------------
+#
+# PNG is DEFLATE (zlib, in the container's stdlib) around per-scanline byte
+# filters — no PIL needed for the 8-bit gray (color type 0) / RGB (type 2)
+# non-interlaced subset, which is what camera pipelines and dataset dumps
+# overwhelmingly emit. JPEG/mp3 stay honestly refused (DCT/Huffman codecs
+# genuinely need PIL/ffmpeg).
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6): closest of left/up/up-left to
+    the linear estimate a + b - c, ties preferring a, then b, then c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _unfilter_scanline(ftype: int, cur: bytearray, prev: bytes, bpp: int) -> None:
+    """Undo one scanline filter in place (filters 0-4: None/Sub/Up/Avg/Paeth)."""
+    n = len(cur)
+    if ftype == 0:
+        return
+    if ftype == 1:  # Sub
+        for i in range(bpp, n):
+            cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+    elif ftype == 2:  # Up
+        for i in range(n):
+            cur[i] = (cur[i] + prev[i]) & 0xFF
+    elif ftype == 3:  # Average
+        for i in range(n):
+            a = cur[i - bpp] if i >= bpp else 0
+            cur[i] = (cur[i] + ((a + prev[i]) >> 1)) & 0xFF
+    elif ftype == 4:  # Paeth
+        for i in range(n):
+            a = cur[i - bpp] if i >= bpp else 0
+            c = prev[i - bpp] if i >= bpp else 0
+            cur[i] = (cur[i] + _paeth(a, prev[i], c)) & 0xFF
+    else:
+        raise NotImplementedError(f"PNG filter type {ftype} is not in RFC 2083")
+
+
+def _decode_png(blob: bytes) -> np.ndarray:
+    """REAL PNG decode: walk the chunk stream (CRC-verified), zlib-inflate
+    the concatenated IDAT payload, undo the per-scanline filters. Supports
+    bit depth 8, color types 0 (gray -> (h, w)) and 2 (RGB -> (h, w, 3)),
+    non-interlaced — the standard subset stdlib zlib can reach; palette/
+    alpha/16-bit/Adam7 raise rather than mis-decode."""
+    import struct
+    import zlib
+
+    pos, w = len(_PNG_SIG), 0
+    h = bit_depth = color_type = interlace = 0
+    idat = b""
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack(">I", blob[pos : pos + 4])
+        ctype = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", blob[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            w, h, bit_depth, color_type, _, _, interlace = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if bit_depth != 8 or color_type not in (0, 2) or interlace != 0:
+        raise NotImplementedError(
+            f"PNG depth={bit_depth} color_type={color_type} interlace={interlace}: "
+            "only 8-bit gray/RGB non-interlaced decodes without PIL"
+        )
+    bpp = 3 if color_type == 2 else 1
+    stride = w * bpp
+    raw = zlib.decompress(idat)
+    if len(raw) != h * (stride + 1):
+        raise ValueError(f"PNG raster length {len(raw)} != {h}*({stride}+1)")
+    out = np.empty(h * stride, dtype=np.uint8)
+    prev = bytes(stride)
+    for r in range(h):
+        row = raw[r * (stride + 1) : (r + 1) * (stride + 1)]
+        cur = bytearray(row[1:])
+        _unfilter_scanline(row[0], cur, prev, bpp)
+        out[r * stride : (r + 1) * stride] = np.frombuffer(bytes(cur), dtype=np.uint8)
+        prev = bytes(cur)
+    return out.reshape(h, w, 3) if color_type == 2 else out.reshape(h, w)
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """REAL PNG encode (the decoder's round-trip twin): per-scanline filter
+    type = row % 5, so every filter path (None/Sub/Up/Average/Paeth) is
+    exercised on any image taller than 4 rows; zlib level 6; CRC'd chunks."""
+    import struct
+    import zlib
+
+    if img.ndim == 3:
+        h, w, ch = img.shape
+        color_type, bpp = 2, 3
+        assert ch == 3, "encode_png takes (h,w) gray or (h,w,3) RGB"
+    else:
+        h, w = img.shape
+        color_type, bpp = 0, 1
+    flat = img.astype(np.uint8).reshape(h, w * bpp)
+    lines = []
+    prev = bytes(w * bpp)
+    for r in range(h):
+        cur = bytes(flat[r])
+        f = r % 5
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = bytes((cur[i] - (cur[i - bpp] if i >= bpp else 0)) & 0xFF for i in range(len(cur)))
+        elif f == 2:
+            filt = bytes((cur[i] - prev[i]) & 0xFF for i in range(len(cur)))
+        elif f == 3:
+            filt = bytes(
+                (cur[i] - (((cur[i - bpp] if i >= bpp else 0) + prev[i]) >> 1)) & 0xFF
+                for i in range(len(cur))
+            )
+        else:
+            filt = bytes(
+                (
+                    cur[i]
+                    - _paeth(
+                        cur[i - bpp] if i >= bpp else 0,
+                        prev[i],
+                        prev[i - bpp] if i >= bpp else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(len(cur))
+            )
+        lines.append(bytes([f]) + filt)
+        prev = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines), 6)
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 
 
 def extract_features(media: DataFrame, frame_stride: int = 64, fake_decode: bool = True) -> DataFrame:
@@ -252,6 +409,67 @@ SELECT doc_id, ANY_VALUE(w) AS width, ANY_VALUE(h) AS height,
        ROUND(AVG(CASE WHEN ch = 2 THEN v END), 6) AS mean_b
 FROM px GROUP BY doc_id
 """
+
+
+def attach_png_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL compressed-image table: the same deterministic raster rule as
+    `attach_ppm_images` (text bytes rpad-repeated to w*h*3), but encoded as
+    genuine zlib-compressed PNGs (`encode_png`, filter type cycling 0-4 per
+    scanline) inside mapInPandas. The blobs pass any standards-compliant
+    PNG reader — this is real compressed media, not a container trick."""
+    base = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    raster = base.select(
+        "doc_id",
+        (F.col("doc_id") % 16 + 4).cast("int").alias("w"),
+        (F.col("doc_id") % 12 + 4).cast("int").alias("h"),
+        F.expr(
+            "encode(rpad(text || ' ', CAST((doc_id % 16 + 4) * (doc_id % 12 + 4) * 3 AS INT), "
+            "text || ' '), 'utf-8')"
+        ).alias("raw"),
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for w, h, raw in zip(pdf["w"], pdf["h"], pdf["raw"]):
+                img = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(int(h), int(w), 3)
+                blobs.append(encode_png(img))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
+
+    return raster.mapInPandas(op, schema="doc_id long, content binary")
+
+
+def multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip every PNG blob through the REAL codec (zlib inflate +
+    filter reconstruction, CRC-verified) and emit per-image dimensions and
+    exact per-channel means. The oracle recomputes the stats from the
+    raster construction rule — so a bug anywhere in the DEFLATE plumbing,
+    any of the 5 filter transforms, or the chunk walk breaks the hash
+    match. Covers the compressed-media decode path end to end."""
+    media = attach_png_images(spark, sf_dir)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "mean_r": [], "mean_g": [], "mean_b": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                img = decode_image(bytes(blob))  # REAL zlib/filter decode
+                h, w, _ = img.shape
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(int(w))
+                out["height"].append(int(h))
+                px = img.astype("float64")
+                out["mean_r"].append(round(float(px[:, :, 0].mean()), 6))
+                out["mean_g"].append(round(float(px[:, :, 1].mean()), 6))
+                out["mean_b"].append(round(float(px[:, :, 2].mean()), 6))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        op, schema="doc_id long, width int, height int, mean_r double, mean_g double, mean_b double"
+    )
+
+
+# Same raster rule as the PPM oracle: the PNG round-trip must reproduce it.
+MULTIMODAL_PNG_SQL = MULTIMODAL_DECODE_SQL
 
 
 # --- Real-decode path: deterministic WAV corpus -----------------------------
@@ -855,6 +1073,7 @@ QUERIES: dict[str, tuple] = {
     "multimodal_audio_match": (multimodal_audio_match, MULTIMODAL_AUDIO_MATCH_SQL),
     "multimodal_video_scenecut": (multimodal_video_scenecut, MULTIMODAL_SCENECUT_SQL),
     "multimodal_decode_stats": (multimodal_decode_stats, MULTIMODAL_DECODE_SQL),
+    "multimodal_png_stats": (multimodal_png_stats, MULTIMODAL_PNG_SQL),
     "multimodal_audio_stats": (multimodal_audio_stats, MULTIMODAL_AUDIO_SQL),
     "multimodal_video_stats": (multimodal_video_stats, MULTIMODAL_VIDEO_SQL),
     "multimodal_resize_stats": (multimodal_resize_stats, MULTIMODAL_RESIZE_SQL),

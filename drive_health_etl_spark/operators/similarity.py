@@ -656,34 +656,13 @@ FROM embeddings
 PQ_M = 4  # subspaces
 PQ_SUB = EMB_DIM // PQ_M  # dims per subspace
 PQ_K = 16  # codewords per subspace -> 4 bits/subspace, 2 bytes/vector
+PQ_ROUNDS = 2  # Lloyd iterations per subspace codebook
 
 
-def emb_pq_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product quantization: split each 64-d vector into 4 x 16-d
-    subvectors, encode each against a 16-entry per-subspace codebook
-    (argmin squared L2, ties to the lowest code), and report per-subspace
-    reconstruction MSE and codebook utilization. 2 bytes/vector vs 64
-    bytes int8 — the memory tier below int8 for billion-vector ANN, and
-    the code layout IVF-PQ search operates on.
-
-    Codebooks here are the first PQ_K subvectors (deterministic;
-    ``kmeans_centroids`` is the drop-in trained upgrade — same literal-
-    broadcast scoring shape). Encoding is a narrow map: ONE broadcast
-    1-row codebook join, argmin via array_min over (dist, code) structs
-    (linear in PQ_K — the when/otherwise fold trap from the k-means work
-    applies here too). Distances use the dot-product expansion
-    |s|^2 - 2<s,c> + |c|^2 with every term evaluated as the same
-    left-to-right fold in both engines, so code choice and MSE are
-    bit-identical to the oracle."""
+def _pqmat_schema():
     import pyspark.sql.types as T
 
-    emb = (
-        load_table(spark, sf_dir, "embeddings")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
-    )
-    cb_rows = emb.filter(F.col("vec_id") < PQ_K).select("vec_id", "e").collect()
-    schema = T.StructType(
+    return T.StructType(
         [
             T.StructField(
                 "pqmat",
@@ -698,13 +677,172 @@ def emb_pq_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ]
     )
+
+
+def _pq_cb_df(spark: SparkSession, cbs: list[tuple[int, int, list[float]]], m: int) -> DataFrame:
+    """Subspace ``m``'s trained codebook as the 1-row broadcast pqmat frame
+    the encode/LUT lambdas consume (codes ascending for deterministic ties)."""
+    cb = [{"code": c, "cv": cv} for (mm, c, cv) in cbs if mm == m]
+    return spark.createDataFrame([(cb,)], _pqmat_schema())
+
+
+def pq_codebooks(emb: DataFrame, rounds: int = PQ_ROUNDS) -> list[tuple[int, int, list[float]]]:
+    """Per-subspace Lloyd k-means PQ codebooks — the trained replacement for
+    the round-2 first-``PQ_K``-subvectors stand-in. Deterministic seeding
+    (init = the first ``PQ_K`` vectors' subvectors by vec_id), then
+    ``rounds`` iterations of squared-L2 argmin assignment (ties to the
+    lowest code — array_min over (dist, code) structs, the audited fold) and
+    a decimal-exact per-dimension mean update. All ``PQ_M`` subspaces train
+    in ONE pass per round: subvectors posexplode to (vec_id, m, sv), the
+    full codebook rides as a single 1-row broadcast, and the update is one
+    map-side-combinable (m, code, d) aggregate — PQ_M*PQ_K*PQ_SUB = 1024
+    keys per round regardless of corpus size. Driver state is the 4x16x16
+    codebook matrix, the same bounded collect MLlib KMeans performs.
+
+    Cross-engine determinism: per-dim sums via DECIMAL(28,12) (exact,
+    order-independent) before the double division, so the oracle's unrolled
+    ``_pq_kmeans_sql_ctes`` reproduce every codebook bit-for-bit; empty
+    codes drop out in both engines alike."""
+    import pyspark.sql.types as T
+
+    from drive_health_etl_spark.session import shuffle_partitions
+
+    spark = emb.sparkSession
+    sub = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.slice("e", m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)])
+        ).alias("m", "sv"),
+    )
+    init = emb.filter(F.col("vec_id") < PQ_K).select("vec_id", "e").collect()
+    cbs = [
+        (m, int(r["vec_id"]), list(r["e"])[m * PQ_SUB : (m + 1) * PQ_SUB])
+        for m in range(PQ_M)
+        for r in sorted(init, key=lambda r: r["vec_id"])
+    ]
+    all_schema = T.StructType(
+        [
+            T.StructField(
+                "pqall",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("m", T.IntegerType()),
+                            T.StructField("code", T.IntegerType()),
+                            T.StructField("cv", T.ArrayType(T.DoubleType())),
+                        ]
+                    )
+                ),
+            )
+        ]
+    )
+    with shuffle_partitions(spark, 8):
+        for _ in range(rounds):
+            cb_df = spark.createDataFrame(
+                [([{"m": m, "code": c, "cv": cv} for m, c, cv in cbs],)], all_schema
+            )
+            best = F.array_min(
+                F.transform(
+                    F.filter(F.col("pqall"), lambda c: c["m"] == F.col("m")),
+                    lambda c: F.struct(
+                        (
+                            F.col("svv")
+                            - F.lit(2.0) * _dot(F.col("sv"), c["cv"])
+                            + _dot(c["cv"], c["cv"])
+                        ).alias("d"),
+                        c["code"].alias("code"),
+                    ),
+                )
+            )
+            assigned = (
+                sub.join(F.broadcast(cb_df))
+                .withColumn("svv", _dot(F.col("sv"), F.col("sv")))
+                .select("m", best["code"].alias("code"), "sv")
+            )
+            sums = (
+                assigned.select("m", "code", F.posexplode("sv").alias("d", "v"))
+                .groupBy("m", "code", "d")
+                .agg(
+                    F.sum(F.col("v").cast("decimal(28,12)")).cast("double").alias("s"),
+                    F.count("*").alias("n"),
+                )
+            )
+            by_key: dict[tuple[int, int], list[float]] = {}
+            for r in sums.collect():
+                by_key.setdefault((r["m"], r["code"]), [0.0] * PQ_SUB)[r["d"]] = r["s"] / r["n"]
+            cbs = [(m, c, v) for (m, c), v in sorted(by_key.items())]
+    return cbs
+
+
+# Trained codebooks per (session, sf_dir): the fit is deterministic, so the
+# three PQ consumers (emb_pq_stats, sim_ann_pq_adc/_adc_distances,
+# sim_ann_ivfpq) and repeated bench/sweep calls share ONE Lloyd run — the
+# same pattern as _CENTROID_CACHE.
+_PQ_CB_CACHE: dict[tuple[str, str], list[tuple[int, int, list[float]]]] = {}
+
+
+def _pq_codebooks_cached(spark: SparkSession, sf_dir: str, emb: DataFrame) -> list[tuple[int, int, list[float]]]:
+    ckey = (spark.sparkContext.applicationId, sf_dir)
+    cbs = _PQ_CB_CACHE.get(ckey)
+    if cbs is None:
+        cbs = pq_codebooks(emb)
+        _PQ_CB_CACHE[ckey] = cbs
+    return cbs
+
+
+def _pq_kmeans_sql_ctes(rounds: int = PQ_ROUNDS) -> str:
+    """Unrolled per-subspace Lloyd iterations mirroring pq_codebooks exactly;
+    expects a ``sub(vec_id, m, sv)`` CTE in scope, emits ``cb(m, code, cv)``."""
+    parts = [f"pcb0 AS (SELECT m, vec_id AS code, sv AS cv FROM sub WHERE vec_id < {PQ_K})"]
+    for r in range(rounds):
+        parts.append(
+            f"""passign{r} AS (
+  SELECT m, code, sv FROM (
+    SELECT s.m, s.sv, c.code,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+             ORDER BY list_dot_product(s.sv, s.sv) - 2*list_dot_product(s.sv, c.cv)
+                      + list_dot_product(c.cv, c.cv) ASC, c.code ASC) AS rn
+    FROM sub s JOIN pcb{r} c ON c.m = s.m
+  ) WHERE rn = 1
+)"""
+        )
+        dims = ",\n    ".join(
+            f"CAST(SUM(CAST(sv[{d + 1}] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)"
+            for d in range(PQ_SUB)
+        )
+        parts.append(
+            f"pcb{r + 1} AS (\n  SELECT m, code, [{dims}] AS cv\n  FROM passign{r} GROUP BY m, code\n)"
+        )
+    parts.append(f"cb AS (SELECT m, code, cv FROM pcb{rounds})")
+    return ",\n".join(parts)
+
+
+def emb_pq_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: split each 64-d vector into 4 x 16-d
+    subvectors, encode each against a 16-entry per-subspace codebook
+    (argmin squared L2, ties to the lowest code), and report per-subspace
+    reconstruction MSE and codebook utilization. 2 bytes/vector vs 64
+    bytes int8 — the memory tier below int8 for billion-vector ANN, and
+    the code layout IVF-PQ search operates on.
+
+    Codebooks are per-subspace-TRAINED via ``pq_codebooks`` (Lloyd k-means,
+    deterministic seed, shared through ``_PQ_CB_CACHE`` with the ADC/IVF-PQ
+    consumers). Encoding is a narrow map: ONE broadcast 1-row codebook
+    join, argmin via array_min over (dist, code) structs (linear in PQ_K —
+    the when/otherwise fold trap from the k-means work applies here too).
+    Distances use the dot-product expansion |s|^2 - 2<s,c> + |c|^2 with
+    every term evaluated as the same left-to-right fold in both engines, so
+    code choice and MSE are bit-identical to the oracle (which retrains the
+    identical codebooks via ``_pq_kmeans_sql_ctes``)."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    )
+    cbs = _pq_codebooks_cached(spark, sf_dir, emb)
     parts = []
     for m in range(PQ_M):
-        cb = [
-            {"code": int(r["vec_id"]), "cv": list(r["e"])[m * PQ_SUB : (m + 1) * PQ_SUB]}
-            for r in sorted(cb_rows, key=lambda r: r["vec_id"])
-        ]
-        cb_df = spark.createDataFrame([(cb,)], schema)
+        cb_df = _pq_cb_df(spark, cbs, m)
         # SELECT the subvector and its self-dot into columns BEFORE the
         # per-codeword lambda: a derived expression referenced inside
         # transform() is inlined per element (16x the fold, and 16x the
@@ -754,7 +892,7 @@ sub AS (
   SELECT vec_id, m, emb[(m*{PQ_SUB}+1):((m+1)*{PQ_SUB})] AS sv
   FROM e CROSS JOIN (SELECT unnest(range({PQ_M})) AS m)
 ),
-cb AS (SELECT vec_id AS code, m, sv AS cv FROM sub WHERE vec_id < {PQ_K}),
+{_pq_kmeans_sql_ctes()},
 assigned AS (
   SELECT vec_id, m, sq, code FROM (
     SELECT s.vec_id, s.m, c.code,
@@ -790,9 +928,8 @@ def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     (never driver-side floats); per-candidate sums are decimal-cast and
     the output distance rounds 6 dp. Scale: encode is a narrow map; the
     score join is (n x PQ_M) rows against a broadcast 64-entry LUT with a
-    map-side-combinable sum."""
-    import pyspark.sql.types as T
-
+    map-side-combinable sum. Codebooks are per-subspace-trained
+    (``pq_codebooks``, shared via ``_PQ_CB_CACHE``)."""
     emb = (
         load_table(spark, sf_dir, "embeddings")
         .repartition(spark.sparkContext.defaultParallelism)
@@ -800,30 +937,11 @@ def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qid = emb.agg(F.max("vec_id")).collect()[0][0]  # driver-side id only
     q = emb.filter(F.col("vec_id") == qid).select(F.col("e").alias("qe"))
-    cb_rows = emb.filter(F.col("vec_id") < PQ_K).select("vec_id", "e").collect()
-    schema = T.StructType(
-        [
-            T.StructField(
-                "pqmat",
-                T.ArrayType(
-                    T.StructType(
-                        [
-                            T.StructField("code", T.IntegerType()),
-                            T.StructField("cv", T.ArrayType(T.DoubleType())),
-                        ]
-                    )
-                ),
-            )
-        ]
-    )
+    cbs = _pq_codebooks_cached(spark, sf_dir, emb)
     code_parts = []
     lut_parts = []
     for m in range(PQ_M):
-        cb = [
-            {"code": int(r["vec_id"]), "cv": list(r["e"])[m * PQ_SUB : (m + 1) * PQ_SUB]}
-            for r in sorted(cb_rows, key=lambda r: r["vec_id"])
-        ]
-        cb_df = spark.createDataFrame([(cb,)], schema)
+        cb_df = _pq_cb_df(spark, cbs, m)
         base = (
             emb.filter(F.col("vec_id") != qid)
             .join(F.broadcast(cb_df))
@@ -900,7 +1018,7 @@ sub AS (
   SELECT vec_id, m, emb[(m*{PQ_SUB}+1):((m+1)*{PQ_SUB})] AS sv
   FROM e CROSS JOIN (SELECT unnest(range({PQ_M})) AS m)
 ),
-cb AS (SELECT vec_id AS code, m, sv AS cv FROM sub WHERE vec_id < {PQ_K}),
+{_pq_kmeans_sql_ctes()},
 codes AS (
   SELECT vec_id, m, code FROM (
     SELECT s.vec_id, s.m, c.code,
@@ -1022,32 +1140,11 @@ def _adc_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
     )
     qid = emb.agg(F.max("vec_id")).collect()[0][0]
-    import pyspark.sql.types as T
-
     q = emb.filter(F.col("vec_id") == qid).select(F.col("e").alias("qe"))
-    cb_rows = emb.filter(F.col("vec_id") < PQ_K).select("vec_id", "e").collect()
-    schema = T.StructType(
-        [
-            T.StructField(
-                "pqmat",
-                T.ArrayType(
-                    T.StructType(
-                        [
-                            T.StructField("code", T.IntegerType()),
-                            T.StructField("cv", T.ArrayType(T.DoubleType())),
-                        ]
-                    )
-                ),
-            )
-        ]
-    )
+    cbs = _pq_codebooks_cached(spark, sf_dir, emb)
     code_parts, lut_parts = [], []
     for m in range(PQ_M):
-        cb = [
-            {"code": int(r["vec_id"]), "cv": list(r["e"])[m * PQ_SUB : (m + 1) * PQ_SUB]}
-            for r in sorted(cb_rows, key=lambda r: r["vec_id"])
-        ]
-        cb_df = spark.createDataFrame([(cb,)], schema)
+        cb_df = _pq_cb_df(spark, cbs, m)
         base = (
             emb.filter(F.col("vec_id") != qid)
             .join(F.broadcast(cb_df))
@@ -1142,7 +1239,7 @@ sub AS (
   SELECT vec_id, m, emb[(m*{PQ_SUB}+1):((m+1)*{PQ_SUB})] AS sv
   FROM e CROSS JOIN (SELECT unnest(range({PQ_M})) AS m)
 ),
-cb AS (SELECT vec_id AS code, m, sv AS cv FROM sub WHERE vec_id < {PQ_K}),
+{_pq_kmeans_sql_ctes()},
 codes AS (
   SELECT vec_id, m, code FROM (
     SELECT s.vec_id, s.m, c.code,

@@ -1,0 +1,47 @@
+"""Physical-plan fingerprints: the join-strategy / shuffle-count signature of
+a query, cheap enough to compute at bench time and stable enough to pin in a
+regression test. A silently demoted broadcast (BroadcastHashJoin ->
+SortMergeJoin after a threshold change) or a new shuffle shows up as a
+fingerprint diff and fails loudly — not as an unexplained timing blip
+(VERDICT r2 item 7).
+
+The fingerprint counts marker substrings in the executed-plan string (the
+AQE initial plan when adaptive is on — deterministic for a fixed Spark
+version and query, which is exactly what a regression guard needs).
+"""
+
+from __future__ import annotations
+
+# Shuffle exchanges are counted separately from broadcast exchanges: the
+# former are the scale-relevant events, the latter are the cheap dim ships.
+_SHUFFLE_MARKS = (
+    "Exchange hashpartitioning",
+    "Exchange rangepartitioning",
+    "Exchange SinglePartition",
+    "Exchange RoundRobinPartitioning",
+)
+_JOIN_MARKS = (
+    "BroadcastHashJoin",
+    "SortMergeJoin",
+    "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin",
+    "CartesianProduct",
+)
+
+
+def plan_fingerprint(df) -> dict[str, int]:
+    """Counts of shuffle exchanges, broadcast exchanges, and each join
+    strategy in ``df``'s physical plan (zero-count keys omitted)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    fp: dict[str, int] = {}
+    shuffles = sum(plan.count(m) for m in _SHUFFLE_MARKS)
+    if shuffles:
+        fp["shuffle_exchange"] = shuffles
+    n = plan.count("BroadcastExchange")
+    if n:
+        fp["broadcast_exchange"] = n
+    for m in _JOIN_MARKS:
+        n = plan.count(m)
+        if n:
+            fp[m] = n
+    return fp

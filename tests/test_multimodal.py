@@ -174,3 +174,61 @@ def test_dhash_empty_cells_are_zero_bits():
     img = np.random.default_rng(7).integers(0, 255, (4, 4, 3), dtype=np.uint8)
     bands = _dhash_bands(img)
     assert len(bands) == 4 and all(0 <= b <= 0xFFFF for b in bands)
+
+
+def test_png_filter_vectors_match_rfc2083():
+    """Hand-computed RFC 2083 filter vectors (not a round-trip, which a
+    symmetric encode/decode bug would pass): Sub, Up, Average, and Paeth
+    scanlines computed on paper, asserted against both directions."""
+    from drive_health_etl_spark.operators.multimodal import (
+        _paeth,
+        _unfilter_scanline,
+    )
+
+    # Paeth predictor picks: a=0,b=100,c=0 -> 100; a=110,b=50,c=100 -> 50;
+    # a=60,b=200,c=50 -> 200 (all worked by hand from the RFC definition)
+    assert _paeth(0, 100, 0) == 100
+    assert _paeth(110, 50, 100) == 50
+    assert _paeth(60, 200, 50) == 200
+    # Sub, bpp=1: raw [1,2,3] -> filtered [1,1,1]
+    cur = bytearray([1, 1, 1])
+    _unfilter_scanline(1, cur, bytes(3), 1)
+    assert bytes(cur) == bytes([1, 2, 3])
+    # Up: raw [5,6,7] over prev [1,2,3] -> filtered [4,4,4]
+    cur = bytearray([4, 4, 4])
+    _unfilter_scanline(2, cur, bytes([1, 2, 3]), 1)
+    assert bytes(cur) == bytes([5, 6, 7])
+    # Average: raw [10,20,30] over prev [4,8,12] -> filtered [8,11,14]
+    cur = bytearray([8, 11, 14])
+    _unfilter_scanline(3, cur, bytes([4, 8, 12]), 1)
+    assert bytes(cur) == bytes([10, 20, 30])
+    # Paeth: raw [110,60,190] over prev [100,50,200] -> filtered [10,10,246]
+    cur = bytearray([10, 10, 246])
+    _unfilter_scanline(4, cur, bytes([100, 50, 200]), 1)
+    assert bytes(cur) == bytes([110, 60, 190])
+
+
+def test_png_roundtrip_real_codec():
+    """encode_png -> decode_image recovers every pixel for RGB and gray,
+    across sizes that exercise all 5 filter types and edge rows/cols."""
+    import numpy as np
+
+    from drive_health_etl_spark.operators.multimodal import decode_image, encode_png
+
+    rng = np.random.default_rng(11)
+    for shape in [(4, 19, 3), (15, 4, 3), (8, 8), (1, 1, 3), (6, 1)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        out = decode_image(bytes(encode_png(img)))
+        assert out.shape == img.shape and (out == img).all()
+
+
+def test_png_corrupt_crc_refused():
+    import numpy as np
+    import pytest
+
+    from drive_health_etl_spark.operators.multimodal import decode_image, encode_png
+
+    blob = bytearray(encode_png(np.zeros((4, 4, 3), dtype=np.uint8)))
+    blob[40] ^= 0xFF  # flip a byte inside a chunk payload
+    with pytest.raises(ValueError, match="CRC"):
+        decode_image(bytes(blob))

@@ -206,3 +206,110 @@ def test_constant_folded_sampling_fast_path(spark, sf_dir):
     # rate>=1 folds to lit(True): no sha2 in the optimized plan
     plan = _optimized(e.filter(should_sample(F.col("event_id").cast("string"), 1.0)))
     assert "sha2" not in plan
+
+
+# --- Bench-plan fingerprint guard (VERDICT r2 item 7) -----------------------
+#
+# The join-strategy / shuffle-count signature of the top-20 most expensive
+# bench queries, pinned so a silently demoted broadcast or a new shuffle
+# fails THIS test loudly instead of surfacing as an unexplained timing blip.
+# Queries whose fingerprint is {} return a DataFrame built from checkpointed/
+# collected iterative state (pagerank, BPE, lake reads) — their expensive
+# work happens during construction and the trivial final plan is itself the
+# pinned property. Regenerate expected values with
+# tools/plan_fingerprints.py after an INTENTIONAL plan change.
+BENCH_PLAN_FINGERPRINTS = {
+    "graph_pagerank": {},
+    "sim_ann_ivfpq": {
+        "shuffle_exchange": 12,
+        "broadcast_exchange": 12,
+        "BroadcastHashJoin": 2,
+        "SortMergeJoin": 1,
+        "BroadcastNestedLoopJoin": 10,
+    },
+    "sim_ann_pq_adc": {
+        "shuffle_exchange": 9,
+        "broadcast_exchange": 9,
+        "BroadcastHashJoin": 1,
+        "BroadcastNestedLoopJoin": 8,
+    },
+    "emb_pq_stats": {
+        "shuffle_exchange": 6,
+        "broadcast_exchange": 4,
+        "BroadcastNestedLoopJoin": 4,
+    },
+    "text_bpe_train": {},
+    "layout_hilbert_stats": {"shuffle_exchange": 2},
+    "basket_part_pairs": {
+        "shuffle_exchange": 3,
+        "broadcast_exchange": 1,
+        "BroadcastHashJoin": 1,
+    },
+    "pipeline_ingest_e2e": {"shuffle_exchange": 4},
+    "corpus_source_overlap": {
+        "shuffle_exchange": 11,
+        "broadcast_exchange": 3,
+        "BroadcastHashJoin": 3,
+    },
+    "j5b_binned_range_join": {
+        "shuffle_exchange": 2,
+        "broadcast_exchange": 1,
+        "BroadcastHashJoin": 1,
+    },
+    "sql_recursive_cte": {"shuffle_exchange": 1},
+    "sdp_daily_rollup": {},
+    "lake_merge": {},
+    "sim_mmr_rerank": {"shuffle_exchange": 1},
+    "sketch_cms_estimate": {
+        "shuffle_exchange": 2,
+        "broadcast_exchange": 1,
+        "BroadcastHashJoin": 1,
+    },
+    "retrieval_eval_ndcg": {
+        "shuffle_exchange": 7,
+        "broadcast_exchange": 6,
+        "BroadcastHashJoin": 3,
+        "BroadcastNestedLoopJoin": 3,
+    },
+    "dedup_keep_best": {
+        "shuffle_exchange": 3,
+        "broadcast_exchange": 1,
+        "BroadcastHashJoin": 1,
+    },
+    "text_keyphrases_rake": {
+        "shuffle_exchange": 4,
+        "broadcast_exchange": 1,
+        "BroadcastHashJoin": 1,
+    },
+    "graph_label_propagation": {},
+    "j7_bloom_prefilter_join": {
+        "shuffle_exchange": 4,
+        "broadcast_exchange": 3,
+        "BroadcastHashJoin": 2,
+        "BroadcastNestedLoopJoin": 1,
+    },
+    "dedup_lsh_scurve": {
+        "shuffle_exchange": 21,
+        "broadcast_exchange": 4,
+        "BroadcastHashJoin": 4,
+    },
+}
+
+
+@pytest.mark.parametrize("name", sorted(BENCH_PLAN_FINGERPRINTS))
+def test_bench_plan_fingerprints(spark, sf_dir, name):
+    from drive_health_etl_spark.plans.fingerprint import plan_fingerprint
+
+    # Fingerprint the STEADY-STATE plan: execute once first so shared
+    # persisted subtrees are materialized (Spark's global CacheManager keys
+    # on plan equality, so an un-materialized vs materialized cache entry
+    # yields different plan strings — observed 13 vs 21 shuffles for
+    # dedup_lsh_scurve depending on test order). After one execution the
+    # plan is the same whichever tests ran before, and it is the plan the
+    # bench's min-of-two timing actually measures.
+    REGISTRY[name][0](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    got = plan_fingerprint(REGISTRY[name][0](spark, sf_dir))
+    assert got == BENCH_PLAN_FINGERPRINTS[name], (
+        f"{name}: physical plan changed (expected {BENCH_PLAN_FINGERPRINTS[name]}, "
+        f"got {got}). If intentional, regenerate via tools/plan_fingerprints.py"
+    )
