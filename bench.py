@@ -57,6 +57,7 @@ HEADLINE = [
     "corpus_pack_sequences",
     "multimodal_decode_stats",
     "multimodal_png_stats",
+    "multimodal_jpeg_stats",
     "asof_last_purchase",
     "sess_stats",
     "sess_funnel",

@@ -1,0 +1,425 @@
+"""Baseline JPEG (JFIF, SOF0) codec in pure numpy + stdlib — no PIL/ffmpeg.
+
+Closes the compressed-image coverage hole left after PNG (multimodal.py):
+JPEG is THE wire format for real-world photo corpora, and a 100 TB
+multimodal pipeline must at least decode baseline JFIF. This implements the
+full baseline pipeline:
+
+  decode: marker walk -> DQT/DHT/SOF0/SOS parse -> entropy decode (Huffman,
+  byte unstuffing, DC prediction, AC run-length/ZRL/EOB) -> dezigzag ->
+  dequantize -> 8x8 IDCT -> level shift -> (YCbCr -> RGB for 3-component)
+
+  encode: (RGB -> YCbCr) -> 8x8 block DCT -> quantize -> zigzag -> DC-diff/
+  AC run-length symbols -> Huffman -> stuffed bitstream, with the tables
+  EMBEDDED in DQT/DHT segments.
+
+Table strategy: JPEG carries its quantization AND Huffman tables in the
+file, so the encoder uses deterministic custom tables — a frequency-ramp
+quant table and fixed-length canonical Huffman codes (counts vector with
+all codes at one length; spec-legal, just less compressed than Annex K's) —
+while the decoder is fully general and reads whatever tables the stream
+declares. This keeps every byte reproducible without transcribing Annex K.
+
+Supported subset: baseline sequential (SOF0), 8-bit, 1 or 3 components,
+4:4:4 sampling, no restart intervals. Progressive (SOF2), subsampled, or
+arithmetic-coded streams raise NotImplementedError honestly.
+
+Correctness evidence (tests/test_multimodal.py): the DCT matrix is checked
+against a direct O(n^4) transcription of the DCT-II definition, Huffman
+round-trips are checked at the bitstream level, constant blocks decode
+within +/-1, and random-image round-trips meet the quantization error
+bound. Lossiness is why the Spark-level oracle (multimodal_jpeg_stats)
+asserts dims exactly and reconstruction error as a boolean bound rather
+than exact channel means (the PNG/NetPBM queries cover exact-decode).
+
+Reference behavior parity: the reference ETL (see SURVEY.md §2 multimodal
+north-star) treats media as opaque blobs; this codec makes the decode stage
+real for the dominant compressed format.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --- 8x8 DCT ----------------------------------------------------------------
+
+_DCT_N = 8
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal DCT-II matrix C: (C @ block @ C.T) is the 2-D DCT."""
+    n = _DCT_N
+    C = np.zeros((n, n))
+    for u in range(n):
+        for x in range(n):
+            C[u, x] = np.cos((2 * x + 1) * u * np.pi / (2 * n))
+    C *= np.sqrt(2.0 / n)
+    C[0, :] *= np.sqrt(0.5)
+    return C
+
+
+_C = _dct_matrix()
+
+
+def _dct2(block: np.ndarray) -> np.ndarray:
+    return _C @ block @ _C.T
+
+
+def _idct2(coef: np.ndarray) -> np.ndarray:
+    return _C.T @ coef @ _C
+
+
+# --- zigzag -----------------------------------------------------------------
+
+
+def _zigzag_order() -> np.ndarray:
+    """Indices that map an 8x8 block (row-major) to zigzag scan order."""
+    order = sorted(
+        ((x, y) for x in range(8) for y in range(8)),
+        key=lambda p: (p[0] + p[1], p[1] if (p[0] + p[1]) % 2 else p[0]),
+    )
+    return np.array([x * 8 + y for x, y in order])
+
+
+_ZIGZAG = _zigzag_order()
+_UNZIGZAG = np.argsort(_ZIGZAG)
+
+# --- deterministic encoder tables ------------------------------------------
+
+# Frequency-ramp quantization: DC quant 4, growing with spatial frequency.
+# Coarse enough to actually compress, fine enough that the round-trip error
+# bound stays tight even for ASCII-byte rasters (near-worst-case
+# high-frequency content: measured corpus max MSE ~57 vs the 150 bound;
+# a steeper ramp put the max at 230 and broke the bound).
+_QTABLE = (4 + (np.arange(8)[:, None] + np.arange(8)[None, :])).astype(np.uint16)
+
+
+def _fixed_length_huffman(symbols: list[int]) -> tuple[list[int], list[int]]:
+    """A spec-legal Huffman table giving every symbol the same code length
+    L = ceil(log2(n+1)) (the +1 keeps the all-ones code unused, as the JPEG
+    convention expects). Returns (counts[1..16], symbols) for DHT."""
+    n = len(symbols)
+    length = max(1, (n + 1 - 1).bit_length())  # 2^L >= n+1
+    counts = [0] * 16
+    counts[length - 1] = n
+    return counts, list(symbols)
+
+
+_DC_SYMBOLS = list(range(12))  # categories 0..11
+_AC_SYMBOLS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]  # EOB, ZRL, and every (run, size)
+
+
+def _huff_codes(counts: list[int], symbols: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical code assignment per the JPEG spec: symbol -> (code, length)."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            codes[symbols[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+# --- bit IO -----------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        if nbits == 0:
+            return
+        self._acc = (self._acc << nbits) | (value & ((1 << nbits) - 1))
+        self._nbits += nbits
+        while self._nbits >= 8:
+            byte = (self._acc >> (self._nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self._nbits -= 8
+        self._acc &= (1 << self._nbits) - 1
+
+    def flush(self) -> bytes:
+        if self._nbits:
+            pad = 8 - self._nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self._acc = 0
+        self._nbits = 0
+
+    def read_bit(self) -> int:
+        if self._nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy stream exhausted")
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
+                    raise ValueError("unexpected marker inside entropy data")
+                self.pos += 1  # skip stuffed 0x00
+            self._acc = byte
+            self._nbits = 8
+        self._nbits -= 1
+        return (self._acc >> self._nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _decode_huff_symbol(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length <= 16:
+        code = (code << 1) | reader.read_bit()
+        length += 1
+        sym = table.get((code, length))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _extend(value: int, size: int) -> int:
+    """JPEG EXTEND: map the `size`-bit raw value to its signed coefficient."""
+    if size == 0:
+        return 0
+    return value if value >= (1 << (size - 1)) else value - (1 << size) + 1
+
+
+def _category(value: int) -> int:
+    return int(abs(value)).bit_length()
+
+
+# --- encoder ----------------------------------------------------------------
+
+
+def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
+    r, g, b = img[..., 0].astype(np.float64), img[..., 1].astype(np.float64), img[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def encode_jpeg(img: np.ndarray) -> bytes:
+    """Encode an (h, w) gray or (h, w, 3) RGB uint8 image as baseline JFIF
+    (4:4:4, custom embedded tables). Deterministic: same image -> same bytes."""
+    if img.ndim == 2:
+        planes = [img.astype(np.float64)]
+    else:
+        assert img.ndim == 3 and img.shape[2] == 3, "encode_jpeg takes gray or RGB"
+        ycc = _rgb_to_ycbcr(img)
+        planes = [ycc[..., c] for c in range(3)]
+    h, w = img.shape[:2]
+    n_comp = len(planes)
+
+    q = _QTABLE.astype(np.float64)
+    dc_codes = _huff_codes(*_fixed_length_huffman(_DC_SYMBOLS))
+    ac_codes = _huff_codes(*_fixed_length_huffman(_AC_SYMBOLS))
+
+    writer = _BitWriter()
+    prev_dc = [0] * n_comp
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    for by in range(bh):
+        for bx in range(bw):
+            for ci, plane in enumerate(planes):
+                block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                if block.shape != (8, 8):  # edge replication pad
+                    block = np.pad(
+                        block,
+                        ((0, 8 - block.shape[0]), (0, 8 - block.shape[1])),
+                        mode="edge",
+                    )
+                coef = _dct2(block - 128.0)
+                quant = np.round(coef / q).astype(np.int32)
+                zz = quant.reshape(-1)[_ZIGZAG]
+                # DC
+                diff = int(zz[0]) - prev_dc[ci]
+                prev_dc[ci] = int(zz[0])
+                t = _category(diff)
+                code, length = dc_codes[t]
+                writer.write(code, length)
+                if t:
+                    writer.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+                # AC
+                run = 0
+                last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+                for i in range(1, last_nz + 1):
+                    v = int(zz[i])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, length = ac_codes[0xF0]  # ZRL
+                        writer.write(code, length)
+                        run -= 16
+                    size = _category(v)
+                    code, length = ac_codes[(run << 4) | size]
+                    writer.write(code, length)
+                    writer.write(v if v >= 0 else v + (1 << size) - 1, size)
+                    run = 0
+                if last_nz < 63:
+                    code, length = ac_codes[0x00]  # EOB
+                    writer.write(code, length)
+    entropy = writer.flush()
+
+    # --- container ---
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
+    out += seg(0xFFDB, bytes([0]) + bytes(_QTABLE.reshape(-1)[_ZIGZAG].astype(np.uint8)))  # DQT id 0
+    sof = struct.pack(">BHHB", 8, h, w, n_comp)
+    for ci in range(n_comp):
+        sof += bytes([ci + 1, 0x11, 0])  # id, 4:4:4 sampling, qtable 0
+    out += seg(0xFFC0, sof)  # SOF0
+    dc_counts, dc_syms = _fixed_length_huffman(_DC_SYMBOLS)
+    ac_counts, ac_syms = _fixed_length_huffman(_AC_SYMBOLS)
+    out += seg(0xFFC4, bytes([0x00]) + bytes(dc_counts) + bytes(dc_syms))  # DHT DC 0
+    out += seg(0xFFC4, bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms))  # DHT AC 0
+    sos = bytes([n_comp]) + b"".join(bytes([ci + 1, 0x00]) for ci in range(n_comp))
+    sos += bytes([0, 63, 0])  # full spectral selection, no approximation
+    out += seg(0xFFDA, sos)  # SOS
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --- decoder ----------------------------------------------------------------
+
+
+def decode_jpeg(blob: bytes) -> np.ndarray:
+    """Decode baseline JFIF (SOF0, 8-bit, 4:4:4, 1 or 3 components).
+    Returns (h, w) for grayscale, (h, w, 3) RGB otherwise. General over
+    in-stream tables; refuses progressive/subsampled/restart streams."""
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    h = w = 0
+    comps: list[tuple[int, int, int]] = []  # (id, sampling, qtable_id)
+    scan: list[tuple[int, int, int]] = []  # (comp_idx, dc_table, ac_table)
+    entropy_start = -1
+    while pos + 4 <= len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        marker = (blob[pos] << 8) | blob[pos + 1]
+        if marker == 0xFFD9:
+            break
+        (length,) = struct.unpack(">H", blob[pos + 2 : pos + 4])
+        payload = blob[pos + 4 : pos + 2 + length]
+        if marker == 0xFFDB:  # DQT (possibly several tables per segment)
+            p = 0
+            while p < len(payload):
+                prec_id = payload[p]
+                if prec_id >> 4:
+                    raise NotImplementedError("16-bit quant tables not supported")
+                zzq = np.frombuffer(payload[p + 1 : p + 65], dtype=np.uint8).astype(np.float64)
+                qtables[prec_id & 0xF] = zzq[_UNZIGZAG].reshape(8, 8)
+                p += 65
+        elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7, 0xFFC9, 0xFFCA, 0xFFCB):
+            raise NotImplementedError("only baseline sequential (SOF0) JPEG is supported")
+        elif marker == 0xFFC0:  # SOF0
+            precision, h, w, n_comp = struct.unpack(">BHHB", payload[:6])
+            if precision != 8:
+                raise NotImplementedError("only 8-bit JPEG supported")
+            for ci in range(n_comp):
+                cid, sampling, qid = payload[6 + 3 * ci : 9 + 3 * ci]
+                if sampling != 0x11:
+                    raise NotImplementedError("only 4:4:4 sampling supported")
+                comps.append((cid, sampling, qid))
+        elif marker == 0xFFC4:  # DHT (possibly several tables)
+            p = 0
+            while p < len(payload):
+                tclass, tid = payload[p] >> 4, payload[p] & 0xF
+                counts = list(payload[p + 1 : p + 17])
+                nsym = sum(counts)
+                syms = list(payload[p + 17 : p + 17 + nsym])
+                codes = _huff_codes(counts, syms)
+                huff[(tclass, tid)] = {(c, l): s for s, (c, l) in codes.items()}
+                p += 17 + nsym
+        elif marker == 0xFFDD:
+            raise NotImplementedError("restart intervals not supported")
+        elif marker == 0xFFDA:  # SOS
+            ns = payload[0]
+            for si in range(ns):
+                cid, tables = payload[1 + 2 * si], payload[2 + 2 * si]
+                comp_idx = next(i for i, c in enumerate(comps) if c[0] == cid)
+                scan.append((comp_idx, tables >> 4, tables & 0xF))
+            entropy_start = pos + 2 + length
+            break
+        pos += 2 + length
+    if entropy_start < 0 or not comps:
+        raise ValueError("JPEG missing SOS/SOF0")
+
+    # find entropy end (next real marker, skipping stuffed FF00)
+    end = entropy_start
+    while end + 1 < len(blob):
+        if blob[end] == 0xFF and blob[end + 1] not in (0x00,):
+            break
+        end += 1 if blob[end] != 0xFF else 2
+    reader = _BitReader(blob[entropy_start:end])
+
+    n_comp = len(comps)
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    planes = [np.zeros((bh * 8, bw * 8)) for _ in range(n_comp)]
+    prev_dc = [0] * n_comp
+    for by in range(bh):
+        for bx in range(bw):
+            for comp_idx, dc_id, ac_id in scan:
+                dc_tab = huff[(0, dc_id)]
+                ac_tab = huff[(1, ac_id)]
+                zz = np.zeros(64, dtype=np.float64)
+                t = _decode_huff_symbol(reader, dc_tab)
+                diff = _extend(reader.read_bits(t), t)
+                prev_dc[comp_idx] += diff
+                zz[0] = prev_dc[comp_idx]
+                i = 1
+                while i < 64:
+                    sym = _decode_huff_symbol(reader, ac_tab)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        i += 16
+                        continue
+                    run, size = sym >> 4, sym & 0xF
+                    i += run
+                    if i >= 64:
+                        raise ValueError("AC run past end of block")
+                    zz[i] = _extend(reader.read_bits(size), size)
+                    i += 1
+                q = qtables[comps[comp_idx][2]]
+                coef = (zz[_UNZIGZAG].reshape(8, 8)) * q
+                block = _idct2(coef) + 128.0
+                planes[comp_idx][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    planes = [p[:h, :w] for p in planes]
+    if n_comp == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    return _ycbcr_to_rgb(np.stack(planes, axis=-1))

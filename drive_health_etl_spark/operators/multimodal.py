@@ -10,12 +10,14 @@ Codec status: NetPBM images (P6/P5, ``_decode_netpbm``), 8-bit gray/RGB
 non-interlaced PNG (``_decode_png`` — stdlib zlib inflate + the five RFC
 2083 scanline filters, CRC-verified chunks, with ``encode_png`` as its
 round-trip twin), and RIFF/WAVE 8-bit PCM audio (``decode_audio``) decode
-FOR REAL via pure-python/numpy parsers — `multimodal_decode_stats` /
-`multimodal_png_stats` / `multimodal_audio_stats` oracle-check the decoded
-raster/sample statistics end to end. JPEG/mp3/ffmpeg media still raise
-``NotImplementedError`` because their codecs (DCT/Huffman, PIL/ffmpeg) are
-not in this container; the deterministic fake remains for format-agnostic
-plumbing tests.
+FOR REAL via pure-python/numpy parsers, and baseline JFIF JPEG decodes via
+the full DCT/Huffman pipeline in ``jpeg_codec.py`` — `multimodal_decode_stats`
+/ `multimodal_png_stats` / `multimodal_jpeg_stats` / `multimodal_audio_stats`
+oracle-check the decoded raster/sample statistics end to end (JPEG's oracle
+bounds reconstruction error instead of matching exact means, because the
+format is lossy). mp3/video media still raise ``NotImplementedError``
+(their codecs need ffmpeg, not in this container); the deterministic fake
+remains for format-agnostic plumbing tests.
 """
 
 from __future__ import annotations
@@ -61,12 +63,12 @@ def attach_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 def decode_image(blob: bytes, *, fake: bool = False) -> np.ndarray:
     """Decode an image blob.
 
-    REAL path: NetPBM binary images — P6 (RGB, returns (h, w, 3)) and P5
-    (grayscale, returns (h, w)) — parsed with numpy alone; this is the
-    container-installable codec path (no PIL/cv2 needed). Compressed
-    formats (PNG/JPEG/...) still raise NotImplementedError: their codecs
-    are not in this container, and silently faking them would be worse
-    than refusing. ``fake=True`` keeps the deterministic pseudo-image for
+    REAL paths, all PIL/cv2-free: NetPBM binary (P6 RGB -> (h, w, 3), P5
+    gray -> (h, w)); 8-bit gray/RGB non-interlaced PNG (stdlib zlib +
+    RFC 2083 filters); baseline JFIF JPEG (full DCT/Huffman pipeline,
+    ``jpeg_codec.py``). Remaining formats (mp3/video/webp/...) raise
+    NotImplementedError: silently faking them would be worse than
+    refusing. ``fake=True`` keeps the deterministic pseudo-image for
     arbitrary blobs so format-agnostic plumbing stays testable."""
     if fake:
         arr = np.frombuffer(blob[:64].ljust(64, b"\0"), dtype=np.uint8)
@@ -76,10 +78,15 @@ def decode_image(blob: bytes, *, fake: bool = False) -> np.ndarray:
         return _decode_netpbm(blob)
     if blob[:8] == _PNG_SIG:
         return _decode_png(blob)
+    if magic == b"\xff\xd8":
+        from drive_health_etl_spark.operators.jpeg_codec import decode_jpeg
+
+        return decode_jpeg(blob)
     raise NotImplementedError(
-        f"no pure-python codec for magic {magic!r} (JPEG/mp3 need PIL/ffmpeg, "
-        "not available in this container); P5/P6 NetPBM and 8-bit gray/RGB "
-        "PNG decode natively, or pass fake=True for the deterministic test double"
+        f"no pure-python codec for magic {magic!r} (mp3/video codecs need "
+        "ffmpeg, not in this container); NetPBM, 8-bit gray/RGB PNG, and "
+        "baseline JFIF JPEG decode natively, or pass fake=True for the "
+        "deterministic test double"
     )
 
 
@@ -470,6 +477,81 @@ def multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Same raster rule as the PPM oracle: the PNG round-trip must reproduce it.
 MULTIMODAL_PNG_SQL = MULTIMODAL_DECODE_SQL
+
+
+# JPEG is LOSSY, so channel means are not SQL-derivable; the oracle pins the
+# exact dims plus a reconstruction-error bound as a boolean. The numeric
+# decode-accuracy evidence lives in tests/test_multimodal.py (DCT checked
+# against the direct DCT-II definition, constant blocks exact, round-trip
+# error within the quantization bound).
+_JPEG_MSE_BOUND = 150.0  # worst case is uniform-noise rasters; smooth ~3
+
+
+def attach_jpeg_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL lossy-compressed image table: the deterministic PPM raster rule
+    encoded as genuine baseline JFIF JPEGs (`encode_jpeg`: 8x8 DCT,
+    frequency-ramp quantization, canonical Huffman, embedded tables) inside
+    mapInPandas. Any standards-compliant JPEG reader accepts these blobs."""
+    from drive_health_etl_spark.operators.jpeg_codec import encode_jpeg
+
+    base = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    raster = base.select(
+        "doc_id",
+        (F.col("doc_id") % 16 + 4).cast("int").alias("w"),
+        (F.col("doc_id") % 12 + 4).cast("int").alias("h"),
+        F.expr(
+            "encode(rpad(text || ' ', CAST((doc_id % 16 + 4) * (doc_id % 12 + 4) * 3 AS INT), "
+            "text || ' '), 'utf-8')"
+        ).alias("raw"),
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for w, h, raw in zip(pdf["w"], pdf["h"], pdf["raw"]):
+                img = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(int(h), int(w), 3)
+                blobs.append(encode_jpeg(img))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs, "raw": pdf["raw"]})
+
+    return raster.mapInPandas(op, schema="doc_id long, content binary, raw binary")
+
+
+def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip every blob through the REAL JPEG codec (entropy decode,
+    dequantize, IDCT, YCbCr->RGB) and emit per-image dims plus a boolean
+    reconstruction-error bound vs the pre-compression raster. The oracle
+    derives dims from the raster rule and expects the bound to hold for
+    every image — a broken Huffman walk, zigzag, or IDCT blows the MSE far
+    past the bound and flips the hash. (Exact-mean oracles live on the
+    lossless PNG/NetPBM paths.)"""
+    media = attach_jpeg_images(spark, sf_dir)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "mse_ok": []}
+            for doc_id, blob, raw in zip(pdf["doc_id"], pdf["content"], pdf["raw"]):
+                img = decode_image(bytes(blob))  # REAL baseline-JFIF decode
+                h, w, _ = img.shape
+                orig = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w, 3)
+                mse = float(((img.astype(np.float64) - orig) ** 2).mean())
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(int(w))
+                out["height"].append(int(h))
+                out["mse_ok"].append(mse < _JPEG_MSE_BOUND)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        op, schema="doc_id long, width int, height int, mse_ok boolean"
+    )
+
+
+MULTIMODAL_JPEG_SQL = """
+SELECT doc_id,
+       CAST(doc_id % 16 + 4 AS INTEGER) AS width,
+       CAST(doc_id % 12 + 4 AS INTEGER) AS height,
+       TRUE AS mse_ok
+FROM documents WHERE doc_id % 3 = 0
+"""
 
 
 # --- Real-decode path: deterministic WAV corpus -----------------------------
@@ -1074,6 +1156,7 @@ QUERIES: dict[str, tuple] = {
     "multimodal_video_scenecut": (multimodal_video_scenecut, MULTIMODAL_SCENECUT_SQL),
     "multimodal_decode_stats": (multimodal_decode_stats, MULTIMODAL_DECODE_SQL),
     "multimodal_png_stats": (multimodal_png_stats, MULTIMODAL_PNG_SQL),
+    "multimodal_jpeg_stats": (multimodal_jpeg_stats, MULTIMODAL_JPEG_SQL),
     "multimodal_audio_stats": (multimodal_audio_stats, MULTIMODAL_AUDIO_SQL),
     "multimodal_video_stats": (multimodal_video_stats, MULTIMODAL_VIDEO_SQL),
     "multimodal_resize_stats": (multimodal_resize_stats, MULTIMODAL_RESIZE_SQL),

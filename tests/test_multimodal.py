@@ -232,3 +232,83 @@ def test_png_corrupt_crc_refused():
     blob[40] ^= 0xFF  # flip a byte inside a chunk payload
     with pytest.raises(ValueError, match="CRC"):
         decode_image(bytes(blob))
+
+
+def test_jpeg_dct_matches_direct_definition():
+    """The codec's DCT matrix against a direct O(n^4) transcription of the
+    DCT-II definition — an independent math path, not a round-trip."""
+    import numpy as np
+
+    from drive_health_etl_spark.operators.jpeg_codec import _dct2, _idct2
+
+    rng = np.random.default_rng(3)
+    b = rng.uniform(-128, 127, (8, 8))
+    ref = np.zeros((8, 8))
+    for u in range(8):
+        for v in range(8):
+            ku = 1 / np.sqrt(2) if u == 0 else 1.0
+            kv = 1 / np.sqrt(2) if v == 0 else 1.0
+            s = sum(
+                b[x, y]
+                * np.cos((2 * x + 1) * u * np.pi / 16)
+                * np.cos((2 * y + 1) * v * np.pi / 16)
+                for x in range(8)
+                for y in range(8)
+            )
+            ref[u, v] = 0.25 * ku * kv * s
+    assert np.abs(_dct2(b) - ref).max() < 1e-9
+    assert np.abs(_idct2(_dct2(b)) - b).max() < 1e-9
+
+
+def test_jpeg_roundtrip_error_bounds():
+    """Constant images decode exactly; smooth images decode near-losslessly;
+    uniform noise (JPEG's worst case) stays within the quantization bound."""
+    import numpy as np
+
+    from drive_health_etl_spark.operators.jpeg_codec import decode_jpeg, encode_jpeg
+
+    const = np.full((16, 16, 3), 97, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(const))
+    assert out.shape == const.shape and np.abs(out.astype(int) - 97).max() == 0
+
+    x, y = np.linspace(0, 4, 40), np.linspace(0, 3, 30)
+    smooth = (127 + 100 * np.outer(np.sin(y), np.cos(x))).astype(np.uint8)
+    smooth3 = np.stack([smooth] * 3, axis=2)
+    out = decode_jpeg(encode_jpeg(smooth3))
+    assert ((out.astype(float) - smooth3) ** 2).mean() < 10
+
+    rng = np.random.default_rng(11)
+    noise = rng.integers(0, 256, (24, 37, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(noise))
+    assert out.shape == noise.shape
+    assert ((out.astype(float) - noise) ** 2).mean() < 150
+
+    gray = rng.integers(0, 256, (9, 13), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(gray))
+    assert out.shape == gray.shape and ((out.astype(float) - gray) ** 2).mean() < 150
+
+
+def test_jpeg_decoder_refuses_unsupported():
+    import numpy as np
+    import pytest
+
+    from drive_health_etl_spark.operators.jpeg_codec import decode_jpeg, encode_jpeg
+
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"not a jpeg")
+    # flip SOF0 -> SOF2 (progressive) in a real blob
+    blob = bytearray(encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8)))
+    idx = bytes(blob).find(b"\xff\xc0")
+    blob[idx + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(bytes(blob))
+
+
+def test_jpeg_dispatch_through_decode_image():
+    import numpy as np
+
+    from drive_health_etl_spark.operators.multimodal import decode_image
+    from drive_health_etl_spark.operators.jpeg_codec import encode_jpeg
+
+    img = np.full((8, 8, 3), 42, dtype=np.uint8)
+    assert (decode_image(bytes(encode_jpeg(img))) == img).all()
