@@ -1,0 +1,310 @@
+"""In-engine quality-classifier training (north-star extension, the
+fastText-style step of an LLM data pipeline): logistic regression trained
+with class-balanced full-batch gradient descent entirely as DataFrame
+operations — the "distill the rule-based filter into a learned scorer"
+loop (heuristic labels -> model, exactly how production quality classifiers
+are bootstrapped) without leaving the engine or importing MLlib.
+
+Task: learn the Gopher-style keep/drop rule (`text_gopher_rules`:
+word-count, mean-word-length, and stopword-fraction thresholds) from the
+three underlying statistics as features. The corpus is 90.6% keep at
+sf0.01, so unweighted GD would sit at the majority prior; the gradient is
+class-balanced (each class contributes weight 0.5), after which the model
+separates the rule's active margin — measured accuracy 0.99 vs the 0.906
+majority baseline, zero false positives (`quality_lr_eval` reports both so
+the lift is visible, not asserted).
+
+Training shape at scale: per round, one narrow map computes z = <w, x>
+against the weight literal (no join — weights ride in the expression like
+the k-means centroids), then ONE map-side-combinable aggregate produces
+the LR_DIM+1 gradient sums; the only driver state is the tiny weight
+vector per round, the same bounded collect MLlib's optimizers perform per
+iteration. Shuffle volume per round is LR_DIM+1 decimal sums — independent
+of corpus size, the layout a 1000-executor trainer uses.
+
+Engine-exact math (why this oracle can demand bit-equality): the logistic
+sigmoid's exp() is NOT bit-portable across engines (JVM Math.exp vs libm
+differ in ulps), so training uses the rational surrogate
+sigma~(z) = 0.5 + z / (2 * (1 + |z|)) — same shape, range (0, 1),
+monotone, built only from + * / abs, every one of which is IEEE-exact in
+both engines. Gradient sums go through DECIMAL(38,18) (order-independent);
+class weights and means divide in double with matching association order.
+The DuckDB oracle re-trains the identical model via unrolled MATERIALIZED
+CTEs (`_lr_sql_ctes`; scalar subqueries would inline the upstream chain
+per reference and make the unroll exponential) and must reproduce every
+weight bit-for-bit before the 6-dp display rounding.
+
+Reference parity note: the reference ETL has no ML surface; this is part of
+the §2.9 LLM-pipeline extension family (SURVEY.md), alongside dedup/ANN.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from drive_health_etl_spark.operators.quality import (
+    MAX_MEAN_WORD_LEN,
+    MAX_WORDS,
+    MIN_MEAN_WORD_LEN,
+    MIN_STOPWORD_FRAC,
+    MIN_WORDS,
+    _SW_SQL,
+    _sw_array,
+)
+from drive_health_etl_spark.operators.text import TOKENS_SQL, tokens_col
+from drive_health_etl_spark.sources.tables import load_table
+
+LR_DIM = 3  # features: capped word count, mean word length, stopword frac
+LR_ROUNDS = 5  # full-batch GD steps
+LR_RATE = 8.0  # learning rate (features scaled to ~[0, 1])
+_TERMS = ("n_words_capped", "mean_word_len", "stopword_frac", "bias")
+
+_DSUM = "decimal(38,18)"
+
+
+def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, y, x): y = the Gopher keep rule on RAW (unrounded) stats,
+    x = the three scaled statistics. One narrow map, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    n_words = F.size(toks)
+    total_chars = F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x)
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(_sw_array(), x)))
+    base = docs.select(
+        "doc_id",
+        n_words.alias("nw"),
+        (total_chars.cast("double") / n_words).alias("mwl"),
+        (n_stop.cast("double") / n_words).alias("swf"),
+    )
+    keep = (
+        (F.col("nw") >= MIN_WORDS)
+        & (F.col("nw") <= MAX_WORDS)
+        & (F.col("mwl") >= MIN_MEAN_WORD_LEN)
+        & (F.col("mwl") <= MAX_MEAN_WORD_LEN)
+        & (F.col("swf") >= MIN_STOPWORD_FRAC)
+    )
+    x = F.array(
+        (F.least(F.col("nw"), F.lit(20)).cast("double") / F.lit(20.0)).alias("x0"),
+        (F.col("mwl") / F.lit(12.0)).alias("x1"),
+        F.least(F.col("swf") * F.lit(20.0), F.lit(1.0)).alias("x2"),
+    )
+    return base.select(
+        "doc_id", F.when(keep, F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"), x.alias("x")
+    )
+
+
+def _fast_sigmoid(z: F.Column) -> F.Column:
+    """sigma~(z) = 0.5 + z / (2 * (1 + |z|)) — engine-exact (+ * / abs only)."""
+    return F.lit(0.5) + z / (F.lit(2.0) * (F.lit(1.0) + F.abs(z)))
+
+
+def _z_col(weights: list[float]) -> F.Column:
+    """z = bias + sum_b w_b * x[b], folded left-to-right in index order so
+    the oracle's identical fold reproduces it bit-for-bit."""
+    z = F.lit(weights[LR_DIM])  # bias first, matching the SQL fold
+    for b in range(LR_DIM):
+        z = z + F.lit(weights[b]) * F.col("x").getItem(b)
+    return z
+
+
+def lr_train(spark: SparkSession, sf_dir: str, rounds: int = LR_ROUNDS) -> list[float]:
+    """Class-balanced full-batch GD from w = 0.
+    Returns [w_0..w_{LR_DIM-1}, w_bias]."""
+    from drive_health_etl_spark.session import shuffle_partitions
+
+    feats = _features(spark, sf_dir)
+    weights = [0.0] * (LR_DIM + 1)
+    with shuffle_partitions(spark, 8):
+        feats = feats.persist()
+        try:
+            cls = feats.agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("y").cast("long")).alias("n_pos"),
+            ).collect()[0]
+            n, n_pos = int(cls["n"]), int(cls["n_pos"])
+            pw = 0.5 * n / n_pos  # each class contributes gradient weight 0.5
+            nw = 0.5 * n / (n - n_pos)
+            for _ in range(rounds):
+                cw = F.when(F.col("y") == 1.0, F.lit(pw)).otherwise(F.lit(nw))
+                err = ((_fast_sigmoid(_z_col(weights)) - F.col("y")) * cw).alias("e")
+                grads = feats.select(err, "x").agg(
+                    F.count("*").alias("n"),
+                    F.sum(F.col("e").cast(_DSUM)).cast("double").alias("g_bias"),
+                    *[
+                        F.sum((F.col("e") * F.col("x").getItem(b)).cast(_DSUM))
+                        .cast("double")
+                        .alias(f"g{b}")
+                        for b in range(LR_DIM)
+                    ],
+                )
+                row = grads.collect()[0]
+                nn = float(row["n"])
+                weights = [
+                    weights[b] - LR_RATE * row[f"g{b}"] / nn for b in range(LR_DIM)
+                ] + [weights[LR_DIM] - LR_RATE * row["g_bias"] / nn]
+        finally:
+            feats.unpersist()
+    return weights
+
+
+# Trained weights per (session, sf_dir): deterministic fit, shared by the
+# train-readout and eval queries (the _CENTROID_CACHE pattern).
+_LR_CACHE: dict[tuple[str, str], list[float]] = {}
+
+
+def _lr_weights_cached(spark: SparkSession, sf_dir: str) -> list[float]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    w = _LR_CACHE.get(key)
+    if w is None:
+        w = lr_train(spark, sf_dir)
+        _LR_CACHE[key] = w
+    return w
+
+
+def quality_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readout of the trained quality classifier: one row per model term
+    with its weight at 6 dp. The oracle re-trains the whole model in SQL
+    and must match every weight."""
+    weights = _lr_weights_cached(spark, sf_dir)
+    rows = [(t, w) for t, w in zip(_TERMS, weights)]
+    # rounding happens IN-ENGINE (F.round = half-away, matching DuckDB
+    # ROUND); Python round() is banker's and would diverge on exact ties
+    return spark.createDataFrame(rows, "term string, weight double").select(
+        "term", F.round("weight", 6).alias("weight")
+    )
+
+
+def quality_lr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score the corpus with the trained classifier and report confusion
+    counts, accuracy, AND the majority-class baseline — the lift over the
+    prior is the evidence the model learned the rule rather than the class
+    distribution. Predict keep iff z > 0 (sigma~ is monotone, so this is
+    p > 0.5 without evaluating the sigmoid; z is engine-exact so the
+    threshold compare is too)."""
+    weights = _lr_weights_cached(spark, sf_dir)
+    feats = _features(spark, sf_dir)
+    scored = feats.select("y", (_z_col(weights) > 0).cast("int").alias("pred"))
+    return scored.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when((F.col("pred") == 1) & (F.col("y") == 1.0), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when((F.col("pred") == 1) & (F.col("y") == 0.0), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when((F.col("pred") == 0) & (F.col("y") == 0.0), 1).otherwise(0)).alias("tn"),
+        F.sum(F.when((F.col("pred") == 0) & (F.col("y") == 1.0), 1).otherwise(0)).alias("fn"),
+        F.round(
+            F.sum(F.when(F.col("pred").cast("double") == F.col("y"), 1).otherwise(0))
+            / F.count("*"),
+            6,
+        ).alias("accuracy"),
+        F.round(
+            F.greatest(F.sum(F.col("y")), F.count("*") - F.sum(F.col("y"))) / F.count("*"),
+            6,
+        ).alias("majority_acc"),
+    )
+
+
+# --- DuckDB oracle: identical featurization + unrolled GD ------------------
+
+_FEATS_SQL = f"""
+feats AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN nw >= {MIN_WORDS} AND nw <= {MAX_WORDS}
+               AND mwl >= {MIN_MEAN_WORD_LEN} AND mwl <= {MAX_MEAN_WORD_LEN}
+               AND swf >= {MIN_STOPWORD_FRAC}
+              THEN 1.0 ELSE 0.0 END AS y,
+         [least(nw, 20)::DOUBLE / 20.0, mwl / 12.0, least(swf * 20.0, 1.0)] AS x
+  FROM (
+    SELECT doc_id, len(ws) AS nw,
+           CAST(list_sum(list_transform(ws, t -> length(t))) AS DOUBLE) / len(ws) AS mwl,
+           CAST(len(list_filter(ws, t -> list_contains({_SW_SQL}, t))) AS DOUBLE) / len(ws) AS swf
+    FROM (SELECT doc_id, {TOKENS_SQL} AS ws FROM documents)
+  )
+)"""
+
+_CLS_SQL = """
+cls AS MATERIALIZED (
+  SELECT 0.5 * COUNT(*) / CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS pw,
+         0.5 * COUNT(*) / (COUNT(*) - CAST(SUM(CAST(y AS BIGINT)) AS BIGINT)) AS nw_t
+  FROM feats
+)"""
+
+
+def _z_sql() -> str:
+    """Same left-to-right fold as _z_col: bias + w0*x[1] + w1*x[2] + ...
+    Weight columns come from a 1-row weights relation CROSS JOINed in
+    (NOT scalar subqueries: those inline the whole upstream CTE chain per
+    reference, which makes the unroll exponential in DuckDB)."""
+    terms = ["w_bias"] + [f"w{b} * x[{b + 1}]" for b in range(LR_DIM)]
+    return " + ".join(terms)
+
+
+def _sig_sql(z: str) -> str:
+    return f"(0.5 + ({z}) / (2.0 * (1.0 + abs({z}))))"
+
+
+def _lr_sql_ctes(rounds: int = LR_ROUNDS) -> str:
+    """Unrolled class-balanced GD mirroring lr_train exactly; expects
+    `feats` + `cls`, emits `w{rounds}` with columns w0.., w_bias. Every CTE
+    is MATERIALIZED and each round consumes the previous round's single-row
+    weight relation via CROSS JOIN, so each round evaluates exactly once."""
+    z = _z_sql()
+    e = f"(({_sig_sql(z)} - y) * (CASE WHEN y = 1.0 THEN pw ELSE nw_t END))"
+    cols = ", ".join([f"0.0::DOUBLE AS w{b}" for b in range(LR_DIM)] + ["0.0::DOUBLE AS w_bias"])
+    parts = [f"w0 AS MATERIALIZED (SELECT {cols})"]
+    for r in range(rounds):
+        gsel = ", ".join(
+            ["COUNT(*) AS n"]
+            + [f"MAX(w{b}) AS pw{b}" for b in range(LR_DIM)]
+            + ["MAX(w_bias) AS pw_bias"]
+            + [f"CAST(SUM(CAST({e} AS DECIMAL(38,18))) AS DOUBLE) AS g_bias"]
+            + [
+                f"CAST(SUM(CAST({e} * x[{b + 1}] AS DECIMAL(38,18))) AS DOUBLE) AS g{b}"
+                for b in range(LR_DIM)
+            ]
+        )
+        parts.append(
+            f"g{r} AS MATERIALIZED (\n  SELECT {gsel} FROM feats CROSS JOIN w{r} CROSS JOIN cls\n)"
+        )
+        wsel = ", ".join(
+            [f"pw{b} - {LR_RATE} * g{b} / n AS w{b}" for b in range(LR_DIM)]
+            + [f"pw_bias - {LR_RATE} * g_bias / n AS w_bias"]
+        )
+        parts.append(f"w{r + 1} AS MATERIALIZED (\n  SELECT {wsel} FROM g{r}\n)")
+    return ",\n".join(parts)
+
+
+QUALITY_LR_TRAIN_SQL = f"""
+WITH {_FEATS_SQL},
+{_CLS_SQL},
+{_lr_sql_ctes()}
+SELECT * FROM (
+  {" UNION ALL ".join(
+      f"SELECT '{term}' AS term, ROUND(w{b}, 6) AS weight FROM w{LR_ROUNDS}"
+      for b, term in enumerate(_TERMS[:LR_DIM])
+  )}
+  UNION ALL SELECT 'bias' AS term, ROUND(w_bias, 6) AS weight FROM w{LR_ROUNDS}
+)
+"""
+
+QUALITY_LR_EVAL_SQL = f"""
+WITH {_FEATS_SQL},
+{_CLS_SQL},
+{_lr_sql_ctes()},
+scored AS (
+  SELECT y, CASE WHEN ({_z_sql()}) > 0 THEN 1 ELSE 0 END AS pred
+  FROM feats CROSS JOIN w{LR_ROUNDS}
+)
+SELECT COUNT(*) AS n,
+       CAST(SUM(CASE WHEN pred = 1 AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       CAST(SUM(CASE WHEN pred = 1 AND y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       CAST(SUM(CASE WHEN pred = 0 AND y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       CAST(SUM(CASE WHEN pred = 0 AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       ROUND(SUM(CASE WHEN pred::DOUBLE = y THEN 1 ELSE 0 END) / COUNT(*), 6) AS accuracy,
+       ROUND(greatest(SUM(y), COUNT(*) - SUM(y)) / COUNT(*), 6) AS majority_acc
+FROM scored
+"""
+
+QUERIES: dict[str, tuple] = {
+    "quality_lr_train": (quality_lr_train, QUALITY_LR_TRAIN_SQL),
+    "quality_lr_eval": (quality_lr_eval, QUALITY_LR_EVAL_SQL),
+}

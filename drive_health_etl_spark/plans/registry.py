@@ -20,6 +20,7 @@ from drive_health_etl_spark.operators import expectations as _expectations
 from drive_health_etl_spark.operators import graph as _graph
 from drive_health_etl_spark.operators import grouped_pandas as _grouped
 from drive_health_etl_spark.operators import layout as _layout
+from drive_health_etl_spark.operators import classifier as _classifier
 from drive_health_etl_spark.operators import multimodal as _multimodal
 from drive_health_etl_spark.operators import quality as _quality
 from drive_health_etl_spark import pipelines_decl as _sdp
@@ -457,6 +458,7 @@ _MERGED: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     **_rollup.QUERIES,
     **_bpe.QUERIES,
     **_sdp.QUERIES,
+    **_classifier.QUERIES,
     "pipeline_ingest_e2e": (pipeline_ingest_e2e, None),
 }
 

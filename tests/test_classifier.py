@@ -1,0 +1,55 @@
+"""In-engine LR quality-classifier tests: learning lift, determinism, and
+the engine-exact sigmoid surrogate."""
+
+from __future__ import annotations
+
+from drive_health_etl_spark.plans.registry import REGISTRY
+
+
+def test_lr_learns_above_majority_prior(spark, sf_dir):
+    """The trained model must beat the majority-class baseline — the whole
+    point of the class-balanced gradient. An unweighted trainer regresses
+    to predicting all-keep (accuracy == majority_acc), which this catches."""
+    row = REGISTRY["quality_lr_eval"][0](spark, sf_dir).collect()[0]
+    assert row["accuracy"] > row["majority_acc"] + 0.03
+    assert row["fp"] == 0  # rule margin is clean on this corpus
+    assert row["tp"] + row["fp"] + row["tn"] + row["fn"] == row["n"]
+
+
+def test_lr_training_is_deterministic(spark, sf_dir):
+    from drive_health_etl_spark.operators.classifier import lr_train
+
+    w1 = lr_train(spark, sf_dir)
+    w2 = lr_train(spark, sf_dir)
+    assert w1 == w2  # bit-for-bit, not approx: decimal sums + fixed fold order
+
+
+def test_fast_sigmoid_properties(spark):
+    """The rational sigmoid surrogate: range (0,1), monotone, sigma~(0)=0.5,
+    symmetric — the properties GD relies on."""
+    import pyspark.sql.functions as F
+
+    from drive_health_etl_spark.operators.classifier import _fast_sigmoid
+
+    df = spark.range(1).select(
+        *[
+            _fast_sigmoid(F.lit(z)).alias(f"s{i}")
+            for i, z in enumerate([-100.0, -1.0, 0.0, 1.0, 100.0])
+        ]
+    )
+    s = df.collect()[0]
+    vals = [s[f"s{i}"] for i in range(5)]
+    assert vals[2] == 0.5
+    assert all(a < b for a, b in zip(vals, vals[1:]))  # monotone
+    assert 0.0 < vals[0] and vals[4] < 1.0
+    assert abs((1 - vals[4]) - vals[0]) < 1e-12  # symmetry
+
+
+def test_lr_weights_match_rule_structure(spark, sf_dir):
+    """On this corpus every rule failure is a low stopword fraction, so the
+    stopword-frac weight must dominate positively."""
+    rows = {r["term"]: r["weight"] for r in REGISTRY["quality_lr_train"][0](spark, sf_dir).collect()}
+    assert set(rows) == {"n_words_capped", "mean_word_len", "stopword_frac", "bias"}
+    assert rows["stopword_frac"] > 1.0
+    assert rows["stopword_frac"] > abs(rows["n_words_capped"])
+    assert rows["stopword_frac"] > abs(rows["mean_word_len"])
