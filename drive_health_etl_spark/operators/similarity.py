@@ -659,16 +659,17 @@ PQ_K = 16  # codewords per subspace -> 4 bits/subspace, 2 bytes/vector
 PQ_ROUNDS = 2  # Lloyd iterations per subspace codebook
 
 
-def _pqmat_schema():
+def _pq_all_schema():
     import pyspark.sql.types as T
 
     return T.StructType(
         [
             T.StructField(
-                "pqmat",
+                "pqall",
                 T.ArrayType(
                     T.StructType(
                         [
+                            T.StructField("m", T.IntegerType()),
                             T.StructField("code", T.IntegerType()),
                             T.StructField("cv", T.ArrayType(T.DoubleType())),
                         ]
@@ -679,11 +680,13 @@ def _pqmat_schema():
     )
 
 
-def _pq_cb_df(spark: SparkSession, cbs: list[tuple[int, int, list[float]]], m: int) -> DataFrame:
-    """Subspace ``m``'s trained codebook as the 1-row broadcast pqmat frame
-    the encode/LUT lambdas consume (codes ascending for deterministic ties)."""
-    cb = [{"code": c, "cv": cv} for (mm, c, cv) in cbs if mm == m]
-    return spark.createDataFrame([(cb,)], _pqmat_schema())
+def _pq_all_cb_df(spark: SparkSession, cbs: list[tuple[int, int, list[float]]]) -> DataFrame:
+    """All subspaces' codebooks as ONE 1-row broadcast frame — consumers
+    slice per-m inside the lambda (F.filter on c.m), so a single scan
+    encodes every subspace in one pass."""
+    return spark.createDataFrame(
+        [([{"m": m, "code": c, "cv": cv} for m, c, cv in cbs],)], _pq_all_schema()
+    )
 
 
 def pq_codebooks(emb: DataFrame, rounds: int = PQ_ROUNDS) -> list[tuple[int, int, list[float]]]:
@@ -703,8 +706,6 @@ def pq_codebooks(emb: DataFrame, rounds: int = PQ_ROUNDS) -> list[tuple[int, int
     order-independent) before the double division, so the oracle's unrolled
     ``_pq_kmeans_sql_ctes`` reproduce every codebook bit-for-bit; empty
     codes drop out in both engines alike."""
-    import pyspark.sql.types as T
-
     from drive_health_etl_spark.session import shuffle_partitions
 
     spark = emb.sparkSession
@@ -720,27 +721,9 @@ def pq_codebooks(emb: DataFrame, rounds: int = PQ_ROUNDS) -> list[tuple[int, int
         for m in range(PQ_M)
         for r in sorted(init, key=lambda r: r["vec_id"])
     ]
-    all_schema = T.StructType(
-        [
-            T.StructField(
-                "pqall",
-                T.ArrayType(
-                    T.StructType(
-                        [
-                            T.StructField("m", T.IntegerType()),
-                            T.StructField("code", T.IntegerType()),
-                            T.StructField("cv", T.ArrayType(T.DoubleType())),
-                        ]
-                    )
-                ),
-            )
-        ]
-    )
     with shuffle_partitions(spark, 8):
         for _ in range(rounds):
-            cb_df = spark.createDataFrame(
-                [([{"m": m, "code": c, "cv": cv} for m, c, cv in cbs],)], all_schema
-            )
+            cb_df = _pq_all_cb_df(spark, cbs)
             best = F.array_min(
                 F.transform(
                     F.filter(F.col("pqall"), lambda c: c["m"] == F.col("m")),
@@ -827,54 +810,50 @@ def emb_pq_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Codebooks are per-subspace-TRAINED via ``pq_codebooks`` (Lloyd k-means,
     deterministic seed, shared through ``_PQ_CB_CACHE`` with the ADC/IVF-PQ
-    consumers). Encoding is a narrow map: ONE broadcast 1-row codebook
-    join, argmin via array_min over (dist, code) structs (linear in PQ_K —
-    the when/otherwise fold trap from the k-means work applies here too).
-    Distances use the dot-product expansion |s|^2 - 2<s,c> + |c|^2 with
-    every term evaluated as the same left-to-right fold in both engines, so
-    code choice and MSE are bit-identical to the oracle (which retrains the
-    identical codebooks via ``_pq_kmeans_sql_ctes``)."""
+    consumers). Encoding is ONE pass over the corpus: subvectors posexplode
+    to (m, sv) and score against the all-subspace codebook riding as a
+    single 1-row broadcast (the round-2 per-subspace loop scanned the table
+    PQ_M times — 4 scans for the same math); argmin via array_min over
+    (dist, code) structs with the subvector self-dot SELECTed before the
+    lambda (a derived expression referenced inside transform() is inlined
+    per element — the emb_quantize gotcha). Distances use the dot-product
+    expansion |s|^2 - 2<s,c> + |c|^2 with every term evaluated as the same
+    left-to-right fold in both engines, so code choice and MSE are
+    bit-identical to the oracle (which retrains the identical codebooks via
+    ``_pq_kmeans_sql_ctes``)."""
     emb = (
         load_table(spark, sf_dir, "embeddings")
         .repartition(spark.sparkContext.defaultParallelism)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
     )
     cbs = _pq_codebooks_cached(spark, sf_dir, emb)
-    parts = []
-    for m in range(PQ_M):
-        cb_df = _pq_cb_df(spark, cbs, m)
-        # SELECT the subvector and its self-dot into columns BEFORE the
-        # per-codeword lambda: a derived expression referenced inside
-        # transform() is inlined per element (16x the fold, and 16x the
-        # analysis cost — the emb_quantize gotcha).
-        base = (
-            emb.join(F.broadcast(cb_df))
-            .select("pqmat", F.slice("e", m * PQ_SUB + 1, PQ_SUB).alias("sv"))
-            .withColumn("svv", _dot(F.col("sv"), F.col("sv")))
+    sub = emb.select(
+        F.posexplode(
+            F.array(*[F.slice("e", m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)])
+        ).alias("m", "sv")
+    )
+    base = (
+        sub.join(F.broadcast(_pq_all_cb_df(spark, cbs)))
+        .withColumn("svv", _dot(F.col("sv"), F.col("sv")))
+    )
+    best = F.array_min(
+        F.transform(
+            F.filter(F.col("pqall"), lambda c: c["m"] == F.col("m")),
+            lambda c: F.struct(
+                (
+                    F.col("svv")
+                    - F.lit(2.0) * _dot(F.col("sv"), c["cv"])
+                    + _dot(c["cv"], c["cv"])
+                ).alias("d"),
+                c["code"].alias("code"),
+            ),
         )
-        best = F.array_min(
-            F.transform(
-                F.col("pqmat"),
-                lambda c: F.struct(
-                    (
-                        F.col("svv")
-                        - F.lit(2.0) * _dot(F.col("sv"), c["cv"])
-                        + _dot(c["cv"], c["cv"])
-                    ).alias("d"),
-                    c["code"].alias("code"),
-                ),
-            )
-        )
-        parts.append(
-            base.select(
-                F.lit(m).alias("subspace"),
-                best["d"].alias("sq"),
-                best["code"].alias("code"),
-            )
-        )
-    allm = parts[0]
-    for p in parts[1:]:
-        allm = allm.unionByName(p)
+    )
+    allm = base.select(
+        F.col("m").alias("subspace"),
+        best["d"].alias("sq"),
+        best["code"].alias("code"),
+    )
     return allm.groupBy("subspace").agg(
         F.count("*").alias("n_vecs"),
         F.count_distinct("code").alias("n_codes_used"),
@@ -929,79 +908,10 @@ def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the output distance rounds 6 dp. Scale: encode is a narrow map; the
     score join is (n x PQ_M) rows against a broadcast 64-entry LUT with a
     map-side-combinable sum. Codebooks are per-subspace-trained
-    (``pq_codebooks``, shared via ``_PQ_CB_CACHE``)."""
-    emb = (
-        load_table(spark, sf_dir, "embeddings")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
-    )
-    qid = emb.agg(F.max("vec_id")).collect()[0][0]  # driver-side id only
-    q = emb.filter(F.col("vec_id") == qid).select(F.col("e").alias("qe"))
-    cbs = _pq_codebooks_cached(spark, sf_dir, emb)
-    code_parts = []
-    lut_parts = []
-    for m in range(PQ_M):
-        cb_df = _pq_cb_df(spark, cbs, m)
-        base = (
-            emb.filter(F.col("vec_id") != qid)
-            .join(F.broadcast(cb_df))
-            .select("vec_id", "pqmat", F.slice("e", m * PQ_SUB + 1, PQ_SUB).alias("sv"))
-            .withColumn("svv", _dot(F.col("sv"), F.col("sv")))
-        )
-        best = F.array_min(
-            F.transform(
-                F.col("pqmat"),
-                lambda c: F.struct(
-                    (
-                        F.col("svv")
-                        - F.lit(2.0) * _dot(F.col("sv"), c["cv"])
-                        + _dot(c["cv"], c["cv"])
-                    ).alias("d"),
-                    c["code"].alias("code"),
-                ),
-            )
-        )
-        code_parts.append(
-            base.select("vec_id", F.lit(m).alias("m"), best["code"].alias("code"))
-        )
-        qsub = (
-            q.join(F.broadcast(cb_df))
-            .select("pqmat", F.slice("qe", m * PQ_SUB + 1, PQ_SUB).alias("sv"))
-            .withColumn("svv", _dot(F.col("sv"), F.col("sv")))
-        )
-        lut_parts.append(
-            qsub.select(
-                F.lit(m).alias("m"),
-                F.explode(
-                    F.transform(
-                        F.col("pqmat"),
-                        lambda c: F.struct(
-                            c["code"].alias("code"),
-                            (
-                                F.col("svv")
-                                - F.lit(2.0) * _dot(F.col("sv"), c["cv"])
-                                + _dot(c["cv"], c["cv"])
-                            ).alias("d"),
-                        ),
-                    )
-                ).alias("lc"),
-            ).select("m", F.col("lc.code").alias("code"), F.col("lc.d").alias("d"))
-        )
-    codes = code_parts[0]
-    for p in code_parts[1:]:
-        codes = codes.unionByName(p)
-    lut = lut_parts[0]
-    for p in lut_parts[1:]:
-        lut = lut.unionByName(p)
-    dist = (
-        codes.join(F.broadcast(lut), ["m", "code"])
-        .groupBy("vec_id")
-        .agg(
-            F.round(
-                F.sum(F.col("d").cast("decimal(38,18)")).cast("double"), 6
-            ).alias("approx_dist")
-        )
-    )
+    (``pq_codebooks``, shared via ``_PQ_CB_CACHE``). The scorer itself is
+    ``_adc_distances`` (shared verbatim with IVF-PQ); this query is that
+    scorer plus the deterministic top-``_ADC_TOP``."""
+    dist = _adc_distances(spark, sf_dir)
     w = Window.orderBy(F.col("approx_dist").asc(), F.col("vec_id").asc())
     return (
         dist.orderBy(F.col("approx_dist").asc(), F.col("vec_id").asc())
@@ -1131,71 +1041,50 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _adc_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unranked ADC distances for every non-query vector — the scorer half
-    of `sim_ann_pq_adc` (whose query is exactly this plus a top-k), kept
-    as a verbatim twin of its construction so the folds stay audited."""
+    """Unranked ADC distances for every non-query vector — the scorer
+    shared by `sim_ann_pq_adc` (this plus a top-k) and `sim_ann_ivfpq`
+    (this fenced by the IVF probe). ONE pass over the corpus: subvectors
+    posexplode to (m, sv) and encode against the all-subspace codebook as
+    a single 1-row broadcast (the round-2 per-subspace loop scanned the
+    table PQ_M times); the LUT is built the same single-pass way from the
+    query row. Folds are identical to the audited per-subspace layout, so
+    codes, LUT entries, and distances are bit-unchanged."""
     emb = (
         load_table(spark, sf_dir, "embeddings")
         .repartition(spark.sparkContext.defaultParallelism)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
     )
     qid = emb.agg(F.max("vec_id")).collect()[0][0]
-    q = emb.filter(F.col("vec_id") == qid).select(F.col("e").alias("qe"))
     cbs = _pq_codebooks_cached(spark, sf_dir, emb)
-    code_parts, lut_parts = [], []
-    for m in range(PQ_M):
-        cb_df = _pq_cb_df(spark, cbs, m)
-        base = (
-            emb.filter(F.col("vec_id") != qid)
-            .join(F.broadcast(cb_df))
-            .select("vec_id", "pqmat", F.slice("e", m * PQ_SUB + 1, PQ_SUB).alias("sv"))
-            .withColumn("svv", _dot(F.col("sv"), F.col("sv")))
-        )
-        best = F.array_min(
-            F.transform(
-                F.col("pqmat"),
-                lambda c: F.struct(
-                    (
-                        F.col("svv")
-                        - F.lit(2.0) * _dot(F.col("sv"), c["cv"])
-                        + _dot(c["cv"], c["cv"])
-                    ).alias("d"),
-                    c["code"].alias("code"),
-                ),
-            )
-        )
-        code_parts.append(
-            base.select("vec_id", F.lit(m).alias("m"), best["code"].alias("code"))
-        )
-        qsub = (
-            q.join(F.broadcast(cb_df))
-            .select("pqmat", F.slice("qe", m * PQ_SUB + 1, PQ_SUB).alias("sv"))
-            .withColumn("svv", _dot(F.col("sv"), F.col("sv")))
-        )
-        lut_parts.append(
-            qsub.select(
-                F.lit(m).alias("m"),
-                F.explode(
-                    F.transform(
-                        F.col("pqmat"),
-                        lambda c: F.struct(
-                            c["code"].alias("code"),
-                            (
-                                F.col("svv")
-                                - F.lit(2.0) * _dot(F.col("sv"), c["cv"])
-                                + _dot(c["cv"], c["cv"])
-                            ).alias("d"),
-                        ),
-                    )
-                ).alias("lc"),
-            ).select("m", F.col("lc.code").alias("code"), F.col("lc.d").alias("d"))
-        )
-    codes = code_parts[0]
-    for p in code_parts[1:]:
-        codes = codes.unionByName(p)
-    lut = lut_parts[0]
-    for p in lut_parts[1:]:
-        lut = lut.unionByName(p)
+    cb_all = _pq_all_cb_df(spark, cbs)
+    slices = F.posexplode(
+        F.array(*[F.slice("e", m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)])
+    ).alias("m", "sv")
+    mycb = F.filter(F.col("pqall"), lambda c: c["m"] == F.col("m"))
+    dist_struct = lambda c: F.struct(  # noqa: E731 — shared (d, code) scorer
+        (
+            F.col("svv")
+            - F.lit(2.0) * _dot(F.col("sv"), c["cv"])
+            + _dot(c["cv"], c["cv"])
+        ).alias("d"),
+        c["code"].alias("code"),
+    )
+    base = (
+        emb.filter(F.col("vec_id") != qid)
+        .select("vec_id", slices)
+        .join(F.broadcast(cb_all))
+        .withColumn("svv", _dot(F.col("sv"), F.col("sv")))
+    )
+    best = F.array_min(F.transform(mycb, dist_struct))
+    codes = base.select("vec_id", "m", best["code"].alias("code"))
+    lut = (
+        emb.filter(F.col("vec_id") == qid)
+        .select(slices)
+        .join(F.broadcast(cb_all))
+        .withColumn("svv", _dot(F.col("sv"), F.col("sv")))
+        .select("m", F.explode(F.transform(mycb, dist_struct)).alias("lc"))
+        .select("m", F.col("lc.code").alias("code"), F.col("lc.d").alias("d"))
+    )
     return (
         codes.join(F.broadcast(lut), ["m", "code"])
         .groupBy("vec_id")

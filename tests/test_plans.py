@@ -221,22 +221,22 @@ def test_constant_folded_sampling_fast_path(spark, sf_dir):
 BENCH_PLAN_FINGERPRINTS = {
     "graph_pagerank": {},
     "sim_ann_ivfpq": {
-        "shuffle_exchange": 12,
-        "broadcast_exchange": 12,
+        "shuffle_exchange": 6,
+        "broadcast_exchange": 6,
         "BroadcastHashJoin": 2,
         "SortMergeJoin": 1,
-        "BroadcastNestedLoopJoin": 10,
+        "BroadcastNestedLoopJoin": 4,
     },
     "sim_ann_pq_adc": {
-        "shuffle_exchange": 9,
-        "broadcast_exchange": 9,
+        "shuffle_exchange": 3,
+        "broadcast_exchange": 3,
         "BroadcastHashJoin": 1,
-        "BroadcastNestedLoopJoin": 8,
+        "BroadcastNestedLoopJoin": 2,
     },
     "emb_pq_stats": {
-        "shuffle_exchange": 6,
-        "broadcast_exchange": 4,
-        "BroadcastNestedLoopJoin": 4,
+        "shuffle_exchange": 3,
+        "broadcast_exchange": 1,
+        "BroadcastNestedLoopJoin": 1,
     },
     "text_bpe_train": {},
     "layout_hilbert_stats": {"shuffle_exchange": 2},
