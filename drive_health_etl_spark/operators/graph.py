@@ -57,16 +57,17 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-``PR_TOP_N`` parts by PageRank after ``PR_ITERS`` damped
     iterations over the co-purchase graph (rank desc, part asc).
 
-    Test-scale note: the rank iterations are ~3 tiny node-sized stages per
-    round, so their wall time is stage-setup-bound — pin 8 shuffle
-    partitions and drive them to a localCheckpoint INSIDE the pinned scope
-    (the conf must govern execution, not just plan construction; results
-    are partitioning-independent because the decimal-cast sum makes
-    per-partition accumulation order irrelevant). The edge BUILD runs
-    before the pin at the session's full parallelism — it shuffles the
-    whole fact table and must use every core."""
-    _weighted_edges(spark, sf_dir)  # materialize outside the partition pin
-    with shuffle_partitions(spark, 8):
+    Partitioning note: iterations run at the session's full parallelism
+    and rely on AQE to coalesce when the edge list is tiny — measured best
+    at BOTH scales (sf0.1: 2.4s vs 3.5s with a 2.4M-edge join pinned to 8
+    partitions; sf0.001: 0.79s vs 1.00s, AQE absorbing the tiny stages).
+    The earlier fixed 8-partition pin under-parallelized the per-round
+    edge-side shuffle 4x at sf0.1 — the classic static-tuning trap the
+    runtime re-planner exists to avoid. Ranks are driven to a
+    localCheckpoint inside the scope; results are partitioning-independent
+    because the decimal-cast sum makes accumulation order irrelevant."""
+    _weighted_edges(spark, sf_dir)  # materialize the edge subtree first
+    with shuffle_partitions(spark, spark.sparkContext.defaultParallelism):
         ranks = _pagerank_ranks(spark, sf_dir).localCheckpoint()
     # ROUND is load-bearing here, per the repo float policy: the per-term
     # double->decimal cast rounds HALF_UP in Spark but half-even in DuckDB,

@@ -423,8 +423,16 @@ def attach_png_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     `attach_ppm_images` (text bytes rpad-repeated to w*h*3), but encoded as
     genuine zlib-compressed PNGs (`encode_png`, filter type cycling 0-4 per
     scanline) inside mapInPandas. The blobs pass any standards-compliant
-    PNG reader — this is real compressed media, not a container trick."""
-    base = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    PNG reader — this is real compressed media, not a container trick.
+
+    The explicit repartition matters: the documents parquet is a single
+    row group, so without it every Python-codec batch would run on ONE
+    core — the encode/decode work must spread across the executors."""
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 0)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     raster = base.select(
         "doc_id",
         (F.col("doc_id") % 16 + 4).cast("int").alias("w"),
@@ -491,10 +499,16 @@ def attach_jpeg_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A REAL lossy-compressed image table: the deterministic PPM raster rule
     encoded as genuine baseline JFIF JPEGs (`encode_jpeg`: 8x8 DCT,
     frequency-ramp quantization, canonical Huffman, embedded tables) inside
-    mapInPandas. Any standards-compliant JPEG reader accepts these blobs."""
+    mapInPandas. Any standards-compliant JPEG reader accepts these blobs.
+    Repartitioned so the Python codec runs on every core, not the single
+    parquet row-group partition."""
     from drive_health_etl_spark.operators.jpeg_codec import encode_jpeg
 
-    base = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 0)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     raster = base.select(
         "doc_id",
         (F.col("doc_id") % 16 + 4).cast("int").alias("w"),
