@@ -134,6 +134,7 @@ HEADLINE = [
     "text_url_canonical",
     "ts_residual_anomalies",
     "quality_lr_eval",
+    "emb_triplet_mining",
     "pipeline_ingest_e2e",
 ]
 

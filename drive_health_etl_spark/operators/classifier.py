@@ -122,7 +122,11 @@ def lr_train(spark: SparkSession, sf_dir: str, rounds: int = LR_ROUNDS) -> list[
                 F.count("*").alias("n"),
                 F.sum(F.col("y").cast("long")).alias("n_pos"),
             ).collect()[0]
-            n, n_pos = int(cls["n"]), int(cls["n_pos"])
+            n, n_pos = int(cls["n"]), int(cls["n_pos"] or 0)
+            if n == 0 or n_pos in (0, n):
+                # empty or single-class corpus: no decision boundary to
+                # learn — return the zero model rather than divide by zero
+                return weights
             pw = 0.5 * n / n_pos  # each class contributes gradient weight 0.5
             nw = 0.5 * n / (n - n_pos)
             for _ in range(rounds):

@@ -1619,7 +1619,117 @@ SELECT CAST(rank AS INT) AS rank, vec_id, rel FROM {prev} ORDER BY rank
 SIM_MMR_SQL = _mmr_sql()
 
 
+TRIPLET_ANCHORS = 8
+
+
+def emb_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training triplet construction (the data-prep step behind
+    embedding-model fine-tuning): for each anchor, the POSITIVE is its
+    highest-cosine neighbor INSIDE its k-means cell and the HARD NEGATIVE
+    is the highest-cosine vector OUTSIDE the cell — similar enough to be
+    confusable, guaranteed cross-cluster. Emits both cosines and the
+    triplet margin, the quantity a curriculum filters on.
+
+    Scale shape: cell assignment reuses the cached Lloyd fit
+    (`_CENTROID_CACHE`); candidates join the ``TRIPLET_ANCHORS``-row anchor
+    broadcast (fenced brute-force, the `sim_cosine_topk` pattern), then two
+    per-anchor window top-1s. Anchors whose cell has no other member drop
+    out (inner join) — deterministic in both engines. Ranking follows the
+    repo float policy: rank on the 6-dp-rounded cosine, ties to vec_id."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    )
+    ckey = (spark.sparkContext.applicationId, sf_dir)
+    cents = _CENTROID_CACHE.get(ckey)
+    if cents is None:
+        cents = kmeans_centroids(emb)
+        _CENTROID_CACHE[ckey] = cents
+    assigned = (
+        emb.join(F.broadcast(_cents_df(spark, cents)))
+        .withColumn("cell", _assign_cell_expr(F.col("e")))
+        .select("vec_id", "e", "cell")
+    )
+    anchors = assigned.filter(F.col("vec_id") < TRIPLET_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("e").alias("ae"),
+        F.col("cell").alias("acell"),
+    )
+    scored = assigned.join(
+        F.broadcast(anchors), F.col("vec_id") != F.col("anchor_id")
+    ).select(
+        "anchor_id",
+        "vec_id",
+        "cell",
+        "acell",
+        F.round(_dot(F.col("ae"), F.col("e")) / (_norm(F.col("ae")) * _norm(F.col("e"))), 6).alias("cos"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    pos = (
+        scored.filter(F.col("cell") == F.col("acell"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("anchor_id", F.col("vec_id").alias("pos_id"), F.col("cos").alias("pos_cos"))
+    )
+    neg = (
+        scored.filter(F.col("cell") != F.col("acell"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("anchor_id", F.col("vec_id").alias("neg_id"), F.col("cos").alias("neg_cos"))
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "pos_id",
+        "pos_cos",
+        "neg_id",
+        "neg_cos",
+        F.round(F.col("pos_cos") - F.col("neg_cos"), 6).alias("margin"),
+    )
+
+
+EMB_TRIPLET_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+{_kmeans_sql_ctes()},
+assigned AS (
+  SELECT vec_id, emb, cell FROM (
+    SELECT e.vec_id, e.emb, c.cent_id AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS_SQL.format(a="e.emb", b="c.ce")} DESC,
+                      c.cent_id ASC) AS rn
+    FROM e CROSS JOIN cent{KMEANS_ROUNDS} c
+  ) WHERE rn = 1
+),
+anchors AS (
+  SELECT vec_id AS anchor_id, emb AS ae, cell AS acell FROM assigned
+  WHERE vec_id < {TRIPLET_ANCHORS}
+),
+scored AS (
+  SELECT a.anchor_id, c.vec_id, c.cell, a.acell,
+         ROUND({_COS_SQL.format(a="a.ae", b="c.emb")}, 6) AS cos
+  FROM assigned c JOIN anchors a ON c.vec_id <> a.anchor_id
+),
+pos AS (
+  SELECT anchor_id, vec_id AS pos_id, cos AS pos_cos FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY cos DESC, vec_id ASC) AS rn
+    FROM scored WHERE cell = acell
+  ) WHERE rn = 1
+),
+neg AS (
+  SELECT anchor_id, vec_id AS neg_id, cos AS neg_cos FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY cos DESC, vec_id ASC) AS rn
+    FROM scored WHERE cell <> acell
+  ) WHERE rn = 1
+)
+SELECT p.anchor_id, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos,
+       ROUND(p.pos_cos - n.neg_cos, 6) AS margin
+FROM pos p JOIN neg n ON n.anchor_id = p.anchor_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "emb_triplet_mining": (emb_triplet_mining, EMB_TRIPLET_SQL),
     "sim_mmr_rerank": (sim_mmr_rerank, SIM_MMR_SQL),
     "sim_ann_pq_adc": (sim_ann_pq_adc, SIM_PQ_ADC_SQL),
     "sim_ann_ivfpq": (sim_ann_ivfpq, SIM_ANN_IVFPQ_SQL),

@@ -112,6 +112,10 @@ EMPTY_SAFE = [
     "ts_residual_anomalies",
     "dedup_containment",
     "sim_ann_pq_adc",
+    "quality_lr_train",
+    "quality_lr_eval",
+    "multimodal_png_stats",
+    "multimodal_jpeg_stats",
 ]
 
 

@@ -113,6 +113,7 @@ BNLJ_BY_DESIGN = {
     "q22_global_sales_opportunity",  # 1-row scalar-AVG subquery broadcast
     "text_bm25",  # 1-row corpus-constants (N, avgdl) broadcast onto the tf table
     "sim_knn_classify",  # eval-set broadcast against the train scan (same shape as sim_cosine_topk)
+    "emb_triplet_mining",  # 8-row anchor broadcast against the corpus scan (fenced brute-force)
     "sess_rolling_actives",  # calendar-sized day grid broadcast (≤366 rows/yr) range join
     "dq_constraints",  # 1-row PK-stats broadcast joined onto the 1-row probe aggregate
     "a7_winsorize",  # 1-row percentile-bounds broadcast onto the clamp map
