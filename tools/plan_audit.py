@@ -312,6 +312,53 @@ AUDITS = [
         "is a left join against the production candidate generator "
         "restricted to the same subset.",
     ),
+    (
+        "emb_pq_stats",
+        "Trained-PQ encode, single pass (r5): subvectors posexplode to "
+        "(m, sv) and score against the all-subspace codebook riding as ONE "
+        "1-row broadcast — one corpus scan for all PQ_M subspaces (the "
+        "round-2 layout scanned per subspace); the argmin is an array_min "
+        "fold inside codegen, and the final per-subspace aggregate is "
+        "partial+final over PQ_M keys.",
+    ),
+    (
+        "sim_ann_pq_adc",
+        "ADC scoring over trained PQ codes: the code table and 64-entry LUT "
+        "derive from the same single-pass encode; per-candidate cost is a "
+        "broadcast-joined LUT lookup + decimal sum (map-side combinable), "
+        "never a float-vector touch — the billion-vector scoring layout.",
+    ),
+    (
+        "quality_lr_eval",
+        "Learned-classifier scoring: the trained weight vector rides as "
+        "literals in a narrow scoring map (no join), so the plan is scan -> "
+        "project -> ONE partial+final aggregate; training (not shown) "
+        "collects only the 4-float weight vector per GD round.",
+    ),
+    (
+        "emb_triplet_mining",
+        "Contrastive triplet construction: cell assignment reuses the "
+        "cached k-means fit (centroid literals, narrow map); candidates "
+        "join the 8-row anchor broadcast (fenced brute-force), then two "
+        "per-anchor window top-1s on one shuffle each — no all-pairs stage.",
+    ),
+    (
+        "multimodal_jpeg_stats",
+        "Compressed-media decode path: explicit repartition spreads the "
+        "Python codec across executors (the source parquet is one row "
+        "group), then Arrow-batched mapInPandas encode/decode — one Python "
+        "round trip per batch of blobs, the only viable shape at 100 TB.",
+    ),
+    (
+        "graph_pagerank",
+        "PageRank (r5 partitioning fix): the degree-weighted edge list is "
+        "built once at full parallelism and localCheckpointed; each "
+        "iteration is one equi-join + partial+final aggregate at the "
+        "session's default parallelism with AQE coalescing small shuffles "
+        "(the old fixed 8-partition pin under-parallelized sf0.1 4x). The "
+        "final plan below is the trivial readout of the checkpointed ranks "
+        "— the iterative work happens upstream, bounded per round.",
+    ),
 ]
 
 
