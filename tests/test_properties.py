@@ -194,3 +194,63 @@ def test_merge_into_matches_reference_semantics(target_keys, ops):
         elif k not in ref and op == "I":
             ref[k] = v
     assert got == ref
+
+
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.booleans(),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_property(h, w, rgb, seed):
+    """encode_png -> decode recovers EVERY pixel for arbitrary shapes and
+    content — PNG is lossless, so exact equality is the property."""
+    import numpy as np
+
+    from drive_health_etl_spark.operators.multimodal import decode_image, encode_png
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if rgb else (h, w)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    out = decode_image(bytes(encode_png(img)))
+    assert out.shape == img.shape and (out == img).all()
+
+
+@given(
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=20),
+    st.booleans(),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_roundtrip_property(h, w, rgb, seed):
+    """decode(encode(x)) is shape-exact and error-bounded for arbitrary
+    shapes including non-multiple-of-8 edges (replication padding). The MSE
+    bound is the quantization worst case measured on uniform noise."""
+    import numpy as np
+
+    from drive_health_etl_spark.operators.jpeg_codec import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if rgb else (h, w)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img))
+    assert out.shape == img.shape
+    assert ((out.astype(float) - img) ** 2).mean() < 200.0
+
+
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6), min_size=1, max_size=8))
+@settings(max_examples=200, deadline=None)
+def test_fast_sigmoid_python_reference(zs):
+    """The rational sigmoid surrogate's math in plain Python: range (0,1),
+    antisymmetric around 0.5, monotone — the properties GD relies on,
+    checked against the exact formula the engines both evaluate."""
+    vals = [0.5 + z / (2.0 * (1.0 + abs(z))) for z in zs]
+    for z, v in zip(zs, vals):
+        assert 0.0 < v < 1.0
+        mirror = 0.5 + (-z) / (2.0 * (1.0 + abs(z)))
+        assert abs((v - 0.5) + (mirror - 0.5)) < 1e-15
+    for (z1, v1), (z2, v2) in zip(sorted(zip(zs, vals)), sorted(zip(zs, vals))[1:]):
+        if z1 < z2:
+            assert v1 <= v2
