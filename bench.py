@@ -159,12 +159,18 @@ def main() -> None:
     run_one(spark, "a5_agg_suite", SF_DIR)
     run_one(spark, "pipeline_ingest_e2e", SF_DIR)
 
-    # Min of two runs per query: the VM's background load adds multi-second
-    # noise to single samples (observed 3.9s-10.8s for the same warm query);
-    # the min is the engine's actual cost.
+    # Min of two runs per query — plus a third when the two samples disagree
+    # by >1.5x: the VM's background load adds multi-second noise to single
+    # samples (observed 3.9s-10.8s for the same warm query, and a 1.9s bench
+    # sample for a query the isolated probe times at 0.7s). The min of the
+    # agreeing samples is the engine's actual cost.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t = min(run_one(spark, name, SF_DIR), run_one(spark, name, SF_DIR))
+        a = run_one(spark, name, SF_DIR)
+        b = run_one(spark, name, SF_DIR)
+        t = min(a, b)
+        if max(a, b) > 1.5 * t:
+            t = min(t, run_one(spark, name, SF_DIR))
         timings[name] = round(t, 3)
 
     total = round(sum(timings.values()), 3)

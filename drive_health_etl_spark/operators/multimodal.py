@@ -209,7 +209,11 @@ def _decode_png(blob: bytes) -> np.ndarray:
 def encode_png(img: np.ndarray) -> bytes:
     """REAL PNG encode (the decoder's round-trip twin): per-scanline filter
     type = row % 5, so every filter path (None/Sub/Up/Average/Paeth) is
-    exercised on any image taller than 4 rows; zlib level 6; CRC'd chunks."""
+    exercised on any image taller than 4 rows; zlib level 6; CRC'd chunks.
+
+    Filters vectorize fully on ENCODE (they subtract predictors computed
+    from RAW neighbor bytes — no reconstructed-value dependency, unlike
+    decode): uint8 arithmetic wraps mod 256 exactly as the spec's & 0xFF."""
     import struct
     import zlib
 
@@ -222,35 +226,31 @@ def encode_png(img: np.ndarray) -> bytes:
         color_type, bpp = 0, 1
     flat = img.astype(np.uint8).reshape(h, w * bpp)
     lines = []
-    prev = bytes(w * bpp)
+    prev = np.zeros(w * bpp, dtype=np.uint8)
     for r in range(h):
-        cur = bytes(flat[r])
+        cur = flat[r]
+        left = np.zeros_like(cur)
+        left[bpp:] = cur[:-bpp]
         f = r % 5
         if f == 0:
             filt = cur
-        elif f == 1:
-            filt = bytes((cur[i] - (cur[i - bpp] if i >= bpp else 0)) & 0xFF for i in range(len(cur)))
-        elif f == 2:
-            filt = bytes((cur[i] - prev[i]) & 0xFF for i in range(len(cur)))
-        elif f == 3:
-            filt = bytes(
-                (cur[i] - (((cur[i - bpp] if i >= bpp else 0) + prev[i]) >> 1)) & 0xFF
-                for i in range(len(cur))
-            )
-        else:
-            filt = bytes(
-                (
-                    cur[i]
-                    - _paeth(
-                        cur[i - bpp] if i >= bpp else 0,
-                        prev[i],
-                        prev[i - bpp] if i >= bpp else 0,
-                    )
-                )
-                & 0xFF
-                for i in range(len(cur))
-            )
-        lines.append(bytes([f]) + filt)
+        elif f == 1:  # Sub
+            filt = cur - left
+        elif f == 2:  # Up
+            filt = cur - prev
+        elif f == 3:  # Average: (a + b) >> 1 in a widened dtype
+            filt = cur - ((left.astype(np.uint16) + prev) >> 1).astype(np.uint8)
+        else:  # Paeth, element-wise over (left, up, up-left)
+            prevleft = np.zeros_like(prev)
+            prevleft[bpp:] = prev[:-bpp]
+            a = left.astype(np.int16)
+            b = prev.astype(np.int16)
+            c = prevleft.astype(np.int16)
+            p = a + b - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+            pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)).astype(np.uint8)
+            filt = cur - pred
+        lines.append(bytes([f]) + filt.tobytes())
         prev = cur
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
