@@ -131,6 +131,7 @@ HEADLINE = [
     "sess_cohort_value",
     "w15_percent_of_total",
     "dq_pk_audit",
+    "dq_k_anonymity",
     "text_url_canonical",
     "ts_residual_anomalies",
     "quality_lr_eval",

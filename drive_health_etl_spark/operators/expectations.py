@@ -271,9 +271,58 @@ FROM {table}"""
 ) + "\nORDER BY table_name"
 
 
+_K_LEVELS = (2, 5, 10)
+
+
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymity audit over the customer table's quasi-identifiers
+    (c_nationkey, c_mktsegment) — the privacy release-gate a training-data
+    pipeline runs before data leaves the boundary: a record is k-anonymous
+    iff at least k records share its full quasi-identifier tuple, so
+    re-identification by linking on those attributes hits a crowd of >= k.
+
+    One QI-grouped count, then one enum-sized rollup per k level: for each
+    k in _K_LEVELS, the number of violating QI groups (size < k), the rows
+    at risk inside them, and the smallest group size. Scale shape: one
+    shuffle on the QI tuple (the groups aggregate map-side); the k-level
+    readout is a constant-width aggregate over group counts — the audit
+    cost is the one groupBy regardless of table size."""
+    cust = load_table(spark, sf_dir, "customer")
+    groups = cust.groupBy("c_nationkey", "c_mktsegment").agg(F.count("*").alias("gn"))
+    parts = []
+    for k in _K_LEVELS:
+        parts.append(
+            groups.agg(
+                F.lit(k).alias("k"),
+                F.count("*").alias("n_groups"),
+                F.sum(F.when(F.col("gn") < k, 1).otherwise(0)).alias("n_violating_groups"),
+                F.sum(F.when(F.col("gn") < k, F.col("gn")).otherwise(0)).alias("n_rows_at_risk"),
+                F.min("gn").alias("min_group_size"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("k")
+
+
+DQ_K_ANONYMITY_SQL = (
+    "\nUNION ALL\n".join(
+        f"""SELECT {k} AS k, COUNT(*) AS n_groups,
+       CAST(SUM(CASE WHEN gn < {k} THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+       CAST(SUM(CASE WHEN gn < {k} THEN gn ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+       MIN(gn) AS min_group_size
+FROM (SELECT c_nationkey, c_mktsegment, COUNT(*) AS gn FROM customer GROUP BY 1, 2)"""
+        for k in _K_LEVELS
+    )
+    + "\nORDER BY k"
+)
+
+
 QUERIES: dict[str, tuple] = {
     "dq_expectations": (dq_expectations, DQ_EXPECTATIONS_SQL),
     "dq_reconcile_orders": (dq_reconcile_orders, DQ_RECONCILE_SQL),
     "dq_freshness": (dq_freshness, DQ_FRESHNESS_SQL),
     "dq_pk_audit": (dq_pk_audit, DQ_PK_AUDIT_SQL),
+    "dq_k_anonymity": (dq_k_anonymity, DQ_K_ANONYMITY_SQL),
 }
