@@ -225,11 +225,20 @@ feats AS MATERIALIZED (
   )
 )"""
 
+# Degenerate-corpus guard, mirroring lr_train's early return: on an empty
+# or single-class corpus BOTH class weights go to 0.0, which zeroes every
+# gradient term so the unrolled rounds leave the zero model untouched —
+# the same weights Spark returns (a NULL-propagating x/0 here would break
+# the bit-equality contract exactly on the guarded edge case).
 _CLS_SQL = """
 cls AS MATERIALIZED (
-  SELECT 0.5 * COUNT(*) / CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS pw,
-         0.5 * COUNT(*) / (COUNT(*) - CAST(SUM(CAST(y AS BIGINT)) AS BIGINT)) AS nw_t
-  FROM feats
+  SELECT CASE WHEN n = 0 OR np = 0 OR np = n THEN 0.0
+              ELSE 0.5 * n / np END AS pw,
+         CASE WHEN n = 0 OR np = 0 OR np = n THEN 0.0
+              ELSE 0.5 * n / (n - np) END AS nw_t
+  FROM (SELECT COUNT(*) AS n,
+               CAST(COALESCE(SUM(CAST(y AS BIGINT)), 0) AS BIGINT) AS np
+        FROM feats)
 )"""
 
 
@@ -258,8 +267,6 @@ def _lr_sql_ctes(rounds: int = LR_ROUNDS) -> str:
     for r in range(rounds):
         gsel = ", ".join(
             ["COUNT(*) AS n"]
-            + [f"MAX(w{b}) AS pw{b}" for b in range(LR_DIM)]
-            + ["MAX(w_bias) AS pw_bias"]
             + [f"CAST(SUM(CAST({e} AS DECIMAL(38,18))) AS DOUBLE) AS g_bias"]
             + [
                 f"CAST(SUM(CAST({e} * x[{b + 1}] AS DECIMAL(38,18))) AS DOUBLE) AS g{b}"
@@ -269,11 +276,21 @@ def _lr_sql_ctes(rounds: int = LR_ROUNDS) -> str:
         parts.append(
             f"g{r} AS MATERIALIZED (\n  SELECT {gsel} FROM feats CROSS JOIN w{r} CROSS JOIN cls\n)"
         )
+        # weights come from w{r} directly (NOT aggregated through the feats
+        # join — on an empty corpus MAX over zero rows would be NULL); the
+        # n = 0 case keeps the previous weights, matching lr_train's guard
         wsel = ", ".join(
-            [f"pw{b} - {LR_RATE} * g{b} / n AS w{b}" for b in range(LR_DIM)]
-            + [f"pw_bias - {LR_RATE} * g_bias / n AS w_bias"]
+            [
+                f"CASE WHEN g.n = 0 THEN p.w{b} ELSE p.w{b} - {LR_RATE} * g.g{b} / g.n END AS w{b}"
+                for b in range(LR_DIM)
+            ]
+            + [
+                f"CASE WHEN g.n = 0 THEN p.w_bias ELSE p.w_bias - {LR_RATE} * g.g_bias / g.n END AS w_bias"
+            ]
         )
-        parts.append(f"w{r + 1} AS MATERIALIZED (\n  SELECT {wsel} FROM g{r}\n)")
+        parts.append(
+            f"w{r + 1} AS MATERIALIZED (\n  SELECT {wsel} FROM g{r} g CROSS JOIN w{r} p\n)"
+        )
     return ",\n".join(parts)
 
 

@@ -281,38 +281,57 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     iff at least k records share its full quasi-identifier tuple, so
     re-identification by linking on those attributes hits a crowd of >= k.
 
-    One QI-grouped count, then one enum-sized rollup per k level: for each
-    k in _K_LEVELS, the number of violating QI groups (size < k), the rows
-    at risk inside them, and the smallest group size. Scale shape: one
-    shuffle on the QI tuple (the groups aggregate map-side); the k-level
-    readout is a constant-width aggregate over group counts — the audit
-    cost is the one groupBy regardless of table size."""
+    One QI-grouped count, then ONE constant-width rollup computing every k
+    level's columns in the same pass (a per-k union would re-scan the table
+    and re-shuffle the identical groups once per level), unpivoted to one
+    row per k via stack — the audit cost is the single groupBy regardless
+    of table size or the number of k levels."""
     cust = load_table(spark, sf_dir, "customer")
     groups = cust.groupBy("c_nationkey", "c_mktsegment").agg(F.count("*").alias("gn"))
-    parts = []
-    for k in _K_LEVELS:
-        parts.append(
-            groups.agg(
-                F.lit(k).alias("k"),
-                F.count("*").alias("n_groups"),
-                F.sum(F.when(F.col("gn") < k, 1).otherwise(0)).alias("n_violating_groups"),
-                F.sum(F.when(F.col("gn") < k, F.col("gn")).otherwise(0)).alias("n_rows_at_risk"),
-                F.min("gn").alias("min_group_size"),
-            )
+    stats = groups.agg(
+        F.count("*").alias("n_groups"),
+        F.min("gn").alias("min_group_size"),
+        *[
+            F.sum(F.when(F.col("gn") < k, 1).otherwise(0)).alias(f"vg{k}")
+            for k in _K_LEVELS
+        ],
+        *[
+            F.sum(F.when(F.col("gn") < k, F.col("gn")).otherwise(0)).alias(f"vr{k}")
+            for k in _K_LEVELS
+        ],
+    )
+    stack_args = ", ".join(
+        f"{k}, vg{k}, vr{k}" for k in _K_LEVELS
+    )
+    return (
+        stats.select(
+            F.expr(
+                f"stack({len(_K_LEVELS)}, {stack_args}) AS (k, n_violating_groups, n_rows_at_risk)"
+            ),
+            "n_groups",
+            "min_group_size",
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.orderBy("k")
+        .select("k", "n_groups", "n_violating_groups", "n_rows_at_risk", "min_group_size")
+        .orderBy("k")
+    )
 
 
 DQ_K_ANONYMITY_SQL = (
-    "\nUNION ALL\n".join(
-        f"""SELECT {k} AS k, COUNT(*) AS n_groups,
-       CAST(SUM(CASE WHEN gn < {k} THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
-       CAST(SUM(CASE WHEN gn < {k} THEN gn ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
-       MIN(gn) AS min_group_size
-FROM (SELECT c_nationkey, c_mktsegment, COUNT(*) AS gn FROM customer GROUP BY 1, 2)"""
+    """WITH stats AS MATERIALIZED (
+  SELECT COUNT(*) AS n_groups, MIN(gn) AS min_group_size,
+"""
+    + ",\n".join(
+        f"""         CAST(SUM(CASE WHEN gn < {k} THEN 1 ELSE 0 END) AS BIGINT) AS vg{k},
+         CAST(SUM(CASE WHEN gn < {k} THEN gn ELSE 0 END) AS BIGINT) AS vr{k}"""
+        for k in _K_LEVELS
+    )
+    + """
+  FROM (SELECT c_nationkey, c_mktsegment, COUNT(*) AS gn FROM customer GROUP BY 1, 2)
+)
+"""
+    + "\nUNION ALL\n".join(
+        f"""SELECT {k} AS k, n_groups, vg{k} AS n_violating_groups,
+       vr{k} AS n_rows_at_risk, min_group_size FROM stats"""
         for k in _K_LEVELS
     )
     + "\nORDER BY k"

@@ -75,12 +75,16 @@ def _idct2(coef: np.ndarray) -> np.ndarray:
 
 
 def _zigzag_order() -> np.ndarray:
-    """Indices that map an 8x8 block (row-major) to zigzag scan order."""
+    """Indices that map an 8x8 block (row-major) to the ITU T.81 zigzag:
+    odd anti-diagonals walk row-ascending ((0,1) before (1,0)), even ones
+    row-descending — the sequence 0, 1, 8, 16, 9, 2, 3, 10, ... that every
+    JPEG codec shares. (An earlier draft sorted the transpose, which
+    round-trips against itself but mis-renders against real codecs.)"""
     order = sorted(
-        ((x, y) for x in range(8) for y in range(8)),
-        key=lambda p: (p[0] + p[1], p[1] if (p[0] + p[1]) % 2 else p[0]),
+        ((r, c) for r in range(8) for c in range(8)),
+        key=lambda p: (p[0] + p[1], p[0] if (p[0] + p[1]) % 2 else -p[0]),
     )
-    return np.array([x * 8 + y for x, y in order])
+    return np.array([r * 8 + c for r, c in order])
 
 
 _ZIGZAG = _zigzag_order()
@@ -330,6 +334,9 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     while pos + 4 <= len(blob):
         if blob[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 4 <= len(blob) and blob[pos + 1] == 0xFF:
+            pos += 1
         marker = (blob[pos] << 8) | blob[pos + 1]
         if marker == 0xFFD9:
             break

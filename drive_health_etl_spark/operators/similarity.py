@@ -252,6 +252,15 @@ def kmeans_centroids(emb: DataFrame, rounds: int = KMEANS_ROUNDS) -> list[tuple[
 _CENTROID_CACHE: dict[tuple[str, str], list[tuple[int, list[float]]]] = {}
 
 
+def _centroids_cached(spark: SparkSession, sf_dir: str, emb: DataFrame) -> list[tuple[int, list[float]]]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cents = _CENTROID_CACHE.get(key)
+    if cents is None:
+        cents = kmeans_centroids(emb)
+        _CENTROID_CACHE[key] = cents
+    return cents
+
+
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN: k-means the corpus into N_CELLS centroids (real Lloyd
     iterations, deterministic seed), assign every vector to its cell
@@ -263,11 +272,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
     )
-    ckey = (spark.sparkContext.applicationId, sf_dir)
-    cents = _CENTROID_CACHE.get(ckey)
-    if cents is None:
-        cents = kmeans_centroids(emb)
-        _CENTROID_CACHE[ckey] = cents
+    cents = _centroids_cached(spark, sf_dir, emb)
     assigned = (
         emb.join(F.broadcast(_cents_df(spark, cents)))
         .withColumn("cell", _assign_cell_expr(F.col("e")))
@@ -377,11 +382,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
     )
-    ckey = (spark.sparkContext.applicationId, sf_dir)
-    cents = _CENTROID_CACHE.get(ckey)
-    if cents is None:
-        cents = kmeans_centroids(emb)
-        _CENTROID_CACHE[ckey] = cents
+    cents = _centroids_cached(spark, sf_dir, emb)
     # Norm is precomputed per VECTOR (linear work) so the quadratic in-cell
     # pair filter below evaluates a single array fold (the dot) per pair
     # instead of three — at |cell| ~ n/k this is the dominant cost term.
@@ -979,11 +980,7 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
     )
-    ckey = (spark.sparkContext.applicationId, sf_dir)
-    cents = _CENTROID_CACHE.get(ckey)
-    if cents is None:
-        cents = kmeans_centroids(emb)
-        _CENTROID_CACHE[ckey] = cents
+    cents = _centroids_cached(spark, sf_dir, emb)
     cmat = _cents_df(spark, cents)
     assigned = (
         emb.join(F.broadcast(cmat))
@@ -1641,11 +1638,7 @@ def emb_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
     )
-    ckey = (spark.sparkContext.applicationId, sf_dir)
-    cents = _CENTROID_CACHE.get(ckey)
-    if cents is None:
-        cents = kmeans_centroids(emb)
-        _CENTROID_CACHE[ckey] = cents
+    cents = _centroids_cached(spark, sf_dir, emb)
     assigned = (
         emb.join(F.broadcast(_cents_df(spark, cents)))
         .withColumn("cell", _assign_cell_expr(F.col("e")))

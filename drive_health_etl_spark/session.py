@@ -15,6 +15,7 @@ Local testing runs on ``local[N]`` but every config here is chosen for the
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import SparkSession
 
@@ -85,18 +86,31 @@ class shuffle_partitions:
     """Temporarily pin spark.sql.shuffle.partitions — a caller-provided
     (driver) session defaults to 200, which makes stateful-streaming and
     iterative shuffles scheduling-bound at test scale. Streaming queries
-    capture the value at start, so restoring on exit is safe."""
+    capture the value at start, so restoring on exit is safe.
+
+    The conf is SESSION-GLOBAL, so concurrent pinned sections from multiple
+    threads (the parallel rehearsal pool) would interleave enter/exit and
+    leave the session pinned to whichever exit ran last. A process-wide
+    re-entrant lock serializes pinned sections instead: correctness never
+    depended on the value (the decimal-sum policy makes results
+    partitioning-independent), but a leaked pin would silently degrade
+    every later query's parallelism. Uncontended, the lock costs nothing
+    for single-threaded use."""
+
+    _lock = threading.RLock()
 
     def __init__(self, spark: SparkSession, n: int = 32):
         self.spark, self.n = spark, n
 
     def __enter__(self):
+        self._lock.acquire()
         self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
         self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
         return self
 
     def __exit__(self, *exc):
         self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+        self._lock.release()
         return False
 
 

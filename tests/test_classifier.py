@@ -53,3 +53,49 @@ def test_lr_weights_match_rule_structure(spark, sf_dir):
     assert rows["stopword_frac"] > 1.0
     assert rows["stopword_frac"] > abs(rows["n_words_capped"])
     assert rows["stopword_frac"] > abs(rows["mean_word_len"])
+
+
+def test_lr_oracle_matches_on_degenerate_corpora(spark, tmp_path):
+    """The SQL oracle must mirror lr_train's degenerate-corpus guard: on an
+    EMPTY corpus and an all-one-class corpus both engines must produce the
+    zero model, not NULL-propagated weights (the gap a review found: the
+    Spark guard existed, the oracle's didn't)."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from drive_health_etl_spark.operators.classifier import (
+        QUALITY_LR_TRAIN_SQL,
+        _LR_CACHE,
+        quality_lr_train,
+    )
+    from drive_health_etl_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    # the label is the GOPHER KEEP RULE (not lang): build a genuinely
+    # single-class corpus from docs the rule keeps
+    keep_ids = [
+        r["doc_id"]
+        for r in REGISTRY["text_gopher_rules"][0](spark, SF_DIR)
+        .filter("keep")
+        .limit(5)
+        .collect()
+    ]
+    cases = {
+        "empty": docs.filter(F.lit(False)),
+        "single_class": docs.filter(F.col("doc_id").isin(keep_ids)),
+    }
+    for label, df in cases.items():
+        d = str(tmp_path / label)
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        _LR_CACHE.clear()  # force a fresh fit against this corpus
+        got = {r["term"]: r["weight"] for r in quality_lr_train(spark, d).collect()}
+        con = duckdb.connect()
+        # Spark writes a directory of part files; point DuckDB at the parts
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+        )
+        want = dict(con.sql(QUALITY_LR_TRAIN_SQL).fetchall())
+        con.close()
+        assert got == want == {t: 0.0 for t in got}, (label, got, want)
+    _LR_CACHE.clear()

@@ -312,3 +312,33 @@ def test_jpeg_dispatch_through_decode_image():
 
     img = np.full((8, 8, 3), 42, dtype=np.uint8)
     assert (decode_image(bytes(encode_jpeg(img))) == img).all()
+
+
+def test_jpeg_zigzag_matches_itu_t81():
+    """The zigzag table pinned against ITU T.81 Figure A.6 verbatim — a
+    transposed variant round-trips against itself but garbles interop with
+    every real codec, so the table is asserted, not derived-twice."""
+    from drive_health_etl_spark.operators.jpeg_codec import _ZIGZAG
+
+    full = [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+    assert list(_ZIGZAG) == full
+
+
+def test_jpeg_fill_bytes_before_marker_accepted():
+    """T.81 B.1.1.2 allows 0xFF fill bytes before any marker; insert some
+    before DQT and the decoder must still parse (real cameras emit them)."""
+    import numpy as np
+
+    from drive_health_etl_spark.operators.jpeg_codec import decode_jpeg, encode_jpeg
+
+    img = np.full((8, 8, 3), 55, dtype=np.uint8)
+    blob = encode_jpeg(img)
+    idx = blob.find(b"\xff\xdb")
+    padded = blob[:idx] + b"\xff\xff\xff" + blob[idx:]
+    out = decode_jpeg(padded)
+    assert out.shape == img.shape and (out == img).all()

@@ -5,10 +5,13 @@ row-count + column + value-multiset compare as the correctness gate.
 
 Wall-clock structure (VERDICT r2 item 5 — keep the sweep under 180 s so no
 external budget ever truncates it): most queries are pure plan-build +
-collect with no shared mutable state, so they run on a small thread pool
-(each worker owns its own DuckDB connection; Spark job submission is
-thread-safe and 32 local cores are otherwise underutilized by one query at
-sf0.01). Three groups stay ORDERED/serial:
+collect, so they run on a small thread pool (each worker owns its own
+DuckDB connection; Spark job submission is thread-safe and 32 local cores
+are otherwise underutilized by one query at sf0.01). The one piece of
+shared mutable state — the session-global shuffle-partitions pin some
+trainers take — is serialized by a lock inside ``shuffle_partitions``
+itself, and the trainer fits are warmed up-front so pool workers rarely
+enter it at all. Three groups stay ORDERED/serial:
 
 1. warm-up compares that populate the shared fit caches (minhash subtree,
    k-means centroids, PQ codebooks) so pool workers never duplicate a fit,
@@ -46,6 +49,8 @@ WARMUP = [
     "dedup_minhash_pairs",  # minhash subtree cache
     "sim_ann_ivf",  # IVF centroid cache
     "emb_pq_stats",  # PQ codebook cache
+    "quality_lr_train",  # LR weight cache (else train+eval race duplicate fits)
+    "graph_pagerank",  # weighted-edge cache
 ]
 
 # Streaming / write-side-effect prefixes stay serial (own temp dirs and
@@ -103,6 +108,7 @@ def main() -> int:
                 print(f"ROWS-ONLY {name}: {nrows} rows")
             except Exception as e:
                 results[name] = {"ok": False, "why": f"rows-only error {e}"}
+                print(f"FAIL {name}: rows-only error {e}")
             timings[name] = time.monotonic() - t_q
             return
         try:
