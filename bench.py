@@ -58,6 +58,7 @@ HEADLINE = [
     "multimodal_decode_stats",
     "multimodal_png_stats",
     "multimodal_jpeg_stats",
+    "multimodal_jpeg420_stats",
     "asof_last_purchase",
     "sess_stats",
     "sess_funnel",

@@ -21,7 +21,12 @@ while the decoder is fully general and reads whatever tables the stream
 declares. This keeps every byte reproducible without transcribing Annex K.
 
 Supported subset: baseline sequential (SOF0), 8-bit, 1 or 3 components,
-4:4:4 sampling, no restart intervals. Progressive (SOF2), subsampled, or
+4:4:4 AND 4:2:0 sampling (the real-world default: 2x2-mean chroma
+downsample on encode, MCUs of four Y blocks + Cb + Cr, nearest-neighbor
+upsample on decode), and restart intervals (DRI/RSTm with DC reset and
+marker-sequence verification — restart intervals are also what makes
+distributed JPEG decode possible: each interval is an independently
+decodable, byte-aligned split). Progressive (SOF2), other samplings, and
 arithmetic-coded streams raise NotImplementedError honestly.
 
 Correctness evidence (tests/test_multimodal.py): the DCT matrix is checked
@@ -159,6 +164,14 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # pad with 1s
         return bytes(self.out)
 
+    def emit_marker(self, code: int) -> None:
+        """Byte-align (1-padding) and append a raw RSTm marker — marker
+        bytes are NOT stuffed; they are what the decoder resyncs on."""
+        if self._nbits:
+            pad = 8 - self._nbits
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, code])
+
 
 class _BitReader:
     def __init__(self, data: bytes) -> None:
@@ -187,6 +200,20 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.read_bit()
         return v
+
+    def read_restart(self) -> int:
+        """Discard partial-byte bits and consume an RSTm marker, returning
+        m — the byte-aligned resync point a parallel decoder splits on."""
+        self._nbits = 0
+        if (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            m = self.data[self.pos + 1] & 7
+            self.pos += 2
+            return m
+        raise ValueError(f"expected restart marker at entropy offset {self.pos}")
 
 
 def _decode_huff_symbol(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
@@ -230,17 +257,83 @@ def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
     return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
 
 
-def encode_jpeg(img: np.ndarray) -> bytes:
+def _encode_block(writer: _BitWriter, block: np.ndarray, prev_dc: int, q, dc_codes, ac_codes) -> int:
+    """DCT + quantize + entropy-encode one 8x8 block; returns its DC value
+    (the caller threads per-component DC prediction through)."""
+    coef = _dct2(block - 128.0)
+    quant = np.round(coef / q).astype(np.int32)
+    zz = quant.reshape(-1)[_ZIGZAG]
+    diff = int(zz[0]) - prev_dc
+    t = _category(diff)
+    code, length = dc_codes[t]
+    writer.write(code, length)
+    if t:
+        writer.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+    for i in range(1, last_nz + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            writer.write(code, length)
+            run -= 16
+        size = _category(v)
+        code, length = ac_codes[(run << 4) | size]
+        writer.write(code, length)
+        writer.write(v if v >= 0 else v + (1 << size) - 1, size)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_codes[0x00]  # EOB
+        writer.write(code, length)
+    return int(zz[0])
+
+
+def _pad_to(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    """Edge-replicate a plane up to (ph, pw) — T.81's recommended pad."""
+    return np.pad(plane, ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])), mode="edge")
+
+
+def encode_jpeg(img: np.ndarray, *, subsampling: str = "444", restart_interval: int = 0) -> bytes:
     """Encode an (h, w) gray or (h, w, 3) RGB uint8 image as baseline JFIF
-    (4:4:4, custom embedded tables). Deterministic: same image -> same bytes."""
-    if img.ndim == 2:
-        planes = [img.astype(np.float64)]
+    with custom embedded tables. Deterministic: same inputs -> same bytes.
+
+    ``subsampling``: "444" (every component full resolution) or "420" (the
+    real-world default: chroma downsampled 2x2 by exact mean, MCUs of four
+    Y blocks + Cb + Cr). ``restart_interval``: if > 0, a DRI segment is
+    emitted and every N MCUs the entropy stream byte-aligns, emits RSTm,
+    and resets DC prediction — restart intervals are what make JPEG decode
+    PARALLELIZABLE (each interval is an independently decodable split, the
+    property a distributed decoder shards on)."""
+    if subsampling not in ("444", "420"):
+        raise NotImplementedError(f"subsampling {subsampling!r}: only 444/420")
+    h, w = img.shape[:2]
+    gray = img.ndim == 2
+    if gray:
+        comp_planes = [img.astype(np.float64)]
+        samp = [(1, 1)]
     else:
         assert img.ndim == 3 and img.shape[2] == 3, "encode_jpeg takes gray or RGB"
         ycc = _rgb_to_ycbcr(img)
-        planes = [ycc[..., c] for c in range(3)]
-    h, w = img.shape[:2]
-    n_comp = len(planes)
+        if subsampling == "420":
+            ce = np.pad(ycc[..., 1:], ((0, h % 2), (0, w % 2), (0, 0)), mode="edge")
+            chroma = (ce[0::2, 0::2] + ce[1::2, 0::2] + ce[0::2, 1::2] + ce[1::2, 1::2]) / 4.0
+            comp_planes = [ycc[..., 0], chroma[..., 0], chroma[..., 1]]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            comp_planes = [ycc[..., c] for c in range(3)]
+            samp = [(1, 1)] * 3
+    n_comp = len(comp_planes)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    padded = [
+        _pad_to(p, mcus_y * 8 * vi, mcus_x * 8 * hi)
+        for p, (hi, vi) in zip(comp_planes, samp)
+    ]
 
     q = _QTABLE.astype(np.float64)
     dc_codes = _huff_codes(*_fixed_length_huffman(_DC_SYMBOLS))
@@ -248,48 +341,21 @@ def encode_jpeg(img: np.ndarray) -> bytes:
 
     writer = _BitWriter()
     prev_dc = [0] * n_comp
-    bh, bw = (h + 7) // 8, (w + 7) // 8
-    for by in range(bh):
-        for bx in range(bw):
-            for ci, plane in enumerate(planes):
-                block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                if block.shape != (8, 8):  # edge replication pad
-                    block = np.pad(
-                        block,
-                        ((0, 8 - block.shape[0]), (0, 8 - block.shape[1])),
-                        mode="edge",
-                    )
-                coef = _dct2(block - 128.0)
-                quant = np.round(coef / q).astype(np.int32)
-                zz = quant.reshape(-1)[_ZIGZAG]
-                # DC
-                diff = int(zz[0]) - prev_dc[ci]
-                prev_dc[ci] = int(zz[0])
-                t = _category(diff)
-                code, length = dc_codes[t]
-                writer.write(code, length)
-                if t:
-                    writer.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
-                # AC
-                run = 0
-                last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
-                for i in range(1, last_nz + 1):
-                    v = int(zz[i])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, length = ac_codes[0xF0]  # ZRL
-                        writer.write(code, length)
-                        run -= 16
-                    size = _category(v)
-                    code, length = ac_codes[(run << 4) | size]
-                    writer.write(code, length)
-                    writer.write(v if v >= 0 else v + (1 << size) - 1, size)
-                    run = 0
-                if last_nz < 63:
-                    code, length = ac_codes[0x00]  # EOB
-                    writer.write(code, length)
+    mcu_idx = 0
+    n_rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                writer.emit_marker(0xD0 + (n_rst % 8))
+                n_rst += 1
+                prev_dc = [0] * n_comp
+            for ci, (plane, (hi, vi)) in enumerate(zip(padded, samp)):
+                for r in range(vi):
+                    for c in range(hi):
+                        by, bx = my * vi + r, mx * hi + c
+                        block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                        prev_dc[ci] = _encode_block(writer, block, prev_dc[ci], q, dc_codes, ac_codes)
+            mcu_idx += 1
     entropy = writer.flush()
 
     # --- container ---
@@ -299,9 +365,11 @@ def encode_jpeg(img: np.ndarray) -> bytes:
     out = bytearray(b"\xff\xd8")  # SOI
     out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
     out += seg(0xFFDB, bytes([0]) + bytes(_QTABLE.reshape(-1)[_ZIGZAG].astype(np.uint8)))  # DQT id 0
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))  # DRI
     sof = struct.pack(">BHHB", 8, h, w, n_comp)
-    for ci in range(n_comp):
-        sof += bytes([ci + 1, 0x11, 0])  # id, 4:4:4 sampling, qtable 0
+    for ci, (hi, vi) in enumerate(samp):
+        sof += bytes([ci + 1, (hi << 4) | vi, 0])  # id, sampling, qtable 0
     out += seg(0xFFC0, sof)  # SOF0
     dc_counts, dc_syms = _fixed_length_huffman(_DC_SYMBOLS)
     ac_counts, ac_syms = _fixed_length_huffman(_AC_SYMBOLS)
@@ -319,15 +387,18 @@ def encode_jpeg(img: np.ndarray) -> bytes:
 
 
 def decode_jpeg(blob: bytes) -> np.ndarray:
-    """Decode baseline JFIF (SOF0, 8-bit, 4:4:4, 1 or 3 components).
-    Returns (h, w) for grayscale, (h, w, 3) RGB otherwise. General over
-    in-stream tables; refuses progressive/subsampled/restart streams."""
+    """Decode baseline JFIF (SOF0, 8-bit, 1 or 3 components; 4:4:4 or the
+    real-world-default 4:2:0 sampling; restart intervals honored with DC
+    reset + marker-sequence verification). Returns (h, w) for grayscale,
+    (h, w, 3) RGB otherwise. General over in-stream tables; refuses
+    progressive/arithmetic/other-sampling streams honestly."""
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     h = w = 0
+    restart_interval = 0
     comps: list[tuple[int, int, int]] = []  # (id, sampling, qtable_id)
     scan: list[tuple[int, int, int]] = []  # (comp_idx, dc_table, ac_table)
     entropy_start = -1
@@ -359,9 +430,15 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 raise NotImplementedError("only 8-bit JPEG supported")
             for ci in range(n_comp):
                 cid, sampling, qid = payload[6 + 3 * ci : 9 + 3 * ci]
-                if sampling != 0x11:
-                    raise NotImplementedError("only 4:4:4 sampling supported")
                 comps.append((cid, sampling, qid))
+            samplings = [((s >> 4), (s & 0xF)) for _, s, _ in comps]
+            if not (
+                all(s == (1, 1) for s in samplings)
+                or (len(samplings) == 3 and samplings == [(2, 2), (1, 1), (1, 1)])
+            ):
+                raise NotImplementedError(
+                    f"sampling factors {samplings}: only 4:4:4 and 4:2:0 decode"
+                )
         elif marker == 0xFFC4:  # DHT (possibly several tables)
             p = 0
             while p < len(payload):
@@ -372,8 +449,8 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 codes = _huff_codes(counts, syms)
                 huff[(tclass, tid)] = {(c, l): s for s, (c, l) in codes.items()}
                 p += 17 + nsym
-        elif marker == 0xFFDD:
-            raise NotImplementedError("restart intervals not supported")
+        elif marker == 0xFFDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", payload[:2])
         elif marker == 0xFFDA:  # SOS
             ns = payload[0]
             for si in range(ns):
@@ -386,47 +463,79 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     if entropy_start < 0 or not comps:
         raise ValueError("JPEG missing SOS/SOF0")
 
-    # find entropy end (next real marker, skipping stuffed FF00)
+    # find entropy end: the next real marker, skipping stuffed FF00 AND
+    # RSTm (restart markers are part of the entropy-coded segment)
     end = entropy_start
     while end + 1 < len(blob):
-        if blob[end] == 0xFF and blob[end + 1] not in (0x00,):
+        if blob[end] == 0xFF and blob[end + 1] != 0x00 and not (0xD0 <= blob[end + 1] <= 0xD7):
             break
         end += 1 if blob[end] != 0xFF else 2
     reader = _BitReader(blob[entropy_start:end])
 
     n_comp = len(comps)
-    bh, bw = (h + 7) // 8, (w + 7) // 8
-    planes = [np.zeros((bh * 8, bw * 8)) for _ in range(n_comp)]
+    samp = [((s >> 4), (s & 0xF)) for _, s, _ in comps]
+    hmax = max(hi for hi, _ in samp)
+    vmax = max(vi for _, vi in samp)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((mcus_y * 8 * vi, mcus_x * 8 * hi)) for hi, vi in samp
+    ]
     prev_dc = [0] * n_comp
-    for by in range(bh):
-        for bx in range(bw):
+
+    def decode_block(comp_idx: int, dc_id: int, ac_id: int, by: int, bx: int) -> None:
+        dc_tab = huff[(0, dc_id)]
+        ac_tab = huff[(1, ac_id)]
+        zz = np.zeros(64, dtype=np.float64)
+        t = _decode_huff_symbol(reader, dc_tab)
+        diff = _extend(reader.read_bits(t), t)
+        prev_dc[comp_idx] += diff
+        zz[0] = prev_dc[comp_idx]
+        i = 1
+        while i < 64:
+            sym = _decode_huff_symbol(reader, ac_tab)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                i += 16
+                continue
+            run, size = sym >> 4, sym & 0xF
+            i += run
+            if i >= 64:
+                raise ValueError("AC run past end of block")
+            zz[i] = _extend(reader.read_bits(size), size)
+            i += 1
+        q = qtables[comps[comp_idx][2]]
+        coef = (zz[_UNZIGZAG].reshape(8, 8)) * q
+        block = _idct2(coef) + 128.0
+        planes[comp_idx][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+
+    mcu_idx = 0
+    n_rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                m = reader.read_restart()
+                if m != n_rst % 8:
+                    raise ValueError(f"restart sequence broken: RST{m}, expected RST{n_rst % 8}")
+                n_rst += 1
+                prev_dc = [0] * n_comp
             for comp_idx, dc_id, ac_id in scan:
-                dc_tab = huff[(0, dc_id)]
-                ac_tab = huff[(1, ac_id)]
-                zz = np.zeros(64, dtype=np.float64)
-                t = _decode_huff_symbol(reader, dc_tab)
-                diff = _extend(reader.read_bits(t), t)
-                prev_dc[comp_idx] += diff
-                zz[0] = prev_dc[comp_idx]
-                i = 1
-                while i < 64:
-                    sym = _decode_huff_symbol(reader, ac_tab)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        i += 16
-                        continue
-                    run, size = sym >> 4, sym & 0xF
-                    i += run
-                    if i >= 64:
-                        raise ValueError("AC run past end of block")
-                    zz[i] = _extend(reader.read_bits(size), size)
-                    i += 1
-                q = qtables[comps[comp_idx][2]]
-                coef = (zz[_UNZIGZAG].reshape(8, 8)) * q
-                block = _idct2(coef) + 128.0
-                planes[comp_idx][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-    planes = [p[:h, :w] for p in planes]
+                hi, vi = samp[comp_idx]
+                for r in range(vi):
+                    for c in range(hi):
+                        decode_block(comp_idx, dc_id, ac_id, my * vi + r, mx * hi + c)
+            mcu_idx += 1
+
+    # upsample subsampled components (nearest-neighbor replication, the
+    # standard simple upsampler), then crop to the declared dimensions
+    full = []
+    for p, (hi, vi) in zip(planes, samp):
+        if vi < vmax:
+            p = np.repeat(p, vmax // vi, axis=0)
+        if hi < hmax:
+            p = np.repeat(p, hmax // hi, axis=1)
+        full.append(p[:h, :w])
     if n_comp == 1:
-        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
-    return _ycbcr_to_rgb(np.stack(planes, axis=-1))
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+    return _ycbcr_to_rgb(np.stack(full, axis=-1))

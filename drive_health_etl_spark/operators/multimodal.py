@@ -493,15 +493,24 @@ MULTIMODAL_PNG_SQL = MULTIMODAL_DECODE_SQL
 # against the direct DCT-II definition, constant blocks exact, round-trip
 # error within the quantization bound).
 _JPEG_MSE_BOUND = 150.0  # worst case is uniform-noise rasters; smooth ~3
+# 4:2:0 destroys per-pixel chroma noise by construction (2x2 mean), and the
+# ASCII-byte rasters are chroma noise — measured corpus max 966, so the
+# bound carries ~1.5x margin; real photos (smooth chroma) land near the
+# 4:4:4 numbers.
+_JPEG420_MSE_BOUND = 1500.0
+_JPEG420_RESTART = 2  # MCUs per restart interval — exercises DRI/RSTm
 
 
-def attach_jpeg_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+def attach_jpeg_images(
+    spark: SparkSession, sf_dir: str, *, subsampling: str = "444", restart_interval: int = 0
+) -> DataFrame:
     """A REAL lossy-compressed image table: the deterministic PPM raster rule
     encoded as genuine baseline JFIF JPEGs (`encode_jpeg`: 8x8 DCT,
     frequency-ramp quantization, canonical Huffman, embedded tables) inside
-    mapInPandas. Any standards-compliant JPEG reader accepts these blobs.
-    Repartitioned so the Python codec runs on every core, not the single
-    parquet row-group partition."""
+    mapInPandas — 4:4:4 by default, or 4:2:0 with restart intervals for the
+    real-world wire layout. Any standards-compliant JPEG reader accepts
+    these blobs. Repartitioned so the Python codec runs on every core, not
+    the single parquet row-group partition."""
     from drive_health_etl_spark.operators.jpeg_codec import encode_jpeg
 
     base = (
@@ -524,7 +533,9 @@ def attach_jpeg_images(spark: SparkSession, sf_dir: str) -> DataFrame:
             blobs = []
             for w, h, raw in zip(pdf["w"], pdf["h"], pdf["raw"]):
                 img = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(int(h), int(w), 3)
-                blobs.append(encode_jpeg(img))
+                blobs.append(
+                    encode_jpeg(img, subsampling=subsampling, restart_interval=restart_interval)
+                )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs, "raw": pdf["raw"]})
 
     return raster.mapInPandas(op, schema="doc_id long, content binary, raw binary")
@@ -538,8 +549,10 @@ def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     every image — a broken Huffman walk, zigzag, or IDCT blows the MSE far
     past the bound and flips the hash. (Exact-mean oracles live on the
     lossless PNG/NetPBM paths.)"""
-    media = attach_jpeg_images(spark, sf_dir)
+    return _jpeg_roundtrip_stats(attach_jpeg_images(spark, sf_dir), _JPEG_MSE_BOUND)
 
+
+def _jpeg_roundtrip_stats(media: DataFrame, bound: float) -> DataFrame:
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"doc_id": [], "width": [], "height": [], "mse_ok": []}
@@ -551,12 +564,27 @@ def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["doc_id"].append(int(doc_id))
                 out["width"].append(int(w))
                 out["height"].append(int(h))
-                out["mse_ok"].append(mse < _JPEG_MSE_BOUND)
+                out["mse_ok"].append(mse < bound)
             yield pd.DataFrame(out)
 
     return media.mapInPandas(
         op, schema="doc_id long, width int, height int, mse_ok boolean"
     )
+
+
+def multimodal_jpeg420_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real-world JPEG wire layout end to end: 4:2:0 chroma-subsampled
+    blobs WITH restart intervals (DRI/RSTm every ``_JPEG420_RESTART`` MCUs),
+    round-tripped through the full codec. Exercises the MCU walk (4 Y
+    blocks + Cb + Cr), the 2x2-mean downsample / nearest upsample pair, and
+    the byte-aligned restart resync with DC reset — the split points a
+    distributed decoder shards on. The error bound is wider than 4:4:4's
+    because the ASCII rasters are chroma noise, which 4:2:0 removes by
+    construction (measured corpus max 966 vs the 1500 bound)."""
+    media = attach_jpeg_images(
+        spark, sf_dir, subsampling="420", restart_interval=_JPEG420_RESTART
+    )
+    return _jpeg_roundtrip_stats(media, _JPEG420_MSE_BOUND)
 
 
 MULTIMODAL_JPEG_SQL = """
@@ -1171,6 +1199,7 @@ QUERIES: dict[str, tuple] = {
     "multimodal_decode_stats": (multimodal_decode_stats, MULTIMODAL_DECODE_SQL),
     "multimodal_png_stats": (multimodal_png_stats, MULTIMODAL_PNG_SQL),
     "multimodal_jpeg_stats": (multimodal_jpeg_stats, MULTIMODAL_JPEG_SQL),
+    "multimodal_jpeg420_stats": (multimodal_jpeg420_stats, MULTIMODAL_JPEG_SQL),
     "multimodal_audio_stats": (multimodal_audio_stats, MULTIMODAL_AUDIO_SQL),
     "multimodal_video_stats": (multimodal_video_stats, MULTIMODAL_VIDEO_SQL),
     "multimodal_resize_stats": (multimodal_resize_stats, MULTIMODAL_RESIZE_SQL),

@@ -116,6 +116,7 @@ EMPTY_SAFE = [
     "quality_lr_eval",
     "multimodal_png_stats",
     "multimodal_jpeg_stats",
+    "multimodal_jpeg420_stats",
     "dq_k_anonymity",
 ]
 

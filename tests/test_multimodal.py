@@ -342,3 +342,49 @@ def test_jpeg_fill_bytes_before_marker_accepted():
     padded = blob[:idx] + b"\xff\xff\xff" + blob[idx:]
     out = decode_jpeg(padded)
     assert out.shape == img.shape and (out == img).all()
+
+
+def test_jpeg_420_and_restart_roundtrip():
+    """4:2:0 + restart intervals: constant images exact, smooth images
+    near-lossless, restart marker sequence verified (a decoder that skips
+    DC reset or marker order fails loudly, not subtly)."""
+    import numpy as np
+    import pytest
+
+    from drive_health_etl_spark.operators.jpeg_codec import decode_jpeg, encode_jpeg
+
+    const = np.full((18, 22, 3), 77, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(const, subsampling="420", restart_interval=2))
+    assert out.shape == const.shape and np.abs(out.astype(int) - 77).max() == 0
+
+    x, y = np.linspace(0, 4, 40), np.linspace(0, 3, 30)
+    smooth = (127 + 100 * np.outer(np.sin(y), np.cos(x))).astype(np.uint8)
+    s3 = np.stack([smooth] * 3, axis=2)
+    out = decode_jpeg(encode_jpeg(s3, subsampling="420", restart_interval=1))
+    assert out.shape == s3.shape
+    assert ((out.astype(float) - s3) ** 2).mean() < 10
+
+    # corrupt a restart marker's sequence number -> decoder must refuse
+    blob = bytearray(encode_jpeg(s3, subsampling="420", restart_interval=1))
+    idx = bytes(blob).find(b"\xff\xd0")  # first RST0 in the entropy stream
+    assert idx > 0
+    blob[idx + 1] = 0xD5  # RST0 -> RST5, out of sequence
+    with pytest.raises(ValueError, match="restart sequence"):
+        decode_jpeg(bytes(blob))
+
+
+def test_jpeg_rejects_unsupported_sampling():
+    import numpy as np
+    import pytest
+
+    from drive_health_etl_spark.operators.jpeg_codec import decode_jpeg, encode_jpeg
+
+    with pytest.raises(NotImplementedError, match="444/420"):
+        encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8), subsampling="422")
+    # hand-patch a 4:2:0 blob's SOF to claim 4:2:2 -> decoder refuses
+    blob = bytearray(encode_jpeg(np.zeros((16, 16, 3), dtype=np.uint8), subsampling="420"))
+    sof = bytes(blob).find(b"\xff\xc0")
+    assert blob[sof + 11] == 0x22  # Y sampling byte
+    blob[sof + 11] = 0x21  # claim 4:2:2
+    with pytest.raises(NotImplementedError, match="sampling factors"):
+        decode_jpeg(bytes(blob))
