@@ -42,10 +42,14 @@ from drive_health_etl_spark.plans import tpch_suite as _tpch
 
 
 def pipeline_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check: full ingest chain (decode -> validate -> sample ->
-    dedup -> warehouse rows) over envelopes derived from the events table,
-    then the reference's verification aggregate (A1). Not SQL-expressible
-    (base64/JSON fixture generation + pandas UDF inside)."""
+    """Full ingest chain (decode -> validate -> sample -> dedup -> warehouse
+    rows) over envelopes derived from the events table, then the reference's
+    verification aggregate (A1, ``scripts/04_verify.js``). Oracle-checked:
+    the checked path runs ``normalize_phones=False`` (no Python boundary) and
+    the fixture stream is native column expressions, so DuckDB can replay the
+    whole chain — build the base64 envelope, decode, JSON-parse, validate
+    truthiness + timestamp, coalesce the idempotency key, sha256-sample at
+    0.75, first-write-wins dedup, aggregate (PIPELINE_INGEST_E2E_SQL)."""
     from pyspark.sql import functions as F
 
     from drive_health_etl_spark.operators.ingest import ingest
@@ -58,6 +62,74 @@ def pipeline_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("event_count"))
         .orderBy("tenant_id", "event_type")
     )
+
+
+# DuckDB twin of the whole ingest chain. Mirrors every stage of
+# ``operators/ingest.py`` over the same envelope construction as
+# ``sources/envelopes.py:messages_from_events``: the exact JSON/base64 text
+# need not byte-match Spark's (both sides decode it again); what must match
+# bit-exactly is the idempotency key ('call-<event_id>') feeding the sha256
+# sampling hash, the validation predicate, and the dedup/agg semantics.
+PIPELINE_INGEST_E2E_SQL = """
+WITH raw AS (
+  SELECT
+    to_base64(CAST(to_json({
+      envelope_version: '1',
+      event_type: event_type,
+      schema_version: '1',
+      tenant_id: 'org-' || CAST(user_id % 5 AS VARCHAR),
+      occurred_at: strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') || 'Z',
+      trace_id: 'trace-' || CAST(event_id AS VARCHAR),
+      source: 'events-replay',
+      payload: {call_id: 'call-' || CAST(event_id AS VARCHAR),
+                duration: value, props_json: props}
+    }) AS BLOB)) AS data,
+    'm-' || CAST(event_id AS VARCHAR) AS message_id
+  FROM events
+),
+decoded AS (
+  SELECT message_id, decode(from_base64(data)) AS env FROM raw
+),
+parsed AS (
+  SELECT message_id,
+    json_extract_string(env, '$.envelope_version') AS envelope_version,
+    json_extract_string(env, '$.event_type')       AS event_type,
+    json_extract_string(env, '$.schema_version')   AS schema_version,
+    json_extract_string(env, '$.tenant_id')        AS tenant_id,
+    json_extract_string(env, '$.occurred_at')      AS occurred_at,
+    json_extract_string(env, '$.trace_id')         AS trace_id,
+    json_extract_string(env, '$.payload')          AS payload
+  FROM decoded
+),
+keyed AS (
+  SELECT *,
+    COALESCE(NULLIF(json_extract_string(payload, '$.call_id'), ''),
+             NULLIF(json_extract_string(payload, '$.message_id'), ''),
+             NULLIF(trace_id, '')) AS idempotency_key
+  FROM parsed
+),
+valid AS (
+  SELECT * FROM keyed
+  WHERE COALESCE(envelope_version, '') <> '' AND COALESCE(event_type, '') <> ''
+    AND COALESCE(schema_version, '') <> ''   AND COALESCE(tenant_id, '') <> ''
+    AND COALESCE(occurred_at, '') <> ''      AND COALESCE(payload, '') <> ''
+    AND TRY_CAST(occurred_at AS TIMESTAMP) IS NOT NULL
+    AND idempotency_key IS NOT NULL
+),
+sampled AS (
+  SELECT * FROM valid
+  WHERE ('0x' || substr(sha256(idempotency_key), 1, 8))::UBIGINT / 4294967295.0 < 0.75
+),
+dedup AS (
+  SELECT tenant_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY idempotency_key ORDER BY message_id) AS rn
+  FROM sampled
+)
+SELECT tenant_id, event_type, COUNT(*) AS event_count
+FROM dedup WHERE rn = 1
+GROUP BY tenant_id, event_type
+ORDER BY tenant_id, event_type
+"""
 
 
 from drive_health_etl_spark.session import shuffle_partitions as _shuffle_partitions
@@ -459,7 +531,7 @@ _MERGED: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     **_bpe.QUERIES,
     **_sdp.QUERIES,
     **_classifier.QUERIES,
-    "pipeline_ingest_e2e": (pipeline_ingest_e2e, None),
+    "pipeline_ingest_e2e": (pipeline_ingest_e2e, PIPELINE_INGEST_E2E_SQL),
 }
 
 # Iteration order is part of the external contract: a budget-capped checker

@@ -25,7 +25,8 @@ def test_registry_structure():
     rows_only = set(qs) - set(osql)
     # s9_table_metadata reports file-level storage facts (size/mtime) that
     # SQL over the data cannot see — rows-only by design.
-    assert rows_only == {"pipeline_ingest_e2e", "s9_table_metadata"}
+    # pipeline_ingest_e2e gained a full-chain DuckDB oracle in round 4.
+    assert rows_only == {"s9_table_metadata"}
 
 
 def test_oracle_sql_references_known_tables():
