@@ -161,19 +161,21 @@ def main() -> None:
     run_one(spark, "a5_agg_suite", SF_DIR)
     run_one(spark, "pipeline_ingest_e2e", SF_DIR)
 
-    # Min of two runs per query — plus a third when the two samples disagree
-    # by >1.5x: the VM's background load adds multi-second noise to single
-    # samples (observed 3.9s-10.8s for the same warm query, and a 1.9s bench
-    # sample for a query the isolated probe times at 0.7s). The min of the
-    # agreeing samples is the engine's actual cost.
+    # Sample each query until the two SMALLEST samples agree within 20%
+    # (max 6 samples), then report the min. The VM's background load adds
+    # multi-second noise to single samples (observed 3.9s-10.8s for the same
+    # warm query), and round 3 showed >2x cross-run swings on sub-second
+    # queries (dq_psi_drift 0.40<->0.87s) with only 2-3 samples — a
+    # reproduced min (two agreeing smallest) is the engine's actual cost.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        a = run_one(spark, name, SF_DIR)
-        b = run_one(spark, name, SF_DIR)
-        t = min(a, b)
-        if max(a, b) > 1.5 * t:
-            t = min(t, run_one(spark, name, SF_DIR))
-        timings[name] = round(t, 3)
+        samples = [run_one(spark, name, SF_DIR), run_one(spark, name, SF_DIR)]
+        while len(samples) < 6:
+            lo1, lo2 = sorted(samples)[:2]
+            if lo2 <= 1.2 * lo1:
+                break
+            samples.append(run_one(spark, name, SF_DIR))
+        timings[name] = round(min(samples), 3)
 
     total = round(sum(timings.values()), 3)
 
@@ -254,8 +256,13 @@ def main() -> None:
         "queries": top,
         "detail": "BENCH_DETAIL.json",
     }
+    # Keep the stdout line under the driver's tail-capture budget by
+    # shrinking the top-queries map — never abort after all timing work is
+    # done (the full map is always in BENCH_DETAIL.json anyway).
     line = json.dumps(summary)
-    assert len(line) < 1024, f"summary line {len(line)}B breaches tail-capture budget"
+    while len(line) >= 1024 and summary["queries"]:
+        summary["queries"].pop(next(reversed(summary["queries"])))
+        line = json.dumps(summary)
     print(line)
 
 

@@ -203,15 +203,18 @@ class _BitReader:
 
     def read_restart(self) -> int:
         """Discard partial-byte bits and consume an RSTm marker, returning
-        m — the byte-aligned resync point a parallel decoder splits on."""
+        m — the byte-aligned resync point a parallel decoder splits on.
+
+        T.81 B.1.1.2 permits any number of 0xFF fill bytes before the marker
+        byte; third-party encoders emit them at restart boundaries, so skip
+        consecutive 0xFF until the last one before a non-0xFF byte."""
         self._nbits = 0
-        if (
-            self.pos + 1 < len(self.data)
-            and self.data[self.pos] == 0xFF
-            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
-        ):
-            m = self.data[self.pos + 1] & 7
-            self.pos += 2
+        p = self.pos
+        while p + 1 < len(self.data) and self.data[p] == 0xFF and self.data[p + 1] == 0xFF:
+            p += 1  # fill byte
+        if p + 1 < len(self.data) and self.data[p] == 0xFF and 0xD0 <= self.data[p + 1] <= 0xD7:
+            m = self.data[p + 1] & 7
+            self.pos = p + 2
             return m
         raise ValueError(f"expected restart marker at entropy offset {self.pos}")
 
@@ -411,6 +414,11 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
         marker = (blob[pos] << 8) | blob[pos + 1]
         if marker == 0xFFD9:
             break
+        # T.81 B.1.1.3-4: TEM and RSTm are standalone (no length field) —
+        # reading image bytes as a segment length would corrupt the walk.
+        if marker == 0xFF01 or 0xFFD0 <= marker <= 0xFFD7:
+            pos += 2
+            continue
         (length,) = struct.unpack(">H", blob[pos + 2 : pos + 4])
         payload = blob[pos + 4 : pos + 2 + length]
         if marker == 0xFFDB:  # DQT (possibly several tables per segment)
@@ -463,13 +471,21 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     if entropy_start < 0 or not comps:
         raise ValueError("JPEG missing SOS/SOF0")
 
-    # find entropy end: the next real marker, skipping stuffed FF00 AND
-    # RSTm (restart markers are part of the entropy-coded segment)
+    # find entropy end: the next real marker, skipping stuffed FF00, RSTm
+    # (restart markers are part of the entropy-coded segment), and 0xFF fill
+    # bytes (T.81 B.1.1.2 — an FF FF run is padding, not a marker).
     end = entropy_start
     while end + 1 < len(blob):
-        if blob[end] == 0xFF and blob[end + 1] != 0x00 and not (0xD0 <= blob[end + 1] <= 0xD7):
-            break
-        end += 1 if blob[end] != 0xFF else 2
+        if blob[end] == 0xFF:
+            nxt = blob[end + 1]
+            if nxt == 0xFF:
+                end += 1  # fill byte
+            elif nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                end += 2  # stuffed zero / restart marker
+            else:
+                break  # real terminating marker (EOI or next segment)
+        else:
+            end += 1
     reader = _BitReader(blob[entropy_start:end])
 
     n_comp = len(comps)

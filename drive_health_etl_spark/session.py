@@ -104,8 +104,15 @@ class shuffle_partitions:
 
     def __enter__(self):
         self._lock.acquire()
-        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
-        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+        # If conf access raises (e.g. session stopped mid-run), __exit__
+        # never runs — release the lock before re-raising or every later
+        # pinned section across all threads would deadlock.
+        try:
+            self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+        except BaseException:
+            self._lock.release()
+            raise
         return self
 
     def __exit__(self, *exc):

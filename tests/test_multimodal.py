@@ -388,3 +388,36 @@ def test_jpeg_rejects_unsupported_sampling():
     blob[sof + 11] = 0x21  # claim 4:2:2
     with pytest.raises(NotImplementedError, match="sampling factors"):
         decode_jpeg(bytes(blob))
+
+
+def test_jpeg_fill_bytes_before_restart_marker():
+    """T.81 B.1.1.2 also permits 0xFF fill bytes INSIDE the entropy-coded
+    segment before an RSTm marker; encoders that pad restart boundaries
+    must still decode (ADVICE round 3)."""
+    import numpy as np
+
+    from drive_health_etl_spark.operators.jpeg_codec import decode_jpeg, encode_jpeg
+
+    img = np.full((18, 22, 3), 77, dtype=np.uint8)
+    blob = encode_jpeg(img, subsampling="420", restart_interval=2)
+    idx = blob.find(b"\xff\xd0")  # first RST0 in the entropy stream
+    assert idx > 0
+    padded = blob[:idx] + b"\xff\xff" + blob[idx:]
+    out = decode_jpeg(padded)
+    assert out.shape == img.shape and np.abs(out.astype(int) - 77).max() == 0
+
+
+def test_jpeg_standalone_markers_in_header():
+    """TEM (0xFF01) and stray RSTm carry NO length field (T.81 B.1.1.3-4);
+    the header walk must skip them instead of reading image bytes as a
+    segment length (ADVICE round 3)."""
+    import numpy as np
+
+    from drive_health_etl_spark.operators.jpeg_codec import decode_jpeg, encode_jpeg
+
+    img = np.full((8, 8, 3), 55, dtype=np.uint8)
+    blob = encode_jpeg(img)
+    idx = blob.find(b"\xff\xdb")
+    padded = blob[:idx] + b"\xff\x01" + b"\xff\xd3" + blob[idx:]
+    out = decode_jpeg(padded)
+    assert out.shape == img.shape and (out == img).all()
