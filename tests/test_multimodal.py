@@ -421,3 +421,25 @@ def test_jpeg_standalone_markers_in_header():
     padded = blob[:idx] + b"\xff\x01" + b"\xff\xd3" + blob[idx:]
     out = decode_jpeg(padded)
     assert out.shape == img.shape and (out == img).all()
+
+
+def test_jpeg_pinned_byte_digests():
+    """Recompute every pinned entropy-stream digest from the construction
+    rule, independent of Spark — keeps the literals in
+    MULTIMODAL_JPEG_BYTES_SQL honest (a codec change must update BOTH or
+    fail here AND at the oracle gate)."""
+    import hashlib
+
+    from drive_health_etl_spark.operators.jpeg_codec import decode_jpeg, encode_jpeg
+    from drive_health_etl_spark.operators.multimodal import _JPEG_BYTE_PINS, jpeg_pin_raster
+
+    assert len(_JPEG_BYTE_PINS) == 20
+    for doc_id, variant, pinned in _JPEG_BYTE_PINS:
+        img = jpeg_pin_raster(doc_id)
+        blob = (
+            encode_jpeg(img)
+            if variant == "444"
+            else encode_jpeg(img, subsampling="420", restart_interval=2)
+        )
+        assert hashlib.sha256(blob).hexdigest() == pinned, (doc_id, variant)
+        assert decode_jpeg(blob).shape == img.shape
