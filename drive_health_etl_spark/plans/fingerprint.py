@@ -29,10 +29,36 @@ _JOIN_MARKS = (
 )
 
 
+def _live_plan(plan: str) -> str:
+    """Drop every InMemoryRelation subtree from the plan string. The cached
+    build plan embedded under an InMemoryRelation never re-executes, and its
+    text depends on WHICH query materialized the shared cache entry first
+    (Spark's CacheManager keys on plan equality) — counting it made
+    fingerprints order-dependent (observed 12 vs 24 shuffles for
+    dedup_minhash_pairs depending on sibling-test order). Subtree extent is
+    the structural indentation of the tree rendering."""
+    out: list[str] = []
+    skip_indent = -1
+    for line in plan.splitlines():
+        # structural depth = the " "/":" prefix before the "+-"/":-" marker
+        # (codegen "*(n)" tags live AFTER the marker, so they don't shift it)
+        indent = len(line) - len(line.lstrip(" :"))
+        if skip_indent >= 0:
+            if indent > skip_indent:
+                continue
+            skip_indent = -1
+        if "InMemoryRelation" in line:
+            skip_indent = indent
+            continue
+        out.append(line)
+    return "\n".join(out)
+
+
 def plan_fingerprint(df) -> dict[str, int]:
     """Counts of shuffle exchanges, broadcast exchanges, and each join
-    strategy in ``df``'s physical plan (zero-count keys omitted)."""
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    strategy in ``df``'s LIVE physical plan (cached subtrees excluded,
+    zero-count keys omitted)."""
+    plan = _live_plan(df._jdf.queryExecution().executedPlan().toString())
     fp: dict[str, int] = {}
     shuffles = sum(plan.count(m) for m in _SHUFFLE_MARKS)
     if shuffles:

@@ -211,89 +211,128 @@ def test_constant_folded_sampling_fast_path(spark, sf_dir):
 
 # --- Bench-plan fingerprint guard (VERDICT r2 item 7) -----------------------
 #
-# The join-strategy / shuffle-count signature of the top-20 most expensive
-# bench queries, pinned so a silently demoted broadcast or a new shuffle
-# fails THIS test loudly instead of surfacing as an unexplained timing blip.
+# The join-strategy / shuffle-count signature of every bench HEADLINE query,
+# the full join family, and the iterative-loop queries (112 pins, round-4
+# extension of the original top-20), so a silently demoted broadcast or a new
+# shuffle fails THIS test loudly instead of surfacing as a timing blip.
 # Queries whose fingerprint is {} return a DataFrame built from checkpointed/
 # collected iterative state (pagerank, BPE, lake reads) — their expensive
 # work happens during construction and the trivial final plan is itself the
 # pinned property. Regenerate expected values with
 # tools/plan_fingerprints.py after an INTENTIONAL plan change.
 BENCH_PLAN_FINGERPRINTS = {
-    "graph_pagerank": {},
-    "sim_ann_ivfpq": {
-        "shuffle_exchange": 6,
-        "broadcast_exchange": 6,
-        "BroadcastHashJoin": 2,
-        "SortMergeJoin": 1,
-        "BroadcastNestedLoopJoin": 4,
-    },
-    "sim_ann_pq_adc": {
-        "shuffle_exchange": 3,
-        "broadcast_exchange": 3,
-        "BroadcastHashJoin": 1,
-        "BroadcastNestedLoopJoin": 2,
-    },
-    "emb_pq_stats": {
-        "shuffle_exchange": 3,
-        "broadcast_exchange": 1,
-        "BroadcastNestedLoopJoin": 1,
-    },
-    "text_bpe_train": {},
-    "layout_hilbert_stats": {"shuffle_exchange": 2},
-    "basket_part_pairs": {
-        "shuffle_exchange": 3,
-        "broadcast_exchange": 1,
-        "BroadcastHashJoin": 1,
-    },
     "pipeline_ingest_e2e": {"shuffle_exchange": 4},
-    "corpus_source_overlap": {
-        "shuffle_exchange": 11,
-        "broadcast_exchange": 3,
-        "BroadcastHashJoin": 3,
-    },
-    "j5b_binned_range_join": {
-        "shuffle_exchange": 2,
-        "broadcast_exchange": 1,
-        "BroadcastHashJoin": 1,
-    },
-    "sql_recursive_cte": {"shuffle_exchange": 1},
-    "sdp_daily_rollup": {},
-    "lake_merge": {},
+    "o8_projection_rename": {},
+    "a1_group_count": {"shuffle_exchange": 1},
+    "j1_inner_equi": {"shuffle_exchange": 1, "broadcast_exchange": 1, "BroadcastHashJoin": 1},
+    "j2_broadcast_dims": {"shuffle_exchange": 1, "broadcast_exchange": 2, "BroadcastHashJoin": 2},
+    "j3_left_outer": {"shuffle_exchange": 1, "broadcast_exchange": 1, "BroadcastHashJoin": 1},
+    "j3_full_outer": {"shuffle_exchange": 2, "SortMergeJoin": 1},
+    "j4_semi": {"broadcast_exchange": 1, "BroadcastHashJoin": 1},
+    "j4_anti": {"broadcast_exchange": 1, "BroadcastHashJoin": 1},
+    "j5_range_join": {"shuffle_exchange": 1, "broadcast_exchange": 1, "BroadcastHashJoin": 1},
+    "j6_star_join": {"shuffle_exchange": 1, "broadcast_exchange": 4, "BroadcastHashJoin": 4},
+    "w1_first_write_wins": {"shuffle_exchange": 1},
+    "w4_running_sum": {"shuffle_exchange": 1},
+    "st8_session_window": {"shuffle_exchange": 1},
+    "st8_session_dynamic_gap": {"shuffle_exchange": 1},
+    "dq_expectations": {"shuffle_exchange": 2},
+    "scd2_order_status": {"shuffle_exchange": 1},
+    "j7_bloom_prefilter_join": {"shuffle_exchange": 4, "broadcast_exchange": 3, "BroadcastHashJoin": 2, "BroadcastNestedLoopJoin": 1},
+    "j8_skew_salted_join": {"shuffle_exchange": 1, "broadcast_exchange": 1, "BroadcastHashJoin": 1},
+    "w11_interval_concurrency": {"shuffle_exchange": 1},
+    "w12_ewma_smooth": {"shuffle_exchange": 1},
+    "dq_psi_drift": {"shuffle_exchange": 6, "broadcast_exchange": 3, "BroadcastNestedLoopJoin": 3},
+    "sketch_bitmap_distinct": {"shuffle_exchange": 2},
+    "dedup_exact": {"shuffle_exchange": 1},
+    "dedup_minhash_pairs": {},
+    "dedup_keep_best": {"shuffle_exchange": 3, "broadcast_exchange": 1, "BroadcastHashJoin": 1},
+    "dedup_simhash": {"shuffle_exchange": 2},
+    "dedup_containment": {"shuffle_exchange": 3, "broadcast_exchange": 2, "BroadcastHashJoin": 2},
+    "text_keyphrases_rake": {"shuffle_exchange": 4, "broadcast_exchange": 1, "BroadcastHashJoin": 1},
+    "text_readability": {},
+    "text_word_freq": {"shuffle_exchange": 1},
+    "text_quality": {},
+    "text_langid_eval": {"shuffle_exchange": 3},
+    "text_bpe_token_count": {},
+    "sim_cosine_topk": {"shuffle_exchange": 3, "broadcast_exchange": 1, "BroadcastNestedLoopJoin": 1},
+    "sim_ann_lsh": {"shuffle_exchange": 3, "broadcast_exchange": 1, "BroadcastHashJoin": 1},
+    "sim_ann_lsh_multiprobe": {"shuffle_exchange": 3, "broadcast_exchange": 1, "BroadcastHashJoin": 1},
     "sim_mmr_rerank": {"shuffle_exchange": 1},
-    "sketch_cms_estimate": {
-        "shuffle_exchange": 2,
-        "broadcast_exchange": 1,
-        "BroadcastHashJoin": 1,
-    },
-    "retrieval_eval_ndcg": {
-        "shuffle_exchange": 7,
-        "broadcast_exchange": 6,
-        "BroadcastHashJoin": 3,
-        "BroadcastNestedLoopJoin": 3,
-    },
-    "dedup_keep_best": {
-        "shuffle_exchange": 3,
-        "broadcast_exchange": 1,
-        "BroadcastHashJoin": 1,
-    },
-    "text_keyphrases_rake": {
-        "shuffle_exchange": 4,
-        "broadcast_exchange": 1,
-        "BroadcastHashJoin": 1,
-    },
+    "emb_pq_stats": {"shuffle_exchange": 3, "broadcast_exchange": 1, "BroadcastNestedLoopJoin": 1},
+    "emb_centroid_drift": {"shuffle_exchange": 5, "broadcast_exchange": 1, "BroadcastNestedLoopJoin": 1},
+    "sess_stats": {"shuffle_exchange": 1},
+    "sess_funnel": {"shuffle_exchange": 3},
+    "sess_cohort_value": {"shuffle_exchange": 6, "broadcast_exchange": 1, "BroadcastHashJoin": 1},
+    "sess_attribution": {"shuffle_exchange": 5, "broadcast_exchange": 3, "BroadcastHashJoin": 3},
+    "text_bm25": {"shuffle_exchange": 5, "broadcast_exchange": 3, "BroadcastHashJoin": 2, "BroadcastNestedLoopJoin": 1},
+    "feat_hashing_tf": {"shuffle_exchange": 6, "broadcast_exchange": 1, "BroadcastHashJoin": 1},
+    "feat_tfidf_top_terms": {"shuffle_exchange": 8, "broadcast_exchange": 2, "BroadcastHashJoin": 1, "BroadcastNestedLoopJoin": 1},
+    "corpus_pack_sequences": {"shuffle_exchange": 2},
+    "text_repetition": {"shuffle_exchange": 4, "broadcast_exchange": 1, "BroadcastHashJoin": 1},
+    "text_decontaminate": {"shuffle_exchange": 6, "broadcast_exchange": 1, "BroadcastHashJoin": 1},
+    "text_bigram_logprob": {"shuffle_exchange": 6, "broadcast_exchange": 2, "BroadcastHashJoin": 2},
+    "text_url_canonical": {},
+    "asof_last_purchase": {"shuffle_exchange": 1},
+    "emb_gram_topk": {"shuffle_exchange": 1},
+    "emb_power_iteration": {"shuffle_exchange": 3},
+    "retrieval_eval_ndcg": {"shuffle_exchange": 7, "broadcast_exchange": 6, "BroadcastHashJoin": 3, "BroadcastNestedLoopJoin": 3},
+    "multimodal_decode_stats": {},
+    "multimodal_phash_neardup": {"shuffle_exchange": 2, "broadcast_exchange": 3, "BroadcastHashJoin": 3},
+    "multimodal_audio_match": {"shuffle_exchange": 1, "broadcast_exchange": 1, "BroadcastHashJoin": 1},
+    "q1_pricing_summary": {"shuffle_exchange": 2},
+    "w10_mad_outliers": {"shuffle_exchange": 4, "broadcast_exchange": 3, "BroadcastHashJoin": 3},
+    "w13_interpolate_linear": {"shuffle_exchange": 1},
+    "w15_percent_of_total": {"shuffle_exchange": 2},
+    "dq_pk_audit": {"shuffle_exchange": 18},
+    "sql_recursive_cte": {"shuffle_exchange": 1},
+    "sketch_distinct_hll": {"shuffle_exchange": 6, "broadcast_exchange": 1, "BroadcastNestedLoopJoin": 1},
+    "j5b_binned_range_join": {"shuffle_exchange": 2, "broadcast_exchange": 1, "BroadcastHashJoin": 1},
+    "layout_zorder_stats": {"shuffle_exchange": 1},
+    "layout_hilbert_stats": {"shuffle_exchange": 2},
+    "corpus_source_overlap": {"shuffle_exchange": 11, "broadcast_exchange": 3, "BroadcastHashJoin": 3},
+    "graph_triangles": {"shuffle_exchange": 6, "broadcast_exchange": 1, "SortMergeJoin": 2, "BroadcastNestedLoopJoin": 1},
     "graph_label_propagation": {},
-    "j7_bloom_prefilter_join": {
-        "shuffle_exchange": 4,
-        "broadcast_exchange": 3,
-        "BroadcastHashJoin": 2,
-        "BroadcastNestedLoopJoin": 1,
-    },
-    "dedup_lsh_scurve": {
-        "shuffle_exchange": 21,
-        "broadcast_exchange": 4,
-        "BroadcastHashJoin": 4,
-    },
+    "basket_part_pairs": {"shuffle_exchange": 3, "broadcast_exchange": 1, "BroadcastHashJoin": 1},
+    "sess_journey_paths": {"shuffle_exchange": 2},
+    "stat_chi2_independence": {"shuffle_exchange": 9, "broadcast_exchange": 3, "BroadcastHashJoin": 2, "BroadcastNestedLoopJoin": 1},
+    "stat_mann_whitney": {"shuffle_exchange": 1},
+    "stat_ks_test": {"shuffle_exchange": 3},
+    "stat_anova_oneway": {"shuffle_exchange": 2},
+    "ts_max_drawdown": {"shuffle_exchange": 2},
+    "dq_reconcile_orders": {"shuffle_exchange": 3, "broadcast_exchange": 1, "BroadcastHashJoin": 1},
+    "ts_holt_linear": {"shuffle_exchange": 2},
+    "ts_seasonal_decompose": {"shuffle_exchange": 6, "broadcast_exchange": 2, "BroadcastHashJoin": 1, "BroadcastNestedLoopJoin": 1},
+    "ts_residual_anomalies": {"shuffle_exchange": 24, "broadcast_exchange": 11, "BroadcastHashJoin": 4, "BroadcastNestedLoopJoin": 7},
+    "graph_bfs_distances": {},
+    "sketch_cms_estimate": {"shuffle_exchange": 2, "broadcast_exchange": 1, "BroadcastHashJoin": 1},
+    "feat_target_encoding": {"shuffle_exchange": 3, "broadcast_exchange": 2, "BroadcastHashJoin": 1, "BroadcastNestedLoopJoin": 1},
+    "sim_ann_lsh_multitable": {"shuffle_exchange": 6, "broadcast_exchange": 5, "BroadcastHashJoin": 3, "BroadcastNestedLoopJoin": 2},
+    "sim_ann_ivf": {"shuffle_exchange": 3, "broadcast_exchange": 3, "BroadcastHashJoin": 1, "BroadcastNestedLoopJoin": 2},
+    "sim_ann_pq_adc": {"shuffle_exchange": 3, "broadcast_exchange": 3, "BroadcastHashJoin": 1, "BroadcastNestedLoopJoin": 2},
+    "sim_ann_ivfpq": {"shuffle_exchange": 6, "broadcast_exchange": 6, "BroadcastHashJoin": 2, "SortMergeJoin": 1, "BroadcastNestedLoopJoin": 4},
+    "dedup_semantic": {"shuffle_exchange": 9, "broadcast_exchange": 3, "SortMergeJoin": 2, "BroadcastNestedLoopJoin": 3},
+    "dedup_components": {},
+    "dedup_near_pipeline": {"shuffle_exchange": 4, "broadcast_exchange": 1, "BroadcastHashJoin": 1, "SortMergeJoin": 1},
+    "dedup_lsh_scurve": {"shuffle_exchange": 9, "broadcast_exchange": 4, "BroadcastHashJoin": 4},
+    "graph_pagerank": {},
+    "corpus_prep_pipeline": {"shuffle_exchange": 3},
+    "text_bpe_train": {},
+    "sdp_daily_rollup": {},
+    "lake_time_travel": {},
+    "lake_merge": {},
+    "lake_wap_publish": {},
+    "lake_stats_pruned_read": {},
+    "q13_customer_distribution": {"shuffle_exchange": 3, "broadcast_exchange": 1, "BroadcastHashJoin": 1},
+    "q21_waiting_orders": {"shuffle_exchange": 2, "broadcast_exchange": 3, "BroadcastHashJoin": 3},
+    "dq_k_anonymity": {"shuffle_exchange": 2},
+    "stat_ab_welch": {"shuffle_exchange": 1},
+    "ts_theil_sen_trend": {"shuffle_exchange": 3, "broadcast_exchange": 1, "BroadcastHashJoin": 1},
+    "emb_triplet_mining": {"shuffle_exchange": 6, "broadcast_exchange": 6, "BroadcastHashJoin": 1, "SortMergeJoin": 1, "BroadcastNestedLoopJoin": 5},
+    "multimodal_png_stats": {},
+    "multimodal_jpeg_stats": {},
+    "multimodal_jpeg420_stats": {},
+    "quality_lr_eval": {"shuffle_exchange": 1},
 }
 
 
