@@ -887,6 +887,104 @@ FROM px GROUP BY doc_id
 """
 
 
+# --- Real-world video container: Motion-JPEG AVI ----------------------------
+
+MJPEG_W, MJPEG_H = 16, 12  # fixed per-frame dims (8-multiple-free; 4:4:4)
+MJPEG_FRAMES = 4
+_MJPEG_PAYLOAD = MJPEG_W * MJPEG_H * 3
+_MJPEG_MSE_BOUND = 150.0  # same ASCII-noise worst case as _JPEG_MSE_BOUND
+
+
+def attach_mjpeg_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL video table in a real wire format: every doc with
+    doc_id % 3 == 2 becomes a 4-frame Motion-JPEG AVI (RIFF container,
+    '00dc' JPEG chunks, idx1 index — ``avi_codec.py``), frame f's raster
+    drawn from the doc's text offset by 7*f so frames differ. Standards-
+    compliant MJPEG players accept these blobs. Encoded once per session
+    (the `_cached_media` fixture discipline); repartitioned so the Python
+    codec spreads across cores."""
+    from drive_health_etl_spark.operators.avi_codec import encode_avi_mjpeg
+
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 2)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    raster = base.select(
+        "doc_id",
+        *[
+            F.expr(
+                f"encode(rpad(substr(text || ' ', {7 * f + 1}), "
+                f"{_MJPEG_PAYLOAD}, text || ' '), 'utf-8')"
+            ).alias(f"raw{f}")
+            for f in range(MJPEG_FRAMES)
+        ],
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs, raws = [], []
+            for i in range(len(pdf)):
+                frames = [
+                    np.frombuffer(bytes(pdf[f"raw{f}"].iloc[i]), dtype=np.uint8).reshape(
+                        MJPEG_H, MJPEG_W, 3
+                    )
+                    for f in range(MJPEG_FRAMES)
+                ]
+                blobs.append(encode_avi_mjpeg(frames))
+                raws.append(b"".join(bytes(pdf[f"raw{f}"].iloc[i]) for f in range(MJPEG_FRAMES)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs, "raw": raws})
+
+    return _cached_media(
+        spark,
+        ("mjpeg", sf_dir),
+        lambda: raster.mapInPandas(op, schema="doc_id long, content binary, raw binary"),
+    )
+
+
+def multimodal_mjpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode every MJPEG AVI end to end FOR REAL — RIFF walk, avih
+    geometry, per-frame baseline-JPEG decode, idx1 cross-check — and emit
+    the container-declared dims/frame count plus a per-clip boolean that
+    every frame reconstructs within the JPEG error bound of its
+    pre-compression raster. A container-offset bug shifts frame boundaries
+    and fails the JPEG decode loudly; a codec bug blows the bound; either
+    flips the oracle hash."""
+    from drive_health_etl_spark.operators.avi_codec import decode_avi_mjpeg
+
+    media = attach_mjpeg_video(spark, sf_dir)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_frames": [], "width": [], "height": [], "frames_ok": []}
+            for doc_id, blob, raw in zip(pdf["doc_id"], pdf["content"], pdf["raw"]):
+                frames, meta = decode_avi_mjpeg(bytes(blob))  # REAL container+codec decode
+                raw_arr = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(
+                    MJPEG_FRAMES, MJPEG_H, MJPEG_W, 3
+                )
+                ok = all(
+                    float(((f.astype(np.float64) - raw_arr[i]) ** 2).mean()) < _MJPEG_MSE_BOUND
+                    for i, f in enumerate(frames)
+                )
+                out["doc_id"].append(int(doc_id))
+                out["n_frames"].append(int(meta["n_frames"]))
+                out["width"].append(int(meta["width"]))
+                out["height"].append(int(meta["height"]))
+                out["frames_ok"].append(bool(ok))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        op, schema="doc_id long, n_frames int, width int, height int, frames_ok boolean"
+    )
+
+
+MULTIMODAL_MJPEG_SQL = f"""
+SELECT doc_id, {MJPEG_FRAMES} AS n_frames, {MJPEG_W} AS width, {MJPEG_H} AS height,
+       TRUE AS frames_ok
+FROM documents WHERE doc_id % 3 = 2
+"""
+
+
 # --- Real resize (nearest-neighbor downsample) ------------------------------
 
 
@@ -1314,6 +1412,7 @@ QUERIES: dict[str, tuple] = {
     "multimodal_jpeg_stats": (multimodal_jpeg_stats, MULTIMODAL_JPEG_SQL),
     "multimodal_jpeg420_stats": (multimodal_jpeg420_stats, MULTIMODAL_JPEG_SQL),
     "multimodal_jpeg_bytes": (multimodal_jpeg_bytes, MULTIMODAL_JPEG_BYTES_SQL),
+    "multimodal_mjpeg_stats": (multimodal_mjpeg_stats, MULTIMODAL_MJPEG_SQL),
     "multimodal_audio_stats": (multimodal_audio_stats, MULTIMODAL_AUDIO_SQL),
     "multimodal_video_stats": (multimodal_video_stats, MULTIMODAL_VIDEO_SQL),
     "multimodal_resize_stats": (multimodal_resize_stats, MULTIMODAL_RESIZE_SQL),

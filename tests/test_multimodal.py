@@ -443,3 +443,43 @@ def test_jpeg_pinned_byte_digests():
         )
         assert hashlib.sha256(blob).hexdigest() == pinned, (doc_id, variant)
         assert decode_jpeg(blob).shape == img.shape
+
+
+def test_avi_mjpeg_roundtrip_and_container_layout():
+    """MJPEG AVI: RIFF magic + hdrl geometry + idx1 agree with the stream;
+    constant frames reconstruct exactly; corrupt index / truncated header
+    refused loudly."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from drive_health_etl_spark.operators.avi_codec import decode_avi_mjpeg, encode_avi_mjpeg
+
+    frames = [np.full((12, 16, 3), 40 + 30 * f, dtype=np.uint8) for f in range(4)]
+    blob = encode_avi_mjpeg(frames, fps=10)
+    assert blob[:4] == b"RIFF" and blob[8:12] == b"AVI "
+    out, meta = decode_avi_mjpeg(blob)
+    assert meta == {"n_frames": 4, "width": 16, "height": 12, "usec_per_frame": 100000}
+    for f, o in zip(frames, out):
+        assert ((o.astype(float) - f) ** 2).mean() < 1.0  # constant blocks ~exact
+
+    # 4:2:0 frame variant decodes through the same container walk
+    x = (np.arange(16 * 12 * 3).reshape(12, 16, 3) % 251).astype(np.uint8)
+    out2, meta2 = decode_avi_mjpeg(encode_avi_mjpeg([x, x[::-1].copy()], quality_444=False))
+    assert meta2["n_frames"] == 2 and len(out2) == 2
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_avi_mjpeg(b"not an avi at all")
+
+    bad = bytearray(blob)
+    i = bytes(bad).find(b"idx1")
+    bad[i + 4 : i + 8] = struct.pack("<I", 16)  # index claims 1 entry for 4 frames
+    with pytest.raises(ValueError, match="idx1"):
+        decode_avi_mjpeg(bytes(bad))
+
+    bad2 = bytearray(blob)
+    j = bytes(bad2).find(b"avih")
+    bad2[j + 8 + 16 : j + 8 + 20] = struct.pack("<I", 9)  # dwTotalFrames=9
+    with pytest.raises(ValueError, match="frames"):
+        decode_avi_mjpeg(bytes(bad2))
