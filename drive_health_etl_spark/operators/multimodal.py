@@ -887,6 +887,87 @@ FROM px GROUP BY doc_id
 """
 
 
+# --- Real compressed audio: IMA ADPCM WAV ------------------------------------
+
+# RMS reconstruction-error bound for IMA ADPCM on the ASCII-byte waveforms
+# (int16 = (byte-128)<<8): ADPCM is built for correlated audio and text bytes
+# are its worst case (uncorrelated jumps) — measured corpus max RMS 2843 at
+# sf0.01 / 3124 at sf0.1 of the 32768 full scale, so 4500 carries ~1.45x
+# margin; real speech/music lands far lower.
+_ADPCM_RMS_BOUND = 4500.0
+
+
+def attach_adpcm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL compressed-audio table: the WAV cohort's samples (doc_id % 3
+    == 1, int16 from the text-byte rule) encoded as genuine IMA ADPCM WAV
+    blobs (format tag 0x0011, fact chunk, 4-byte block headers —
+    ``adpcm_codec.py``) inside mapInPandas, cached per session like the
+    image fixtures. Standards-compliant WAV readers accept these blobs."""
+    from drive_health_etl_spark.operators.adpcm_codec import encode_wav_ima
+
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 1)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    raster = base.select(
+        "doc_id",
+        F.expr(f"encode(rpad(text || ' ', {WAV_SAMPLES}, text || ' '), 'utf-8')").alias("raw"),
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for raw in pdf["raw"]:
+                b = np.frombuffer(bytes(raw), dtype=np.uint8).astype(np.int64)
+                samples = ((b - 128) << 8).astype(np.int16)
+                blobs.append(encode_wav_ima(samples, WAV_RATE))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs, "raw": pdf["raw"]})
+
+    return _cached_media(
+        spark,
+        ("adpcm", sf_dir),
+        lambda: raster.mapInPandas(op, schema="doc_id long, content binary, raw binary"),
+    )
+
+
+def multimodal_adpcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode every IMA ADPCM WAV FOR REAL — RIFF walk, fmt/fact parse,
+    per-block adaptive-quantizer reconstruction — and emit the declared
+    rate/sample count plus a boolean RMS reconstruction-error bound vs the
+    pre-compression samples. A step-table, index-clamp, or nibble-order bug
+    blows the bound; a chunk-walk bug fails the decode loudly; either flips
+    the oracle hash. (Exact-value oracles live on the lossless 8-bit PCM
+    path — `multimodal_audio_stats`.)"""
+    from drive_health_etl_spark.operators.adpcm_codec import decode_wav_ima
+
+    media = attach_adpcm_audio(spark, sf_dir)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "sample_rate": [], "n_samples": [], "rms_ok": []}
+            for doc_id, blob, raw in zip(pdf["doc_id"], pdf["content"], pdf["raw"]):
+                samples, rate = decode_wav_ima(bytes(blob))  # REAL ADPCM decode
+                b = np.frombuffer(bytes(raw), dtype=np.uint8).astype(np.int64)
+                orig = (b - 128) << 8
+                rms = float(np.sqrt(((samples.astype(np.float64) - orig) ** 2).mean()))
+                out["doc_id"].append(int(doc_id))
+                out["sample_rate"].append(int(rate))
+                out["n_samples"].append(int(len(samples)))
+                out["rms_ok"].append(rms < _ADPCM_RMS_BOUND)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        op, schema="doc_id long, sample_rate int, n_samples int, rms_ok boolean"
+    )
+
+
+MULTIMODAL_ADPCM_SQL = f"""
+SELECT doc_id, {WAV_RATE} AS sample_rate, {WAV_SAMPLES} AS n_samples, TRUE AS rms_ok
+FROM documents WHERE doc_id % 3 = 1
+"""
+
+
 # --- Real-world video container: Motion-JPEG AVI ----------------------------
 
 MJPEG_W, MJPEG_H = 16, 12  # fixed per-frame dims (8-multiple-free; 4:4:4)
@@ -1413,6 +1494,7 @@ QUERIES: dict[str, tuple] = {
     "multimodal_jpeg420_stats": (multimodal_jpeg420_stats, MULTIMODAL_JPEG_SQL),
     "multimodal_jpeg_bytes": (multimodal_jpeg_bytes, MULTIMODAL_JPEG_BYTES_SQL),
     "multimodal_mjpeg_stats": (multimodal_mjpeg_stats, MULTIMODAL_MJPEG_SQL),
+    "multimodal_adpcm_stats": (multimodal_adpcm_stats, MULTIMODAL_ADPCM_SQL),
     "multimodal_audio_stats": (multimodal_audio_stats, MULTIMODAL_AUDIO_SQL),
     "multimodal_video_stats": (multimodal_video_stats, MULTIMODAL_VIDEO_SQL),
     "multimodal_resize_stats": (multimodal_resize_stats, MULTIMODAL_RESIZE_SQL),

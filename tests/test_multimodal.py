@@ -483,3 +483,40 @@ def test_avi_mjpeg_roundtrip_and_container_layout():
     bad2[j + 8 + 16 : j + 8 + 20] = struct.pack("<I", 9)  # dwTotalFrames=9
     with pytest.raises(ValueError, match="frames"):
         decode_avi_mjpeg(bytes(bad2))
+
+
+def test_ima_adpcm_roundtrip_and_container():
+    """IMA ADPCM: constant input reconstructs exactly, correlated input
+    within quantization error, container parse (fmt 0x0011 + fact) honored,
+    corrupt index / missing fact refused loudly."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from drive_health_etl_spark.operators.adpcm_codec import decode_wav_ima, encode_wav_ima
+
+    const = np.full(256, 1234, dtype=np.int16)
+    out, rate = decode_wav_ima(encode_wav_ima(const, 8000))
+    assert rate == 8000 and len(out) == 256 and (out == const).all()
+
+    sine = (np.sin(np.linspace(0, 20, 300)) * 20000).astype(np.int16)  # 2 blocks
+    blob = encode_wav_ima(sine, 16000)
+    out, rate = decode_wav_ima(blob)
+    assert rate == 16000 and len(out) == 300
+    assert np.sqrt(((out.astype(float) - sine) ** 2).mean()) < 1500
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav_ima(b"nope")
+
+    bad = bytearray(blob)
+    i = bytes(bad).find(b"data") + 8 + 2  # first block's step-index byte
+    bad[i] = 200  # index > 88
+    with pytest.raises(ValueError, match="step index"):
+        decode_wav_ima(bytes(bad))
+
+    nofact = bytearray(blob)
+    j = bytes(nofact).find(b"fact")
+    nofact[j : j + 4] = b"junk"
+    with pytest.raises(ValueError, match="fact"):
+        decode_wav_ima(bytes(nofact))
