@@ -59,6 +59,9 @@ HEADLINE = [
     "multimodal_png_stats",
     "multimodal_jpeg_stats",
     "multimodal_jpeg420_stats",
+    "multimodal_jpeg_bytes",
+    "multimodal_mjpeg_stats",
+    "multimodal_adpcm_stats",
     "asof_last_purchase",
     "sess_stats",
     "sess_funnel",

@@ -83,9 +83,11 @@ def decode_image(blob: bytes, *, fake: bool = False) -> np.ndarray:
 
         return decode_jpeg(blob)
     raise NotImplementedError(
-        f"no pure-python codec for magic {magic!r} (mp3/video codecs need "
-        "ffmpeg, not in this container); NetPBM, 8-bit gray/RGB PNG, and "
-        "baseline JFIF JPEG decode natively, or pass fake=True for the "
+        f"no pure-python codec for magic {magic!r} (mp3/H.264-class "
+        "inter-frame codecs need ffmpeg, not in this container); NetPBM, "
+        "8-bit gray/RGB PNG, and baseline JFIF JPEG decode natively here — "
+        "MJPEG AVI video via avi_codec.decode_avi_mjpeg, IMA ADPCM audio via "
+        "adpcm_codec.decode_wav_ima — or pass fake=True for the "
         "deterministic test double"
     )
 

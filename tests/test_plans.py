@@ -333,6 +333,9 @@ BENCH_PLAN_FINGERPRINTS = {
     "multimodal_jpeg_stats": {},
     "multimodal_jpeg420_stats": {},
     "quality_lr_eval": {"shuffle_exchange": 1},
+    "multimodal_jpeg_bytes": {},
+    "multimodal_mjpeg_stats": {},
+    "multimodal_adpcm_stats": {},
 }
 
 
