@@ -198,7 +198,9 @@ def _assign_cell_expr(e: Column) -> Column:
     return -F.array_max(scored)["negid"]
 
 
-def kmeans_centroids(emb: DataFrame, rounds: int = KMEANS_ROUNDS) -> list[tuple[int, list[float]]]:
+def kmeans_centroids(
+    emb: DataFrame, rounds: int = KMEANS_ROUNDS, k: int = N_CELLS
+) -> list[tuple[int, list[float]]]:
     """Spherical k-means (Lloyd) with deterministic seeding: init = the first
     N_CELLS vectors by vec_id, then ``rounds`` iterations of assign -> mean.
     Assignment is a narrow map over centroid literals; the centroid update is
@@ -215,7 +217,7 @@ def kmeans_centroids(emb: DataFrame, rounds: int = KMEANS_ROUNDS) -> list[tuple[
     spark = emb.sparkSession
     cents = [
         (r["vec_id"], list(r["e"]))
-        for r in emb.filter(F.col("vec_id") < N_CELLS).select("vec_id", "e").collect()
+        for r in emb.filter(F.col("vec_id") < k).select("vec_id", "e").collect()
     ]
     # the per-round shuffle is N_CELLS x 64 keys — 32 shuffle partitions make
     # each round scheduling-bound (32 tasks for ~1k groups); 8 is plenty
@@ -249,14 +251,16 @@ def kmeans_centroids(emb: DataFrame, rounds: int = KMEANS_ROUNDS) -> list[tuple[
 # repeated sim_ann_ivf calls (contract sweep + bench + bench recall pass)
 # reuse one Lloyd run instead of re-fitting. Same pattern as the MinHash
 # subtree cache in operators/dedup.py.
-_CENTROID_CACHE: dict[tuple[str, str], list[tuple[int, list[float]]]] = {}
+_CENTROID_CACHE: dict[tuple[str, str, int], list[tuple[int, list[float]]]] = {}
 
 
-def _centroids_cached(spark: SparkSession, sf_dir: str, emb: DataFrame) -> list[tuple[int, list[float]]]:
-    key = (spark.sparkContext.applicationId, sf_dir)
+def _centroids_cached(
+    spark: SparkSession, sf_dir: str, emb: DataFrame, k: int = N_CELLS
+) -> list[tuple[int, list[float]]]:
+    key = (spark.sparkContext.applicationId, sf_dir, k)
     cents = _CENTROID_CACHE.get(key)
     if cents is None:
-        cents = kmeans_centroids(emb)
+        cents = kmeans_centroids(emb, k=k)
         _CENTROID_CACHE[key] = cents
     return cents
 
@@ -383,6 +387,35 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
     )
     cents = _centroids_cached(spark, sf_dir, emb)
+    return _semdedup_stats(spark, emb, cents)
+
+
+SEMDEDUP_CELL_TARGET = 256  # target vectors per cell for the k ~ n/cell policy
+
+
+def dedup_semantic_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-scale SemDeDup: k grows with the corpus so cells stay
+    ~SEMDEDUP_CELL_TARGET vectors — total in-cell pair work is then
+    O(n * cell) = LINEAR in n, the k ∝ n policy from the SemDeDup paper.
+    The fixed-k `dedup_semantic` stays the oracle-checked configuration
+    (its unrolled Lloyd CTEs need a static centroid count; a data-dependent
+    k cannot be replayed by static SQL) — this variant is the shape you run
+    at 100 TB and the one `tools/scale_probe.py` measures for the slope
+    table. Same fit/assign/pair machinery; only k differs."""
+    import math as _math
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    )
+    n = emb.count()  # one cheap count; the Lloyd fit scans the corpus anyway
+    k = max(N_CELLS, _math.ceil(n / SEMDEDUP_CELL_TARGET))
+    cents = _centroids_cached(spark, sf_dir, emb, k=k)
+    return _semdedup_stats(spark, emb, cents)
+
+
+def _semdedup_stats(spark: SparkSession, emb: DataFrame, cents) -> DataFrame:
     # Norm is precomputed per VECTOR (linear work) so the quadratic in-cell
     # pair filter below evaluates a single array fold (the dot) per pair
     # instead of three — at |cell| ~ n/k this is the dominant cost term.

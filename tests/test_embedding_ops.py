@@ -29,3 +29,17 @@ def test_quantization_error_bounded(spark, sf_dir):
         # cannot exceed that bound squared
         bound = (r["max_abs"] / 254.0) ** 2
         assert r["mse"] <= bound + 1e-9, (r["vec_id"], r["mse"], bound)
+
+
+def test_semdedup_scaled_matches_fixed_k_at_small_n(spark, sf_dir):
+    """dedup_semantic_scaled's k = max(N_CELLS, n/256) collapses to N_CELLS
+    at test scale, so the production-scaled variant must reproduce the
+    oracle-checked fixed-k results exactly (same fit, same pairs)."""
+    from drive_health_etl_spark.operators.similarity import (
+        dedup_semantic,
+        dedup_semantic_scaled,
+    )
+
+    a = sorted(map(tuple, dedup_semantic(spark, sf_dir).collect()))
+    b = sorted(map(tuple, dedup_semantic_scaled(spark, sf_dir).collect()))
+    assert a == b
