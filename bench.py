@@ -171,6 +171,7 @@ def main() -> None:
     # queries (dq_psi_drift 0.40<->0.87s) with only 2-3 samples — a
     # reproduced min (two agreeing smallest) is the engine's actual cost.
     timings: dict[str, float] = {}
+    sampling: dict[str, dict] = {}
     for name in HEADLINE:
         samples = [run_one(spark, name, SF_DIR), run_one(spark, name, SF_DIR)]
         while len(samples) < 6:
@@ -179,6 +180,11 @@ def main() -> None:
                 break
             samples.append(run_one(spark, name, SF_DIR))
         timings[name] = round(min(samples), 3)
+        lo1, lo2 = sorted(samples)[:2]
+        # measurement-quality record: spread = how well the reported min was
+        # reproduced (lo2/lo1); residual cross-RUN drift beyond this is VM
+        # background load, not engine behavior
+        sampling[name] = {"n": len(samples), "spread": round(lo2 / lo1, 3) if lo1 else 1.0}
 
     total = round(sum(timings.values()), 3)
 
@@ -232,6 +238,7 @@ def main() -> None:
         "sf": sf_val,
         "cpus": CPUS,
         "ingest_rows_per_sec": ingest_rows_per_sec,
+        "sampling": sampling,
         "ann_recall_at_3": ann_recall,
         "ann_production_tier": "sim_ann_lsh_multitable",
         "ann_tiers": {
