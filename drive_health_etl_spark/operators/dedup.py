@@ -1087,7 +1087,128 @@ FROM est GROUP BY quintile ORDER BY quintile
 """
 
 
+EXACTSUBSTR_L = 8  # tokens per gram: a "duplicated span" is an exact
+# L-token run whose content occurs at ≥2 positions corpus-wide
+
+
+def dedup_exactsubstr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span detection (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"), token-level
+    distributed approximation: mark every overlapping L-token gram whose
+    content occurs at two or more positions corpus-wide (WITHIN-doc repeats
+    included, as in the paper), then merge overlapping/adjacent marked
+    positions into MAXIMAL duplicated spans per document (gap > L breaks a
+    span; coverage of an island is exactly [min_pos, max_pos + L)).
+
+    Scale shape — the reason this replaces a suffix array at 100 TB: the
+    paper's suffix-array pass needs a global sorted order; this formulation
+    is two hash-key shuffles (gram count, count join-back) plus one doc-key
+    window — counts join back per POSITION, never pair-expanding, so an
+    all-identical corpus concentrates only the count row, not O(n^2) pairs.
+    Emits per-doc span stats (integer-exact, hash-solid oracle); removal =
+    substring drop on the span offsets downstream."""
+    from pyspark.sql import Window
+
+    L = EXACTSUBSTR_L
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("toks", tokens_col())
+    )
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.size("toks") >= L,
+                F.expr(
+                    f"transform(sequence(0, size(toks)-{L}),"
+                    f" i -> concat_ws(' ', slice(toks, i+1, {L})))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "gram"),
+    ).select("doc_id", "pos", F.md5("gram").alias("h"))
+    counts = grams.groupBy("h").agg(F.count("*").alias("n_occ"))
+    dup = grams.join(counts, "h").filter(F.col("n_occ") > 1).select("doc_id", "pos")
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = dup.withColumn(
+        "brk", F.when(F.col("pos") - F.lag("pos").over(w) > L, 1).otherwise(0)
+    ).withColumn("island", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    spans = islands.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"), (F.max("pos") + F.lit(L)).alias("e")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s")).alias("dup_tokens"),
+        F.max(F.col("e") - F.col("s")).alias("longest_span"),
+    )
+    return (
+        docs.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+        .join(per_doc, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
+            F.coalesce(F.col("longest_span"), F.lit(0)).cast("long").alias("longest_span"),
+            F.round(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("double")
+                    / F.col("n_tokens"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+DEDUP_EXACTSUBSTR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {TOKENS_SQL} AS ws FROM documents
+),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(ws[i:i+{EXACTSUBSTR_L - 1}], ' ')) AS h
+  FROM toks, UNNEST(generate_series(1, len(ws) - {EXACTSUBSTR_L} + 1)) AS u(i)
+),
+counts AS (SELECT h, COUNT(*) AS n_occ FROM grams GROUP BY h),
+dup AS (
+  SELECT doc_id, pos FROM grams JOIN counts USING (h) WHERE n_occ > 1
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN pos - lagpos > {EXACTSUBSTR_L} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (
+    SELECT doc_id, pos,
+           LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS lagpos
+    FROM dup
+  )
+),
+spans AS (
+  SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + {EXACTSUBSTR_L} AS e
+  FROM isl GROUP BY doc_id, island
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_dup_spans,
+         CAST(SUM(e - s) AS BIGINT) AS dup_tokens,
+         CAST(MAX(e - s) AS BIGINT) AS longest_span
+  FROM spans GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tokens,
+       COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+       COALESCE(p.dup_tokens, 0) AS dup_tokens,
+       COALESCE(p.longest_span, 0) AS longest_span,
+       ROUND(CASE WHEN len(t.ws) > 0
+                  THEN CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE) / len(t.ws)
+                  ELSE 0.0 END, 6) AS dup_frac
+FROM toks t LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "dedup_exactsubstr_spans": (dedup_exactsubstr_spans, DEDUP_EXACTSUBSTR_SQL),
     "dedup_lsh_quality": (dedup_lsh_quality, _dedup_lsh_quality_sql()),
     "dedup_lsh_scurve": (dedup_lsh_scurve, _dedup_lsh_scurve_sql()),
     "dedup_minhash_bias": (dedup_minhash_bias, _dedup_minhash_bias_sql()),

@@ -570,6 +570,7 @@ _ORDER = [
     "dedup_exact", "dedup_minhash_signatures", "dedup_minhash_pairs",
     "dedup_collapse", "dedup_keep_best", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_containment", "dedup_embedding_near",
+    "dedup_exactsubstr_spans",
     "link_entity_resolution",
     "text_tokens", "text_sentences", "text_keyphrases_rake", "text_readability",
     "text_word_freq",

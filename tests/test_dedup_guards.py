@@ -40,3 +40,32 @@ def test_bucket_cap_never_binds_on_testdata(spark, sf_dir):
     stats = dedup.minhash_bucket_stats(spark, sf_dir).collect()[0]
     assert stats["docs_dropped"] == 0
     assert stats["max_bucket"] < dedup.BUCKET_CAP
+
+
+def test_exactsubstr_span_semantics(spark):
+    """Hand-built corpus with KNOWN duplicated spans: the shared 8-token
+    phrase must be found in both docs with exact maximal extent; the
+    within-doc repeat must be merged into one contiguous span when its
+    occurrences overlap/touch; unique text contributes nothing."""
+    from drive_health_etl_spark.operators.dedup import EXACTSUBSTR_L, dedup_exactsubstr_spans
+    import drive_health_etl_spark.operators.dedup as D
+    from unittest import mock
+
+    assert EXACTSUBSTR_L == 8
+    phrase = "a b c d e f g h"  # exactly L shared tokens
+    docs = [
+        (0, f"u0 u1 u2 {phrase} u3 u4 u5"),              # one dup span of 8
+        (1, f"v0 {phrase} v1 v2 v3 v4 v5 v6 v7 v8 v9"),  # same span elsewhere
+        (2, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),        # unique -> no spans
+        (3, f"{phrase} {phrase}"),                        # self-repeat, contiguous
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    with mock.patch.object(D, "load_table", lambda _s, _d, _t: df):
+        rows = {r["doc_id"]: r.asDict() for r in dedup_exactsubstr_spans(spark, "ignored").collect()}
+    assert rows[0]["n_dup_spans"] == 1 and rows[0]["dup_tokens"] == 8
+    assert rows[1]["n_dup_spans"] == 1 and rows[1]["dup_tokens"] == 8
+    assert rows[2]["n_dup_spans"] == 0 and rows[2]["dup_tokens"] == 0
+    # doc 3: every position's 8-gram recurs (the doc is phrase twice), so the
+    # whole 16 tokens are one maximal duplicated span
+    assert rows[3]["n_dup_spans"] == 1 and rows[3]["dup_tokens"] == 16
+    assert rows[3]["longest_span"] == 16 and rows[3]["dup_frac"] == 1.0
