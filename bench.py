@@ -62,6 +62,7 @@ HEADLINE = [
     "multimodal_jpeg_bytes",
     "multimodal_mjpeg_stats",
     "multimodal_adpcm_stats",
+    "multimodal_gif_stats",
     "asof_last_purchase",
     "sess_stats",
     "sess_funnel",

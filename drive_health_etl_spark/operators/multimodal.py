@@ -889,6 +889,93 @@ FROM px GROUP BY doc_id
 """
 
 
+# --- Real palette images: GIF87a with hand-written LZW -----------------------
+
+
+def attach_gif_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL palette-image table: the doc_id%3==0 cohort's text bytes as a
+    (h, w) GRAYSCALE index raster (256-gray global color table), encoded as
+    genuine GIF87a with the hand-written variable-width LZW in
+    ``gif_codec.py``. LZW is lossless, so unlike JPEG the decode oracle is
+    EXACT. Cached per session like the other media fixtures."""
+    from drive_health_etl_spark.operators.gif_codec import encode_gif
+
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 0)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    raster = base.select(
+        "doc_id",
+        (F.col("doc_id") % 16 + 4).cast("int").alias("w"),
+        (F.col("doc_id") % 12 + 4).cast("int").alias("h"),
+        F.expr(
+            "encode(rpad(text || ' ', CAST((doc_id % 16 + 4) * (doc_id % 12 + 4) AS INT), "
+            "text || ' '), 'utf-8')"
+        ).alias("raw"),
+    )
+    gray = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for w, h, raw in zip(pdf["w"], pdf["h"], pdf["raw"]):
+                idx = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(int(h), int(w))
+                blobs.append(encode_gif(idx, gray))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
+
+    return _cached_media(
+        spark,
+        ("gif", sf_dir),
+        lambda: raster.mapInPandas(op, schema="doc_id long, content binary"),
+    )
+
+
+def multimodal_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip every GIF through the REAL codec (sub-block reassembly,
+    variable-width LZW with CLEAR/EOI and the KwKwK case, palette lookup)
+    and emit per-image dims plus the EXACT mean gray level (palette-mapped,
+    = raster byte mean for the 256-gray table). The oracle recomputes the
+    mean from the construction rule — any LZW bit-packing, width-growth, or
+    sub-block bug changes decoded pixels and breaks the hash exactly."""
+    from drive_health_etl_spark.operators.gif_codec import decode_gif
+
+    media = attach_gif_images(spark, sf_dir)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "mean_gray": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                idx, pal = decode_gif(bytes(blob))  # REAL LZW decode
+                h, w = idx.shape
+                gray = pal[idx][:, :, 0].astype("float64")  # 256-gray: R=G=B=index
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(int(w))
+                out["height"].append(int(h))
+                out["mean_gray"].append(round(float(gray.mean()), 6))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        op, schema="doc_id long, width int, height int, mean_gray double"
+    )
+
+
+MULTIMODAL_GIF_SQL = """
+WITH img AS (
+  SELECT doc_id,
+         CAST(doc_id % 16 + 4 AS INTEGER) AS w,
+         CAST(doc_id % 12 + 4 AS INTEGER) AS h,
+         rpad(text || ' ', CAST((doc_id % 16 + 4) * (doc_id % 12 + 4) AS INTEGER),
+              text || ' ') AS payload
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT doc_id, w AS width, h AS height,
+       ROUND((SELECT AVG(ord(substr(payload, u.i, 1)))
+              FROM UNNEST(generate_series(1, w * h)) AS u(i)), 6) AS mean_gray
+FROM img
+"""
+
+
 # --- Real compressed audio: IMA ADPCM WAV ------------------------------------
 
 # RMS reconstruction-error bound for IMA ADPCM on the ASCII-byte waveforms
@@ -1497,6 +1584,7 @@ QUERIES: dict[str, tuple] = {
     "multimodal_jpeg_bytes": (multimodal_jpeg_bytes, MULTIMODAL_JPEG_BYTES_SQL),
     "multimodal_mjpeg_stats": (multimodal_mjpeg_stats, MULTIMODAL_MJPEG_SQL),
     "multimodal_adpcm_stats": (multimodal_adpcm_stats, MULTIMODAL_ADPCM_SQL),
+    "multimodal_gif_stats": (multimodal_gif_stats, MULTIMODAL_GIF_SQL),
     "multimodal_audio_stats": (multimodal_audio_stats, MULTIMODAL_AUDIO_SQL),
     "multimodal_video_stats": (multimodal_video_stats, MULTIMODAL_VIDEO_SQL),
     "multimodal_resize_stats": (multimodal_resize_stats, MULTIMODAL_RESIZE_SQL),

@@ -520,3 +520,43 @@ def test_ima_adpcm_roundtrip_and_container():
     nofact[j : j + 4] = b"junk"
     with pytest.raises(ValueError, match="fact"):
         decode_wav_ima(bytes(nofact))
+
+
+def test_gif_lzw_roundtrip_and_refusals():
+    """GIF87a: index rasters round-trip bit-exactly through the hand-written
+    variable-width LZW (dictionary growth, 4096-code CLEAR, KwKwK case);
+    89a extension blocks are skipped; interlace/local palettes refuse."""
+    import numpy as np
+    import pytest
+
+    from drive_health_etl_spark.operators.gif_codec import decode_gif, encode_gif
+
+    rng = np.random.RandomState(3)
+    gray = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+    for idx in (
+        rng.randint(0, 256, (13, 17)).astype(np.uint8),          # noise
+        np.full((8, 8), 7, dtype=np.uint8),                       # constant
+        np.tile(rng.randint(0, 4, (4, 4)), (20, 20)).astype(np.uint8),  # repeats
+        rng.randint(0, 256, (120, 130)).astype(np.uint8),         # >4095 codes
+    ):
+        out, pal = decode_gif(encode_gif(idx, gray))
+        assert (out == idx).all() and (pal == gray).all()
+
+    pal4 = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+    idx4 = rng.randint(0, 4, (50, 60)).astype(np.uint8)
+    out, _ = decode_gif(encode_gif(idx4, pal4))
+    assert (out == idx4).all()
+
+    blob = encode_gif(idx4, pal4)
+    # 89a stream with a graphics-control extension before the image: skipped
+    ext = b"GIF89a" + blob[6:13 + 3 * 4] + b"\x21\xf9\x04\x00\x00\x00\x00\x00" + blob[13 + 3 * 4:]
+    out, _ = decode_gif(ext)
+    assert (out == idx4).all()
+
+    with pytest.raises(ValueError, match="GIF87a"):
+        decode_gif(b"not a gif")
+    interlaced = bytearray(blob)
+    img = bytes(interlaced).find(b"\x2c")
+    interlaced[img + 9] |= 0x40
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_gif(bytes(interlaced))

@@ -336,6 +336,7 @@ BENCH_PLAN_FINGERPRINTS = {
     "multimodal_jpeg_bytes": {},
     "multimodal_mjpeg_stats": {},
     "multimodal_adpcm_stats": {},
+    "multimodal_gif_stats": {},
 }
 
 
