@@ -187,14 +187,17 @@ def _decode_png(blob: bytes) -> np.ndarray:
         elif ctype == b"IEND":
             break
         pos += 12 + length
-    if bit_depth != 8 or color_type not in (0, 2) or interlace != 0:
+    if bit_depth != 8 or color_type not in (0, 2) or interlace not in (0, 1):
         raise NotImplementedError(
             f"PNG depth={bit_depth} color_type={color_type} interlace={interlace}: "
-            "only 8-bit gray/RGB non-interlaced decodes without PIL"
+            "only 8-bit gray/RGB (progressive Adam7 or sequential) decodes without PIL"
         )
     bpp = 3 if color_type == 2 else 1
-    stride = w * bpp
     raw = zlib.decompress(idat)
+    if interlace == 1:
+        img = _deinterlace_adam7(raw, w, h, bpp)
+        return img.reshape(h, w, 3) if color_type == 2 else img.reshape(h, w)
+    stride = w * bpp
     if len(raw) != h * (stride + 1):
         raise ValueError(f"PNG raster length {len(raw)} != {h}*({stride}+1)")
     out = np.empty(h * stride, dtype=np.uint8)
@@ -208,10 +211,51 @@ def _decode_png(blob: bytes) -> np.ndarray:
     return out.reshape(h, w, 3) if color_type == 2 else out.reshape(h, w)
 
 
-def encode_png(img: np.ndarray) -> bytes:
+# Adam7 pass grid (RFC 2083 §2.6): (x_start, y_start, x_step, y_step) per
+# pass. Each pass is an independently-filtered reduced image; web-era
+# "progressive" PNGs ship this layout.
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _deinterlace_adam7(raw: bytes, w: int, h: int, bpp: int) -> np.ndarray:
+    """Reassemble the 7 Adam7 passes: each pass carries its own filter bytes
+    and filter state (prev resets per pass), and its pixels scatter onto the
+    (y0 + r*ys, x0 + c*xs) grid of the full image."""
+    out = np.empty((h, w * bpp), dtype=np.uint8)
+    pos = 0
+    for x0, y0, xs, ys in _ADAM7:
+        pw = (w - x0 + xs - 1) // xs
+        ph = (h - y0 + ys - 1) // ys
+        if pw <= 0 or ph <= 0:
+            continue  # pass entirely absent (no filter bytes either)
+        stride = pw * bpp
+        prev = bytes(stride)
+        for r in range(ph):
+            if pos + 1 + stride > len(raw):
+                raise ValueError("Adam7 raster truncated")
+            ftype = raw[pos]
+            cur = bytearray(raw[pos + 1 : pos + 1 + stride])
+            pos += 1 + stride
+            _unfilter_scanline(ftype, cur, prev, bpp)
+            line = np.frombuffer(bytes(cur), dtype=np.uint8).reshape(pw, bpp)
+            cols = x0 + xs * np.arange(pw)
+            for b in range(bpp):
+                out[y0 + r * ys, cols * bpp + b] = line[:, b]
+            prev = bytes(cur)
+    if pos != len(raw):
+        raise ValueError(f"Adam7 raster has {len(raw) - pos} trailing bytes")
+    return out
+
+
+def encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
     """REAL PNG encode (the decoder's round-trip twin): per-scanline filter
     type = row % 5, so every filter path (None/Sub/Up/Average/Paeth) is
     exercised on any image taller than 4 rows; zlib level 6; CRC'd chunks.
+    ``interlace=True`` emits the Adam7 progressive layout (7 independently
+    filtered reduced passes).
 
     Filters vectorize fully on ENCODE (they subtract predictors computed
     from RAW neighbor bytes — no reconstructed-value dependency, unlike
@@ -227,33 +271,50 @@ def encode_png(img: np.ndarray) -> bytes:
         h, w = img.shape
         color_type, bpp = 0, 1
     flat = img.astype(np.uint8).reshape(h, w * bpp)
-    lines = []
-    prev = np.zeros(w * bpp, dtype=np.uint8)
-    for r in range(h):
-        cur = flat[r]
-        left = np.zeros_like(cur)
-        left[bpp:] = cur[:-bpp]
-        f = r % 5
-        if f == 0:
-            filt = cur
-        elif f == 1:  # Sub
-            filt = cur - left
-        elif f == 2:  # Up
-            filt = cur - prev
-        elif f == 3:  # Average: (a + b) >> 1 in a widened dtype
-            filt = cur - ((left.astype(np.uint16) + prev) >> 1).astype(np.uint8)
-        else:  # Paeth, element-wise over (left, up, up-left)
-            prevleft = np.zeros_like(prev)
-            prevleft[bpp:] = prev[:-bpp]
-            a = left.astype(np.int16)
-            b = prev.astype(np.int16)
-            c = prevleft.astype(np.int16)
-            p = a + b - c
-            pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
-            pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)).astype(np.uint8)
-            filt = cur - pred
-        lines.append(bytes([f]) + filt.tobytes())
-        prev = cur
+
+    def filter_rows(rows: np.ndarray) -> list[bytes]:
+        lines = []
+        prev = np.zeros(rows.shape[1], dtype=np.uint8)
+        for r in range(rows.shape[0]):
+            cur = rows[r]
+            left = np.zeros_like(cur)
+            left[bpp:] = cur[:-bpp]
+            f = r % 5
+            if f == 0:
+                filt = cur
+            elif f == 1:  # Sub
+                filt = cur - left
+            elif f == 2:  # Up
+                filt = cur - prev
+            elif f == 3:  # Average: (a + b) >> 1 in a widened dtype
+                filt = cur - ((left.astype(np.uint16) + prev) >> 1).astype(np.uint8)
+            else:  # Paeth, element-wise over (left, up, up-left)
+                prevleft = np.zeros_like(prev)
+                prevleft[bpp:] = prev[:-bpp]
+                a = left.astype(np.int16)
+                b = prev.astype(np.int16)
+                c = prevleft.astype(np.int16)
+                p = a + b - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                ).astype(np.uint8)
+                filt = cur - pred
+            lines.append(bytes([f]) + filt.tobytes())
+            prev = cur
+        return lines
+
+    if not interlace:
+        lines = filter_rows(flat)
+    else:
+        # Adam7: extract each pass's reduced image and filter it
+        # independently (prev resets per pass), in pass order
+        grid = flat.reshape(h, w, bpp)
+        lines = []
+        for x0, y0, xs, ys in _ADAM7:
+            sub = grid[y0::ys, x0::xs]
+            if sub.size:
+                lines += filter_rows(sub.reshape(sub.shape[0], -1))
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -263,7 +324,7 @@ def encode_png(img: np.ndarray) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0)
     idat = zlib.compress(b"".join(lines), 6)
     return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 
@@ -510,6 +571,61 @@ def multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Same raster rule as the PPM oracle: the PNG round-trip must reproduce it.
 MULTIMODAL_PNG_SQL = MULTIMODAL_DECODE_SQL
+
+
+def multimodal_png_adam7_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The web-era progressive layout end to end: the same rasters encoded
+    as Adam7-interlaced PNG (7 independently filtered reduced passes) and
+    decoded through the full deinterlacer. Same EXACT oracle as the
+    sequential path — a pass-grid, scatter, or per-pass filter-state bug
+    changes pixels and breaks the hash."""
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 0)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    raster = base.select(
+        "doc_id",
+        (F.col("doc_id") % 16 + 4).cast("int").alias("w"),
+        (F.col("doc_id") % 12 + 4).cast("int").alias("h"),
+        F.expr(
+            "encode(rpad(text || ' ', CAST((doc_id % 16 + 4) * (doc_id % 12 + 4) * 3 AS INT), "
+            "text || ' '), 'utf-8')"
+        ).alias("raw"),
+    )
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for w, h, raw in zip(pdf["w"], pdf["h"], pdf["raw"]):
+                img = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(int(h), int(w), 3)
+                blobs.append(encode_png(img, interlace=True))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
+
+    media = _cached_media(
+        spark,
+        ("png_adam7", sf_dir),
+        lambda: raster.mapInPandas(enc, schema="doc_id long, content binary"),
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "mean_r": [], "mean_g": [], "mean_b": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                img = decode_image(bytes(blob))  # REAL Adam7 deinterlace + inflate
+                h, w, _ = img.shape
+                px = img.astype("float64")
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(int(w))
+                out["height"].append(int(h))
+                out["mean_r"].append(round(float(px[:, :, 0].mean()), 6))
+                out["mean_g"].append(round(float(px[:, :, 1].mean()), 6))
+                out["mean_b"].append(round(float(px[:, :, 2].mean()), 6))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        op, schema="doc_id long, width int, height int, mean_r double, mean_g double, mean_b double"
+    )
 
 
 # JPEG is LOSSY, so channel means are not SQL-derivable; the oracle pins the
@@ -1585,6 +1701,7 @@ QUERIES: dict[str, tuple] = {
     "multimodal_mjpeg_stats": (multimodal_mjpeg_stats, MULTIMODAL_MJPEG_SQL),
     "multimodal_adpcm_stats": (multimodal_adpcm_stats, MULTIMODAL_ADPCM_SQL),
     "multimodal_gif_stats": (multimodal_gif_stats, MULTIMODAL_GIF_SQL),
+    "multimodal_png_adam7_stats": (multimodal_png_adam7_stats, MULTIMODAL_PNG_SQL),
     "multimodal_audio_stats": (multimodal_audio_stats, MULTIMODAL_AUDIO_SQL),
     "multimodal_video_stats": (multimodal_video_stats, MULTIMODAL_VIDEO_SQL),
     "multimodal_resize_stats": (multimodal_resize_stats, MULTIMODAL_RESIZE_SQL),

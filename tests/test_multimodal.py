@@ -560,3 +560,40 @@ def test_gif_lzw_roundtrip_and_refusals():
     interlaced[img + 9] |= 0x40
     with pytest.raises(NotImplementedError, match="interlaced"):
         decode_gif(bytes(interlaced))
+
+
+def test_png_adam7_roundtrip_edge_shapes():
+    """Adam7 interlace: exact round-trip including shapes where whole
+    passes are absent (1x1, 3-row, 2-col) — the pass grid, per-pass filter
+    state, and scatter must all be exact."""
+    import numpy as np
+
+    from drive_health_etl_spark.operators.multimodal import _decode_png, encode_png
+
+    rng = np.random.RandomState(5)
+    for img in (
+        rng.randint(0, 256, (13, 17, 3)).astype(np.uint8),
+        rng.randint(0, 256, (9, 31)).astype(np.uint8),   # gray
+        rng.randint(0, 256, (1, 1, 3)).astype(np.uint8),  # most passes empty
+        rng.randint(0, 256, (3, 64, 3)).astype(np.uint8),
+        rng.randint(0, 256, (64, 2)).astype(np.uint8),
+        rng.randint(0, 256, (8, 8, 3)).astype(np.uint8),
+    ):
+        out = _decode_png(encode_png(img, interlace=True))
+        assert out.shape == img.shape and (out == img).all()
+
+
+def test_adam7_pass_grid_covers_every_pixel():
+    """The 7 passes must tile the full image with no gap and no overlap for
+    arbitrary dimensions — the bug class where a wrong pass origin leaves
+    np.empty garbage in 'decoded' pixels (round-trips can mask it via
+    buffer reuse; this test cannot be fooled that way)."""
+    import numpy as np
+
+    from drive_health_etl_spark.operators.multimodal import _ADAM7
+
+    for h, w in ((1, 1), (4, 4), (7, 5), (8, 8), (13, 17), (3, 64)):
+        hit = np.zeros((h, w), dtype=int)
+        for x0, y0, xs, ys in _ADAM7:
+            hit[y0::ys, x0::xs] += 1
+        assert (hit == 1).all(), (h, w)
