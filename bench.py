@@ -63,6 +63,8 @@ HEADLINE = [
     "multimodal_mjpeg_stats",
     "multimodal_adpcm_stats",
     "multimodal_gif_stats",
+    "multimodal_png_adam7_stats",
+    "dedup_exactsubstr_spans",
     "asof_last_purchase",
     "sess_stats",
     "sess_funnel",

@@ -337,6 +337,8 @@ BENCH_PLAN_FINGERPRINTS = {
     "multimodal_mjpeg_stats": {},
     "multimodal_adpcm_stats": {},
     "multimodal_gif_stats": {},
+    "multimodal_png_adam7_stats": {},
+    "dedup_exactsubstr_spans": {"shuffle_exchange": 5, "broadcast_exchange": 2, "BroadcastHashJoin": 2},
 }
 
 
