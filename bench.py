@@ -65,6 +65,7 @@ HEADLINE = [
     "multimodal_gif_stats",
     "multimodal_png_adam7_stats",
     "dedup_exactsubstr_spans",
+    "multimodal_flac_stats",
     "asof_last_purchase",
     "sess_stats",
     "sess_funnel",

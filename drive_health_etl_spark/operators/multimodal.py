@@ -1173,6 +1173,90 @@ FROM documents WHERE doc_id % 3 = 1
 """
 
 
+# --- Real lossless compressed audio: subset FLAC ------------------------------
+
+
+def attach_flac_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL lossless-compressed audio table: the WAV cohort's samples
+    (doc_id % 3 == 1, int16 = (byte-128)<<8 from the text rule) encoded as
+    genuine subset-FLAC (fLaC marker, STREAMINFO with PCM MD5, fixed-order
+    LPC subframes, Rice residuals, CRC-8/CRC-16 — ``flac_codec.py``).
+    Cached per session like the other media fixtures."""
+    from drive_health_etl_spark.operators.flac_codec import encode_flac
+
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 1)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    raster = base.select(
+        "doc_id",
+        F.expr(f"encode(rpad(text || ' ', {WAV_SAMPLES}, text || ' '), 'utf-8')").alias("raw"),
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for raw in pdf["raw"]:
+                b = np.frombuffer(bytes(raw), dtype=np.uint8).astype(np.int64)
+                blobs.append(encode_flac(((b - 128) << 8).astype(np.int16), WAV_RATE))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
+
+    return _cached_media(
+        spark,
+        ("flac", sf_dir),
+        lambda: raster.mapInPandas(op, schema="doc_id long, content binary"),
+    )
+
+
+def multimodal_flac_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode every FLAC FOR REAL — STREAMINFO parse, frame-header CRC-8,
+    fixed-predictor reconstruction from Rice residuals, frame CRC-16, and
+    the spec-mandated PCM MD5 — and emit EXACT sample statistics. FLAC is
+    lossless, so unlike ADPCM the oracle recomputes mean/rms exactly from
+    the construction rule: any predictor, Rice, or bit-packing bug changes
+    decoded samples and fails the MD5 gate before it can even reach the
+    hash compare."""
+    from drive_health_etl_spark.operators.flac_codec import decode_flac
+
+    media = attach_flac_audio(spark, sf_dir)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "sample_rate": [], "n_samples": [], "mean_amp": [], "rms": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                samples, rate = decode_flac(bytes(blob))  # REAL FLAC decode
+                s = samples.astype(np.float64)
+                out["doc_id"].append(int(doc_id))
+                out["sample_rate"].append(int(rate))
+                out["n_samples"].append(int(len(samples)))
+                # exact: integer sums over power-of-two-scaled values
+                out["mean_amp"].append(float(s.mean()))
+                out["rms"].append(float(np.sqrt((s * s).mean())))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        op,
+        schema="doc_id long, sample_rate int, n_samples int, mean_amp double, rms double",
+    )
+
+
+MULTIMODAL_FLAC_SQL = f"""
+WITH wav AS (
+  SELECT doc_id, rpad(text || ' ', {WAV_SAMPLES}, text || ' ') AS payload
+  FROM documents WHERE doc_id % 3 = 1
+),
+s AS (
+  SELECT doc_id, (ord(substr(payload, i, 1)) - 128) * 256 AS v
+  FROM wav, UNNEST(generate_series(1, {WAV_SAMPLES})) AS t(i)
+)
+SELECT doc_id, {WAV_RATE} AS sample_rate, {WAV_SAMPLES} AS n_samples,
+       AVG(v) AS mean_amp,
+       sqrt(AVG(CAST(v AS DOUBLE) * v)) AS rms
+FROM s GROUP BY doc_id
+"""
+
+
 # --- Real-world video container: Motion-JPEG AVI ----------------------------
 
 MJPEG_W, MJPEG_H = 16, 12  # fixed per-frame dims (8-multiple-free; 4:4:4)
@@ -1702,6 +1786,7 @@ QUERIES: dict[str, tuple] = {
     "multimodal_adpcm_stats": (multimodal_adpcm_stats, MULTIMODAL_ADPCM_SQL),
     "multimodal_gif_stats": (multimodal_gif_stats, MULTIMODAL_GIF_SQL),
     "multimodal_png_adam7_stats": (multimodal_png_adam7_stats, MULTIMODAL_PNG_SQL),
+    "multimodal_flac_stats": (multimodal_flac_stats, MULTIMODAL_FLAC_SQL),
     "multimodal_audio_stats": (multimodal_audio_stats, MULTIMODAL_AUDIO_SQL),
     "multimodal_video_stats": (multimodal_video_stats, MULTIMODAL_VIDEO_SQL),
     "multimodal_resize_stats": (multimodal_resize_stats, MULTIMODAL_RESIZE_SQL),

