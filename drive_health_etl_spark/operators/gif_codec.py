@@ -69,6 +69,13 @@ def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
         prefix = bytes([v])
     if prefix:
         emit(table[prefix])
+    # The decoder appends one more table entry after consuming that final
+    # code and widens when its table reaches 2^width — mirror that here or
+    # EOI gets written one bit narrower than the decoder will read it
+    # (fires exactly when the table size lands on a power of two at stream
+    # end; found by hypothesis on an 18-pixel 2-color raster).
+    if next_code >= (1 << width) and width < 12:
+        width += 1
     emit(eoi)
     if nbits:
         out.append(acc & 0xFF)

@@ -254,3 +254,86 @@ def test_fast_sigmoid_python_reference(zs):
     for (z1, v1), (z2, v2) in zip(sorted(zip(zs, vals)), sorted(zip(zs, vals))[1:]):
         if z1 < z2:
             assert v1 <= v2
+
+
+# --- Codec round-trip properties ---------------------------------------------
+#
+# Every lossless codec must reconstruct ANY input bit-exactly, not just the
+# fixture corpus — hypothesis drives arbitrary shapes/contents through the
+# full encode/decode pipelines (the Adam7 bug class: a wrong pass grid only
+# shows on particular dimension residues).
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    interlace=st.booleans(),
+)
+def test_prop_png_roundtrip(h, w, seed, interlace):
+    import numpy as np
+
+    from drive_health_etl_spark.operators.multimodal import _decode_png, encode_png
+
+    img = np.random.RandomState(seed).randint(0, 256, (h, w, 3)).astype(np.uint8)
+    out = _decode_png(encode_png(img, interlace=interlace))
+    assert out.shape == img.shape and (out == img).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=20),
+    w=st.integers(min_value=1, max_value=20),
+    npal=st.integers(min_value=2, max_value=256),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_prop_gif_roundtrip(h, w, npal, seed):
+    import numpy as np
+
+    from drive_health_etl_spark.operators.gif_codec import decode_gif, encode_gif
+
+    rng = np.random.RandomState(seed)
+    pal = rng.randint(0, 256, (npal, 3)).astype(np.uint8)
+    idx = rng.randint(0, npal, (h, w)).astype(np.uint8)
+    out, _ = decode_gif(encode_gif(idx, pal))
+    assert (out == idx).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=9000),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    tonal=st.booleans(),
+)
+def test_prop_flac_roundtrip(n, seed, tonal):
+    import numpy as np
+
+    from drive_health_etl_spark.operators.flac_codec import decode_flac, encode_flac
+
+    rng = np.random.RandomState(seed)
+    if tonal:
+        s = (np.sin(np.linspace(0, n / 37.0, n)) * 25000).astype(np.int16)
+    else:
+        s = rng.randint(-32768, 32767, n).astype(np.int16)
+    out, rate = decode_flac(encode_flac(s, 8000))
+    assert rate == 8000 and (out == s).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=600),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_prop_adpcm_bounded_and_container(n, seed):
+    """ADPCM is lossy: the property is container fidelity (rate, count) and
+    a generous error bound that any step-table bug still explodes past."""
+    import numpy as np
+
+    from drive_health_etl_spark.operators.adpcm_codec import decode_wav_ima, encode_wav_ima
+
+    s = np.random.RandomState(seed).randint(-32768, 32767, n).astype(np.int16)
+    out, rate = decode_wav_ima(encode_wav_ima(s, 16000))
+    assert rate == 16000 and len(out) == n
+    # full-scale uniform noise: adaptive quantizer tracks within ~1/3 scale
+    assert np.abs(out.astype(int) - s.astype(int)).mean() < 11000
