@@ -59,6 +59,7 @@ HEADLINE = [
     "multimodal_png_stats",
     "multimodal_jpeg_stats",
     "multimodal_jpeg420_stats",
+    "multimodal_jpeg_prog_stats",
     "multimodal_jpeg_bytes",
     "multimodal_mjpeg_stats",
     "multimodal_adpcm_stats",

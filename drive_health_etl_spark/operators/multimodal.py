@@ -81,7 +81,16 @@ def decode_image(blob: bytes, *, fake: bool = False) -> np.ndarray:
     if magic == b"\xff\xd8":
         from drive_health_etl_spark.operators.jpeg_codec import decode_jpeg
 
-        return decode_jpeg(blob)
+        try:
+            return decode_jpeg(blob)
+        except NotImplementedError:
+            # SOF2 streams route to the progressive decoder; anything it
+            # also refuses (arithmetic, lossless, 12-bit) re-raises there.
+            from drive_health_etl_spark.operators.jpeg_progressive import (
+                decode_jpeg_progressive,
+            )
+
+            return decode_jpeg_progressive(blob)
     raise NotImplementedError(
         f"no pure-python codec for magic {magic!r} (mp3/H.264-class "
         "inter-frame codecs need ffmpeg, not in this container); NetPBM, "
@@ -730,6 +739,56 @@ def multimodal_jpeg420_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, subsampling="420", restart_interval=_JPEG420_RESTART
     )
     return _jpeg_roundtrip_stats(media, _JPEG420_MSE_BOUND)
+
+
+def multimodal_jpeg_prog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive JPEG (SOF2) end to end: every raster is encoded with the
+    multi-scan spectral-selection + successive-approximation script
+    (``jpeg_progressive.py``) AND as baseline SOF0, both streams are decoded
+    by their real codecs, and the query asserts the two decodes are
+    BIT-IDENTICAL per pixel (``prog_exact``). The encoders share one
+    quantized-coefficient array, so any defect in the progressive entropy
+    coding — EOB-run accounting, correction-bit ordering, refinement point
+    transforms — breaks exact parity even when the image still looks right;
+    this is a far stronger gate than the lossy MSE bound (also asserted
+    vs the pre-compression raster). DuckDB cannot run a JPEG codec, so the
+    oracle pins dims from the raster rule plus both booleans TRUE."""
+    from drive_health_etl_spark.operators.jpeg_progressive import (
+        decode_jpeg_progressive,
+        encode_jpeg_progressive,
+    )
+
+    media = attach_jpeg_images(spark, sf_dir)  # cached baseline 4:4:4 blobs
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "prog_exact": [], "mse_ok": []}
+            for doc_id, blob, raw in zip(pdf["doc_id"], pdf["content"], pdf["raw"]):
+                base = decode_image(bytes(blob))  # real SOF0 decode
+                h, w, _ = base.shape
+                orig = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w, 3)
+                prog = decode_jpeg_progressive(encode_jpeg_progressive(orig))
+                mse = float(((prog.astype(np.float64) - orig) ** 2).mean())
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(int(w))
+                out["height"].append(int(h))
+                out["prog_exact"].append(bool(np.array_equal(base, prog)))
+                out["mse_ok"].append(mse < _JPEG_MSE_BOUND)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        op, schema="doc_id long, width int, height int, prog_exact boolean, mse_ok boolean"
+    )
+
+
+MULTIMODAL_JPEG_PROG_SQL = """
+SELECT doc_id,
+       CAST(doc_id % 16 + 4 AS INTEGER) AS width,
+       CAST(doc_id % 12 + 4 AS INTEGER) AS height,
+       TRUE AS prog_exact,
+       TRUE AS mse_ok
+FROM documents WHERE doc_id % 3 = 0
+"""
 
 
 MULTIMODAL_JPEG_SQL = """
@@ -1781,6 +1840,7 @@ QUERIES: dict[str, tuple] = {
     "multimodal_png_stats": (multimodal_png_stats, MULTIMODAL_PNG_SQL),
     "multimodal_jpeg_stats": (multimodal_jpeg_stats, MULTIMODAL_JPEG_SQL),
     "multimodal_jpeg420_stats": (multimodal_jpeg420_stats, MULTIMODAL_JPEG_SQL),
+    "multimodal_jpeg_prog_stats": (multimodal_jpeg_prog_stats, MULTIMODAL_JPEG_PROG_SQL),
     "multimodal_jpeg_bytes": (multimodal_jpeg_bytes, MULTIMODAL_JPEG_BYTES_SQL),
     "multimodal_mjpeg_stats": (multimodal_mjpeg_stats, MULTIMODAL_MJPEG_SQL),
     "multimodal_adpcm_stats": (multimodal_adpcm_stats, MULTIMODAL_ADPCM_SQL),

@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import numpy as np
 import pytest
 
 from drive_health_etl_spark.operators.multimodal import (
@@ -627,3 +628,95 @@ def test_flac_roundtrip_and_integrity_gates():
         decode_flac(bytes(blob))
     with pytest.raises(ValueError, match="fLaC"):
         decode_flac(b"not flac")
+
+
+def test_jpeg_progressive_parity_is_bit_exact():
+    """Progressive (SOF2) and baseline (SOF0) encoders share the SAME
+    quantized coefficient array, so their decodes must be IDENTICAL per
+    pixel — a symmetric entropy-coding bug (EOB-run accounting,
+    correction-bit ordering) breaks this even when the image looks fine."""
+    from drive_health_etl_spark.operators.jpeg_codec import decode_jpeg, encode_jpeg
+    from drive_health_etl_spark.operators.jpeg_progressive import (
+        decode_jpeg_progressive,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(3)
+    cases = [
+        np.full((40, 56, 3), 128, np.uint8),                     # max EOB runs
+        (np.indices((33, 47)).sum(0) % 2 * 255).astype(np.uint8),  # dense AC
+        rng.randint(0, 256, (13, 19, 3)).astype(np.uint8),       # noise RGB
+        rng.randint(0, 256, (24, 24)).astype(np.uint8),          # noise gray
+        rng.randint(0, 256, (1, 1, 3)).astype(np.uint8),         # single pixel
+        np.kron(rng.randint(0, 256, (3, 3, 3)), np.ones((16, 16, 1)))
+        .astype(np.uint8)[:41, :37],                             # smooth, EOBRUN-heavy
+    ]
+    for img in cases:
+        base = decode_jpeg(encode_jpeg(img))
+        blob = encode_jpeg_progressive(img)
+        assert blob[:2] == b"\xff\xd8" and b"\xff\xc2" in blob[:200]  # SOF2 present
+        prog = decode_jpeg_progressive(blob)
+        assert np.array_equal(base, prog), img.shape
+
+
+def test_jpeg_progressive_dispatch_and_refusals():
+    from drive_health_etl_spark.operators.jpeg_codec import encode_jpeg
+    from drive_health_etl_spark.operators.jpeg_progressive import (
+        decode_jpeg_progressive,
+        encode_jpeg_progressive,
+    )
+    from drive_health_etl_spark.operators.multimodal import decode_image
+
+    img = np.arange(11 * 14 * 3, dtype=np.uint8).reshape(11, 14, 3)
+    # decode_image routes SOF2 blobs to the progressive decoder
+    out = decode_image(encode_jpeg_progressive(img))
+    assert out.shape == (11, 14, 3)
+    # the progressive decoder refuses baseline streams (they belong to
+    # decode_jpeg) instead of guessing
+    with pytest.raises(NotImplementedError, match="SOF2"):
+        decode_jpeg_progressive(encode_jpeg(img))
+
+
+def test_jpeg_progressive_scan_validator_rejects_illegal_scripts():
+    """T.81 G.1.1.1.1 legality checked independently of the codec — the
+    Adam7 lesson: symmetric encode/decode bugs pass round-trips, so interop
+    tables/scripts need a validator that cannot be fooled by symmetry."""
+    from drive_health_etl_spark.operators.jpeg_progressive import _validate_scans
+
+    good = [
+        ([0], 0, 0, 0, 1),
+        ([0], 1, 63, 0, 1),
+        ([0], 0, 0, 1, 0),
+        ([0], 1, 63, 1, 0),
+    ]
+    _validate_scans(good, 1)
+    bad_scripts = [
+        ([([0], 1, 63, 0, 0), ([0], 0, 0, 0, 0)], "AC scan before its DC"),  # AC first
+        ([([0], 0, 0, 0, 0), ([0], 2, 63, 0, 0)], "never refined"),          # gap at k=1
+        ([([0], 0, 0, 0, 0), ([0], 1, 63, 0, 0), ([0], 1, 5, 0, 0)], "duplicate"),
+        ([([0], 0, 0, 0, 1), ([0], 1, 63, 0, 0)], "never refined"),          # DC stuck at Al=1
+        ([([0], 0, 0, 0, 2), ([0], 0, 0, 1, 0), ([0], 1, 63, 0, 0)], "refinement Ah=1"),  # skip Al level
+        ([([0, 1], 1, 63, 0, 0)], "single-component"),
+        ([([0], 0, 5, 0, 0)], "DC and AC"),
+    ]
+    for scans, msg in bad_scripts:
+        with pytest.raises(ValueError, match=msg):
+            _validate_scans(scans, 2)
+
+
+def test_jpeg_progressive_pinned_byte_digests():
+    """The progressive encoder is fully deterministic (embedded tables,
+    fixed scan script): pin the whole-stream sha256 for two fixture rasters
+    so a silent bitstream regression cannot hide behind decode symmetry."""
+    import hashlib
+
+    from drive_health_etl_spark.operators.jpeg_progressive import encode_jpeg_progressive
+    from drive_health_etl_spark.operators.multimodal import jpeg_pin_raster
+
+    pins = {
+        0: "4c1777b48d30df3a4d963c2d9f3ff773373348ce46ae078492d5c99ca52bbd5c",
+        9: "fb422a1561aefbe4b9c0cdf9c8fdb393c459a585ff7df630b826c973573da4a9",
+    }
+    for doc_id, pinned in pins.items():
+        blob = encode_jpeg_progressive(jpeg_pin_raster(doc_id))
+        assert hashlib.sha256(blob).hexdigest() == pinned, doc_id

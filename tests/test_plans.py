@@ -332,6 +332,7 @@ BENCH_PLAN_FINGERPRINTS = {
     "multimodal_png_stats": {},
     "multimodal_jpeg_stats": {},
     "multimodal_jpeg420_stats": {},
+    "multimodal_jpeg_prog_stats": {},
     "quality_lr_eval": {"shuffle_exchange": 1},
     "multimodal_jpeg_bytes": {},
     "multimodal_mjpeg_stats": {},

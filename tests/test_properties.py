@@ -337,3 +337,36 @@ def test_prop_adpcm_bounded_and_container(n, seed):
     assert rate == 16000 and len(out) == n
     # full-scale uniform noise: adaptive quantizer tracks within ~1/3 scale
     assert np.abs(out.astype(int) - s.astype(int)).mean() < 11000
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    gray=st.booleans(),
+    smooth=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_prop_jpeg_progressive_parity(h, w, gray, smooth, seed):
+    """For ANY image, progressive (SOF2) decode must equal baseline (SOF0)
+    decode bit-exactly — both encoders share one quantized-coefficient
+    array, so the progressive entropy coding (EOB runs, refinement
+    correction bits, point transforms) is the only thing under test. Smooth
+    inputs drive long EOB runs; noise drives dense refinement traffic."""
+    import numpy as np
+
+    from drive_health_etl_spark.operators.jpeg_codec import decode_jpeg, encode_jpeg
+    from drive_health_etl_spark.operators.jpeg_progressive import (
+        decode_jpeg_progressive,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    if smooth:
+        img = np.full(shape, rng.randint(0, 256), np.uint8)
+    else:
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(img))
+    prog = decode_jpeg_progressive(encode_jpeg_progressive(img))
+    assert np.array_equal(base, prog)
