@@ -51,6 +51,8 @@ HEADLINE = [
     "sim_ann_lsh_multiprobe",
     "sim_ann_lsh_multitable",
     "sim_ann_ivf",
+    "sim_ann_binary",
+    "sim_binary_quality",
     "text_bpe_token_count",
     "text_repetition",
     "text_decontaminate",
@@ -65,6 +67,7 @@ HEADLINE = [
     "multimodal_adpcm_stats",
     "multimodal_gif_stats",
     "multimodal_png_adam7_stats",
+    "multimodal_qoi_stats",
     "dedup_exactsubstr_spans",
     "multimodal_flac_stats",
     "asof_last_purchase",
@@ -81,6 +84,7 @@ HEADLINE = [
     "feat_tfidf_top_terms",
     "basket_part_pairs",
     "graph_pagerank",
+    "graph_hits",
     "scd2_order_status",
     "dedup_keep_best",
     "j5b_binned_range_join",
@@ -97,6 +101,7 @@ HEADLINE = [
     "j7_bloom_prefilter_join",
     "j8_skew_salted_join",
     "retrieval_eval_ndcg",
+    "retrieval_rrf_fusion",
     "lake_time_travel",
     "text_bpe_train",
     "emb_gram_topk",
@@ -110,6 +115,7 @@ HEADLINE = [
     "stat_chi2_independence",
     "stat_mann_whitney",
     "ts_holt_linear",
+    "ts_holt_winters",
     "sess_attribution",
     "sketch_cms_estimate",
     "graph_bfs_distances",
@@ -224,6 +230,7 @@ def main() -> None:
         "sim_ann_lsh_multiprobe",
         "sim_ann_lsh_multitable",
         "sim_ann_ivf",
+        "sim_ann_binary",
     ):
         got = {
             (r["query_id"], r["neighbor_id"])
@@ -251,6 +258,7 @@ def main() -> None:
             "sim_ann_lsh_multiprobe": "ablation (multiprobe, single table)",
             "sim_ann_lsh_multitable": "production (multiprobe, multitable)",
             "sim_ann_ivf": "production (IVF-flat, trained centroids)",
+            "sim_ann_binary": "production (1-bit sign sketch, Hamming prefilter + exact rerank)",
         },
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")

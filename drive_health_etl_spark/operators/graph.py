@@ -424,7 +424,96 @@ FROM sizes GROUP BY community_size ORDER BY community_size
 GRAPH_LP_SQL = _lp_sql()
 
 
+_HITS_TOP = 10
+
+
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities on the bipartite customer -> part purchase
+    graph (hubs = customers, authorities = parts), run UNNORMALIZED: with
+    h0 = 1, each iteration's scores are exact integer path counts
+    (a1 = in-degree, h1 = sum of a1 over a customer's parts, a2 = sum of h1
+    ...), so the whole computation is BIGINT-exact — no per-round float
+    normalization to drift between engines; the relative ranking is
+    identical to normalized HITS because normalization is a per-side scalar.
+    The final `norm` column divides by the side's max (one exact-int
+    division, rounded 9dp).
+
+    Scale shape: per half-iteration ONE equi-join + map-side-combinable sum
+    on a lineage-free edge relation — the PageRank recipe (`_pagerank_ranks`)
+    on a bipartite graph; top-k per side is TakeOrdered, no global sort."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+        .localCheckpoint()
+    )
+    a1 = edges.groupBy("part").agg(F.count("*").alias("a"))  # Σ h0 = in-degree
+    h1 = (
+        edges.join(a1, "part")
+        .groupBy("cust")
+        .agg(F.sum("a").alias("h"))
+    )
+    # a2 feeds BOTH output branches (the authority top-k and h2) — pin it
+    # with localCheckpoint or the whole a1->h1->a2 chain re-executes per
+    # branch (measured: 26 shuffles -> ~half with the pin).
+    a2 = (
+        edges.join(h1, "cust")
+        .groupBy("part")
+        .agg(F.sum("h").alias("a"))
+        .localCheckpoint()
+    )
+    h2 = (
+        edges.join(a2, "part")
+        .groupBy("cust")
+        .agg(F.sum("a").alias("h"))
+    )
+
+    def top_side(df, node_col, score_col, side):
+        mx = df.agg(F.max(score_col).alias("mx"))
+        return (
+            df.crossJoin(F.broadcast(mx))
+            .select(
+                F.lit(side).alias("side"),
+                F.col(node_col).cast("long").alias("node"),
+                F.col(score_col).cast("long").alias("score"),
+                F.round(F.col(score_col).cast("double") / F.col("mx"), 9).alias("norm"),
+            )
+            .orderBy(F.col("score").desc(), F.col("node").asc())
+            .limit(_HITS_TOP)
+        )
+
+    return top_side(a2, "part", "a", "authority").unionAll(
+        top_side(h2, "cust", "h", "hub")
+    )
+
+
+GRAPH_HITS_SQL = f"""
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+a1 AS (SELECT part, COUNT(*) AS a FROM edges GROUP BY part),
+h1 AS (SELECT e.cust, SUM(a1.a) AS h FROM edges e JOIN a1 USING (part) GROUP BY e.cust),
+a2 AS (SELECT e.part, SUM(h1.h) AS a FROM edges e JOIN h1 USING (cust) GROUP BY e.part),
+h2 AS (SELECT e.cust, SUM(a2.a) AS h FROM edges e JOIN a2 USING (part) GROUP BY e.cust),
+auth AS (
+  SELECT 'authority' AS side, CAST(part AS BIGINT) AS node, CAST(a AS BIGINT) AS score,
+         ROUND(CAST(a AS DOUBLE) / (SELECT MAX(a) FROM a2), 9) AS norm
+  FROM a2 ORDER BY score DESC, node ASC LIMIT {_HITS_TOP}
+),
+hub AS (
+  SELECT 'hub' AS side, CAST(cust AS BIGINT) AS node, CAST(h AS BIGINT) AS score,
+         ROUND(CAST(h AS DOUBLE) / (SELECT MAX(h) FROM h2), 9) AS norm
+  FROM h2 ORDER BY score DESC, node ASC LIMIT {_HITS_TOP}
+)
+SELECT * FROM auth UNION ALL SELECT * FROM hub
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "graph_hits": (graph_hits, GRAPH_HITS_SQL),
     "graph_pagerank": (graph_pagerank, GRAPH_PAGERANK_SQL),
     "graph_triangles": (graph_triangles, GRAPH_TRIANGLES_SQL),
     "graph_bfs_distances": (graph_bfs_distances, GRAPH_BFS_SQL),

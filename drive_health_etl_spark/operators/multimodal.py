@@ -78,6 +78,10 @@ def decode_image(blob: bytes, *, fake: bool = False) -> np.ndarray:
         return _decode_netpbm(blob)
     if blob[:8] == _PNG_SIG:
         return _decode_png(blob)
+    if blob[:4] == b"qoif":
+        from drive_health_etl_spark.operators.qoi_codec import decode_qoi
+
+        return decode_qoi(blob)
     if magic == b"\xff\xd8":
         from drive_health_etl_spark.operators.jpeg_codec import decode_jpeg
 
@@ -580,6 +584,56 @@ def multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Same raster rule as the PPM oracle: the PNG round-trip must reproduce it.
 MULTIMODAL_PNG_SQL = MULTIMODAL_DECODE_SQL
+
+
+def multimodal_qoi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same rasters through the REAL QOI codec (`qoi_codec.py`: run /
+    index / diff / luma / literal state machine, end-marker verified) —
+    QOI is the byte-aligned O(1)-per-pixel lossless format pipelines use
+    when PNG's DEFLATE cost dominates, i.e. the intermediate-storage codec
+    profile of a 100 TB multimodal ingest. Lossless, so the oracle is the
+    same EXACT per-channel-mean recomputation as PNG/NetPBM: any state-
+    machine bug (index hash, delta bias, run accounting) changes pixels
+    and breaks the hash."""
+    from drive_health_etl_spark.operators.qoi_codec import encode_qoi
+
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 0)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    raster = base.select(
+        "doc_id",
+        (F.col("doc_id") % 16 + 4).cast("int").alias("w"),
+        (F.col("doc_id") % 12 + 4).cast("int").alias("h"),
+        F.expr(
+            "encode(rpad(text || ' ', CAST((doc_id % 16 + 4) * (doc_id % 12 + 4) * 3 AS INT), "
+            "text || ' '), 'utf-8')"
+        ).alias("raw"),
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "mean_r": [], "mean_g": [], "mean_b": []}
+            for doc_id, w, h, raw in zip(pdf["doc_id"], pdf["w"], pdf["h"], pdf["raw"]):
+                img = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(int(h), int(w), 3)
+                dec = decode_image(encode_qoi(img))  # REAL round trip
+                hh, ww, _ = dec.shape
+                px = dec.astype("float64")
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(int(ww))
+                out["height"].append(int(hh))
+                out["mean_r"].append(round(float(px[:, :, 0].mean()), 6))
+                out["mean_g"].append(round(float(px[:, :, 1].mean()), 6))
+                out["mean_b"].append(round(float(px[:, :, 2].mean()), 6))
+            yield pd.DataFrame(out)
+
+    return raster.mapInPandas(
+        op, schema="doc_id long, width int, height int, mean_r double, mean_g double, mean_b double"
+    )
+
+
+MULTIMODAL_QOI_SQL = MULTIMODAL_DECODE_SQL
 
 
 def multimodal_png_adam7_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1838,6 +1892,7 @@ QUERIES: dict[str, tuple] = {
     "multimodal_video_scenecut": (multimodal_video_scenecut, MULTIMODAL_SCENECUT_SQL),
     "multimodal_decode_stats": (multimodal_decode_stats, MULTIMODAL_DECODE_SQL),
     "multimodal_png_stats": (multimodal_png_stats, MULTIMODAL_PNG_SQL),
+    "multimodal_qoi_stats": (multimodal_qoi_stats, MULTIMODAL_QOI_SQL),
     "multimodal_jpeg_stats": (multimodal_jpeg_stats, MULTIMODAL_JPEG_SQL),
     "multimodal_jpeg420_stats": (multimodal_jpeg420_stats, MULTIMODAL_JPEG_SQL),
     "multimodal_jpeg_prog_stats": (multimodal_jpeg_prog_stats, MULTIMODAL_JPEG_PROG_SQL),

@@ -21,7 +21,7 @@ All native column expressions. Scale shape:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from drive_health_etl_spark.operators.text import TOKENS_SQL, tokens_col
@@ -69,8 +69,9 @@ LIMIT {INDEX_TOP}
 """
 
 
-def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-``BM25_TOP`` documents for the fixed query ``BM25_QUERY``.
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every matched document's BM25 score for ``BM25_QUERY`` (un-ranked):
+    the shared core of the top-k query and the RRF fusion leg.
 
     score(d) = Σ_t ln(1 + (N - df_t + 0.5)/(df_t + 0.5))
                · tf_td (k1+1) / (tf_td + k1 (1 - b + b·dl_d/avgdl))
@@ -116,12 +117,16 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("decimal(18,8)"),
         )
     )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.sum("term_score").cast("double"), 6).alias("score"),
+        F.count("*").alias("n_terms_matched"),
+    )
+
+
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-``BM25_TOP`` documents for the fixed query ``BM25_QUERY``."""
     return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.round(F.sum("term_score").cast("double"), 6).alias("score"),
-            F.count("*").alias("n_terms_matched"),
-        )
+        _bm25_scored(spark, sf_dir)
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(BM25_TOP)
     )
@@ -154,6 +159,105 @@ SELECT doc_id, ROUND(CAST(SUM(term_score) AS DOUBLE), 6) AS score,
 FROM scored GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC
 LIMIT {BM25_TOP}
+"""
+
+
+RRF_K = 60   # the standard reciprocal-rank-fusion damping constant
+RRF_TOP = 10
+
+
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion: fuse the lexical BM25
+    top-``BM25_TOP`` (query ``BM25_QUERY``) with a semantic top-``BM25_TOP``
+    (cosine to the doc-0 embedding; documents and embeddings share ids) as
+
+        rrf(d) = Σ_legs 1 / (RRF_K + rank_leg(d))
+
+    — the list-based fusion every hybrid RAG stack runs, needing only ranks,
+    never score calibration across legs. Scale shape: each leg is already a
+    bounded top-k (TakeOrdered / WindowGroupLimit upstream), so the fusion
+    itself is a full-outer join of two k-row lists — driver-trivial at any
+    corpus size; the cost lives in the legs, which are independently
+    shuffle-optimal. Ranks are integers and the reciprocal sums are IEEE
+    doubles of integer inputs, so the oracle matches bit-exactly."""
+    lex_w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    lex = (
+        text_bm25(spark, sf_dir)
+        .select("doc_id", F.row_number().over(lex_w).alias("lex_rank"))
+    )
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("e").alias("qe"))
+    dot = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("e"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(
+        F.aggregate(
+            F.zip_with(c, c, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    sem_scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(dot / (nrm(F.col("qe")) * nrm(F.col("e"))), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOP)
+    )
+    sem_w = Window.orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
+    sem = sem_scored.select("doc_id", F.row_number().over(sem_w).alias("sem_rank"))
+
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            F.round(
+                F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("sem_rank")), F.lit(0.0)),
+                9,
+            ).alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+        .limit(RRF_TOP)
+    )
+    return fused
+
+
+RETRIEVAL_RRF_SQL = f"""
+WITH lex AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS lex_rank
+  FROM ({TEXT_BM25_SQL}) bm
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
+sem_scored AS (
+  SELECT e.vec_id AS doc_id,
+         ROUND(list_dot_product(q.qe, e.emb)
+               / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(e.emb, e.emb))), 6) AS cosine
+  FROM e CROSS JOIN q WHERE e.vec_id <> 0
+  ORDER BY cosine DESC, doc_id ASC LIMIT {BM25_TOP}
+),
+sem AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id ASC) AS sem_rank
+  FROM sem_scored
+)
+SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, lex_rank, sem_rank,
+       ROUND(COALESCE(1.0 / ({RRF_K} + lex_rank), 0.0)
+             + COALESCE(1.0 / ({RRF_K} + sem_rank), 0.0), 9) AS rrf_score
+FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+ORDER BY rrf_score DESC, doc_id ASC
+LIMIT {RRF_TOP}
 """
 
 
@@ -382,6 +486,7 @@ FROM dcg, idcg, mrr, nrel
 QUERIES: dict[str, tuple] = {
     "text_inverted_index": (text_inverted_index, TEXT_INVERTED_INDEX_SQL),
     "text_bm25": (text_bm25, TEXT_BM25_SQL),
+    "retrieval_rrf_fusion": (retrieval_rrf_fusion, RETRIEVAL_RRF_SQL),
     "text_vocab_oov": (text_vocab_oov, TEXT_VOCAB_OOV_SQL),
     "retrieval_eval_ndcg": (retrieval_eval_ndcg, RETRIEVAL_EVAL_NDCG_SQL),
 }

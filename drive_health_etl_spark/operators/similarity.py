@@ -1754,7 +1754,173 @@ FROM pos p JOIN neg n ON n.anchor_id = p.anchor_id
 """
 
 
+# --- 1-bit binary-sketch ANN (sign quantization + Hamming prefilter) --------
+
+# Hamming candidates per query before the exact rerank. Measured recall@5
+# vs brute force at sf0.1 (5k vectors, no planted near-dups — a hard
+# instance): M=50 -> 0.45, 100 -> 0.625, 200 -> 0.75, 400 -> 0.925; the
+# sim_binary_quality query re-measures at whatever SF it runs on.
+_BIN_CAND = 200
+
+
+def _sig_half(col: Column, offset: int) -> Column:
+    """Pack dims [offset, offset+32) into one bigint: bit i set iff the
+    component is positive. Two halves keep every value positive (bit 63 of
+    a single 64-bit word would hit the sign bit differently per engine)."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(31)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.when(
+            F.element_at(col, i + F.lit(offset + 1)) > 0,
+            F.call_function("shiftleft", F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
+def sim_ann_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-sketch ANN: sign-bit quantization (1 bit/dim -> 8 bytes for a
+    64-dim vector, 32x smaller than float32) with XOR-popcount Hamming
+    distance as the candidate filter, then an exact-cosine rerank of the
+    ``_BIN_CAND`` nearest signatures per query.
+
+    The 100 TB shape: the full-corpus stage touches ONLY the two-bigint
+    signature column (integer ALU, whole-stage codegen, no float folds), the
+    top-M window shuffles skinny (query_id, neighbor_id, hamming) ints, and
+    the float-heavy cosine runs on M rows per query after a broadcast join —
+    the expensive scan shrinks 32x in bytes and the FLOP stage by n/M. Same
+    family as SimHash dedup (``dedup.py``) but for retrieval, with measured
+    recall in ``sim_binary_quality``."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    )
+    sigs = emb.select(
+        "vec_id",
+        _sig_half(F.col("e"), 0).alias("sig_lo"),
+        _sig_half(F.col("e"), 32).alias("sig_hi"),
+    )
+    qsigs = (
+        sigs.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("sig_lo").alias("q_lo"),
+            F.col("sig_hi").alias("q_hi"),
+        )
+    )
+    hamming = (
+        sigs.join(F.broadcast(qsigs), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.bit_count(F.col("sig_lo").bitwiseXOR(F.col("q_lo")))
+                + F.bit_count(F.col("sig_hi").bitwiseXOR(F.col("q_hi")))
+            ).alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    cands = (
+        hamming.withColumn("crnk", F.row_number().over(w))
+        .filter(F.col("crnk") <= _BIN_CAND)
+        .select("query_id", "neighbor_id", "hamming")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    scored = (
+        emb.join(F.broadcast(cands), F.col("vec_id") == F.col("neighbor_id"))
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("qe"), F.col("e")) / (_norm(F.col("qe")) * _norm(F.col("e"))), 6
+            ).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+_SIG_SQL = """
+sig AS (
+  SELECT vec_id,
+    list_sum([CASE WHEN emb[i+1]  > 0 THEN (1::BIGINT << i) ELSE 0 END for i in range(32)]) AS sig_lo,
+    list_sum([CASE WHEN emb[33+i] > 0 THEN (1::BIGINT << i) ELSE 0 END for i in range(32)]) AS sig_hi
+  FROM e
+)
+"""
+
+SIM_ANN_BINARY_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+{_SIG_SQL},
+q AS (SELECT vec_id AS query_id, sig_lo AS q_lo, sig_hi AS q_hi FROM sig WHERE vec_id < {N_QUERIES}),
+hamming AS (
+  SELECT q.query_id, s.vec_id AS neighbor_id,
+         bit_count(xor(s.sig_lo, q.q_lo)) + bit_count(xor(s.sig_hi, q.q_hi)) AS hamming,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.query_id
+           ORDER BY bit_count(xor(s.sig_lo, q.q_lo)) + bit_count(xor(s.sig_hi, q.q_hi)) ASC,
+                    s.vec_id ASC
+         ) AS crnk
+  FROM sig s JOIN q ON s.vec_id <> q.query_id
+),
+scored AS (
+  SELECT h.query_id, h.neighbor_id,
+         ROUND(list_dot_product(qe.emb, c.emb)
+               / (sqrt(list_dot_product(qe.emb, qe.emb)) * sqrt(list_dot_product(c.emb, c.emb))), 6) AS cosine
+  FROM hamming h
+  JOIN e c  ON c.vec_id = h.neighbor_id
+  JOIN e qe ON qe.vec_id = h.query_id
+  WHERE h.crnk <= {_BIN_CAND}
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
+def sim_binary_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the binary-sketch tier: overlap between the
+    sign-bit/Hamming top-k and the exact brute-force cosine top-k over ALL
+    ``N_QUERIES`` queries — the readout that decides whether 1 bit/dim is
+    enough signal or the candidate pool ``_BIN_CAND`` must grow."""
+    exact = cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    binary = sim_ann_binary(spark, sf_dir).select("query_id", "neighbor_id")
+    overlap = exact.join(binary, ["query_id", "neighbor_id"]).count()
+    total = N_QUERIES * TOP_K
+    return spark.createDataFrame(
+        [(int(N_QUERIES), int(TOP_K), int(overlap), round(overlap / total, 6))],
+        "n_queries int, k int, n_overlap int, recall double",
+    )
+
+
+SIM_BINARY_QUALITY_SQL = f"""
+WITH exact AS (SELECT query_id, neighbor_id FROM ({SIM_COSINE_TOPK_SQL}) t),
+bin AS (SELECT query_id, neighbor_id FROM ({SIM_ANN_BINARY_SQL}) t)
+SELECT {N_QUERIES} AS n_queries, {TOP_K} AS k,
+       CAST((SELECT COUNT(*) FROM exact JOIN bin USING (query_id, neighbor_id)) AS INT) AS n_overlap,
+       ROUND(CAST((SELECT COUNT(*) FROM exact JOIN bin USING (query_id, neighbor_id)) AS DOUBLE)
+             / {N_QUERIES * TOP_K}, 6) AS recall
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "sim_ann_binary": (sim_ann_binary, SIM_ANN_BINARY_SQL),
+    "sim_binary_quality": (sim_binary_quality, SIM_BINARY_QUALITY_SQL),
     "emb_triplet_mining": (emb_triplet_mining, EMB_TRIPLET_SQL),
     "sim_mmr_rerank": (sim_mmr_rerank, SIM_MMR_SQL),
     "sim_ann_pq_adc": (sim_ann_pq_adc, SIM_PQ_ADC_SQL),

@@ -498,6 +498,116 @@ FROM last
 """
 
 
+_HW_A = 0.3  # level smoothing
+_HW_G = 0.2  # trend smoothing
+_HW_D = 0.25  # seasonal smoothing
+_HW_M = 7  # season length (weekly pattern on a daily series)
+
+
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal smoothing of the daily event-count
+    series (season m=7), the seasonal upgrade of `ts_holt_linear`:
+
+        s_t = a*(x_t - c_{t-m}) + (1-a)*(s_{t-1} + b_{t-1})
+        b_t = g*(s_t - s_{t-1}) + (1-g)*b_{t-1}
+        c_t = d*(x_t - s_{t-1} - b_{t-1}) + (1-d)*c_{t-m}
+
+    Init is the textbook one: level = mean of season 1, trend = (mean of
+    season 2 - mean of season 1)/m, seasonal c_i = x_i - mean1; recursion
+    runs from t=m+1. Every arithmetic op is written in the IDENTICAL order
+    in the Spark fold and the DuckDB recursive CTE (init means unrolled as
+    literal 7-term add chains), so the result is BIT-exact with no rounding
+    — the `ts_holt_linear`/`w12_ewma_smooth` discipline extended to a
+    three-variable coupled recursion with a rotating array state.
+
+    Scale: the series is calendar-sized; the fold runs on ONE row after a
+    map-side-combined daily count. Per-key variants shuffle once on the key."""
+    e = load_table(spark, sf_dir, "events").select(F.to_date("ts").alias("day"))
+    daily = e.groupBy("day").agg(F.count("*").cast("double").alias("x"))
+    series = daily.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "x"))), lambda r: r["x"]
+        ).alias("vals")
+    )
+    a, g, d, m = _HW_A, _HW_G, _HW_D, _HW_M
+    el = lambda i: F.try_element_at("vals", F.lit(i))  # noqa: E731
+    mean1 = (el(1) + el(2) + el(3) + el(4) + el(5) + el(6) + el(7)) / F.lit(float(m))
+    mean2 = (el(8) + el(9) + el(10) + el(11) + el(12) + el(13) + el(14)) / F.lit(float(m))
+    init = F.struct(
+        mean1.alias("s"),
+        ((mean2 - mean1) / F.lit(float(m))).alias("b"),
+        F.array(*[el(i) - mean1 for i in range(1, m + 1)]).alias("c"),
+    )
+
+    def step(acc, x):
+        c_tm = F.element_at(acc["c"], 1)
+        new_s = F.lit(a) * (x - c_tm) + F.lit(1.0 - a) * (acc["s"] + acc["b"])
+        new_b = F.lit(g) * (new_s - acc["s"]) + F.lit(1.0 - g) * acc["b"]
+        new_c = F.lit(d) * (x - acc["s"] - acc["b"]) + F.lit(1.0 - d) * c_tm
+        return F.struct(
+            new_s.alias("s"),
+            new_b.alias("b"),
+            F.concat(F.slice(acc["c"], 2, m - 1), F.array(new_c)).alias("c"),
+        )
+
+    folded = F.when(
+        F.size("vals") >= 2 * m,
+        F.aggregate(
+            F.expr(f"slice(vals, {m + 1}, greatest(size(vals) - {m}, 0))"), init, step
+        ),
+    )
+    fc = lambda h: folded["s"] + F.lit(float(h)) * folded["b"] + F.element_at(folded["c"], h)  # noqa: E731
+    return series.select(
+        F.size("vals").alias("n_days"),
+        folded["s"].alias("level"),
+        folded["b"].alias("trend"),
+        fc(1).alias("forecast_1"),
+        fc(2).alias("forecast_2"),
+        fc(3).alias("forecast_3"),
+    )
+
+
+def _hw_sql() -> str:
+    a, g, d, m = _HW_A, _HW_G, _HW_D, _HW_M
+    mean1 = "(" + " + ".join(f"vals[{i}]" for i in range(1, m + 1)) + f") / {float(m)!r}"
+    mean2 = "(" + " + ".join(f"vals[{i}]" for i in range(m + 1, 2 * m + 1)) + f") / {float(m)!r}"
+    c0 = "[" + ", ".join(f"vals[{i}] - {mean1}" for i in range(1, m + 1)) + "]"
+    # per-step expressions, written once and inlined so the op order matches
+    # the Spark fold exactly (recursive CTEs see only the OLD row)
+    new_s = f"{a!r} * (d.x - h.c[1]) + {1.0 - a!r} * (h.s + h.b)"
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS DOUBLE) AS x
+  FROM events GROUP BY 1
+),
+ds AS (SELECT ROW_NUMBER() OVER (ORDER BY day) AS rn, x FROM daily),
+arr AS (SELECT list(x ORDER BY rn) AS vals, COUNT(*) AS n FROM ds),
+hw AS (
+  SELECT {m}::BIGINT AS rn,
+         {mean1} AS s,
+         (({mean2}) - ({mean1})) / {float(m)!r} AS b,
+         {c0} AS c
+  FROM arr WHERE n >= {2 * m}
+  UNION ALL
+  SELECT d.rn,
+         {new_s} AS s,
+         {g!r} * (({new_s}) - h.s) + {1.0 - g!r} * h.b AS b,
+         h.c[2:{m}] || [{d!r} * (d.x - h.s - h.b) + {1.0 - d!r} * h.c[1]] AS c
+  FROM hw h JOIN ds d ON d.rn = h.rn + 1
+),
+last AS (SELECT s, b, c FROM hw ORDER BY rn DESC LIMIT 1)
+SELECT CAST((SELECT n FROM arr) AS INT) AS n_days,
+       last.s AS level, last.b AS trend,
+       last.s + 1.0 * last.b + last.c[1] AS forecast_1,
+       last.s + 2.0 * last.b + last.c[2] AS forecast_2,
+       last.s + 3.0 * last.b + last.c[3] AS forecast_3
+FROM (SELECT 1) one LEFT JOIN last ON TRUE
+"""
+
+
+TS_HOLT_WINTERS_SQL = _hw_sql()
+
+
 def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classical additive decomposition of the daily total-value series:
     trend = centered 7-day moving average (only where the full window
@@ -1258,6 +1368,7 @@ QUERIES: dict[str, tuple] = {
     "ts_max_drawdown": (ts_max_drawdown, TS_DRAWDOWN_SQL),
     "ts_cusum_changepoint": (ts_cusum_changepoint, TS_CUSUM_SQL),
     "ts_holt_linear": (ts_holt_linear, TS_HOLT_SQL),
+    "ts_holt_winters": (ts_holt_winters, TS_HOLT_WINTERS_SQL),
     "ts_seasonal_decompose": (ts_seasonal_decompose, TS_SEASONAL_SQL),
     "stat_mann_whitney": (stat_mann_whitney, STAT_MANN_WHITNEY_SQL),
     "stat_ols_trend": (stat_ols_trend, STAT_OLS_SQL),

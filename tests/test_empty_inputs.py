@@ -45,6 +45,7 @@ EMPTY_SAFE = [
     "link_entity_resolution",
     "emb_dim_energy",
     "sim_cosine_topk",
+    "sim_ann_binary",
     "u3_grouped_map_features",
     "u5_grouped_agg_udaf",
     "graph_pagerank",
@@ -70,6 +71,7 @@ EMPTY_SAFE = [
     "ts_acf",
     "ts_cusum_changepoint",
     "ts_holt_linear",
+    "ts_holt_winters",
     "ts_seasonal_decompose",
     "sketch_cms_estimate",
     "graph_bfs_distances",

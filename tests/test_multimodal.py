@@ -720,3 +720,32 @@ def test_jpeg_progressive_pinned_byte_digests():
     for doc_id, pinned in pins.items():
         blob = encode_jpeg_progressive(jpeg_pin_raster(doc_id))
         assert hashlib.sha256(blob).hexdigest() == pinned, doc_id
+
+
+def test_qoi_roundtrip_and_container():
+    """QOI (qoiformat.org): every op class exercised — runs (constant),
+    INDEX (small palette), DIFF/LUMA (smooth ramps), literal RGB (noise) —
+    all must round-trip exactly; container gates (magic, end marker,
+    truncation) must fail loudly."""
+    from drive_health_etl_spark.operators.qoi_codec import decode_qoi, encode_qoi
+    from drive_health_etl_spark.operators.multimodal import decode_image
+
+    rng = np.random.RandomState(9)
+    cases = [
+        np.zeros((7, 9, 3), np.uint8),                              # one long run
+        (rng.randint(0, 4, (50, 50, 3)) * 80).astype(np.uint8),     # INDEX-heavy
+        (np.indices((64, 64)).sum(0) % 256).astype(np.uint8)[..., None].repeat(3, 2),  # DIFF/LUMA ramps
+        rng.randint(0, 256, (31, 17, 3)).astype(np.uint8),          # literal-heavy
+        np.arange(3, dtype=np.uint8).reshape(1, 1, 3),              # single pixel
+    ]
+    for img in cases:
+        blob = encode_qoi(img)
+        assert blob[:4] == b"qoif" and blob[-8:] == b"\x00" * 7 + b"\x01"
+        assert np.array_equal(decode_qoi(blob), img)
+        assert np.array_equal(decode_image(blob), img)  # dispatch by magic
+
+    with pytest.raises(ValueError, match="magic"):
+        decode_qoi(b"nope" + b"\x00" * 20)
+    blob = encode_qoi(cases[2])
+    with pytest.raises(ValueError, match="truncated|end marker"):
+        decode_qoi(blob[:-10])

@@ -104,6 +104,8 @@ def test_whole_stage_codegen_in_hot_paths(spark, sf_dir):
 # LSH/IVF variants are the scale paths that avoid it.
 BNLJ_BY_DESIGN = {
     "sim_cosine_topk",
+    "sim_ann_binary",  # signature scan: 16-byte/vec broadcast BNLJ replaces the float BNLJ
+    "sim_binary_quality",  # composes sim_cosine_topk + sim_ann_binary
     "sim_ann_ivf",  # K-constant centroid scoring (broadcast, per k-means round)
     "s9_table_metadata",  # 1-row stats x 1-row count metadata join
     "sim_ann_lsh_multitable",  # 1-row plane-matrix broadcast (keeps 3072 weights out of the expr tree)
@@ -112,6 +114,7 @@ BNLJ_BY_DESIGN = {
     "q11_important_stock",  # 1-row global-threshold scalar subquery broadcast
     "q22_global_sales_opportunity",  # 1-row scalar-AVG subquery broadcast
     "text_bm25",  # 1-row corpus-constants (N, avgdl) broadcast onto the tf table
+    "retrieval_rrf_fusion",  # composes text_bm25 + a 1-row query-vector broadcast
     "sim_knn_classify",  # eval-set broadcast against the train scan (same shape as sim_cosine_topk)
     "emb_triplet_mining",  # 8-row anchor broadcast against the corpus scan (fenced brute-force)
     "sess_rolling_actives",  # calendar-sized day grid broadcast (≤366 rows/yr) range join
@@ -123,6 +126,7 @@ BNLJ_BY_DESIGN = {
     "feat_equidepth_bins",  # 1-row percentile-bounds broadcast onto the bin-assign map
     "feat_tfidf_top_terms",  # 1-row corpus-size broadcast onto the tf-df join
     "graph_pagerank",  # 1-row node-count broadcast onto the rank init
+    "graph_hits",  # 1-row per-side max-score broadcast onto the top-k normalize
     "rfm_segments",  # 1-row max-date + 1-row tercile-bounds broadcasts onto the binning map
     "sketch_distinct_hll",  # 1-row merged-sketch broadcast onto the 1-row global exact agg
     "graph_triangles",  # 1-row edge-count x 1-row triangle-count metadata join
@@ -333,6 +337,32 @@ BENCH_PLAN_FINGERPRINTS = {
     "multimodal_jpeg_stats": {},
     "multimodal_jpeg420_stats": {},
     "multimodal_jpeg_prog_stats": {},
+    "sim_ann_binary": {
+        "shuffle_exchange": 6,
+        "broadcast_exchange": 3,
+        "BroadcastHashJoin": 2,
+        "BroadcastNestedLoopJoin": 1,
+    },
+    "sim_binary_quality": {},
+    "graph_hits": {
+        "shuffle_exchange": 8,
+        "broadcast_exchange": 2,
+        "SortMergeJoin": 2,
+        "BroadcastNestedLoopJoin": 2,
+    },
+    "multimodal_qoi_stats": {
+        "shuffle_exchange": 1,
+    },
+    "retrieval_rrf_fusion": {
+        "shuffle_exchange": 5,
+        "broadcast_exchange": 4,
+        "BroadcastHashJoin": 2,
+        "SortMergeJoin": 1,
+        "BroadcastNestedLoopJoin": 2,
+    },
+    "ts_holt_winters": {
+        "shuffle_exchange": 2,
+    },
     "quality_lr_eval": {"shuffle_exchange": 1},
     "multimodal_jpeg_bytes": {},
     "multimodal_mjpeg_stats": {},

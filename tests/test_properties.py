@@ -370,3 +370,23 @@ def test_prop_jpeg_progressive_parity(h, w, gray, smooth, seed):
     base = decode_jpeg(encode_jpeg(img))
     prog = decode_jpeg_progressive(encode_jpeg_progressive(img))
     assert np.array_equal(base, prog)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=32),
+    w=st.integers(min_value=1, max_value=32),
+    levels=st.integers(min_value=1, max_value=255),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_prop_qoi_roundtrip(h, w, levels, seed):
+    """QOI is lossless: ANY uint8 RGB raster must round-trip bit-exactly.
+    Varying the palette size sweeps the op mix from run/INDEX-dominated to
+    literal-RGB-dominated."""
+    import numpy as np
+
+    from drive_health_etl_spark.operators.qoi_codec import decode_qoi, encode_qoi
+
+    rng = np.random.RandomState(seed)
+    img = (rng.randint(0, levels + 1, (h, w, 3)) * (255 // max(levels, 1))).astype(np.uint8)
+    assert np.array_equal(decode_qoi(encode_qoi(img)), img)

@@ -28,6 +28,10 @@ SFS = [("0.001", "/root/testdata/sf0.001"), ("0.01", "/root/testdata/sf0.01"), (
 # text, similarity, featurization, graph, sessionization, range join.
 PROBES = [
     "q1_pricing_summary",
+    "graph_hits",
+    "sim_ann_binary",
+    "multimodal_qoi_stats",
+    "retrieval_rrf_fusion",
     "a1_group_count",
     "j1_inner_equi",
     "j6_star_join",
