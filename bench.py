@@ -45,6 +45,7 @@ HEADLINE = [
     "text_quality",
     "dedup_exact",
     "dedup_minhash_pairs",
+    "dedup_prefix_join",
     "dedup_simhash",
     "sim_cosine_topk",
     "sim_ann_lsh",
@@ -111,6 +112,7 @@ HEADLINE = [
     "sketch_bitmap_distinct",
     "sdp_daily_rollup",
     "stat_ab_welch",
+    "stat_bootstrap_ci",
     "ts_theil_sen_trend",
     "stat_chi2_independence",
     "stat_mann_whitney",
@@ -146,6 +148,7 @@ HEADLINE = [
     "sess_cohort_value",
     "w15_percent_of_total",
     "dq_pk_audit",
+    "dq_benford",
     "dq_k_anonymity",
     "text_url_canonical",
     "ts_residual_anomalies",

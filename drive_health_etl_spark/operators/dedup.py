@@ -19,7 +19,7 @@ space is |V|^3 and only genuinely similar documents share bands (826 pairs).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from drive_health_etl_spark.operators.text import TOKENS_SQL, tokens_col
@@ -1207,7 +1207,153 @@ FROM toks t LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+_PREFIX_T = 0.7  # Jaccard threshold: prefix filtering pays off at HIGH
+# thresholds (prefix length = n - ceil(t*n) + 1 ~ (1-t)*n). Measured on this
+# corpus (template-heavy docs, so even rare shingles are shared): t=0.2 ->
+# 80%-length prefixes, 310k candidates, 128s oracle; t=0.7 + the PPJoin
+# positional filter cuts candidates ~30x with the identical result set
+# (every real pair here is >= 0.7).
+
+
+def dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity join via PREFIX FILTERING (the PPJoin/AllPairs
+    family): for Jaccard >= t, two shingle sets MUST share at least one
+    element among each set's first ``n - ceil(t*n) + 1`` shingles when both
+    are sorted by a global rarity order — so candidate generation is an
+    equi-join on rare prefix shingles only, with a length-ratio filter
+    (``min(n) >= t * max(n)``), then exact verification. Unlike MinHash-LSH
+    (probabilistic recall, tunable), prefix filtering is EXACT: it finds
+    every qualifying pair by construction, at the cost of frequency-ordering
+    the vocabulary.
+
+    Scale shape: the rarity ranking is vocab-sized; prefixes shrink each
+    doc's join footprint to the (1-t) rarest fraction, and keying the join
+    on the RAREST shingles is precisely what bounds bucket skew (the
+    most-frequent shingle never appears in a prefix unless a doc is tiny).
+    One shuffle each: doc shingle stats, vocab ranking, prefix window,
+    candidate join, verify join — all equi-keyed.
+
+    Completeness vs the LSH path is itself oracle-checked: this query's
+    output is the FULL >= t pair set, so any pair the banded
+    `dedup_ngram_jaccard` emits must appear here too."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    # The shingle-set relation feeds THREE consumers (the exploded prefix
+    # path and both verify sides) AND repeats across bench samples — build
+    # it once per (session, sf_dir) via the family's subtree cache, like
+    # the MinHash signatures (without it the tokenize+shingle pass
+    # re-executed per consumer: measured 18s -> 11s with a checkpoint,
+    # ~2s warm with the persisted cache; the DuckDB oracle needs
+    # AS MATERIALIZED for the identical reason).
+    sets_df = _cached(
+        spark,
+        sf_dir,
+        "sh_sets",
+        lambda: docs.withColumn("toks", tokens_col())
+        .select("doc_id", F.array_distinct(shingles_col()).alias("sh_set"))
+        .filter(F.size("sh_set") > 0),
+    )
+    ex = sets_df.select(
+        "doc_id", F.size("sh_set").alias("n"), F.explode("sh_set").alias("shingle")
+    )
+    freq = ex.groupBy("shingle").agg(F.count("*").alias("df"))
+    # The rarity order only needs to be a TOTAL order both engines agree on
+    # — (df asc, shingle asc) is one, used directly as the per-doc window
+    # key. Materializing a global dense rank would mean a single-partition
+    # sort of the whole vocabulary: a scale killer the tuple key avoids.
+    w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle").asc())
+    pre = (
+        ex.join(F.broadcast(freq), "shingle")  # vocab-sized df map
+        .withColumn("pos", F.row_number().over(w))
+        .filter(
+            F.col("pos")
+            <= F.col("n") - F.ceil(F.lit(_PREFIX_T) * F.col("n")) + F.lit(1)
+        )
+        .select("doc_id", "n", "shingle", "pos")
+    )
+    a = pre.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("na"),
+        F.col("pos").alias("pa"), "shingle",
+    )
+    b = pre.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"),
+        F.col("pos").alias("pb"), "shingle",
+    )
+    # PPJoin positional filter: Jaccard >= t needs overlap >= ceil(t/(1+t) *
+    # (na+nb)); a pair first meeting at prefix positions (pa, pb) can still
+    # reach at most 1 + min(na - pa, nb - pb) shared shingles.
+    alpha = F.ceil(
+        F.lit(_PREFIX_T / (1.0 + _PREFIX_T)) * (F.col("na") + F.col("nb")).cast("double")
+    )
+    cand = (
+        a.join(b, "shingle")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (
+                F.least("na", "nb").cast("double")
+                >= F.lit(_PREFIX_T) * F.greatest("na", "nb").cast("double")
+            )
+            & (
+                F.lit(1) + F.least(F.col("na") - F.col("pa"), F.col("nb") - F.col("pb"))
+                >= alpha
+            )
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    joined = cand.join(
+        sets_df.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a")),
+        "doc_a",
+    ).join(
+        sets_df.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b")),
+        "doc_b",
+    )
+    inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
+    union = F.size("set_a") + F.size("set_b") - inter
+    jac = F.round(inter.cast("double") / union.cast("double"), 6)
+    return joined.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= _PREFIX_T
+    )
+
+
+# MATERIALIZED CTEs: tt/ex/pre are each referenced more than once and the
+# shingle construction is the expensive part — DuckDB would otherwise
+# re-inline it per reference (the quality_lr oracle lesson).
+DEDUP_PREFIX_JOIN_SQL = f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, list_distinct({SHINGLES_SQL}) AS sh_set
+  FROM documents
+),
+tt AS MATERIALIZED (SELECT doc_id, sh_set, len(sh_set) AS n FROM t WHERE len(sh_set) > 0),
+ex AS MATERIALIZED (SELECT doc_id, n, unnest(sh_set) AS shingle FROM tt),
+freq AS (SELECT shingle, COUNT(*) AS df FROM ex GROUP BY shingle),
+pre AS MATERIALIZED (
+  SELECT doc_id, n, shingle, pos FROM (
+    SELECT e.doc_id, e.n, e.shingle,
+           ROW_NUMBER() OVER (PARTITION BY e.doc_id ORDER BY f.df ASC, f.shingle ASC) AS pos
+    FROM ex e JOIN freq f USING (shingle)
+  ) WHERE pos <= n - CEIL({_PREFIX_T} * n) + 1
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pre a JOIN pre b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  WHERE CAST(LEAST(a.n, b.n) AS DOUBLE) >= {_PREFIX_T} * CAST(GREATEST(a.n, b.n) AS DOUBLE)
+    AND 1 + LEAST(a.n - a.pos, b.n - b.pos)
+        >= CEIL({_PREFIX_T / (1.0 + _PREFIX_T)!r} * CAST(a.n + b.n AS DOUBLE))
+)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT c.doc_a, c.doc_b,
+         ROUND(CAST(len(list_intersect(a.sh_set, b.sh_set)) AS DOUBLE)
+               / (len(a.sh_set) + len(b.sh_set) - len(list_intersect(a.sh_set, b.sh_set))), 6) AS jaccard
+  FROM cand c JOIN tt a ON a.doc_id = c.doc_a JOIN tt b ON b.doc_id = c.doc_b
+) WHERE jaccard >= {_PREFIX_T}
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "dedup_prefix_join": (dedup_prefix_join, DEDUP_PREFIX_JOIN_SQL),
     "dedup_exactsubstr_spans": (dedup_exactsubstr_spans, DEDUP_EXACTSUBSTR_SQL),
     "dedup_lsh_quality": (dedup_lsh_quality, _dedup_lsh_quality_sql()),
     "dedup_lsh_scurve": (dedup_lsh_scurve, _dedup_lsh_scurve_sql()),

@@ -225,6 +225,71 @@ FROM per CROSS JOIN g ORDER BY event_type
 """
 
 
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fabricated-data / unit-mixing detector for financial columns. The first
+    digit is extracted through integer truncation + string head (NEVER
+    log10: float log of a near-power-of-10 can land on either side in
+    different engines), and the Benford probabilities log10(1 + 1/d) are
+    computed ONCE in Python and embedded as identical double literals in
+    both engines. Emits one row per digit with the observed count, expected
+    count, and chi-square term (each rounded; the per-term rounding keeps
+    the output engine-deterministic without a cross-row float sum). One
+    map-side-combinable groupBy."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.substring(F.floor("o_totalprice").cast("long").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    counts = o.groupBy("digit").agg(F.count("*").alias("n_obs"))
+    total = o.agg(F.count("*").alias("n_total"))
+    p = (
+        F.when(F.col("digit") == 0, F.lit(None).cast("double"))
+            .when(F.col("digit") == 1, F.lit(0.3010299956639812))
+            .when(F.col("digit") == 2, F.lit(0.17609125905568124))
+            .when(F.col("digit") == 3, F.lit(0.12493873660829992))
+            .when(F.col("digit") == 4, F.lit(0.09691001300805642))
+            .when(F.col("digit") == 5, F.lit(0.07918124604762482))
+            .when(F.col("digit") == 6, F.lit(0.06694678963061322))
+            .when(F.col("digit") == 7, F.lit(0.05799194697768673))
+            .when(F.col("digit") == 8, F.lit(0.05115252244738129))
+            .when(F.col("digit") == 9, F.lit(0.04575749056067514))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(p * F.col("n_total"), 6).alias("expected"),
+            F.round(
+                (F.col("n_obs") - p * F.col("n_total")) * (F.col("n_obs") - p * F.col("n_total"))
+                / (p * F.col("n_total")),
+                6,
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+DQ_BENFORD_SQL = """
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders
+),
+counts AS (SELECT digit, COUNT(*) AS n_obs FROM digits GROUP BY digit),
+total AS (SELECT COUNT(*) AS n_total FROM digits),
+p0(digit, prob0) AS (VALUES (1, 0.3010299956639812), (2, 0.17609125905568124), (3, 0.12493873660829992), (4, 0.09691001300805642), (5, 0.07918124604762482), (6, 0.06694678963061322), (7, 0.05799194697768673), (8, 0.05115252244738129), (9, 0.04575749056067514))
+SELECT c.digit, c.n_obs,
+       ROUND(p.prob * t.n_total, 6) AS expected,
+       ROUND((c.n_obs - p.prob * t.n_total) * (c.n_obs - p.prob * t.n_total)
+             / (p.prob * t.n_total), 6) AS chi2_term
+FROM counts c
+JOIN (SELECT digit, CAST(prob0 AS DOUBLE) AS prob FROM p0) p ON p.digit = c.digit
+CROSS JOIN total t
+ORDER BY c.digit
+"""
+
+
 _PK_COLUMNS = {
     "region": "r_regionkey",
     "nation": "n_nationkey",
@@ -339,6 +404,7 @@ DQ_K_ANONYMITY_SQL = (
 
 
 QUERIES: dict[str, tuple] = {
+    "dq_benford": (dq_benford, DQ_BENFORD_SQL),
     "dq_expectations": (dq_expectations, DQ_EXPECTATIONS_SQL),
     "dq_reconcile_orders": (dq_reconcile_orders, DQ_RECONCILE_SQL),
     "dq_freshness": (dq_freshness, DQ_FRESHNESS_SQL),

@@ -498,6 +498,99 @@ FROM last
 """
 
 
+_BOOT_B = 50  # Poisson-bootstrap resamples
+
+
+def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for mean(c_acctbal) via the POISSON
+    bootstrap — the resampling scheme that actually runs at 100 TB: instead
+    of drawing n rows with replacement (needs global coordination), each row
+    independently appears Poisson(1) times in each resample, so the whole
+    thing is one stateless map (row x B replicate weights) + one
+    map-side-combinable aggregate per resample. Weights are DETERMINISTIC:
+    u = md5(custkey, b) scaled to [0,1), inverted through the Poisson(1) CDF
+    whose cumulative thresholds are computed once in Python and embedded as
+    identical double literals in both engines. Resample means use exact
+    decimal sums; the CI is an order statistic (2nd smallest / 2nd largest
+    of {B} = a 96%% interval), so no float summation crosses rows."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_acctbal").cast("decimal(18,2)").alias("x")
+    )
+    b = c.select(
+        "c_custkey", "x", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b")
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("-", F.col("c_custkey"), F.col("b"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    w = (
+        F.when(F.lit(False), F.lit(0))
+        .when(F.col("u") < F.lit(0.36787944117144233), F.lit(0))
+        .when(F.col("u") < F.lit(0.7357588823428847), F.lit(1))
+        .when(F.col("u") < F.lit(0.9196986029286058), F.lit(2))
+        .when(F.col("u") < F.lit(0.9810118431238463), F.lit(3))
+        .when(F.col("u") < F.lit(0.9963401531726563), F.lit(4))
+        .when(F.col("u") < F.lit(0.9994058151824183), F.lit(5))
+        .otherwise(F.lit(6))
+    )
+    means = (
+        b.select("b", "x", u.alias("u"))
+        .select("b", "x", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("x") * F.col("w")).alias("wsum"),
+            F.sum("w").alias("n_w"),
+        )
+        .select(
+            "b",
+            F.round(
+                F.col("wsum").cast("double") / F.col("n_w").cast("double"), 9
+            ).alias("mean_b"),
+        )
+    )
+    ranked = means.select(
+        "b",
+        "mean_b",
+        F.row_number()
+        .over(Window.orderBy(F.col("mean_b").asc(), F.col("b").asc()))
+        .alias("rk"),
+    )
+    lo = ranked.filter(F.col("rk") == 2).select(F.col("mean_b").alias("ci_lo"))
+    hi = ranked.filter(F.col("rk") == _BOOT_B - 1).select(F.col("mean_b").alias("ci_hi"))
+    n = means.agg(F.count("*").alias("n_resamples"))
+    return n.crossJoin(F.broadcast(lo)).crossJoin(F.broadcast(hi))
+
+
+STAT_BOOTSTRAP_SQL = """
+WITH c AS (SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS x FROM customer),
+b AS (SELECT c_custkey, x, unnest(range({B})) AS b FROM c),
+uw AS (
+  SELECT b,  x,
+         CASE WHEN u < 0.36787944117144233 THEN 0 WHEN u < 0.7357588823428847 THEN 1 WHEN u < 0.9196986029286058 THEN 2 WHEN u < 0.9810118431238463 THEN 3 WHEN u < 0.9963401531726563 THEN 4 WHEN u < 0.9994058151824183 THEN 5 ELSE 6 END AS w
+  FROM (
+    SELECT b, x,
+           (('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '-' || CAST(b AS VARCHAR)), 1, 8))::BIGINT)
+             / 4294967296.0 AS u
+    FROM b
+  )
+),
+means AS (
+  SELECT b, ROUND(CAST(SUM(x * w) AS DOUBLE) / CAST(SUM(w) AS DOUBLE), 9) AS mean_b
+  FROM uw GROUP BY b
+),
+ranked AS (
+  SELECT b, mean_b, ROW_NUMBER() OVER (ORDER BY mean_b ASC, b ASC) AS rk FROM means
+)
+SELECT (SELECT COUNT(*) FROM means) AS n_resamples,
+       (SELECT mean_b FROM ranked WHERE rk = 2) AS ci_lo,
+       (SELECT mean_b FROM ranked WHERE rk = {B_1}) AS ci_hi
+""".replace("{B}", str(_BOOT_B)).replace("{B_1}", str(_BOOT_B - 1))
+
+
 _HW_A = 0.3  # level smoothing
 _HW_G = 0.2  # trend smoothing
 _HW_D = 0.25  # seasonal smoothing
@@ -1369,6 +1462,7 @@ QUERIES: dict[str, tuple] = {
     "ts_cusum_changepoint": (ts_cusum_changepoint, TS_CUSUM_SQL),
     "ts_holt_linear": (ts_holt_linear, TS_HOLT_SQL),
     "ts_holt_winters": (ts_holt_winters, TS_HOLT_WINTERS_SQL),
+    "stat_bootstrap_ci": (stat_bootstrap_ci, STAT_BOOTSTRAP_SQL),
     "ts_seasonal_decompose": (ts_seasonal_decompose, TS_SEASONAL_SQL),
     "stat_mann_whitney": (stat_mann_whitney, STAT_MANN_WHITNEY_SQL),
     "stat_ols_trend": (stat_ols_trend, STAT_OLS_SQL),

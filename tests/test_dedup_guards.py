@@ -69,3 +69,25 @@ def test_exactsubstr_span_semantics(spark):
     # whole 16 tokens are one maximal duplicated span
     assert rows[3]["n_dup_spans"] == 1 and rows[3]["dup_tokens"] == 16
     assert rows[3]["longest_span"] == 16 and rows[3]["dup_frac"] == 1.0
+
+
+def test_prefix_join_superset_of_banded_pairs(spark, sf_dir):
+    """Prefix filtering is EXACT by construction: every pair the banded
+    MinHash-LSH verify emits at or above the prefix threshold MUST also
+    appear in dedup_prefix_join's output (the reverse need not hold — LSH
+    may miss pairs). A missing pair means the prefix/positional filters
+    pruned a true match."""
+    from drive_health_etl_spark.plans.registry import REGISTRY
+    from drive_health_etl_spark.operators.dedup import _PREFIX_T
+
+    banded = {
+        (r["doc_a"], r["doc_b"])
+        for r in REGISTRY["dedup_ngram_jaccard"][0](spark, sf_dir).collect()
+        if r["jaccard"] >= _PREFIX_T
+    }
+    prefix = {
+        (r["doc_a"], r["doc_b"])
+        for r in REGISTRY["dedup_prefix_join"][0](spark, sf_dir).collect()
+    }
+    assert banded, "guard needs at least one qualifying pair in the fixture"
+    assert banded <= prefix, banded - prefix

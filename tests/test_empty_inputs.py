@@ -31,6 +31,7 @@ EMPTY_SAFE = [
     "ts_anomaly_dow",
     "scd2_order_status",
     "dedup_exact",
+    "dedup_prefix_join",
     "dedup_simhash",
     "dedup_keep_best",
     "text_quality",
@@ -64,6 +65,8 @@ EMPTY_SAFE = [
     "asof_next_within",
     "sdp_daily_rollup",
     "stat_chi2_independence",
+    "stat_bootstrap_ci",
+    "dq_benford",
     "stat_mann_whitney",
     "stat_ols_trend",
     "stat_ab_proportion",

@@ -119,6 +119,8 @@ BNLJ_BY_DESIGN = {
     "emb_triplet_mining",  # 8-row anchor broadcast against the corpus scan (fenced brute-force)
     "sess_rolling_actives",  # calendar-sized day grid broadcast (≤366 rows/yr) range join
     "dq_constraints",  # 1-row PK-stats broadcast joined onto the 1-row probe aggregate
+    "dq_benford",  # 1-row total-count broadcast onto the 9-digit table
+    "stat_bootstrap_ci",  # two 1-row order-statistic broadcasts onto the 1-row count
     "a7_winsorize",  # 1-row percentile-bounds broadcast onto the clamp map
     "sess_daily_gapfill",  # calendar-days x event-type-enum grid cross (both config-sized)
     "sess_event_assoc",  # 1-row distinct-user-count broadcast onto the pair table
@@ -344,6 +346,21 @@ BENCH_PLAN_FINGERPRINTS = {
         "BroadcastNestedLoopJoin": 1,
     },
     "sim_binary_quality": {},
+    "dq_benford": {
+        "shuffle_exchange": 3,
+        "broadcast_exchange": 1,
+        "BroadcastNestedLoopJoin": 1,
+    },
+    "stat_bootstrap_ci": {
+        "shuffle_exchange": 4,
+        "broadcast_exchange": 2,
+        "BroadcastNestedLoopJoin": 2,
+    },
+    "dedup_prefix_join": {
+        "shuffle_exchange": 4,
+        "broadcast_exchange": 5,
+        "BroadcastHashJoin": 5,
+    },
     "graph_hits": {
         "shuffle_exchange": 8,
         "broadcast_exchange": 2,

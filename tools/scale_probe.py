@@ -29,6 +29,7 @@ SFS = [("0.001", "/root/testdata/sf0.001"), ("0.01", "/root/testdata/sf0.01"), (
 PROBES = [
     "q1_pricing_summary",
     "graph_hits",
+    "dedup_prefix_join",
     "sim_ann_binary",
     "multimodal_qoi_stats",
     "retrieval_rrf_fusion",
