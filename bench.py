@@ -81,11 +81,13 @@ HEADLINE = [
     "q21_waiting_orders",
     "corpus_prep_pipeline",
     "text_bigram_logprob",
+    "text_trigram_kn_logprob",
     "feat_hashing_tf",
     "feat_tfidf_top_terms",
     "basket_part_pairs",
     "graph_pagerank",
     "graph_hits",
+    "graph_kcore",
     "scd2_order_status",
     "dedup_keep_best",
     "j5b_binned_range_join",
@@ -106,6 +108,7 @@ HEADLINE = [
     "lake_time_travel",
     "text_bpe_train",
     "emb_gram_topk",
+    "emb_jl_projection",
     "w11_interval_concurrency",
     "w12_ewma_smooth",
     "dq_psi_drift",

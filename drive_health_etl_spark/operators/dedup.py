@@ -124,6 +124,25 @@ def _cached(spark: SparkSession, sf_dir: str, what: str, build) -> DataFrame:
     return df
 
 
+def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document distinct 3-gram shingle sets, built ONCE per
+    (session, sf_dir) via the family subtree cache — the tokenize+shingle
+    pass feeds the Jaccard verify, the containment verify, and the
+    prefix-filtering join (docs with zero shingles have no bands/prefixes
+    and cannot be candidates anywhere, so the size>0 filter is uniform)."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return _cached(
+        spark,
+        sf_dir,
+        "sh_sets",
+        lambda: docs.withColumn("toks", tokens_col())
+        .select("doc_id", F.array_distinct(shingles_col()).alias("sh_set"))
+        .filter(F.size("sh_set") > 0),
+    )
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document MinHash signature (8 hash functions over the 3-gram
     shingle set). Explode + 8 min-aggs: one shuffle on doc_id with map-side
@@ -258,12 +277,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     collisions, and the two equi-joins below are keyed on doc_id — uniformly
     distributed, broadcastable when the candidate set is small relative to
     the corpus. Emits pairs with similarity >= 0.2."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    sets_df = docs.withColumn("toks", tokens_col()).select(
-        "doc_id", F.array_distinct(shingles_col()).alias("sh_set")
-    )
+    sets_df = _shingle_sets(spark, sf_dir)
     cand = dedup_minhash_pairs(spark, sf_dir)
     joined = cand.join(
         sets_df.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a")),
@@ -310,12 +324,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin): candidates come from the banded-LSH join, the verify joins are
     keyed on doc_id. The division is exact-int / exact-int -> identical
     doubles; round 6 per the float policy."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    sets_df = docs.withColumn("toks", tokens_col()).select(
-        "doc_id", F.array_distinct(shingles_col()).alias("sh_set")
-    )
+    sets_df = _shingle_sets(spark, sf_dir)
     cand = dedup_minhash_pairs(spark, sf_dir)
     joined = cand.join(
         sets_df.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a")),
@@ -1236,24 +1245,13 @@ def dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Completeness vs the LSH path is itself oracle-checked: this query's
     output is the FULL >= t pair set, so any pair the banded
     `dedup_ngram_jaccard` emits must appear here too."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    # The shingle-set relation feeds THREE consumers (the exploded prefix
-    # path and both verify sides) AND repeats across bench samples — build
-    # it once per (session, sf_dir) via the family's subtree cache, like
-    # the MinHash signatures (without it the tokenize+shingle pass
-    # re-executed per consumer: measured 18s -> 11s with a checkpoint,
-    # ~2s warm with the persisted cache; the DuckDB oracle needs
-    # AS MATERIALIZED for the identical reason).
-    sets_df = _cached(
-        spark,
-        sf_dir,
-        "sh_sets",
-        lambda: docs.withColumn("toks", tokens_col())
-        .select("doc_id", F.array_distinct(shingles_col()).alias("sh_set"))
-        .filter(F.size("sh_set") > 0),
-    )
+    # The shingle-set relation feeds THREE consumers here (the exploded
+    # prefix path and both verify sides) AND two sibling queries — shared
+    # via _shingle_sets (without it the tokenize+shingle pass re-executed
+    # per consumer: measured 18s -> 11s with a checkpoint, ~2s warm with
+    # the persisted cache; the DuckDB oracle needs AS MATERIALIZED for the
+    # identical reason).
+    sets_df = _shingle_sets(spark, sf_dir)
     ex = sets_df.select(
         "doc_id", F.size("sh_set").alias("n"), F.explode("sh_set").alias("shingle")
     )

@@ -707,7 +707,141 @@ FROM perdoc
 """
 
 
+_KN_D = 0.75  # absolute discount (the standard Kneser-Ney value)
+
+
+def text_trigram_kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document trigram-LM score under interpolated ABSOLUTE
+    DISCOUNTING (Kneser-Ney's discount/backoff structure with an MLE
+    unigram base — "KN-lite"):
+
+        P(w3|w1w2) = max(c123 - D, 0)/c12 + D*n1p12/c12 * P(w3|w2)
+        P(w3|w2)   = max(c23  - D, 0)/c2  + D*n1p2 /c2  * P(w3)
+        P(w3)      = c3 / N
+
+    where n1p* are the distinct-continuation counts that make the stolen
+    mass sum to exactly the discounted mass. Unlike the bigram MLE query,
+    every probability is smoothed, so the score is well-defined for unseen
+    transitions too — the production shape of LM-based quality filtering.
+
+    Plan: one explode to (doc, trigram), five count aggregates (trigram,
+    bigram-context + continuation, bigram, unigram-context + continuation,
+    unigram) joined back on their own keys, all map-side combinable; the
+    probability arithmetic is written in the identical op order in both
+    engines (D embedded via repr), logs from libm (bit-identical per the
+    bigram precedent), per-doc sums decimal-cast."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tri = (
+        docs.select("doc_id", F.explode(_grams_col(tokens_col(), 3)).alias("g"))
+        .withColumn("parts", F.split("g", " "))
+        .select(
+            "doc_id",
+            "g",
+            F.concat_ws(" ", F.col("parts")[0], F.col("parts")[1]).alias("w12"),
+            F.concat_ws(" ", F.col("parts")[1], F.col("parts")[2]).alias("w23"),
+            F.col("parts")[1].alias("w2"),
+            F.col("parts")[2].alias("w3"),
+        )
+        # seven consumers (five count aggregates, the distinct-gram scoring
+        # relation, the per-doc join) — materialize the tokenize+explode
+        # once or Spark re-executes it per consumer (18 shuffles -> 11);
+        # the oracle MATERIALIZEs its tri CTE for the identical reason
+        .localCheckpoint()
+    )
+    c3t = tri.groupBy("g").agg(F.count("*").alias("c123"))
+    c12 = tri.groupBy("w12").agg(
+        F.count("*").alias("c12"), F.count_distinct("w3").alias("n1p12")
+    )
+    c23 = tri.groupBy("w23").agg(F.count("*").alias("c23"))
+    c2 = tri.groupBy("w2").agg(
+        F.count("*").alias("c2"), F.count_distinct("w3").alias("n1p2")
+    )
+    c3 = tri.groupBy("w3").agg(F.count("*").alias("c3"))
+    n = tri.agg(F.count("*").alias("n_total"))
+
+    d = _KN_D
+    grams = (
+        tri.select("g", "w12", "w23", "w2", "w3")
+        .distinct()
+        .join(c3t, "g")
+        .join(c12, "w12")
+        .join(c23, "w23")
+        .join(c2, "w2")
+        .join(c3, "w3")
+        .crossJoin(F.broadcast(n))
+    )
+    p1 = F.col("c3").cast("double") / F.col("n_total")
+    p2 = (
+        F.greatest(F.col("c23").cast("double") - F.lit(d), F.lit(0.0)) / F.col("c2")
+        + F.lit(d) * F.col("n1p2") / F.col("c2") * p1
+    )
+    p3 = (
+        F.greatest(F.col("c123").cast("double") - F.lit(d), F.lit(0.0)) / F.col("c12")
+        + F.lit(d) * F.col("n1p12") / F.col("c12") * p2
+    )
+    lp = grams.select("g", F.log(p3).alias("lp"))
+    return (
+        tri.join(lp, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            (
+                F.sum(F.col("lp").cast("decimal(28,12)")).cast("double") / F.count("*")
+            ).alias("_avg"),
+        )
+        .select(
+            "doc_id",
+            "n_trigrams",
+            F.round(F.col("_avg"), 6).alias("avg_logprob"),
+            F.round(F.exp(-F.col("_avg")), 6).alias("perplexity"),
+        )
+    )
+
+
+TEXT_TRIGRAM_KN_SQL = f"""
+WITH w AS (SELECT doc_id, {{toks}} AS ws FROM documents),
+tri AS MATERIALIZED (
+  SELECT doc_id, g,
+         string_split(g, ' ')[1] || ' ' || string_split(g, ' ')[2] AS w12,
+         string_split(g, ' ')[2] || ' ' || string_split(g, ' ')[3] AS w23,
+         string_split(g, ' ')[2] AS w2,
+         string_split(g, ' ')[3] AS w3
+  FROM (SELECT doc_id, unnest({{grams3}}) AS g FROM w)
+),
+c3t AS (SELECT g, COUNT(*) AS c123 FROM tri GROUP BY g),
+c12 AS (SELECT w12, COUNT(*) AS c12, COUNT(DISTINCT w3) AS n1p12 FROM tri GROUP BY w12),
+c23 AS (SELECT w23, COUNT(*) AS c23 FROM tri GROUP BY w23),
+c2 AS (SELECT w2, COUNT(*) AS c2, COUNT(DISTINCT w3) AS n1p2 FROM tri GROUP BY w2),
+c3 AS (SELECT w3, COUNT(*) AS c3 FROM tri GROUP BY w3),
+n AS (SELECT COUNT(*) AS n_total FROM tri),
+lp AS MATERIALIZED (
+  SELECT t.g,
+         ln(
+           GREATEST(CAST(c3t.c123 AS DOUBLE) - {_KN_D!r}, 0.0) / c12.c12
+           + {_KN_D!r} * c12.n1p12 / c12.c12 * (
+               GREATEST(CAST(c23.c23 AS DOUBLE) - {_KN_D!r}, 0.0) / c2.c2
+               + {_KN_D!r} * c2.n1p2 / c2.c2 * (CAST(c3.c3 AS DOUBLE) / n.n_total)
+             )
+         ) AS lp
+  FROM (SELECT DISTINCT g, w12, w23, w2, w3 FROM tri) t
+  JOIN c3t USING (g) JOIN c12 USING (w12) JOIN c23 USING (w23)
+  JOIN c2 USING (w2) JOIN c3 USING (w3) CROSS JOIN n
+),
+perdoc AS (
+  SELECT doc_id, COUNT(*) AS n_trigrams,
+         CAST(SUM(CAST(lp AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS avg_lp
+  FROM tri JOIN lp USING (g) GROUP BY doc_id
+)
+SELECT doc_id, n_trigrams, ROUND(avg_lp, 6) AS avg_logprob,
+       ROUND(exp(-avg_lp), 6) AS perplexity
+FROM perdoc
+""".format(toks=TOKENS_SQL, grams3=_grams_sql("ws", 3))
+
+
 QUERIES: dict[str, tuple] = {
+    "text_trigram_kn_logprob": (text_trigram_kn_logprob, TEXT_TRIGRAM_KN_SQL),
     "text_boilerplate": (text_boilerplate, TEXT_BOILERPLATE_SQL),
     "text_bigram_logprob": (text_bigram_logprob, TEXT_BIGRAM_LOGPROB_SQL),
     "text_gopher_rules": (text_gopher_rules, TEXT_GOPHER_RULES_SQL),

@@ -1918,8 +1918,122 @@ SELECT {N_QUERIES} AS n_queries, {TOP_K} AS k,
 """
 
 
+# --- Johnson-Lindenstrauss random projection ---------------------------------
+
+_JL_K = 16  # target dimensionality (64 -> 16)
+_JL_SAMPLE = 20  # vectors in the fenced distortion sample (190 pairs)
+
+
+def _jl_matrix() -> list[list[int]]:
+    """Deterministic +/-1 projection matrix (k rows of EMB_DIM entries):
+    sign of bit 0 of md5("jl-<j>-<i>"). Generated ONCE in Python and
+    embedded as literals in both engines — the projection matrix is a
+    model constant, exactly like k-means centroids or PQ codebooks, so it
+    rides as a bounded broadcast, never a per-row hash."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"jl-{j}-{i}".encode()).digest()[0] & 1 else -1
+            for i in range(EMB_DIM)
+        ]
+        for j in range(_JL_K)
+    ]
+
+
+def emb_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sketch quality: project every embedding
+    64 -> ``_JL_K`` dims with a +/-1 matrix (Achlioptas's database-friendly
+    construction) and measure pairwise squared-distance distortion on a
+    fenced {_JL_SAMPLE}-vector sample:
+
+        ratio(a, b) = ||Ra - Rb||^2 / (k * ||a - b||^2)   (E[ratio] = 1)
+
+    — the check run before committing an ANN index to a reduced dimension.
+    Scale shape: the projection is a narrow map (k dot-folds per row,
+    matrix rides as literals/broadcast); the distortion stage is fenced to
+    sample^2/2 pairs. Every fold is left-to-right in both engines, so the
+    doubles match bit-exactly; only the final stats round."""
+    R = _jl_matrix()
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _JL_SAMPLE)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    )
+    ys = [
+        F.aggregate(
+            F.zip_with(
+                F.col("e"),
+                F.array(*[F.lit(float(v)) for v in R[j]]),
+                lambda x, r: x * r,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias(f"y{j}")
+        for j in range(_JL_K)
+    ]
+    proj = emb.select("vec_id", "e", F.array(*ys).alias("y"))
+    a = proj.select(
+        F.col("vec_id").alias("ida"), F.col("e").alias("ea"), F.col("y").alias("ya")
+    )
+    b = proj.select(
+        F.col("vec_id").alias("idb"), F.col("e").alias("eb"), F.col("y").alias("yb")
+    )
+
+    def sqdist(u: Column, v: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(u, v, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    pairs = a.join(F.broadcast(b), F.col("ida") < F.col("idb")).select(
+        (sqdist(F.col("ya"), F.col("yb")) / (F.lit(float(_JL_K)) * sqdist(F.col("ea"), F.col("eb")))).alias(
+            "ratio"
+        )
+    )
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.round(
+            F.sum(F.col("ratio").cast("decimal(28,12)")).cast("double") / F.count("*"), 6
+        ).alias("mean_ratio"),
+        F.round(F.min("ratio"), 6).alias("min_ratio"),
+        F.round(F.max("ratio"), 6).alias("max_ratio"),
+    )
+
+
+def _jl_sql() -> str:
+    R = _jl_matrix()
+    y_terms = ", ".join(
+        "list_dot_product(emb, [" + ", ".join(f"{float(v)!r}" for v in row) + "])"
+        for row in R
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id < {_JL_SAMPLE}
+),
+proj AS (SELECT vec_id, emb, [{y_terms}] AS y FROM e),
+pairs AS (
+  SELECT list_sum(list_transform(list_zip(a.y, b.y), p -> (p[1] - p[2]) * (p[1] - p[2])))
+         / ({float(_JL_K)!r} *
+            list_sum(list_transform(list_zip(a.emb, b.emb), p -> (p[1] - p[2]) * (p[1] - p[2]))))
+         AS ratio
+  FROM proj a JOIN proj b ON a.vec_id < b.vec_id
+)
+SELECT COUNT(*) AS n_pairs,
+       ROUND(CAST(SUM(CAST(ratio AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS mean_ratio,
+       ROUND(MIN(ratio), 6) AS min_ratio,
+       ROUND(MAX(ratio), 6) AS max_ratio
+FROM pairs
+"""
+
+
+EMB_JL_SQL = _jl_sql()
+
+
 QUERIES: dict[str, tuple] = {
     "sim_ann_binary": (sim_ann_binary, SIM_ANN_BINARY_SQL),
+    "emb_jl_projection": (emb_jl_projection, EMB_JL_SQL),
     "sim_binary_quality": (sim_binary_quality, SIM_BINARY_QUALITY_SQL),
     "emb_triplet_mining": (emb_triplet_mining, EMB_TRIPLET_SQL),
     "sim_mmr_rerank": (sim_mmr_rerank, SIM_MMR_SQL),

@@ -37,6 +37,9 @@ EMPTY_SAFE = [
     "text_quality",
     "text_boilerplate",
     "text_bigram_logprob",
+    "text_trigram_kn_logprob",
+    "graph_kcore",
+    "emb_jl_projection",
     "feat_hashing_tf",
     "feat_tfidf_top_terms",
     "feat_equidepth_bins",

@@ -129,6 +129,8 @@ BNLJ_BY_DESIGN = {
     "feat_tfidf_top_terms",  # 1-row corpus-size broadcast onto the tf-df join
     "graph_pagerank",  # 1-row node-count broadcast onto the rank init
     "graph_hits",  # 1-row per-side max-score broadcast onto the top-k normalize
+    "emb_jl_projection",  # fenced 20-vector sample pair stage (190 pairs, broadcast)
+    "text_trigram_kn_logprob",  # 1-row corpus-total broadcast onto the gram table
     "rfm_segments",  # 1-row max-date + 1-row tercile-bounds broadcasts onto the binning map
     "sketch_distinct_hll",  # 1-row merged-sketch broadcast onto the 1-row global exact agg
     "graph_triangles",  # 1-row edge-count x 1-row triangle-count metadata join
@@ -346,6 +348,18 @@ BENCH_PLAN_FINGERPRINTS = {
         "BroadcastNestedLoopJoin": 1,
     },
     "sim_binary_quality": {},
+    "graph_kcore": {},
+    "text_trigram_kn_logprob": {
+        "shuffle_exchange": 10,
+        "broadcast_exchange": 7,
+        "BroadcastHashJoin": 6,
+        "BroadcastNestedLoopJoin": 1,
+    },
+    "emb_jl_projection": {
+        "shuffle_exchange": 1,
+        "broadcast_exchange": 1,
+        "BroadcastNestedLoopJoin": 1,
+    },
     "dq_benford": {
         "shuffle_exchange": 3,
         "broadcast_exchange": 1,

@@ -57,7 +57,7 @@ WARMUP = [
 # checkpoints; ordering kept out of caution, not a known conflict).
 _SERIAL_PREFIXES = ("st_", "st8_", "lake_", "sdp_", "rollup_", "pipeline_", "s9_")
 
-POOL_WORKERS = 4
+POOL_WORKERS = 6  # 32-core box: 6 workers x ~5 spark threads — raised from 4 when the registry crossed 310 queries (136s -> target <120s wall)
 
 
 def _is_serial(name: str) -> bool:
