@@ -1007,6 +1007,95 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ULAW_SAMPLES = 256
+
+
+def multimodal_ulaw_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 mu-law telephony audio end to end — the domain-native wire
+    format for the reference's call records. Each doc synthesizes int16 PCM
+    (x_i = (byte_i - 128) * 256), runs the REAL companding codec
+    (`g711_codec.py`: encode to 8-bit mu-law, decode back), and emits
+    integer-exact stats. The oracle REIMPLEMENTS the companding law per
+    sample in SQL (clamp + bias, integer exponent thresholds, mantissa
+    shifts, canonical reconstruction) — a fully independent second
+    implementation of the codec, a stronger check than digest pins: any
+    bias/exponent/mantissa bug changes `sum_decoded` and breaks the hash."""
+    from drive_health_etl_spark.operators.g711_codec import decode_ulaw, encode_ulaw
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 2)
+    base = docs.select(
+        "doc_id",
+        F.expr(
+            f"encode(rpad(text || ' ', {_ULAW_SAMPLES}, text || ' '), 'utf-8')"
+        ).alias("payload"),
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_samples": [], "sum_decoded": [], "max_abs_err": [], "bound_ok": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                x = (
+                    (np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int32) - 128) * 256
+                ).astype(np.int16)
+                dec = decode_ulaw(encode_ulaw(x))  # REAL companding round trip
+                err = np.abs(dec.astype(np.int64) - x.astype(np.int64))
+                b = np.frombuffer(encode_ulaw(x), dtype=np.uint8).astype(np.int32)
+                e = (((~b) & 0xFF) >> 4) & 7
+                out["doc_id"].append(int(doc_id))
+                out["n_samples"].append(int(len(x)))
+                out["sum_decoded"].append(int(dec.astype(np.int64).sum()))
+                out["max_abs_err"].append(int(err.max()))
+                out["bound_ok"].append(bool((err <= (1 << (e + 2))).all()))
+            yield pd.DataFrame(out)
+
+    return base.mapInPandas(
+        op,
+        schema="doc_id long, n_samples int, sum_decoded long, max_abs_err int, bound_ok boolean",
+    )
+
+
+# The oracle re-derives every companded sample with pure integer SQL:
+# exponent via thresholds (m in [2^(e+7), 2^(e+8)) -> e), mantissa via
+# shifts, canonical reconstruction ((q*8 + 132) << e) - 132.
+_ULAW_E_SQL = (
+    "CASE"
+    + "".join(
+        f" WHEN m >= {1 << (k + 7)} THEN {k}" for k in range(7, 0, -1)
+    )
+    + " ELSE 0 END"
+)
+
+MULTIMODAL_ULAW_SQL = f"""
+WITH pay AS (
+  SELECT doc_id, rpad(text || ' ', {_ULAW_SAMPLES}, text || ' ') AS payload
+  FROM documents WHERE doc_id % 3 = 2
+),
+x AS (
+  SELECT doc_id, (ord(substr(payload, i, 1)) - 128) * 256 AS x
+  FROM pay, UNNEST(generate_series(1, {_ULAW_SAMPLES})) AS t(i)
+),
+enc AS (
+  SELECT doc_id, x, {_ULAW_E_SQL} AS e, m FROM (
+    SELECT doc_id, x, LEAST(ABS(x), 32635) + 132 AS m FROM x
+  )
+),
+dec AS (
+  SELECT doc_id, x, e,
+         CASE WHEN x < 0 THEN -d ELSE d END AS dec
+  FROM (
+    SELECT doc_id, x, e,
+           ((((m >> (e + 3)) & 15) * 8 + 132) << e) - 132 AS d
+    FROM enc
+  )
+)
+SELECT doc_id, {_ULAW_SAMPLES} AS n_samples,
+       CAST(SUM(dec) AS BIGINT) AS sum_decoded,
+       CAST(MAX(ABS(dec - x)) AS INT) AS max_abs_err,
+       BOOL_AND(ABS(dec - x) <= (1 << (e + 2))) AS bound_ok
+FROM dec GROUP BY doc_id
+"""
+
+
 MULTIMODAL_AUDIO_SQL = f"""
 WITH wav AS (
   SELECT doc_id, rpad(text || ' ', {WAV_SAMPLES}, text || ' ') AS payload
@@ -1903,6 +1992,7 @@ QUERIES: dict[str, tuple] = {
     "multimodal_png_adam7_stats": (multimodal_png_adam7_stats, MULTIMODAL_PNG_SQL),
     "multimodal_flac_stats": (multimodal_flac_stats, MULTIMODAL_FLAC_SQL),
     "multimodal_audio_stats": (multimodal_audio_stats, MULTIMODAL_AUDIO_SQL),
+    "multimodal_ulaw_stats": (multimodal_ulaw_stats, MULTIMODAL_ULAW_SQL),
     "multimodal_video_stats": (multimodal_video_stats, MULTIMODAL_VIDEO_SQL),
     "multimodal_resize_stats": (multimodal_resize_stats, MULTIMODAL_RESIZE_SQL),
 }

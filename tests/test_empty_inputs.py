@@ -39,6 +39,7 @@ EMPTY_SAFE = [
     "text_bigram_logprob",
     "text_trigram_kn_logprob",
     "graph_kcore",
+    "multimodal_ulaw_stats",
     "emb_jl_projection",
     "feat_hashing_tf",
     "feat_tfidf_top_terms",

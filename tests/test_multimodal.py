@@ -749,3 +749,23 @@ def test_qoi_roundtrip_and_container():
     blob = encode_qoi(cases[2])
     with pytest.raises(ValueError, match="truncated|end marker"):
         decode_qoi(blob[:-10])
+
+
+def test_ulaw_codec_properties():
+    """G.711 mu-law: half-step error bound per exponent, idempotence on the
+    full 256-code lattice, and the canonical anchor points."""
+    from drive_health_etl_spark.operators.g711_codec import decode_ulaw, encode_ulaw
+
+    rng = np.random.RandomState(3)
+    x = rng.randint(-32768, 32768, 50000).astype(np.int16)
+    dec = decode_ulaw(encode_ulaw(x))
+    err = np.abs(dec.astype(np.int64) - np.clip(x.astype(np.int64), -32635, 32635))
+    b = np.frombuffer(encode_ulaw(x), dtype=np.uint8).astype(np.int32)
+    e = (((~b) & 0xFF) >> 4) & 7
+    assert (err <= (1 << (e + 2))).all()  # half a quantization step
+    # idempotent on the code lattice: decode o encode o decode == decode
+    lattice = decode_ulaw(bytes(range(256)))
+    assert np.array_equal(decode_ulaw(encode_ulaw(lattice)), lattice)
+    assert decode_ulaw(encode_ulaw(np.array([0], np.int16)))[0] == 0
+    assert decode_ulaw(encode_ulaw(np.array([32767], np.int16)))[0] == 32124
+    assert decode_ulaw(encode_ulaw(np.array([-32768], np.int16)))[0] == -32124

@@ -256,7 +256,9 @@ BENCH_PLAN_FINGERPRINTS = {
     "dedup_minhash_pairs": {},
     "dedup_keep_best": {"shuffle_exchange": 3, "broadcast_exchange": 1, "BroadcastHashJoin": 1},
     "dedup_simhash": {"shuffle_exchange": 2},
-    "dedup_containment": {"shuffle_exchange": 3, "broadcast_exchange": 2, "BroadcastHashJoin": 2},
+    # shuffle 3 -> 1: verify sides now read the persisted _shingle_sets
+    # relation (cache subtrees are excluded from the fingerprint)
+    "dedup_containment": {"shuffle_exchange": 1, "broadcast_exchange": 2, "BroadcastHashJoin": 2},
     "text_keyphrases_rake": {"shuffle_exchange": 4, "broadcast_exchange": 1, "BroadcastHashJoin": 1},
     "text_readability": {},
     "text_word_freq": {"shuffle_exchange": 1},
@@ -349,6 +351,9 @@ BENCH_PLAN_FINGERPRINTS = {
     },
     "sim_binary_quality": {},
     "graph_kcore": {},
+    "multimodal_ulaw_stats": {
+        "shuffle_exchange": 1,
+    },
     "text_trigram_kn_logprob": {
         "shuffle_exchange": 10,
         "broadcast_exchange": 7,
