@@ -117,12 +117,14 @@ HEADLINE = [
     "sdp_daily_rollup",
     "stat_ab_welch",
     "stat_bootstrap_ci",
+    "stat_sprt_ab",
     "ts_theil_sen_trend",
     "stat_chi2_independence",
     "stat_mann_whitney",
     "ts_holt_linear",
     "ts_holt_winters",
     "sess_attribution",
+    "sess_survival_km",
     "sketch_cms_estimate",
     "graph_bfs_distances",
     "dedup_containment",

@@ -854,7 +854,99 @@ GROUP BY 1, 2 ORDER BY event_type, bucket
 """
 
 
+_KM_CENSOR_DAYS = 3  # users last seen in the final window count as censored
+
+
+def sess_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-churn curve: per user, duration = days between
+    first and last event; users whose last event falls within the final
+    ``_KM_CENSOR_DAYS`` of the corpus window are right-CENSORED (they may
+    still be active — treating them as churned is the classic retention
+    bias KM exists to fix). At each duration t with churn events:
+
+        S(t) = prod_{u <= t} (1 - d_u / n_u),   n_u = users at risk (>= u)
+
+    computed as exp(cumulative sum of ln(1 - d/n)) so the product is a
+    deterministic left-to-right accumulation in both engines (libm ln/exp
+    bit-parity per the bigram-LM precedent; cumsum terms decimal-cast,
+    ordered by the unique duration key).
+
+    Scale shape: one groupBy(user), one groupBy(duration), a reverse
+    cumulative window for the at-risk counts and a forward one for the
+    product — the survival table is duration-valued (calendar-bounded),
+    tiny regardless of corpus size."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.min("day").alias("first_day"), F.max("day").alias("last_day")
+    )
+    gmax = e.agg(F.max("day").alias("gmax"))
+    users = per_user.crossJoin(F.broadcast(gmax)).select(
+        F.datediff("last_day", "first_day").alias("t"),
+        (
+            F.datediff("gmax", "last_day") >= F.lit(_KM_CENSOR_DAYS)
+        ).cast("int").alias("churned"),
+    )
+    by_t = users.groupBy("t").agg(
+        F.count("*").alias("n_at_t"), F.sum("churned").alias("d")
+    )
+    w_rev = Window.orderBy(F.col("t").asc()).rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    at_risk = by_t.withColumn("n_risk", F.sum("n_at_t").over(w_rev))
+    steps = at_risk.filter(F.col("d") > 0)
+    w_fwd = Window.orderBy(F.col("t").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    lnterm = F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk"))
+    return (
+        steps.withColumn(
+            "survival",
+            F.round(
+                F.exp(
+                    F.sum(lnterm.cast("decimal(28,12)")).over(w_fwd).cast("double")
+                ),
+                9,
+            ),
+        )
+        .select(
+            "t",
+            F.col("n_risk").cast("long").alias("n_at_risk"),
+            F.col("d").cast("long").alias("n_events"),
+            "survival",
+        )
+        .orderBy("t")
+    )
+
+
+SESS_SURVIVAL_KM_SQL = f"""
+WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+per_user AS (
+  SELECT user_id, MIN(day) AS first_day, MAX(day) AS last_day FROM e GROUP BY user_id
+),
+g AS (SELECT MAX(day) AS gmax FROM e),
+users AS (
+  SELECT date_diff('day', first_day, last_day) AS t,
+         CASE WHEN date_diff('day', last_day, gmax) >= {_KM_CENSOR_DAYS} THEN 1 ELSE 0 END AS churned
+  FROM per_user CROSS JOIN g
+),
+by_t AS (SELECT t, COUNT(*) AS n_at_t, SUM(churned) AS d FROM users GROUP BY t),
+at_risk AS (
+  SELECT t, d,
+         SUM(n_at_t) OVER (ORDER BY t ASC ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_risk
+  FROM by_t
+),
+steps AS (SELECT * FROM at_risk WHERE d > 0)
+SELECT t, CAST(n_risk AS BIGINT) AS n_at_risk, CAST(d AS BIGINT) AS n_events,
+       ROUND(exp(CAST(SUM(CAST(ln(1.0 - CAST(d AS DOUBLE) / n_risk) AS DECIMAL(28,12)))
+                      OVER (ORDER BY t ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)), 9) AS survival
+FROM steps ORDER BY t
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "sess_survival_km": (sess_survival_km, SESS_SURVIVAL_KM_SQL),
     "sess_new_vs_returning": (sess_new_vs_returning, SESS_NEW_RETURNING_SQL),
     "sess_interarrival_hist": (sess_interarrival_hist, SESS_INTERARRIVAL_SQL),
     "sess_cohort_value": (sess_cohort_value, SESS_COHORT_VALUE_SQL),

@@ -498,6 +498,110 @@ FROM last
 """
 
 
+_SPRT_P0 = 0.3   # H0 conversion rate
+_SPRT_P1 = 0.36   # H1 conversion rate (minimum detectable effect)
+# Wald boundaries and per-observation LLR increments, computed ONCE in
+# Python and embedded as identical double literals in both engines
+_SPRT_LA = 0.1823215567939546      # ln(p1/p0), added per success
+_SPRT_LB = -0.08961215868968704      # ln((1-p1)/(1-p0)), added per failure
+_SPRT_UPPER = 2.772588722239781  # ln((1-beta)/alpha): cross -> accept H1
+_SPRT_LOWER = -1.5581446180465497  # ln(beta/(1-alpha)): cross -> accept H0
+
+
+def stat_sprt_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test on the treatment arm's
+    conversion stream (user_id % 2 = 1; conversion = event_type =
+    'purchase'), processed in (ts, event_id) order: after n observations
+    with k successes the log-likelihood ratio is EXACTLY
+
+        LLR_n = k * ln(p1/p0) + (n - k) * ln((1-p1)/(1-p0))
+
+    and the test stops at the first n crossing a Wald boundary — the
+    always-valid early-stopping design that replaces fixed-horizon A/B
+    peeking. Every LLR_n is two integer-by-literal products (no running
+    float accumulation at all), so the trace is engine-exact; boundaries
+    embedded via repr. Emits the stopping point and decision plus the
+    final-state row.
+
+    Scale shape: one window cumsum of an 0/1 column in event order, one
+    filter, one min() — a streaming-friendly single pass (the stateful
+    twin would be a running counter in applyInPandasWithState)."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 2 == 1)
+        .select(
+            "ts",
+            "event_id",
+            (F.col("event_type") == "purchase").cast("int").alias("x"),
+        )
+    )
+    w = Window.orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    trace = e.select(
+        F.row_number().over(w).alias("n"),
+        F.sum("x").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("k"),
+    ).select(
+        "n",
+        "k",
+        (
+            F.col("k").cast("double") * F.lit(_SPRT_LA)
+            + (F.col("n") - F.col("k")).cast("double") * F.lit(_SPRT_LB)
+        ).alias("llr"),
+    )
+    crossed = trace.filter(
+        (F.col("llr") >= F.lit(_SPRT_UPPER)) | (F.col("llr") <= F.lit(_SPRT_LOWER))
+    )
+    first = crossed.agg(F.min("n").alias("stop_n"))
+    final = trace.agg(F.max("n").alias("total_n"))
+    hit = (
+        trace.join(F.broadcast(first), F.col("n") == F.col("stop_n"))
+        .select("stop_n", F.col("k").alias("stop_k"), F.col("llr").alias("stop_llr"))
+    )
+    return (
+        final.crossJoin(F.broadcast(hit))
+        .select(
+            "total_n",
+            "stop_n",
+            "stop_k",
+            F.round("stop_llr", 9).alias("stop_llr"),
+            F.when(F.col("stop_llr") >= F.lit(_SPRT_UPPER), F.lit("accept_h1"))
+            .otherwise(F.lit("accept_h0"))
+            .alias("decision"),
+        )
+    )
+
+
+STAT_SPRT_SQL = f"""
+WITH e AS (
+  SELECT ts, event_id, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x
+  FROM events WHERE user_id % 2 = 1
+),
+trace AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY ts ASC, event_id ASC) AS n,
+         SUM(x) OVER (ORDER BY ts ASC, event_id ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k
+  FROM e
+),
+llr AS (
+  SELECT n, k,
+         CAST(k AS DOUBLE) * 0.1823215567939546 + CAST(n - k AS DOUBLE) * -0.08961215868968704 AS llr
+  FROM trace
+),
+first AS (
+  SELECT MIN(n) AS stop_n FROM llr
+  WHERE llr >= 2.772588722239781 OR llr <= -1.5581446180465497
+),
+hit AS (
+  SELECT f.stop_n, l.k AS stop_k, l.llr AS stop_llr
+  FROM first f JOIN llr l ON l.n = f.stop_n
+)
+SELECT (SELECT CAST(MAX(n) AS BIGINT) FROM llr) AS total_n,
+       CAST(stop_n AS BIGINT) AS stop_n, CAST(stop_k AS BIGINT) AS stop_k,
+       ROUND(stop_llr, 9) AS stop_llr,
+       CASE WHEN stop_llr >= 2.772588722239781 THEN 'accept_h1' ELSE 'accept_h0' END AS decision
+FROM hit
+"""
+
+
 _BOOT_B = 50  # Poisson-bootstrap resamples
 
 
@@ -1463,6 +1567,7 @@ QUERIES: dict[str, tuple] = {
     "ts_holt_linear": (ts_holt_linear, TS_HOLT_SQL),
     "ts_holt_winters": (ts_holt_winters, TS_HOLT_WINTERS_SQL),
     "stat_bootstrap_ci": (stat_bootstrap_ci, STAT_BOOTSTRAP_SQL),
+    "stat_sprt_ab": (stat_sprt_ab, STAT_SPRT_SQL),
     "ts_seasonal_decompose": (ts_seasonal_decompose, TS_SEASONAL_SQL),
     "stat_mann_whitney": (stat_mann_whitney, STAT_MANN_WHITNEY_SQL),
     "stat_ols_trend": (stat_ols_trend, STAT_OLS_SQL),

@@ -70,6 +70,8 @@ EMPTY_SAFE = [
     "sdp_daily_rollup",
     "stat_chi2_independence",
     "stat_bootstrap_ci",
+    "stat_sprt_ab",
+    "sess_survival_km",
     "dq_benford",
     "stat_mann_whitney",
     "stat_ols_trend",

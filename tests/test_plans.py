@@ -121,6 +121,8 @@ BNLJ_BY_DESIGN = {
     "dq_constraints",  # 1-row PK-stats broadcast joined onto the 1-row probe aggregate
     "dq_benford",  # 1-row total-count broadcast onto the 9-digit table
     "stat_bootstrap_ci",  # two 1-row order-statistic broadcasts onto the 1-row count
+    "stat_sprt_ab",  # 1-row stopping-point broadcast onto the 1-row total
+    "sess_survival_km",  # 1-row corpus-max-day broadcast onto the per-user table
     "a7_winsorize",  # 1-row percentile-bounds broadcast onto the clamp map
     "sess_daily_gapfill",  # calendar-days x event-type-enum grid cross (both config-sized)
     "sess_event_assoc",  # 1-row distinct-user-count broadcast onto the pair table
@@ -351,6 +353,17 @@ BENCH_PLAN_FINGERPRINTS = {
     },
     "sim_binary_quality": {},
     "graph_kcore": {},
+    "sess_survival_km": {
+        "shuffle_exchange": 4,
+        "broadcast_exchange": 1,
+        "BroadcastNestedLoopJoin": 1,
+    },
+    "stat_sprt_ab": {
+        "shuffle_exchange": 3,
+        "broadcast_exchange": 2,
+        "BroadcastHashJoin": 1,
+        "BroadcastNestedLoopJoin": 1,
+    },
     "multimodal_ulaw_stats": {
         "shuffle_exchange": 1,
     },
