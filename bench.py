@@ -58,6 +58,7 @@ HEADLINE = [
     "text_repetition",
     "text_decontaminate",
     "corpus_pack_sequences",
+    "corpus_temperature_mix",
     "multimodal_decode_stats",
     "multimodal_png_stats",
     "multimodal_jpeg_stats",

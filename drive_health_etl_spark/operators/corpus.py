@@ -650,7 +650,115 @@ FROM per CROSS JOIN tot ORDER BY shard
 """
 
 
+_TEMP_T = 2.0   # mixing temperature (1 = natural, inf = uniform)
+_TEMP_FRAC = 0.5  # fraction of the corpus the mixed sample targets
+
+
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing — THE standard multi-source LLM
+    data recipe (e.g. multilingual sampling): source weights
+    w_s = exp(ln(tokens_s) / T) flatten the natural token-mass distribution
+    toward uniform as T grows; per-source keep rates then hash-sample each
+    source to its target share of ``_TEMP_FRAC`` of the corpus.
+
+    Weighting is by TOKEN mass, not document count (what LLM mixing
+    actually balances). w_s is written as exp(ln(n)/T) with identical op
+    order in both engines (libm parity per the LM-query precedent); the
+    weight normalizer decimal-casts each w_s so the few-source sum is
+    order-free; targets use floor (round-half diverges between engines).
+    The rates relation is #sources-sized and broadcast; the corpus-side
+    filter is the same narrow sha256 map as `corpus_mix_resample`."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", r"\s+")).alias("n_tok")
+    )
+    counts = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    )
+    w = F.exp(F.log(F.col("n_tokens").cast("double")) / F.lit(_TEMP_T))
+    weighted = counts.select("source", "n_docs", "n_tokens", w.alias("w"))
+    tot = weighted.agg(
+        F.sum(F.col("w").cast("decimal(28,12)")).cast("double").alias("sum_w"),
+        F.sum("n_docs").alias("total_docs"),
+    )
+    rates = (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.least(
+                F.col("n_docs"),
+                F.floor(
+                    F.lit(_TEMP_FRAC) * F.col("total_docs") * F.col("w") / F.col("sum_w")
+                ).cast("long"),
+            ).alias("n_target"),
+        )
+        .withColumn(
+            "rate", F.col("n_target").cast("double") / F.col("n_docs")
+        )
+    )
+    kept = (
+        docs.join(F.broadcast(rates.select("source", "rate")), "source")
+        .filter(
+            sample_hash_ratio(F.concat(F.lit("tmix-"), F.col("doc_id"))) < F.col("rate")
+        )
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_target",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.round("rate", 6).alias("rate"),
+        )
+        .orderBy("source")
+    )
+
+
+CORPUS_TEMPERATURE_MIX_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_tok
+  FROM documents
+),
+counts AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens FROM d GROUP BY source
+),
+weighted AS (
+  SELECT source, n_docs, n_tokens,
+         exp(ln(CAST(n_tokens AS DOUBLE)) / {_TEMP_T!r}) AS w
+  FROM counts
+),
+tot AS (
+  SELECT CAST(SUM(CAST(w AS DECIMAL(28,12))) AS DOUBLE) AS sum_w,
+         SUM(n_docs) AS total_docs
+  FROM weighted
+),
+rates AS (
+  SELECT source, n_docs, n_tokens,
+         LEAST(n_docs, CAST(FLOOR({_TEMP_FRAC!r} * total_docs * w / sum_w) AS BIGINT)) AS n_target
+  FROM weighted CROSS JOIN tot
+),
+r2 AS (SELECT *, CAST(n_target AS DOUBLE) / n_docs AS rate FROM rates),
+kept AS (
+  SELECT d.source, COUNT(*) AS n_kept
+  FROM d JOIN r2 USING (source)
+  WHERE {sample_hash_ratio_sql("'tmix-' || CAST(doc_id AS VARCHAR)")} < r2.rate
+  GROUP BY d.source
+)
+SELECT r2.source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens, n_target,
+       COALESCE(n_kept, 0) AS n_kept, ROUND(rate, 6) AS rate
+FROM r2 LEFT JOIN kept ON r2.source = kept.source
+ORDER BY r2.source
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "corpus_temperature_mix": (corpus_temperature_mix, CORPUS_TEMPERATURE_MIX_SQL),
     "corpus_shard_balance": (corpus_shard_balance, CORPUS_SHARD_SQL),
     "corpus_curriculum_order": (corpus_curriculum_order, CORPUS_CURRICULUM_SQL),
     "corpus_source_overlap": (corpus_source_overlap, _corpus_overlap_sql()),

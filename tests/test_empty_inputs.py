@@ -45,6 +45,7 @@ EMPTY_SAFE = [
     "feat_tfidf_top_terms",
     "feat_equidepth_bins",
     "corpus_kl_drift",
+    "corpus_temperature_mix",
     "corpus_reservoir_per_source",
     "basket_part_pairs",
     "link_entity_resolution",

@@ -127,6 +127,7 @@ BNLJ_BY_DESIGN = {
     "sess_daily_gapfill",  # calendar-days x event-type-enum grid cross (both config-sized)
     "sess_event_assoc",  # 1-row distinct-user-count broadcast onto the pair table
     "corpus_kl_drift",  # 1-row corpus-totals broadcast onto the vocab-sized freq table
+    "corpus_temperature_mix",  # 1-row weight-normalizer broadcast onto the source-sized rates
     "feat_equidepth_bins",  # 1-row percentile-bounds broadcast onto the bin-assign map
     "feat_tfidf_top_terms",  # 1-row corpus-size broadcast onto the tf-df join
     "graph_pagerank",  # 1-row node-count broadcast onto the rank init
@@ -353,6 +354,13 @@ BENCH_PLAN_FINGERPRINTS = {
     },
     "sim_binary_quality": {},
     "graph_kcore": {},
+    "corpus_temperature_mix": {
+        "shuffle_exchange": 8,
+        "broadcast_exchange": 3,
+        "BroadcastHashJoin": 1,
+        "SortMergeJoin": 1,
+        "BroadcastNestedLoopJoin": 2,
+    },
     "sess_survival_km": {
         "shuffle_exchange": 4,
         "broadcast_exchange": 1,
