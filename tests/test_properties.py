@@ -335,8 +335,15 @@ def test_prop_adpcm_bounded_and_container(n, seed):
     s = np.random.RandomState(seed).randint(-32768, 32767, n).astype(np.int16)
     out, rate = decode_wav_ima(encode_wav_ima(s, 16000))
     assert rate == 16000 and len(out) == n
-    # full-scale uniform noise: adaptive quantizer tracks within ~1/3 scale
-    assert np.abs(out.astype(int) - s.astype(int)).mean() < 11000
+    # full-scale uniform noise: once the adaptive quantizer has ramped its
+    # step size (IMA starts at step index 0 and climbs at most +8 indexes
+    # per sample, so ~11 samples to reach full scale), tracking stays
+    # within ~1/3 scale. The bound deliberately EXCLUDES the warmup prefix:
+    # hypothesis found n=2 full-scale streams where no adaptive codec can
+    # have adapted yet (mean error ~20k) — inherent to ADPCM, not a bug.
+    if n > 16:
+        tail = slice(16, None)
+        assert np.abs(out.astype(int)[tail] - s.astype(int)[tail]).mean() < 11000
 
 
 @settings(max_examples=25, deadline=None)
