@@ -21,6 +21,36 @@ SF = "/root/testdata/sf0.01"
 
 AUDITS = [
     (
+        "dedup_prefix_join",
+        "Prefix-filtering similarity join (PPJoin): the shingle-set relation "
+        "is a persisted one-pass build (InMemoryRelation in-plan); candidate "
+        "generation is an equi-join keyed on RARE prefix shingles (the "
+        "frequency ordering is what bounds bucket skew), fenced by "
+        "length-ratio + positional filters before the exact verify join — "
+        "no all-pairs stage anywhere.",
+    ),
+    (
+        "graph_hits",
+        "HITS: per half-iteration ONE equi-join + map-side-combinable integer "
+        "sum over a lineage-free (localCheckpointed) bipartite edge list; the "
+        "shared a2 frontier is checkpointed so both output branches read it "
+        "instead of re-executing the chain (26 -> 8 shuffles).",
+    ),
+    (
+        "sim_ann_binary",
+        "Binary-sketch ANN: the corpus-wide stage touches only two bigint "
+        "signature columns (integer XOR/popcount inside codegen, no float "
+        "folds); the top-M window shuffles skinny int rows; the float cosine "
+        "runs on M rows per query after broadcast joins.",
+    ),
+    (
+        "corpus_temperature_mix",
+        "Temperature mixing: two corpus scans (counts, then filter) instead "
+        "of materializing the corpus — the right trade at 100 TB; the rates "
+        "relation is #sources-sized and broadcast; the keep-filter is a "
+        "narrow sha256 map.",
+    ),
+    (
         "q1_pricing_summary",
         "Flagship aggregation: the shipdate predicate is pushed into the "
         "parquet scan (PushedFilters), only the 7 referenced columns are read "

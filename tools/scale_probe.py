@@ -30,6 +30,12 @@ PROBES = [
     "q1_pricing_summary",
     "graph_hits",
     "dedup_prefix_join",
+    "sess_survival_km",
+    "stat_sprt_ab",
+    "corpus_temperature_mix",
+    "multimodal_ulaw_stats",
+    "text_trigram_kn_logprob",
+    "graph_kcore",
     "sim_ann_binary",
     "multimodal_qoi_stats",
     "retrieval_rrf_fusion",
