@@ -116,6 +116,7 @@ HEADLINE = [
     "dq_psi_drift",
     "sketch_bitmap_distinct",
     "sdp_daily_rollup",
+    "st_sprt_monitor",
     "stat_ab_welch",
     "stat_bootstrap_ci",
     "stat_sprt_ab",

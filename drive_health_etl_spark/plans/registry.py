@@ -495,6 +495,10 @@ from drive_health_etl_spark.streaming.corpus_stream import (
     _st_corpus_dedup_sql,
     st_corpus_dedup,
 )
+from drive_health_etl_spark.streaming.sprt_stream import (
+    ST_SPRT_MONITOR_SQL,
+    st_sprt_monitor,
+)
 from drive_health_etl_spark.streaming.media_stream import (
     ST_MEDIA_DECODE_SQL,
     st_media_decode,
@@ -503,6 +507,7 @@ from drive_health_etl_spark.streaming.media_stream import (
 _MERGED: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "st_corpus_dedup": (st_corpus_dedup, _st_corpus_dedup_sql()),
     "st_media_decode": (st_media_decode, ST_MEDIA_DECODE_SQL),
+    "st_sprt_monitor": (st_sprt_monitor, ST_SPRT_MONITOR_SQL),
     "st_lake_merge_stream": (st_lake_merge_stream, _snapshots.LAKE_MERGE_SQL),
     "st_stateful_counters": (st_stateful_counters, ST_STATEFUL_SQL),
     "st_stream_stream_join": (st_stream_stream_join, ST_STREAM_STREAM_SQL),
@@ -644,7 +649,7 @@ _ORDER = [
     "u9_udtf_polymorphic",
     "multimodal_resize_stats", "multimodal_video_stats",
     "st_stateful_counters", "st_stream_stream_join", "st_stream_stream_left",
-    "st_stream_dedup", "st_corpus_dedup", "st_media_decode",
+    "st_stream_dedup", "st_corpus_dedup", "st_media_decode", "st_sprt_monitor",
     "text_bpe_train", "sdp_daily_rollup", "lake_time_travel", "lake_merge",
     "lake_schema_evolution", "lake_wap_publish", "lake_stats_pruned_read",
     "rollup_incremental", "st_stream_static_enrich", "sql_udf_suite",
