@@ -669,7 +669,7 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     The rates relation is #sources-sized and broadcast; the corpus-side
     filter is the same narrow sha256 map as `corpus_mix_resample`."""
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.size(F.split("text", r"\s+")).alias("n_tok")
+        "doc_id", "source", F.size(tokens_col()).alias("n_tok")
     )
     counts = docs.groupBy("source").agg(
         F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens")

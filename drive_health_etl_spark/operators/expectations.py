@@ -241,11 +241,17 @@ def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("digit")
     )
-    counts = o.groupBy("digit").agg(F.count("*").alias("n_obs"))
+    # Out-of-range digits (0 from totals in [0,1), NULL from negatives) are
+    # excluded on BOTH sides — the oracle's inner join on the 9-digit p0
+    # table drops them, so Spark must too; totals still count every row.
+    counts = (
+        o.filter(F.col("digit").between(1, 9))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n_obs"))
+    )
     total = o.agg(F.count("*").alias("n_total"))
     p = (
-        F.when(F.col("digit") == 0, F.lit(None).cast("double"))
-            .when(F.col("digit") == 1, F.lit(0.3010299956639812))
+        F.when(F.col("digit") == 1, F.lit(0.3010299956639812))
             .when(F.col("digit") == 2, F.lit(0.17609125905568124))
             .when(F.col("digit") == 3, F.lit(0.12493873660829992))
             .when(F.col("digit") == 4, F.lit(0.09691001300805642))
@@ -276,7 +282,8 @@ WITH digits AS (
   SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
   FROM orders
 ),
-counts AS (SELECT digit, COUNT(*) AS n_obs FROM digits GROUP BY digit),
+counts AS (SELECT digit, COUNT(*) AS n_obs FROM digits
+           WHERE digit BETWEEN 1 AND 9 GROUP BY digit),
 total AS (SELECT COUNT(*) AS n_total FROM digits),
 p0(digit, prob0) AS (VALUES (1, 0.3010299956639812), (2, 0.17609125905568124), (3, 0.12493873660829992), (4, 0.09691001300805642), (5, 0.07918124604762482), (6, 0.06694678963061322), (7, 0.05799194697768673), (8, 0.05115252244738129), (9, 0.04575749056067514))
 SELECT c.digit, c.n_obs,

@@ -506,6 +506,17 @@ _MEDIA_CACHE: dict[tuple, DataFrame] = {}
 
 def _cached_media(spark: SparkSession, key: tuple, build) -> DataFrame:
     full_key = (spark.sparkContext.applicationId, *key)
+    # Evict entries from stopped sessions (their DataFrame handles are dead
+    # and their storage memory is gone with the JVM) so the cache stays
+    # bounded in long-lived drivers — same discipline as _CENTROID_CACHE's
+    # session-keyed bound and dedup._cached.
+    app_id = spark.sparkContext.applicationId
+    for stale in [k for k in _MEDIA_CACHE if k[0] != app_id]:
+        try:
+            _MEDIA_CACHE[stale].unpersist()
+        except Exception:
+            pass  # session already gone; the handle is unusable either way
+        del _MEDIA_CACHE[stale]
     df = _MEDIA_CACHE.get(full_key)
     if df is None:
         df = build().persist()

@@ -20,9 +20,10 @@ ordering; LLR at each boundary is two integer-by-literal products (the
 
 from __future__ import annotations
 
+import glob
+import os
 import shutil
 import tempfile
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -50,14 +51,30 @@ def st_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("event_type") == "purchase").cast("int").alias("x"),
         )
     )
+    # FIXTURE-ONLY global sort: this NTILE builds the 3 deterministic test
+    # micro-batch files so the DuckDB oracle can reproduce the batch
+    # boundaries. Nothing here ships to the 100-TB path — the monitor's
+    # state is two integers and the per-batch agg is map-side combinable.
     w = Window.orderBy(F.col("ts").asc(), F.col("event_id").asc())
     batched = e.select("x", F.ntile(_SPRT_BATCHES).over(w).alias("b"))
 
+    # One explicitly-named file per batch with strictly increasing mtimes:
+    # Spark's file source orders new files by modification time, and an
+    # mtime tie between two spool files would reorder micro-batches vs the
+    # NTILE oracle. Staging + rename + utime makes the order unambiguous.
     src = tempfile.mkdtemp(prefix="dhe_sprt_src_")
+    ckpt = tempfile.mkdtemp(prefix="dhe_sprt_ckpt_")
+    t0 = int(os.stat(src).st_mtime)
     for b in range(1, _SPRT_BATCHES + 1):  # one file per batch, in order
+        stage = os.path.join(src, f"_stage_{b}")
         batched.filter(F.col("b") == b).select("x", "b").coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
+            "overwrite"
+        ).parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"batch_{b:03d}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(stage, ignore_errors=True)
+        os.utime(dst, (t0 + b, t0 + b))
 
     stream = (
         spark.readStream.schema("x int, b int")
@@ -81,11 +98,12 @@ def st_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = (
             stream.writeStream.foreachBatch(on_batch)
             .trigger(availableNow=True)
-            .option("checkpointLocation", f"{src}_ckpt_{uuid.uuid4().hex[:8]}")
+            .option("checkpointLocation", ckpt)
             .start()
         )
         q.awaitTermination()
     shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
 
     out = spark.createDataFrame(rows, "batch int, cum_n long, cum_k long")
     llr = (
