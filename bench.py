@@ -186,19 +186,23 @@ def main() -> None:
     run_one(spark, "a5_agg_suite", SF_DIR)
     run_one(spark, "pipeline_ingest_e2e", SF_DIR)
 
-    # Sample each query until the two SMALLEST samples agree within 20%
-    # (max 6 samples), then report the min. The VM's background load adds
+    # Sample each query until the two SMALLEST samples agree within 10%
+    # (max 10 samples), then report the min. The VM's background load adds
     # multi-second noise to single samples (observed 3.9s-10.8s for the same
     # warm query), and round 3 showed >2x cross-run swings on sub-second
     # queries (dq_psi_drift 0.40<->0.87s) with only 2-3 samples — a
     # reproduced min (two agreeing smallest) is the engine's actual cost.
+    # The 10%/10 rule replaced 20%/6 in round 6: the r5 headline moved +6.1%
+    # on byte-identical code because the recorded per-query spread was
+    # routinely ~1.06-1.13 — the stopping rule must be tighter than the
+    # round-over-round delta it is supposed to adjudicate.
     timings: dict[str, float] = {}
     sampling: dict[str, dict] = {}
     for name in HEADLINE:
         samples = [run_one(spark, name, SF_DIR), run_one(spark, name, SF_DIR)]
-        while len(samples) < 6:
+        while len(samples) < 10:
             lo1, lo2 = sorted(samples)[:2]
-            if lo2 <= 1.2 * lo1:
+            if lo2 <= 1.1 * lo1:
                 break
             samples.append(run_one(spark, name, SF_DIR))
         timings[name] = round(min(samples), 3)

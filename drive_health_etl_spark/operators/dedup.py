@@ -82,9 +82,15 @@ def shingles_col() -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+# The single-element list_transform wrapper binds the token array ONCE per
+# row: referencing TOKENS_SQL inside the per-shingle lambda re-evaluates the
+# full regexp split per element (O(tokens^2) regexp work per document — 0.94s
+# vs 0.03s for the whole sf0.01 shingle explode in DuckDB). Same rows, same
+# order.
 SHINGLES_SQL = (
-    f"list_transform(range(1, len({TOKENS_SQL})-1),"
-    f" i -> {TOKENS_SQL}[i] || ' ' || {TOKENS_SQL}[i+1] || ' ' || {TOKENS_SQL}[i+2])"
+    f"list_transform([{TOKENS_SQL}],"
+    " toks -> list_transform(range(1, len(toks)-1),"
+    " i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))[1]"
 )
 
 

@@ -509,8 +509,12 @@ def _cached_media(spark: SparkSession, key: tuple, build) -> DataFrame:
     # Evict entries from stopped sessions (their DataFrame handles are dead
     # and their storage memory is gone with the JVM) so the cache stays
     # bounded in long-lived drivers — same discipline as _CENTROID_CACHE's
-    # session-keyed bound and dedup._cached.
-    app_id = spark.sparkContext.applicationId
+    # session-keyed bound and dedup._cached. NOTE: "different applicationId"
+    # equals "stopped" only because this driver runs sessions sequentially
+    # (one local JVM at a time); if alternating live sessions ever share one
+    # driver, check liveness (SparkSession.getActiveSession / an app
+    # registry) before unpersisting another session's entries.
+    app_id = full_key[0]
     for stale in [k for k in _MEDIA_CACHE if k[0] != app_id]:
         try:
             _MEDIA_CACHE[stale].unpersist()

@@ -64,46 +64,54 @@ def st_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NTILE oracle. Staging + rename + utime makes the order unambiguous.
     src = tempfile.mkdtemp(prefix="dhe_sprt_src_")
     ckpt = tempfile.mkdtemp(prefix="dhe_sprt_ckpt_")
-    t0 = int(os.stat(src).st_mtime)
-    for b in range(1, _SPRT_BATCHES + 1):  # one file per batch, in order
-        stage = os.path.join(src, f"_stage_{b}")
-        batched.filter(F.col("b") == b).select("x", "b").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(stage)
-        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-        dst = os.path.join(src, f"batch_{b:03d}.parquet")
-        shutil.move(part, dst)
-        shutil.rmtree(stage, ignore_errors=True)
-        os.utime(dst, (t0 + b, t0 + b))
+    try:
+        t0 = int(os.stat(src).st_mtime)
+        for b in range(1, _SPRT_BATCHES + 1):  # one file per batch, in order
+            stage = os.path.join(src, f"_stage_{b}")
+            batched.filter(F.col("b") == b).select("x", "b").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(stage)
+            parts = glob.glob(os.path.join(stage, "part-*.parquet"))
+            if not parts:
+                # An empty micro-batch (no treatment-arm events landed in this
+                # tercile) writes no part file; skip it — the monitor's cum
+                # counters are unchanged by an empty batch anyway.
+                shutil.rmtree(stage, ignore_errors=True)
+                continue
+            dst = os.path.join(src, f"batch_{b:03d}.parquet")
+            shutil.move(parts[0], dst)
+            shutil.rmtree(stage, ignore_errors=True)
+            os.utime(dst, (t0 + b, t0 + b))
 
-    stream = (
-        spark.readStream.schema("x int, b int")
-        .option("maxFilesPerTrigger", 1)
-        .format("parquet")
-        .load(src)
-    )
-
-    rows: list[tuple[int, int, int]] = []
-    state = {"n": 0, "k": 0}  # the ENTIRE SPRT state: two integers
-
-    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
-        agg = batch_df.groupBy().agg(
-            F.count("*").alias("n"), F.coalesce(F.sum("x"), F.lit(0)).alias("k")
-        ).collect()[0]
-        state["n"] += int(agg["n"])
-        state["k"] += int(agg["k"])
-        rows.append((int(batch_id) + 1, state["n"], state["k"]))
-
-    with shuffle_partitions(spark, 8):
-        q = (
-            stream.writeStream.foreachBatch(on_batch)
-            .trigger(availableNow=True)
-            .option("checkpointLocation", ckpt)
-            .start()
+        stream = (
+            spark.readStream.schema("x int, b int")
+            .option("maxFilesPerTrigger", 1)
+            .format("parquet")
+            .load(src)
         )
-        q.awaitTermination()
-    shutil.rmtree(src, ignore_errors=True)
-    shutil.rmtree(ckpt, ignore_errors=True)
+
+        rows: list[tuple[int, int, int]] = []
+        state = {"n": 0, "k": 0}  # the ENTIRE SPRT state: two integers
+
+        def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+            agg = batch_df.groupBy().agg(
+                F.count("*").alias("n"), F.coalesce(F.sum("x"), F.lit(0)).alias("k")
+            ).collect()[0]
+            state["n"] += int(agg["n"])
+            state["k"] += int(agg["k"])
+            rows.append((int(batch_id) + 1, state["n"], state["k"]))
+
+        with shuffle_partitions(spark, 8):
+            q = (
+                stream.writeStream.foreachBatch(on_batch)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
 
     out = spark.createDataFrame(rows, "batch int, cum_n long, cum_k long")
     llr = (

@@ -57,7 +57,13 @@ WARMUP = [
 # checkpoints; ordering kept out of caution, not a known conflict).
 _SERIAL_PREFIXES = ("st_", "st8_", "lake_", "sdp_", "rollup_", "pipeline_", "s9_")
 
-POOL_WORKERS = 6  # 32-core box: 6 workers x ~5 spark threads — raised from 4 when the registry crossed 310 queries (136s -> target <120s wall)
+POOL_WORKERS = 6  # 32-core box: 6 workers x ~5 spark threads — measured best
+# (8 workers only inflates per-query contention: spark-side total grew
+# 351s -> 420s for the same wall). The r6 SHINGLES_SQL oracle fix dropped the
+# DuckDB side to ~27s total, so the remaining levers are Spark-side.
+STREAM_POOL_WORKERS = 3  # the write-side group: each query owns its temp
+# dirs/checkpoints (mkdtemp) and Spark supports concurrent availableNow
+# streams in one session; 3 workers cut the 40s serial tail to ~15s.
 
 
 def _is_serial(name: str) -> bool:
@@ -128,21 +134,39 @@ def main() -> int:
     if serial_only:
         serial, pooled = serial + pooled, []
 
+    # one DuckDB connection per worker; Spark session is shared (job
+    # submission is thread-safe; results are collected per-thread)
+    import threading
+
+    local = threading.local()
+
+    def pool_run(name: str) -> None:
+        if not hasattr(local, "con"):
+            local.con = new_con()
+        run_one(name, local.con)
+
     main_con = new_con()
-    for name in warm + serial:
+    t_warm = time.monotonic()
+    for name in warm:
         run_one(name, main_con)
+    t_serial = time.monotonic()
+    if serial_only:
+        for name in serial:
+            run_one(name, main_con)
+    elif serial:
+        # The write-side group runs on its own SMALL pool: each query owns
+        # its temp dirs and checkpoint locations (tempfile.mkdtemp), and
+        # Spark runs concurrent availableNow streams in one session fine.
+        # Kept separate from the big pool so at most a few streaming
+        # queries are ever in flight together.
+        with ThreadPoolExecutor(max_workers=STREAM_POOL_WORKERS) as pool:
+            list(pool.map(pool_run, serial))
+    t_pool = time.monotonic()
+    print(
+        f"[groups] warmup {t_serial - t_warm:.1f}s ({len(warm)}), "
+        f"write-side {t_pool - t_serial:.1f}s ({len(serial)})"
+    )
     if pooled:
-        # one DuckDB connection per worker; Spark session is shared (job
-        # submission is thread-safe; results are collected per-thread)
-        import threading
-
-        local = threading.local()
-
-        def pool_run(name: str) -> None:
-            if not hasattr(local, "con"):
-                local.con = new_con()
-            run_one(name, local.con)
-
         with ThreadPoolExecutor(max_workers=POOL_WORKERS) as pool:
             list(pool.map(pool_run, pooled))
 
