@@ -66,6 +66,7 @@ HEADLINE = [
     "multimodal_jpeg_prog_stats",
     "multimodal_jpeg_bytes",
     "multimodal_mjpeg_stats",
+    "multimodal_mjpeg_p_stats",
     "multimodal_adpcm_stats",
     "multimodal_ulaw_stats",
     "multimodal_gif_stats",

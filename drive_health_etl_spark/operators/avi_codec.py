@@ -122,6 +122,208 @@ def encode_avi_mjpeg(frames: list[np.ndarray], fps: int = 10, quality_444: bool 
     return b"RIFF" + struct.pack("<I", len(riff_payload)) + riff_payload
 
 
+# --- Lossless P-frame mode (conditional replenishment) -----------------------
+#
+# The honest middle step between intra-only MJPEG and motion-compensated
+# codecs (H.264-class, which still refuse without ffmpeg): inter-frame
+# coding WITHOUT motion search. Each P-frame carries, per 8x8 block, a skip
+# flag (block unchanged since the previous frame) and, for changed blocks,
+# raw mod-256 deltas — "conditional replenishment", the classic pre-motion-
+# compensation interframe scheme (Mounts, Bell System Technical Journal 48,
+# 1969). Everything is lossless, so the whole clip reconstructs BYTE-EXACT:
+# the keyframe is a standard BI_RGB bottom-up DIB in a '00db' chunk (the
+# stock uncompressed-AVI frame encoding), P-frames are '00dc' chunks with a
+# private 'LP01' fourcc payload. Exactness is what buys the oracle: skip
+# counts and delta sums are reproducible in SQL from the raster rule.
+
+LP_FOURCC = b"LP01"
+LP_BLOCK = 8
+
+
+def _dib_encode(frame: np.ndarray) -> bytes:
+    """BI_RGB DIB raster: bottom-up rows, BGR order, 4-byte row stride."""
+    h, w = frame.shape[:2]
+    stride = (w * 3 + 3) // 4 * 4
+    rows = []
+    for y in range(h - 1, -1, -1):
+        row = frame[y, :, ::-1].tobytes()  # RGB -> BGR
+        rows.append(row + b"\x00" * (stride - len(row)))
+    return b"".join(rows)
+
+
+def _dib_decode(payload: bytes, w: int, h: int) -> np.ndarray:
+    stride = (w * 3 + 3) // 4 * 4
+    if len(payload) < stride * h:
+        raise ValueError("DIB keyframe shorter than geometry requires")
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    for i in range(h):
+        row = np.frombuffer(payload[i * stride : i * stride + w * 3], dtype=np.uint8)
+        out[h - 1 - i] = row.reshape(w, 3)[:, ::-1]  # BGR -> RGB
+    return out
+
+
+def _block_grid(w: int, h: int) -> list[tuple[int, int, int, int]]:
+    """Raster-order (y0, y1, x0, x1) spans of the 8x8 grid (edges cropped)."""
+    return [
+        (y, min(y + LP_BLOCK, h), x, min(x + LP_BLOCK, w))
+        for y in range(0, h, LP_BLOCK)
+        for x in range(0, w, LP_BLOCK)
+    ]
+
+
+def _lp_encode_pframe(prev: np.ndarray, cur: np.ndarray) -> bytes:
+    """'LP01' P-frame payload: header, LSB-first skip bitmap (bit set =
+    block PRESENT), then mod-256 delta bytes for present blocks in raster
+    order (cropped block region, row-major, 3 channels)."""
+    h, w = cur.shape[:2]
+    grid = _block_grid(w, h)
+    bitmap = bytearray((len(grid) + 7) // 8)
+    deltas = []
+    for b, (y0, y1, x0, x1) in enumerate(grid):
+        d = (cur[y0:y1, x0:x1].astype(np.int16) - prev[y0:y1, x0:x1].astype(np.int16)) % 256
+        if d.any():
+            bitmap[b // 8] |= 1 << (b % 8)
+            deltas.append(d.astype(np.uint8).tobytes())
+    return (
+        LP_FOURCC
+        + struct.pack("<HHBB", w, h, LP_BLOCK, 0)
+        + bytes(bitmap)
+        + b"".join(deltas)
+    )
+
+
+def _lp_decode_pframe(payload: bytes, prev: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """Reconstruct a P-frame; returns (frame, n_skipped_blocks, sum_delta)."""
+    if payload[:4] != LP_FOURCC:
+        raise ValueError("P-frame chunk missing LP01 magic")
+    w, h, blk, _ = struct.unpack("<HHBB", payload[4:10])
+    if blk != LP_BLOCK:
+        raise NotImplementedError(f"LP01 block size {blk} (only {LP_BLOCK} supported)")
+    if prev.shape[:2] != (h, w):
+        raise ValueError("P-frame geometry disagrees with reference frame")
+    grid = _block_grid(w, h)
+    nbm = (len(grid) + 7) // 8
+    bitmap = payload[10 : 10 + nbm]
+    pos = 10 + nbm
+    cur = prev.copy()
+    n_skip, sum_delta = 0, 0
+    for b, (y0, y1, x0, x1) in enumerate(grid):
+        if not (bitmap[b // 8] >> (b % 8)) & 1:
+            n_skip += 1
+            continue
+        n = (y1 - y0) * (x1 - x0) * 3
+        d = np.frombuffer(payload[pos : pos + n], dtype=np.uint8)
+        if len(d) != n:
+            raise ValueError("P-frame delta payload truncated")
+        pos += n
+        sum_delta += int(d.sum())
+        cur[y0:y1, x0:x1] = (
+            cur[y0:y1, x0:x1].astype(np.int16) + d.reshape(y1 - y0, x1 - x0, 3)
+        ).astype(np.uint8)  # int16 + uint8 wraps mod 256 on the cast back
+    return cur, n_skip, sum_delta
+
+
+def encode_avi_lossless_p(frames: list[np.ndarray], fps: int = 10) -> bytes:
+    """Encode RGB uint8 frames as an AVI with a DIB keyframe ('00db',
+    BI_RGB) and LP01 conditional-replenishment P-frames ('00dc') — the same
+    RIFF layout as ``encode_avi_mjpeg`` with biCompression 'LP01'."""
+    if not frames:
+        raise ValueError("AVI needs at least one frame")
+    h, w = frames[0].shape[:2]
+    if any(f.shape[:2] != (h, w) for f in frames):
+        raise ValueError("all frames must share dimensions")
+    payloads = [(b"00db", _dib_encode(frames[0]))]
+    for i in range(1, len(frames)):
+        payloads.append((b"00dc", _lp_encode_pframe(frames[i - 1], frames[i])))
+    max_size = max(len(p) for _, p in payloads)
+
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, max_size * fps, 0, AVIF_HASINDEX,
+        len(payloads), 0, 1, max_size, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + LP_FOURCC
+        + struct.pack(
+            "<IHHIIIIIIIi4h",
+            0, 0, 0, 0, 1, fps, 0, len(payloads), max_size, 0xFFFFFFFF, 0,
+            0, 0, w, h,
+        )
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, LP_FOURCC, w * h * 3, 0, 0, 0, 0
+    )
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih) + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+    )
+    movi_payload = b""
+    index_entries = []
+    for fourcc, p in payloads:
+        index_entries.append((fourcc, 4 + len(movi_payload), len(p)))
+        movi_payload += _chunk(fourcc, p)
+    movi = _list(b"movi", movi_payload)
+    idx1 = _chunk(
+        b"idx1",
+        b"".join(
+            fourcc + struct.pack("<III", AVIIF_KEYFRAME if fourcc == b"00db" else 0, off, size)
+            for fourcc, off, size in index_entries
+        ),
+    )
+    riff_payload = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(riff_payload)) + riff_payload
+
+
+def decode_avi_lossless_p(blob: bytes) -> tuple[list[np.ndarray], dict]:
+    """Decode a DIB+LP01 AVI. Returns (frames, meta) with meta carrying the
+    container geometry plus per-clip P-frame accounting:
+    ``n_skipped_blocks`` (skip flags honored across all P-frames) and
+    ``sum_delta`` (sum of all transmitted delta bytes)."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        raise ValueError("not an AVI (missing RIFF/AVI header)")
+    (riff_size,) = struct.unpack("<I", blob[4:8])
+    end = min(8 + riff_size, len(blob))
+    meta: dict = {}
+    frames: list[np.ndarray] = []
+    n_skip_total, sum_delta_total, n_indexed = 0, 0, None
+    for fourcc, p, size in _walk_chunks(blob, 12, end):
+        if fourcc == b"LIST":
+            list_type = blob[p : p + 4]
+            if list_type == b"hdrl":
+                for f2, p2, s2 in _walk_chunks(blob, p + 4, p + size):
+                    if f2 == b"avih":
+                        vals = struct.unpack("<14I", blob[p2 : p2 + 56])
+                        meta = {
+                            "n_frames": vals[4],
+                            "width": vals[8],
+                            "height": vals[9],
+                            "usec_per_frame": vals[0],
+                        }
+            elif list_type == b"movi":
+                for f2, p2, s2 in _walk_chunks(blob, p + 4, p + size):
+                    if f2 == b"00db":
+                        if not meta:
+                            raise ValueError("DIB keyframe before avih header")
+                        frames.append(_dib_decode(blob[p2 : p2 + s2], meta["width"], meta["height"]))
+                    elif f2 == b"00dc":
+                        if not frames:
+                            raise ValueError("P-frame with no reference frame")
+                        cur, n_skip, sd = _lp_decode_pframe(blob[p2 : p2 + s2], frames[-1])
+                        frames.append(cur)
+                        n_skip_total += n_skip
+                        sum_delta_total += sd
+        elif fourcc == b"idx1":
+            n_indexed = size // 16
+    if not meta:
+        raise ValueError("AVI missing avih header")
+    if meta["n_frames"] != len(frames):
+        raise ValueError(f"avih declares {meta['n_frames']} frames, movi has {len(frames)}")
+    if n_indexed is not None and n_indexed != len(frames):
+        raise ValueError(f"idx1 has {n_indexed} entries for {len(frames)} frames")
+    meta["n_skipped_blocks"] = n_skip_total
+    meta["sum_delta"] = sum_delta_total
+    return frames, meta
+
+
 def _walk_chunks(data: bytes, pos: int, end: int):
     """Yield (fourcc, payload_start, payload_size) honoring even padding."""
     while pos + 8 <= end:

@@ -15,9 +15,13 @@ the full DCT/Huffman pipeline in ``jpeg_codec.py`` — `multimodal_decode_stats`
 / `multimodal_png_stats` / `multimodal_jpeg_stats` / `multimodal_audio_stats`
 oracle-check the decoded raster/sample statistics end to end (JPEG's oracle
 bounds reconstruction error instead of matching exact means, because the
-format is lossy). mp3/video media still raise ``NotImplementedError``
-(their codecs need ffmpeg, not in this container); the deterministic fake
-remains for format-agnostic plumbing tests.
+format is lossy). Inter-frame video decodes FOR REAL in the
+conditional-replenishment LP01 mode (``avi_codec.encode_avi_lossless_p`` —
+DIB keyframe + per-block skip flags + mod-256 deltas, lossless, exact
+oracle via `multimodal_mjpeg_p_stats`); mp3 subband/IMDCT and
+MOTION-COMPENSATED video (H.264-class motion search) still raise
+``NotImplementedError`` (those need ffmpeg, not in this container); the
+deterministic fake remains for format-agnostic plumbing tests.
 """
 
 from __future__ import annotations
@@ -96,12 +100,14 @@ def decode_image(blob: bytes, *, fake: bool = False) -> np.ndarray:
 
             return decode_jpeg_progressive(blob)
     raise NotImplementedError(
-        f"no pure-python codec for magic {magic!r} (mp3/H.264-class "
-        "inter-frame codecs need ffmpeg, not in this container); NetPBM, "
-        "8-bit gray/RGB PNG, and baseline JFIF JPEG decode natively here — "
-        "MJPEG AVI video via avi_codec.decode_avi_mjpeg, IMA ADPCM audio via "
-        "adpcm_codec.decode_wav_ima — or pass fake=True for the "
-        "deterministic test double"
+        f"no pure-python codec for magic {magic!r} (mp3 subband/IMDCT and "
+        "MOTION-COMPENSATED video — H.264-class motion search/reference "
+        "lists — need ffmpeg, not in this container); NetPBM, 8-bit "
+        "gray/RGB PNG, and baseline JFIF JPEG decode natively here — MJPEG "
+        "AVI video via avi_codec.decode_avi_mjpeg, inter-frame "
+        "conditional-replenishment video via avi_codec.decode_avi_lossless_p, "
+        "IMA ADPCM audio via adpcm_codec.decode_wav_ima — or pass fake=True "
+        "for the deterministic test double"
     )
 
 
@@ -1572,6 +1578,170 @@ FROM documents WHERE doc_id % 3 = 2
 """
 
 
+# --- Inter-frame video: lossless P-frames (conditional replenishment) --------
+
+_LP_PAYLOAD = MJPEG_W * MJPEG_H * 3  # 576 bytes per 16x12 RGB frame
+
+
+def _lp_frame_payload(text: str, f: int) -> bytes:
+    """Frame rasters for the P-frame clips, mirroring the SQL oracle rule:
+    frame 0 is the doc's base payload (rpad construction); frame f >= 1 is
+    the base with 8x8 block f's region replaced by the text shifted 7*f —
+    so consecutive frames differ in at most two blocks (the block frame f
+    repaints plus the block frame f-1 repainted reverting to base), which
+    is exactly the sparse-change regime conditional replenishment exists
+    for."""
+    src = text + " "
+
+    def pay(off: int) -> bytes:
+        out = src[off:]
+        while len(out) < _LP_PAYLOAD:
+            out += src
+        return out[:_LP_PAYLOAD].encode("utf-8")
+
+    base = np.frombuffer(pay(0), dtype=np.uint8).reshape(MJPEG_H, MJPEG_W, 3)
+    if f == 0:
+        return base.tobytes()
+    from drive_health_etl_spark.operators.avi_codec import _block_grid
+
+    y0, y1, x0, x1 = _block_grid(MJPEG_W, MJPEG_H)[f]
+    shifted = np.frombuffer(pay(7 * f), dtype=np.uint8).reshape(MJPEG_H, MJPEG_W, 3)
+    cur = base.copy()
+    cur[y0:y1, x0:x1] = shifted[y0:y1, x0:x1]
+    return cur.tobytes()
+
+
+def attach_lossless_p_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL inter-frame video table: every doc with doc_id % 3 == 2
+    becomes a 4-frame AVI with a BI_RGB DIB keyframe and LP01
+    conditional-replenishment P-frames (``avi_codec.encode_avi_lossless_p``
+    — per-8x8-block skip flags + mod-256 deltas, fully lossless). Encoded
+    once per session (`_cached_media`); repartitioned so the Python codec
+    spreads across cores."""
+    from drive_health_etl_spark.operators.avi_codec import encode_avi_lossless_p
+
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 2)
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs, raws = [], []
+            for text in pdf["text"]:
+                payloads = [_lp_frame_payload(text, f) for f in range(MJPEG_FRAMES)]
+                frames = [
+                    np.frombuffer(p, dtype=np.uint8).reshape(MJPEG_H, MJPEG_W, 3)
+                    for p in payloads
+                ]
+                blobs.append(encode_avi_lossless_p(frames))
+                raws.append(b"".join(payloads))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs, "raw": raws})
+
+    return _cached_media(
+        spark,
+        ("mjpeg_p", sf_dir),
+        lambda: base.mapInPandas(op, schema="doc_id long, content binary, raw binary"),
+    )
+
+
+def multimodal_mjpeg_p_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode every P-frame AVI end to end FOR REAL — RIFF walk, DIB
+    keyframe, LP01 skip-bitmap + delta reconstruction, idx1 cross-check —
+    and emit the container geometry, the decoder's P-frame accounting
+    (blocks skipped, delta bytes transmitted), and a per-clip boolean that
+    every frame reconstructs BYTE-EXACT from the raster rule. The codec is
+    lossless, so the oracle recomputes skip counts and delta sums in pure
+    SQL from the same rule: a wrong skip flag, a delta applied to the wrong
+    block, or any keyframe byte error flips the hash."""
+    from drive_health_etl_spark.operators.avi_codec import decode_avi_lossless_p
+
+    media = attach_lossless_p_video(spark, sf_dir)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_frames": [], "width": [], "height": [],
+                "n_skipped_blocks": [], "sum_delta": [], "frames_exact": [],
+            }
+            for doc_id, blob, raw in zip(pdf["doc_id"], pdf["content"], pdf["raw"]):
+                frames, meta = decode_avi_lossless_p(bytes(blob))
+                raw_arr = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(
+                    MJPEG_FRAMES, MJPEG_H, MJPEG_W, 3
+                )
+                exact = all(
+                    np.array_equal(f, raw_arr[i]) for i, f in enumerate(frames)
+                )
+                out["doc_id"].append(int(doc_id))
+                out["n_frames"].append(int(meta["n_frames"]))
+                out["width"].append(int(meta["width"]))
+                out["height"].append(int(meta["height"]))
+                out["n_skipped_blocks"].append(int(meta["n_skipped_blocks"]))
+                out["sum_delta"].append(int(meta["sum_delta"]))
+                out["frames_exact"].append(bool(exact))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        op,
+        schema=(
+            "doc_id long, n_frames int, width int, height int, "
+            "n_skipped_blocks long, sum_delta long, frames_exact boolean"
+        ),
+    )
+
+
+# Oracle: replay the frame rule per byte. Pixel p = (i-1)//3 of byte i
+# (1-based), row r = p // W, col c = p % W, 8x8 block = (r//8)*2 + (c//8).
+# Frame f's byte i comes from the shifted payload iff block(i) = f (f >= 1),
+# else the base payload; delta(f, i) = (cur - prev) mod 256; a block is
+# skipped iff all its deltas are zero; sum_delta counts only transmitted
+# (non-skipped) blocks — exactly what the decoder meters.
+MULTIMODAL_MJPEG_P_SQL = f"""
+WITH vids AS (
+  SELECT doc_id, text || ' ' AS src FROM documents WHERE doc_id % 3 = 2
+),
+pays AS (
+  SELECT doc_id,
+         rpad(src, {_LP_PAYLOAD}, src) AS p0,
+         rpad(substr(src, 8), {_LP_PAYLOAD}, src) AS s1,
+         rpad(substr(src, 15), {_LP_PAYLOAD}, src) AS s2,
+         rpad(substr(src, 22), {_LP_PAYLOAD}, src) AS s3
+  FROM vids
+),
+bytes AS (
+  SELECT doc_id, f, i,
+         ((((i - 1) // 3) // {MJPEG_W}) // 8) * 2 + ((((i - 1) // 3) % {MJPEG_W}) // 8) AS blk,
+         CASE f
+           WHEN 1 THEN ord(substr(CASE WHEN ((((i - 1) // 3) // {MJPEG_W}) // 8) * 2 + ((((i - 1) // 3) % {MJPEG_W}) // 8) = 1 THEN s1 ELSE p0 END, i, 1))
+           WHEN 2 THEN ord(substr(CASE WHEN ((((i - 1) // 3) // {MJPEG_W}) // 8) * 2 + ((((i - 1) // 3) % {MJPEG_W}) // 8) = 2 THEN s2 ELSE p0 END, i, 1))
+           WHEN 3 THEN ord(substr(CASE WHEN ((((i - 1) // 3) // {MJPEG_W}) // 8) * 2 + ((((i - 1) // 3) % {MJPEG_W}) // 8) = 3 THEN s3 ELSE p0 END, i, 1))
+         END AS cur,
+         CASE f
+           WHEN 1 THEN ord(substr(p0, i, 1))
+           WHEN 2 THEN ord(substr(CASE WHEN ((((i - 1) // 3) // {MJPEG_W}) // 8) * 2 + ((((i - 1) // 3) % {MJPEG_W}) // 8) = 1 THEN s1 ELSE p0 END, i, 1))
+           WHEN 3 THEN ord(substr(CASE WHEN ((((i - 1) // 3) // {MJPEG_W}) // 8) * 2 + ((((i - 1) // 3) % {MJPEG_W}) // 8) = 2 THEN s2 ELSE p0 END, i, 1))
+         END AS prev
+  FROM pays,
+       UNNEST(generate_series(1, 3)) AS fu(f),
+       UNNEST(generate_series(1, {_LP_PAYLOAD})) AS iu(i)
+),
+blocks AS (
+  SELECT doc_id, f, blk,
+         MAX((cur - prev + 256) % 256) AS mx,
+         SUM((cur - prev + 256) % 256) AS sd
+  FROM bytes GROUP BY doc_id, f, blk
+)
+SELECT doc_id,
+       {MJPEG_FRAMES} AS n_frames, {MJPEG_W} AS width, {MJPEG_H} AS height,
+       CAST(SUM(CASE WHEN mx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped_blocks,
+       CAST(SUM(CASE WHEN mx > 0 THEN sd ELSE 0 END) AS BIGINT) AS sum_delta,
+       TRUE AS frames_exact
+FROM blocks GROUP BY doc_id
+"""
+
+
 # --- Real resize (nearest-neighbor downsample) ------------------------------
 
 
@@ -2002,6 +2172,7 @@ QUERIES: dict[str, tuple] = {
     "multimodal_jpeg_prog_stats": (multimodal_jpeg_prog_stats, MULTIMODAL_JPEG_PROG_SQL),
     "multimodal_jpeg_bytes": (multimodal_jpeg_bytes, MULTIMODAL_JPEG_BYTES_SQL),
     "multimodal_mjpeg_stats": (multimodal_mjpeg_stats, MULTIMODAL_MJPEG_SQL),
+    "multimodal_mjpeg_p_stats": (multimodal_mjpeg_p_stats, MULTIMODAL_MJPEG_P_SQL),
     "multimodal_adpcm_stats": (multimodal_adpcm_stats, MULTIMODAL_ADPCM_SQL),
     "multimodal_gif_stats": (multimodal_gif_stats, MULTIMODAL_GIF_SQL),
     "multimodal_png_adam7_stats": (multimodal_png_adam7_stats, MULTIMODAL_PNG_SQL),

@@ -611,7 +611,8 @@ _ORDER = [
     "retrieval_eval_ndcg",
     "multimodal_bytes", "multimodal_decode_stats", "multimodal_audio_stats",
     "multimodal_phash_neardup", "multimodal_audio_match",
-    "multimodal_jpeg_bytes", "multimodal_mjpeg_stats", "multimodal_adpcm_stats",
+    "multimodal_jpeg_bytes", "multimodal_mjpeg_stats", "multimodal_mjpeg_p_stats",
+    "multimodal_adpcm_stats",
     "multimodal_gif_stats", "multimodal_png_adam7_stats", "multimodal_flac_stats",
     # (3) headline analytics
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",

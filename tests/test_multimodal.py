@@ -769,3 +769,91 @@ def test_ulaw_codec_properties():
     assert decode_ulaw(encode_ulaw(np.array([0], np.int16)))[0] == 0
     assert decode_ulaw(encode_ulaw(np.array([32767], np.int16)))[0] == 32124
     assert decode_ulaw(encode_ulaw(np.array([-32768], np.int16)))[0] == -32124
+
+
+def test_avi_lossless_p_roundtrip_exact_and_accounting():
+    """DIB+LP01 AVI: every frame reconstructs BYTE-EXACT (the property the
+    SQL oracle leans on); skip/delta accounting matches the encoder's block
+    decisions; container failure modes refuse loudly."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from drive_health_etl_spark.operators.avi_codec import (
+        LP_BLOCK,
+        decode_avi_lossless_p,
+        encode_avi_lossless_p,
+    )
+
+    rng = np.random.RandomState(3)
+    base = rng.randint(0, 256, (12, 16, 3), dtype=np.uint8)
+    f1 = base.copy()
+    f1[0:8, 8:16] = rng.randint(0, 256, (8, 8, 3), dtype=np.uint8)  # block 1 only
+    f2 = f1.copy()  # identical -> ALL blocks skipped
+    frames = [base, f1, f2]
+    blob = encode_avi_lossless_p(frames, fps=10)
+    assert blob[:4] == b"RIFF" and blob[8:12] == b"AVI "
+    out, meta = decode_avi_lossless_p(blob)
+    assert meta["n_frames"] == 3 and meta["width"] == 16 and meta["height"] == 12
+    for f, o in zip(frames, out):
+        assert np.array_equal(f, o)  # lossless: byte-exact, not bounded
+    # 16x12 has 4 blocks; frame1 transmits 1 (3 skipped), frame2 none (4 skipped)
+    assert meta["n_skipped_blocks"] == 7
+    expected_delta = int(
+        ((f1[0:8, 8:16].astype(np.int16) - base[0:8, 8:16].astype(np.int16)) % 256).sum()
+    )
+    assert meta["sum_delta"] == expected_delta
+
+    # edge-cropped geometry (not multiples of LP_BLOCK) still roundtrips
+    odd = [rng.randint(0, 256, (11, 13, 3), dtype=np.uint8) for _ in range(3)]
+    out2, meta2 = decode_avi_lossless_p(encode_avi_lossless_p(odd))
+    assert all(np.array_equal(a, b) for a, b in zip(odd, out2))
+    assert meta2["width"] == 13 and meta2["height"] == 11
+    assert LP_BLOCK == 8  # grid contract the SQL oracle mirrors
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_avi_lossless_p(b"junk")
+
+    bad = bytearray(blob)
+    i = bytes(bad).find(b"avih")
+    bad[i + 8 + 16 : i + 8 + 20] = struct.pack("<I", 9)  # dwTotalFrames lies
+    with pytest.raises(ValueError, match="frames"):
+        decode_avi_lossless_p(bytes(bad))
+
+    # truncated P-frame delta payload refused (not silently zero-filled)
+    tail = bytearray(blob)
+    j = bytes(tail).rfind(b"00dc")
+    (size,) = struct.unpack("<I", tail[j + 4 : j + 8])
+    if size > 0:
+        tail[j + 4 : j + 8] = struct.pack("<I", max(10, size - 4))
+        with pytest.raises(ValueError):
+            decode_avi_lossless_p(bytes(tail))
+
+
+def test_lp_frame_payload_matches_oracle_rule():
+    """The Python raster rule used to build P-frame fixtures mirrors the
+    SQL construction byte for byte: frame 0 is the rpad base; frame f
+    repaints exactly block f from the 7f-shifted payload."""
+    import numpy as np
+
+    from drive_health_etl_spark.operators.multimodal import (
+        MJPEG_H,
+        MJPEG_W,
+        _lp_frame_payload,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog"
+    src = text + " "
+    pay = lambda off: (
+        (src[off:] + src * 40)[: MJPEG_W * MJPEG_H * 3].encode()
+    )
+    f0 = np.frombuffer(_lp_frame_payload(text, 0), dtype=np.uint8).reshape(MJPEG_H, MJPEG_W, 3)
+    assert f0.tobytes() == pay(0)
+    f1 = np.frombuffer(_lp_frame_payload(text, 1), dtype=np.uint8).reshape(MJPEG_H, MJPEG_W, 3)
+    base = np.frombuffer(pay(0), dtype=np.uint8).reshape(MJPEG_H, MJPEG_W, 3)
+    sh1 = np.frombuffer(pay(7), dtype=np.uint8).reshape(MJPEG_H, MJPEG_W, 3)
+    assert np.array_equal(f1[0:8, 8:16], sh1[0:8, 8:16])  # block 1 repainted
+    mask = np.ones((MJPEG_H, MJPEG_W), dtype=bool)
+    mask[0:8, 8:16] = False
+    assert np.array_equal(f1[mask], base[mask])  # everything else untouched

@@ -423,6 +423,7 @@ BENCH_PLAN_FINGERPRINTS = {
     "quality_lr_eval": {"shuffle_exchange": 1},
     "multimodal_jpeg_bytes": {},
     "multimodal_mjpeg_stats": {},
+    "multimodal_mjpeg_p_stats": {},
     "multimodal_adpcm_stats": {},
     "multimodal_gif_stats": {},
     "multimodal_png_adam7_stats": {},
