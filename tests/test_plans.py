@@ -397,9 +397,13 @@ BENCH_PLAN_FINGERPRINTS = {
         "BroadcastNestedLoopJoin": 2,
     },
     "dedup_prefix_join": {
+        # r6: +2 broadcast joins — the count-filter pre-verify attaches the
+        # 64-bucket histograms to both candidate sides (AQE broadcasts the
+        # doc-count-sized sketch relation at test scale; at cluster scale it
+        # is an equi-join on doc_id either way). Shuffle count unchanged.
         "shuffle_exchange": 4,
-        "broadcast_exchange": 5,
-        "BroadcastHashJoin": 5,
+        "broadcast_exchange": 7,
+        "BroadcastHashJoin": 7,
     },
     "graph_hits": {
         "shuffle_exchange": 8,
