@@ -91,3 +91,54 @@ def test_prefix_join_superset_of_banded_pairs(spark, sf_dir):
     }
     assert banded, "guard needs at least one qualifying pair in the fixture"
     assert banded <= prefix, banded - prefix
+
+
+def test_prefix_join_equals_bruteforce_on_synthetic_corpus(spark):
+    """Completeness of the full filter stack (prefix + length-ratio +
+    positional + r6 count-filter) against brute force: on a synthetic
+    corpus with engineered near-dups, dedup_prefix_join's pair set must
+    EQUAL the all-pairs exact-Jaccard >= t set. The count-filter is an
+    upper bound (sum of per-bucket count minimums >= true intersection),
+    so any miss here means a pruning stage turned unsound."""
+    from itertools import combinations
+    from unittest import mock
+
+    from drive_health_etl_spark.operators import dedup as D
+    from drive_health_etl_spark.operators.dedup import _PREFIX_T, dedup_prefix_join
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    words = base.split()
+    docs = []
+    for i in range(12):
+        w = list(words)
+        if i % 3 == 1:
+            w[i % len(w)] = f"mut{i}"  # near-dup of base (1 token changed)
+        elif i % 3 == 2:
+            w = [f"u{i}w{j}" for j in range(10)]  # unrelated
+        docs.append((i, " ".join(w)))
+
+    def shingles(text):
+        t = text.split()
+        return {" ".join(t[j : j + 3]) for j in range(len(t) - 2)}
+
+    truth = set()
+    for (ia, ta), (ib, tb) in combinations(docs, 2):
+        sa, sb = shingles(ta), shingles(tb)
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if round(j, 6) >= _PREFIX_T:
+            truth.add((min(ia, ib), max(ia, ib)))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    D._SUBTREE_CACHE.clear()  # the mock must not see a cached real-corpus fit
+    try:
+        with mock.patch.object(D, "load_table", lambda _s, _d, _t: df):
+            got = {
+                (r["doc_a"], r["doc_b"])
+                for r in dedup_prefix_join(spark, "synthetic").collect()
+            }
+    finally:
+        D._SUBTREE_CACHE.clear()
+    assert truth, "fixture must contain engineered near-dup pairs"
+    assert got == truth, f"missing={truth - got} extra={got - truth}"
