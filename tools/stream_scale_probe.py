@@ -227,7 +227,46 @@ def probe_corpus_dedup(spark, sf_dir: str, n_batches: int):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def probe_ingest_stream(spark, sf_dir: str, n_batches: int):
+    """The flagship chain (decode -> validate -> sample -> normalize ->
+    exactly-once dedup -> partitioned warehouse) as a stream of n_batches
+    micro-batches. State = distinct idempotency keys in the warehouse (the
+    partition-pruned build side of the cross-batch anti-join)."""
+    from drive_health_etl_spark.sources.envelopes import messages_from_events
+    from drive_health_etl_spark.streaming.ingest_stream import (
+        StreamIngestConfig,
+        start_stream_ingest,
+    )
+
+    msgs = messages_from_events(spark, sf_dir)
+    src = _spool(msgs, n_batches, ["message_id"])
+    base = tempfile.mkdtemp(prefix="dhe_sprobe_ing_")
+    cfg = StreamIngestConfig(
+        input_path=src,
+        warehouse_path=f"{base}/wh",
+        dlq_path=f"{base}/dlq",
+        checkpoint_path=f"{base}/ckpt",
+        max_files_per_trigger=1,
+    )
+    try:
+        t0 = time.perf_counter()
+        with shuffle_partitions(spark, 8):
+            q = start_stream_ingest(spark, cfg, available_now=True)
+            q.awaitTermination()
+        wall = time.perf_counter() - t0
+        state = (
+            spark.read.parquet(cfg.warehouse_path).select("idempotency_key").distinct().count()
+            if os.path.isdir(cfg.warehouse_path)
+            else 0
+        )
+        return wall, state
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(base, ignore_errors=True)
+
+
 PROBES = {
+    "st_ingest_stream": probe_ingest_stream,
     "st_stateful_counters": probe_stateful_counters,
     "st_stream_stream_join": probe_stream_stream_join,
     "st_stream_dedup": probe_stream_dedup,
@@ -288,8 +327,9 @@ def main() -> None:
         "**Micro-batch count** (fixed volume, B spool files ->",
         "B micro-batches): wall = per-batch fixed cost x B + data term. State",
         "rows come from Spark's own `stateOperators[].numRowsTotal` progress",
-        "metric (parquet store rows for the corpus dedup; the SPRT monitor's",
-        "state is two integers by construction).",
+        "metric (parquet store rows for the corpus dedup, distinct warehouse",
+        "idempotency keys for the ingest chain; the SPRT monitor's state is",
+        "two integers by construction).",
         "",
         "| probe | B=2 | B=8 | B=32 | wall ratio B32/B2 | state rows (B=32) |",
         "|---|---|---|---|---|---|",
