@@ -26,8 +26,10 @@ AUDITS = [
         "is a persisted one-pass build (InMemoryRelation in-plan); candidate "
         "generation is an equi-join keyed on RARE prefix shingles (the "
         "frequency ordering is what bounds bucket skew), fenced by "
-        "length-ratio + positional filters before the exact verify join — "
-        "no all-pairs stage anywhere.",
+        "length-ratio + positional filters, then the r6 count-filter "
+        "pre-verify (per-doc 64-bucket histograms; pairwise min-sum is an "
+        "exact intersection upper bound — 5.54M -> 2.7k pairs at sf1) "
+        "before the exact verify join — no all-pairs stage anywhere.",
     ),
     (
         "graph_hits",
