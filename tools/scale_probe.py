@@ -148,6 +148,26 @@ DEEP_PROBES = [
     "multimodal_flac_stats",
     "multimodal_gif_stats",
     "multimodal_ulaw_stats",
+    # Round 6: the heaviest remaining bench queries without an sf1 row —
+    # joins (star, binned range), measured ANN quality grids, recursive
+    # SQL, token stats, MJPEG decode, and the new inter-frame P-frame
+    # decode. (dedup_semantic stays EXCLUDED on purpose: its oracle pins
+    # k=16, making in-cell pairs n^2/k by design — dedup_semantic_scaled
+    # above is the production k ~ n shape and is what the slope grades.)
+    "j6_star_join",
+    "corpus_source_overlap",
+    "sim_binary_quality",
+    "j5b_binned_range_join",
+    # NOT sql_recursive_cte: at sf1 its recursion exceeds Spark's
+    # RECURSION_ROW_LIMIT guardrail (1M rows) — the rCTE is a SQL-surface
+    # demo whose frontier scales with data; a production use sets an
+    # explicit LIMIT on the CTE relation.
+    "feat_tfidf_top_terms",
+    "text_repetition",
+    "sim_mmr_rerank",
+    "dedup_keep_best",
+    "multimodal_mjpeg_stats",
+    "multimodal_mjpeg_p_stats",
 ]
 
 
@@ -227,12 +247,17 @@ def main() -> None:
         base = {n: (b, c) for n, _a, b, c, _s, _v in rows}
         pj_warm_sf1 = None
         for name in DEEP_PROBES:
-            if name in base:
-                t001, t01 = base[name]
-            else:
-                t001 = _run(spark, name, SFS[1][1])
-                t01 = _run(spark, name, SFS[2][1])
-            t1 = _run(spark, name, SF1_DIR)
+            try:
+                if name in base:
+                    t001, t01 = base[name]
+                else:
+                    t001 = _run(spark, name, SFS[1][1])
+                    t01 = _run(spark, name, SFS[2][1])
+                t1 = _run(spark, name, SF1_DIR)
+            except Exception as e:  # record, don't lose the whole table
+                out.append(f"| {name} | - | - | - | - | PROBE-ERROR: {str(e)[:80]} |")
+                print(f"[sf1] {name}: PROBE-ERROR {str(e)[:120]}")
+                continue
             if name == "dedup_prefix_join":
                 pj_warm_sf1 = t1
             slope = math.log10(t1 / t01) if t01 > 0 else float("nan")
