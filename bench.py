@@ -56,6 +56,7 @@ HEADLINE = [
     "sim_binary_quality",
     "text_bpe_token_count",
     "text_repetition",
+    "text_char_entropy",
     "text_decontaminate",
     "corpus_pack_sequences",
     "corpus_temperature_mix",

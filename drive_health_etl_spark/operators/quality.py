@@ -840,7 +840,67 @@ FROM perdoc
 """.format(toks=TOKENS_SQL, grams3=_grams_sql("ws", 3))
 
 
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon character entropy — the compression-style
+    repetitiveness signal corpus filters use alongside the Gopher rules
+    (low char entropy = templated/repeated text; near-random bytes score
+    high). H = log2(n) - (sum_c c*log2(c)) / n over the per-character
+    counts c, so the only aggregations are an INT count per (doc, char)
+    and sums of values derived from it — the float policy is the repo's
+    decimal-sum discipline: each per-char term c*log2(c) is computed once
+    from the exact integer c, rounded to 9dp, decimal-cast, and summed
+    exactly (order-independent in both engines); only the final entropy
+    rounds to 6dp. Docs with empty text have no char rows and drop out in
+    BOTH engines (generate_series over len 0 is empty).
+
+    Scale shape: one explode to characters (narrow), one map-side
+    combinable count per (doc, char), one per-doc sum — no joins, no
+    windows; at 100 TB this is a pure scan-shaped aggregation."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    chars = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
+        "text",
+    ).select("doc_id", F.expr("substring(text, i, 1)").alias("ch"))
+    counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    term = F.round(F.col("c") * F.log2("c"), 9).cast("decimal(28,9)")
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_chars"),
+        F.count("*").alias("n_distinct_chars"),
+        F.sum(term).alias("s"),
+    )
+    entropy = F.round(
+        F.log2(F.col("n_chars")) - F.col("s").cast("double") / F.col("n_chars"), 6
+    )
+    return per_doc.select(
+        "doc_id", "n_chars", "n_distinct_chars", entropy.alias("char_entropy")
+    )
+
+
+TEXT_CHAR_ENTROPY_SQL = """
+WITH chars AS (
+  SELECT doc_id, substr(text, i, 1) AS ch
+  FROM documents, UNNEST(generate_series(1, len(text))) AS t(i)
+),
+counts AS (SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch),
+per_doc AS (
+  SELECT doc_id,
+         SUM(c) AS n_chars,
+         COUNT(*) AS n_distinct_chars,
+         SUM(CAST(ROUND(c * log2(c), 9) AS DECIMAL(28,9))) AS s
+  FROM counts GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_distinct_chars AS BIGINT) AS n_distinct_chars,
+       ROUND(log2(n_chars) - CAST(s AS DOUBLE) / n_chars, 6) AS char_entropy
+FROM per_doc
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "text_char_entropy": (text_char_entropy, TEXT_CHAR_ENTROPY_SQL),
     "text_trigram_kn_logprob": (text_trigram_kn_logprob, TEXT_TRIGRAM_KN_SQL),
     "text_boilerplate": (text_boilerplate, TEXT_BOILERPLATE_SQL),
     "text_bigram_logprob": (text_bigram_logprob, TEXT_BIGRAM_LOGPROB_SQL),

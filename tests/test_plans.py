@@ -283,6 +283,8 @@ BENCH_PLAN_FINGERPRINTS = {
     "feat_tfidf_top_terms": {"shuffle_exchange": 8, "broadcast_exchange": 2, "BroadcastHashJoin": 1, "BroadcastNestedLoopJoin": 1},
     "corpus_pack_sequences": {"shuffle_exchange": 2},
     "text_repetition": {"shuffle_exchange": 4, "broadcast_exchange": 1, "BroadcastHashJoin": 1},
+    # repartition + (doc, char) count + per-doc sum — no joins anywhere
+    "text_char_entropy": {"shuffle_exchange": 3},
     "text_decontaminate": {"shuffle_exchange": 6, "broadcast_exchange": 1, "BroadcastHashJoin": 1},
     "text_bigram_logprob": {"shuffle_exchange": 6, "broadcast_exchange": 2, "BroadcastHashJoin": 2},
     "text_url_canonical": {},
