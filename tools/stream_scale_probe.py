@@ -265,8 +265,68 @@ def probe_ingest_stream(spark, sf_dir: str, n_batches: int):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def probe_media_decode(spark, sf_dir: str, n_batches: int):
+    """Decode-on-arrival: real LZW GIF decode inside mapInPandas per
+    micro-batch, streaming groupBy on geometry. State = aggregation rows
+    (distinct (w, h) geometries — bounded by the fixture rule, not data)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from drive_health_etl_spark.operators.multimodal import attach_gif_images
+
+    media = attach_gif_images(spark, sf_dir).select("doc_id", "content")
+    media.count()  # warm the per-(session, sf) encoded-fixture cache so the
+    # probe times the decode-on-arrival stream, not fixture encoding
+    src = _spool(media, n_batches, ["doc_id"])
+    ckpt = tempfile.mkdtemp(prefix="dhe_sprobe_ckpt_")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from drive_health_etl_spark.operators.gif_codec import decode_gif
+
+        for pdf in batches:
+            out = {"width": [], "height": [], "gray_sum": []}
+            for blob in pdf["content"]:
+                idx, pal = decode_gif(bytes(blob))
+                h, w = idx.shape
+                out["width"].append(int(w))
+                out["height"].append(int(h))
+                out["gray_sum"].append(int(pal[idx][:, :, 0].astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    try:
+        stream = (
+            spark.readStream.schema("doc_id long, content binary")
+            .option("maxFilesPerTrigger", 1)
+            .format("parquet")
+            .load(src)
+        )
+        decoded = stream.mapInPandas(op, schema="width int, height int, gray_sum long")
+        agg = decoded.groupBy("width", "height").agg(
+            F.count("*").alias("n_images"), F.sum("gray_sum").alias("total_gray")
+        )
+        w = agg.writeStream.format("memory").queryName(
+            f"probe_media_{uuid.uuid4().hex[:8]}"
+        ).outputMode("complete")
+        t0 = time.perf_counter()
+        with shuffle_partitions(spark, 8):
+            q = w.option("checkpointLocation", ckpt).trigger(availableNow=True).start()
+            q.awaitTermination()
+        wall = time.perf_counter() - t0
+        state = 0
+        for p in q.recentProgress:
+            ops = p.get("stateOperators") or []
+            state = max(state, sum(int(o.get("numRowsTotal", 0)) for o in ops))
+        return wall, state
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 PROBES = {
     "st_ingest_stream": probe_ingest_stream,
+    "st_media_decode": probe_media_decode,
     "st_stateful_counters": probe_stateful_counters,
     "st_stream_stream_join": probe_stream_stream_join,
     "st_stream_dedup": probe_stream_dedup,
