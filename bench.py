@@ -60,6 +60,7 @@ HEADLINE = [
     "text_decontaminate",
     "corpus_pack_sequences",
     "corpus_temperature_mix",
+    "corpus_dsir_select",
     "multimodal_decode_stats",
     "multimodal_png_stats",
     "multimodal_jpeg_stats",

@@ -757,7 +757,127 @@ ORDER BY r2.source
 """
 
 
+_DSIR_BUCKETS = 128  # hashed-feature dimensionality (the method's knob)
+_DSIR_TARGET_LANG = "en"  # target distribution = the English slice
+
+
+def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Data Selection via Importance Resampling,
+    Xie et al. 2023 — public method): learn per-feature log importance
+    ratios between a TARGET distribution (here the `en` slice) and the RAW
+    corpus over hashed unigram features, score every document by the sum of
+    its tokens' ratios, and select documents that look more target-like
+    than raw-like (positive log-ratio — the deterministic analog of the
+    paper's resampling step, chosen so the oracle is exact rather than
+    RNG-dependent).
+
+    Float policy: bucket counts are exact integers aggregated ONCE
+    (map-side combinable, with the target slice counted via a conditional
+    sum in the same pass — one shuffle); each bucket's add-1-smoothed
+    log-ratio is computed from those integers and rounded to 9dp; per-doc
+    scores are DECIMAL sums of those fixed terms (order-independent in
+    both engines); only the reported weight rounds to 6dp.
+
+    Scale shape: ONE token-explode scan folded immediately into compact
+    per-(doc, bucket) counts (map-side combinable; <= 128 rows per doc),
+    localCheckpointed because both the feature-ratio fit and the scoring
+    pass consume it; the 128-row λ table rides back as a BROADCAST join.
+    No data-sized join sides, no windows; at 100 TB the λ table is still
+    128 rows and the corpus is scanned once."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 7), 16, 10).cast("long")
+        % _DSIR_BUCKETS
+    )
+    db = (
+        docs.select("doc_id", "lang", F.explode(tokens_col()).alias("token"))
+        .select("doc_id", "lang", bucket.alias("b"))
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)  # one explode scan, two consumers
+    )
+    counts = db.groupBy("b").agg(
+        F.sum("n").alias("r"),
+        F.sum(
+            F.when(F.col("lang") == _DSIR_TARGET_LANG, F.col("n")).otherwise(F.lit(0))
+        ).alias("t"),
+    )
+    totals = counts.agg(
+        (F.sum("r") + F.lit(_DSIR_BUCKETS)).alias("rt"),
+        (F.sum("t") + F.lit(_DSIR_BUCKETS)).alias("tt"),
+    )
+    lam = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            F.round(
+                F.log((F.col("t") + 1).cast("double") / F.col("tt").cast("double"))
+                - F.log((F.col("r") + 1).cast("double") / F.col("rt").cast("double")),
+                9,
+            )
+            .cast("decimal(20,9)")  # small precision: the n*lam product must
+            # stay under Spark's 38-digit cap or the scale silently drops
+            .alias("lam"),
+        )
+    )
+    scored = (
+        db.join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.sum(F.col("n").cast("decimal(8,0)") * F.col("lam")).alias("s"),
+        )
+    )
+    # No final round: `s` is an exact decimal identical in both engines
+    # (the ROADMAP round-on-double gotcha — rounding a tie like
+    # -0.9396465 to 6dp diverges across engines; casting the identical
+    # decimal to double cannot).
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.col("s").cast("double").alias("dsir_weight"),
+        (F.col("s") > 0).alias("selected"),
+    )
+
+
+CORPUS_DSIR_SQL = f"""
+WITH db AS MATERIALIZED (
+  SELECT doc_id, lang, b, COUNT(*) AS n FROM (
+    SELECT doc_id, lang,
+           ('0x' || substr(md5(token), 1, 7))::BIGINT % {_DSIR_BUCKETS} AS b
+    FROM (SELECT doc_id, lang, unnest({TOKENS_SQL}) AS token FROM documents)
+  ) GROUP BY doc_id, lang, b
+),
+counts AS (
+  SELECT b, SUM(n) AS r,
+         SUM(CASE WHEN lang = '{_DSIR_TARGET_LANG}' THEN n ELSE 0 END) AS t
+  FROM db GROUP BY b
+),
+totals AS (
+  SELECT SUM(r) + {_DSIR_BUCKETS} AS rt, SUM(t) + {_DSIR_BUCKETS} AS tt FROM counts
+),
+lam AS (
+  SELECT b,
+         CAST(ROUND(ln(CAST(t + 1 AS DOUBLE) / CAST(tt AS DOUBLE))
+                    - ln(CAST(r + 1 AS DOUBLE) / CAST(rt AS DOUBLE)), 9)
+              AS DECIMAL(20,9)) AS lam
+  FROM counts, totals
+),
+scored AS (
+  SELECT doc_id, SUM(n) AS n_tokens, SUM(CAST(n AS DECIMAL(8,0)) * lam) AS s
+  FROM db JOIN lam USING (b) GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(s AS DOUBLE) AS dsir_weight,
+       s > 0 AS selected
+FROM scored
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "corpus_dsir_select": (corpus_dsir_select, CORPUS_DSIR_SQL),
     "corpus_temperature_mix": (corpus_temperature_mix, CORPUS_TEMPERATURE_MIX_SQL),
     "corpus_shard_balance": (corpus_shard_balance, CORPUS_SHARD_SQL),
     "corpus_curriculum_order": (corpus_curriculum_order, CORPUS_CURRICULUM_SQL),

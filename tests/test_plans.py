@@ -128,6 +128,7 @@ BNLJ_BY_DESIGN = {
     "sess_event_assoc",  # 1-row distinct-user-count broadcast onto the pair table
     "corpus_kl_drift",  # 1-row corpus-totals broadcast onto the vocab-sized freq table
     "corpus_temperature_mix",  # 1-row weight-normalizer broadcast onto the source-sized rates
+    "corpus_dsir_select",  # 1-row smoothing-totals broadcast onto the 128-bucket ratio table
     "feat_equidepth_bins",  # 1-row percentile-bounds broadcast onto the bin-assign map
     "feat_tfidf_top_terms",  # 1-row corpus-size broadcast onto the tf-df join
     "graph_pagerank",  # 1-row node-count broadcast onto the rank init
@@ -282,6 +283,14 @@ BENCH_PLAN_FINGERPRINTS = {
     "feat_hashing_tf": {"shuffle_exchange": 6, "broadcast_exchange": 1, "BroadcastHashJoin": 1},
     "feat_tfidf_top_terms": {"shuffle_exchange": 8, "broadcast_exchange": 2, "BroadcastHashJoin": 1, "BroadcastNestedLoopJoin": 1},
     "corpus_pack_sequences": {"shuffle_exchange": 2},
+    # one explode scan -> checkpointed (doc, bucket) counts; λ fit + scoring
+    # both read the checkpoint (bucket table + totals ride as broadcasts)
+    "corpus_dsir_select": {
+        "shuffle_exchange": 4,
+        "broadcast_exchange": 2,
+        "BroadcastHashJoin": 1,
+        "BroadcastNestedLoopJoin": 1,
+    },
     "text_repetition": {"shuffle_exchange": 4, "broadcast_exchange": 1, "BroadcastHashJoin": 1},
     # repartition + (doc, char) count + per-doc sum — no joins anywhere
     "text_char_entropy": {"shuffle_exchange": 3},
