@@ -186,3 +186,42 @@ def test_expectations_flag_injected_violations(spark, sf_dir):
         ).collect()
     }
     assert all(res_clean.values())
+
+
+def test_char_entropy_known_answers(spark, tmp_path):
+    # constant text -> H = 0; two equiprobable chars -> H = 1 bit
+    rows = [
+        (1, "aaaaaaaa", "en", "s", 8),
+        (2, "abababab", "en", "s", 8),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from drive_health_etl_spark.operators.quality import text_char_entropy
+
+    out = {r["doc_id"]: r.asDict() for r in text_char_entropy(spark, str(tmp_path)).collect()}
+    assert out[1]["char_entropy"] == 0.0 and out[1]["n_distinct_chars"] == 1
+    assert out[2]["char_entropy"] == 1.0 and out[2]["n_distinct_chars"] == 2
+    assert out[1]["n_chars"] == out[2]["n_chars"] == 8
+
+
+def test_dsir_prefers_target_like_documents(spark, tmp_path):
+    # target (en) docs use one vocabulary, raw-only (de) docs another; a
+    # fresh doc written in the target vocabulary must outscore one written
+    # in the non-target vocabulary, and the target-vocab doc must be
+    # selected (positive log-ratio) while the other is not.
+    en = "alpha beta gamma delta " * 6
+    de = "zulu yankee xray whiskey " * 6
+    rows = (
+        [(i, en, "en", "s", 0) for i in range(8)]
+        + [(i + 8, de, "de", "s", 0) for i in range(8)]
+        + [(100, "alpha beta gamma delta alpha beta", "de", "s", 0)]  # target-like
+        + [(101, "zulu yankee xray whiskey zulu yankee", "en", "s", 0)]  # raw-like
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from drive_health_etl_spark.operators.corpus import corpus_dsir_select
+
+    out = {r["doc_id"]: r.asDict() for r in corpus_dsir_select(spark, str(tmp_path)).collect()}
+    assert out[100]["dsir_weight"] > out[101]["dsir_weight"]
+    assert out[100]["selected"] is True
+    assert out[101]["selected"] is False
