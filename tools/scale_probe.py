@@ -104,6 +104,8 @@ PROBES = [
     "multimodal_jpeg420_stats",
     "quality_lr_eval",
     "emb_triplet_mining",
+    "text_char_entropy",
+    "corpus_dsir_select",
 ]
 
 
@@ -168,6 +170,8 @@ DEEP_PROBES = [
     "dedup_keep_best",
     "multimodal_mjpeg_stats",
     "multimodal_mjpeg_p_stats",
+    "text_char_entropy",
+    "corpus_dsir_select",
 ]
 
 
