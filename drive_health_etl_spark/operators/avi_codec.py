@@ -204,6 +204,8 @@ def _lp_decode_pframe(payload: bytes, prev: np.ndarray) -> tuple[np.ndarray, int
     grid = _block_grid(w, h)
     nbm = (len(grid) + 7) // 8
     bitmap = payload[10 : 10 + nbm]
+    if len(bitmap) != nbm:
+        raise ValueError("P-frame skip bitmap truncated")
     pos = 10 + nbm
     cur = prev.copy()
     n_skip, sum_delta = 0, 0

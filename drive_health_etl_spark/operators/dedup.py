@@ -1222,6 +1222,11 @@ FROM toks t LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+_VOCAB_BROADCAST_MAX = 2_000_000  # distinct shingles above which the df map
+# is too big to force-broadcast (~64 MB at ~32 B/shingle) — AQE decides
+
+_VOCAB_SIZE_CACHE: dict[tuple[str, str], int] = {}  # (appId, sf_dir) -> |vocab|
+
 _PREFIX_T = 0.7  # Jaccard threshold: prefix filtering pays off at HIGH
 # thresholds (prefix length = n - ceil(t*n) + 1 ~ (1-t)*n). Measured on this
 # corpus (template-heavy docs, so even rare shingles are shared): t=0.2 ->
@@ -1271,8 +1276,21 @@ def dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # key. Materializing a global dense rank would mean a single-partition
     # sort of the whole vocabulary: a scale killer the tuple key avoids.
     w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle").asc())
+    # The df map is vocab-sized: broadcast is a win while the vocabulary
+    # fits an executor (~64 MB at the 2M-shingle threshold), but at 100 TB
+    # with an open vocabulary a FORCED broadcast would blow past broadcast
+    # limits — so the hint is conditional on a measured distinct-shingle
+    # count (one cheap agg over the already-persisted sets, cached per
+    # (app, dataset)); above the threshold the equi-join stays keyed and
+    # AQE picks the strategy.
+    vkey = (spark.sparkContext.applicationId, sf_dir)
+    n_vocab = _VOCAB_SIZE_CACHE.get(vkey)
+    if n_vocab is None:
+        n_vocab = freq.count()
+        _VOCAB_SIZE_CACHE[vkey] = n_vocab
+    freq_j = F.broadcast(freq) if n_vocab <= _VOCAB_BROADCAST_MAX else freq
     pre = (
-        ex.join(F.broadcast(freq), "shingle")  # vocab-sized df map
+        ex.join(freq_j, "shingle")
         .withColumn("pos", F.row_number().over(w))
         .filter(
             F.col("pos")
@@ -1328,8 +1346,14 @@ def dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size("sh_set").alias("n"), cnt_col.alias("cnt")
     )
     ub = F.expr("aggregate(zip_with(ca, cb, (x, y) -> least(x, y)), 0, (acc, v) -> acc + v)")
+    # Round-tolerant alpha: this filter is Spark-side ONLY (the oracle has
+    # no count filter), and the final accept is round(J, 6) >= t, which
+    # admits true J down to t - 5e-7. Deriving alpha from the strict t
+    # could prune a pair in that window engine-side only; t_eff = t - 5e-7
+    # makes the bound sound for every pair the rounded verify can accept.
+    _t_eff = _PREFIX_T - 5e-7
     alpha_pair = F.ceil(
-        F.lit(_PREFIX_T / (1.0 + _PREFIX_T)) * (F.col("na") + F.col("nb")).cast("double")
+        F.lit(_t_eff / (1.0 + _t_eff)) * (F.col("na") + F.col("nb")).cast("double")
     )
     cand = (
         cand.join(

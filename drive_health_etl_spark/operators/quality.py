@@ -850,14 +850,19 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal-sum discipline: each per-char term c*log2(c) is computed once
     from the exact integer c, rounded to 9dp, decimal-cast, and summed
     exactly (order-independent in both engines); only the final entropy
-    rounds to 6dp. Docs with empty text have no char rows and drop out in
-    BOTH engines (generate_series over len 0 is empty).
+    rounds to 6dp. Docs with empty text are filtered BEFORE the explode:
+    Spark's sequence(1, 0) defaults to step -1 and returns [1, 0] (it is
+    NOT empty, unlike DuckDB's generate_series(1, 0)), so without the
+    length guard an empty doc would emit two ''-char rows Spark-side only
+    and break oracle parity.
 
     Scale shape: one explode to characters (narrow), one map-side
     combinable count per (doc, char), one per-doc sum — no joins, no
     windows; at 100 TB this is a pure scan-shaped aggregation."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 1)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     chars = docs.select(
         "doc_id",

@@ -830,6 +830,18 @@ def test_avi_lossless_p_roundtrip_exact_and_accounting():
         with pytest.raises(ValueError):
             decode_avi_lossless_p(bytes(tail))
 
+    # payload cut INSIDE the skip bitmap: descriptive ValueError, not a
+    # bare IndexError from bitmap[b // 8]
+    from drive_health_etl_spark.operators.avi_codec import (
+        _lp_decode_pframe,
+        _lp_encode_pframe,
+    )
+
+    prev, nxt = odd[0], odd[1]
+    pf = _lp_encode_pframe(prev, nxt)
+    with pytest.raises(ValueError, match="skip bitmap truncated"):
+        _lp_decode_pframe(pf[:10], prev)  # header only, bitmap cut off
+
 
 def test_lp_frame_payload_matches_oracle_rule():
     """The Python raster rule used to build P-frame fixtures mirrors the

@@ -193,6 +193,10 @@ def test_char_entropy_known_answers(spark, tmp_path):
     rows = [
         (1, "aaaaaaaa", "en", "s", 8),
         (2, "abababab", "en", "s", 8),
+        # empty text must DROP OUT, matching DuckDB's empty
+        # generate_series(1, 0) — Spark's sequence(1, 0) is [1, 0] (step
+        # defaults to -1), so this row pins the length guard
+        (3, "", "en", "s", 0),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
     df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
@@ -202,6 +206,7 @@ def test_char_entropy_known_answers(spark, tmp_path):
     assert out[1]["char_entropy"] == 0.0 and out[1]["n_distinct_chars"] == 1
     assert out[2]["char_entropy"] == 1.0 and out[2]["n_distinct_chars"] == 2
     assert out[1]["n_chars"] == out[2]["n_chars"] == 8
+    assert 3 not in out
 
 
 def test_dsir_prefers_target_like_documents(spark, tmp_path):

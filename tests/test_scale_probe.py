@@ -1,0 +1,95 @@
+"""Fail-safe contract of tools/scale_probe.py's table regeneration.
+
+Round-6 postmortem: a crashed sf1 probe re-run overwrote 34 healthy measured
+SCALING.md rows with PROBE-ERROR rows, and the snapshot commit shipped the
+vandalized table. These tests pin the merge invariant — an errored probe can
+NEVER replace a previously good row — without needing Spark.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+from scale_probe import DEEP_HEADER, DEEP_TABLE_HEAD, merge_deep_row, parse_deep_rows
+
+GOOD_ROW = "| graph_pagerank | 1.75s | 3.18s | 11.83s | 0.57 | linear-or-better |"
+
+SAMPLE_MD = f"""# SCALING — measured wall time vs data volume
+
+| query | t@sf0.001 | t@sf0.01 | t@sf0.1 | slope | verdict |
+|---|---|---|---|---|---|
+| q1_pricing_summary | 0.61s | 0.61s | 1.53s | 0.40 | linear-or-better |
+
+{DEEP_HEADER}
+
+prose about sf1.
+
+{DEEP_TABLE_HEAD}
+|---|---|---|---|---|---|
+{GOOD_ROW}
+| text_bpe_train | 1.12s | 1.92s | 10.90s | 0.75 | linear-or-better |
+| dq_reconcile_orders | - | - | - | - | PROBE-ERROR: [Errno 111] Connection refused |
+
+`dedup_prefix_join` cold/warm split at sf1: first call 90.7s, warm 7.0s.
+
+<!-- STREAM-SCALE:BEGIN -->
+## Streaming scale
+<!-- STREAM-SCALE:END -->
+"""
+
+
+def test_parse_extracts_good_rows_only():
+    rows = parse_deep_rows(SAMPLE_MD)
+    assert rows["graph_pagerank"] == GOOD_ROW
+    assert "text_bpe_train" in rows
+    # PROBE-ERROR rows are never worth carrying
+    assert "dq_reconcile_orders" not in rows
+    # first-decade rows are not part of the deep table
+    assert "q1_pricing_summary" not in rows
+
+
+def test_parse_stops_at_table_end():
+    rows = parse_deep_rows(SAMPLE_MD)
+    assert len(rows) == 2  # the cold/warm prose and stream block don't leak in
+
+
+def test_parse_missing_section_is_empty():
+    assert parse_deep_rows("# SCALING\nno deep table here\n") == {}
+
+
+def test_error_never_overwrites_good_row():
+    prev = parse_deep_rows(SAMPLE_MD)
+    row = merge_deep_row("graph_pagerank", None, "Connection refused", prev, "2026-08-15")
+    assert row.startswith(GOOD_ROW)  # measurement preserved verbatim
+    assert "carried" in row and "2026-08-15" in row  # stamped with failed-attempt date
+    assert "PROBE-ERROR" not in row.split("<!--")[0]
+
+
+def test_error_without_prior_row_is_probe_error():
+    row = merge_deep_row("brand_new_query", None, "boom", {}, "2026-08-15")
+    assert "PROBE-ERROR: boom" in row
+
+
+def test_fresh_measurement_wins():
+    prev = parse_deep_rows(SAMPLE_MD)
+    fresh = "| graph_pagerank | 1.70s | 3.00s | 11.00s | 0.56 | linear-or-better |"
+    assert merge_deep_row("graph_pagerank", fresh, None, prev, "2026-08-15") == fresh
+
+
+def test_deep_only_skip_carries_verbatim():
+    prev = parse_deep_rows(SAMPLE_MD)
+    # err is None -> a --deep-only skip, not a failure: no annotation
+    assert merge_deep_row("graph_pagerank", None, None, prev, "2026-08-15") == GOOD_ROW
+
+
+def test_carried_annotation_roundtrips_through_parse():
+    # A carried row written to SCALING.md must parse back as a good row on
+    # the NEXT regeneration (the comment suffix must not break the name match
+    # or be mistaken for PROBE-ERROR).
+    prev = parse_deep_rows(SAMPLE_MD)
+    carried = merge_deep_row("graph_pagerank", None, "err", prev, "2026-08-15")
+    md = f"{DEEP_HEADER}\n\n{DEEP_TABLE_HEAD}\n|---|---|---|---|---|---|\n{carried}\n"
+    rows2 = parse_deep_rows(md)
+    assert "graph_pagerank" in rows2
+    assert rows2["graph_pagerank"].startswith(GOOD_ROW)

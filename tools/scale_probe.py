@@ -7,20 +7,34 @@ dominating). slope <= ~1 means linear-or-better scaling — the property
 that survives a 100x cluster scale-up; slope >> 1 flags a super-linear
 term (quadratic join, unfenced expansion).
 
-Writes SCALING.md. Run: python tools/scale_probe.py
+Fail-safe contract (round-6 postmortem: a crashed sf1 re-run overwrote 34
+healthy measured rows with PROBE-ERROR rows and the snapshot commit shipped
+the vandalized table):
+
+- A probe error for query X CARRIES X's previous committed row (annotated
+  with the failed-attempt date) instead of replacing it with garbage.
+- A dead Spark session is recycled once; if a healthy session cannot be
+  re-established, the regeneration ABORTS WITHOUT WRITING the file.
+- The deep (sf1) loop recycles the session every RECYCLE_EVERY probes —
+  the r6 crash was accumulated JVM state across 36 back-to-back sf1 probes
+  in one session (~118k objects at death).
+- `--deep-only name...` re-probes only the named deep queries and carries
+  every other row verbatim from the committed table (no annotation — they
+  remain real prior measurements).
+
+Writes SCALING.md. Run: python tools/scale_probe.py [--deep-only q1 q2 ...]
 """
 
 from __future__ import annotations
 
+import datetime
 import math
 import os
+import re
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-from drive_health_etl_spark.plans.registry import REGISTRY
-from drive_health_etl_spark.session import get_spark
 
 SFS = [("0.001", "/root/testdata/sf0.001"), ("0.01", "/root/testdata/sf0.01"), ("0.1", "/root/testdata/sf0.1")]
 
@@ -174,14 +188,79 @@ DEEP_PROBES = [
     "corpus_dsir_select",
 ]
 
+SF1_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf1")
+
+# Recycle the Spark session every N sf1 probes. The r6 crash happened after
+# ~118k JVM objects accumulated across 36 back-to-back deep probes in one
+# session; per-application caches (keyed by applicationId) re-fit cleanly in
+# the fresh session.
+RECYCLE_EVERY = 6
+
+DEEP_HEADER = "## Second decade: sf0.01 -> sf0.1 -> sf1"
+DEEP_TABLE_HEAD = "| query | t@sf0.01 | t@sf0.1 | t@sf1 | slope (top decade) | verdict |"
+
+_ROW_RE = re.compile(r"^\|\s*(?P<name>[A-Za-z0-9_]+)\s*\|")
+
+
+# ---------------------------------------------------------------------------
+# Pure merge logic (unit-tested without Spark: tests/test_scale_probe.py)
+
+
+def parse_deep_rows(md_text: str) -> dict[str, str]:
+    """Extract the second-decade table's GOOD rows as {query: row_line}.
+
+    PROBE-ERROR rows are dropped — they are never worth carrying; a prior
+    healthy measurement is. Returns {} if the section/table is absent.
+    """
+    if DEEP_HEADER not in md_text:
+        return {}
+    section = md_text.split(DEEP_HEADER, 1)[1]
+    rows: dict[str, str] = {}
+    in_table = False
+    for line in section.splitlines():
+        if line.startswith(DEEP_TABLE_HEAD):
+            in_table = True
+            continue
+        if in_table:
+            if not line.startswith("|"):
+                if line.strip():
+                    break  # table ended
+                continue
+            if line.startswith("|---"):
+                continue
+            m = _ROW_RE.match(line)
+            if m and "PROBE-ERROR" not in line:
+                rows[m.group("name")] = line.rstrip()
+    return rows
+
+
+def merge_deep_row(name: str, fresh_row: str | None, err: str | None,
+                   prev_rows: dict[str, str], today: str) -> str:
+    """Decide the emitted row for one deep probe. INVARIANT: an errored
+    probe can never replace a previously good row — it carries it, stamped
+    with the failed-attempt date."""
+    if fresh_row is not None:
+        return fresh_row
+    prev = prev_rows.get(name)
+    if prev is not None:
+        if err is None:
+            return prev  # --deep-only skip: carry verbatim
+        return prev + f" <!-- carried: probe errored {today}: {err[:60]} -->"
+    return f"| {name} | - | - | - | - | PROBE-ERROR: {(err or 'skipped, no prior row')[:80]} |"
+
+
+# ---------------------------------------------------------------------------
+# Spark-side probing
+
 
 def _probe_fn(name: str):
+    from drive_health_etl_spark.plans.registry import REGISTRY
+
     if name == "dedup_semantic_scaled":
         from drive_health_etl_spark.operators.similarity import dedup_semantic_scaled
 
         return dedup_semantic_scaled
     return REGISTRY[name][0]
-SF1_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf1")
 
 
 COLD_WALLS: dict[tuple[str, str], float] = {}  # (name, sf_dir) -> first-call wall
@@ -200,42 +279,101 @@ def _run(spark, name: str, sf_dir: str) -> float:
     return best
 
 
-def main() -> None:
-    spark = get_spark("scale-probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
-    spark.sparkContext.setLogLevel("ERROR")
-    rows = []
-    for name in PROBES:
-        ts = {label: _run(spark, name, d) for label, d in SFS}
-        # slope over the top decade: data grows 10x from sf0.01 to sf0.1
-        slope = math.log10(ts["0.1"] / ts["0.01"]) if ts["0.01"] > 0 else float("nan")
-        verdict = "linear-or-better" if slope <= 1.05 else "SUPER-LINEAR"
-        rows.append((name, ts["0.001"], ts["0.01"], ts["0.1"], slope, verdict))
-        print(f"{name}: {ts['0.001']:.2f}/{ts['0.01']:.2f}/{ts['0.1']:.2f}s slope={slope:.2f}")
+def _fresh_session(cpus: int):
+    from drive_health_etl_spark.session import get_spark
 
-    out = [
-        "# SCALING — measured wall time vs data volume",
-        "",
-        "Generated by `tools/scale_probe.py` (min-of-2 warm runs per SF on "
-        "local[32]). `slope` = log10(t_sf0.1 / t_sf0.01) over the 10x top "
-        "decade: <= ~1.0 means the query's cost grows at most linearly with "
-        "data — the shape that survives a 100x cluster scale-up. Small-SF "
-        "times are dominated by fixed per-query costs (planning, task "
-        "launch), which is why the slope uses only the top decade; values "
-        "well below 1 mean the engine still isn't data-bound at sf0.1.",
-        "",
-        "| query | t@sf0.001 | t@sf0.01 | t@sf0.1 | slope | verdict |",
-        "|---|---|---|---|---|---|",
-    ]
-    out += [
-        f"| {n} | {a:.2f}s | {b:.2f}s | {c:.2f}s | {s:.2f} | {v} |"
-        for n, a, b, c, s, v in rows
-    ]
+    spark = get_spark("scale-probe", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _healthy(spark) -> bool:
+    try:
+        return spark.range(1).count() == 1
+    except Exception:
+        return False
+
+
+class SessionDead(RuntimeError):
+    """A healthy Spark session could not be (re-)established — the caller
+    must abort WITHOUT writing SCALING.md."""
+
+
+def _ensure_session(spark, cpus: int):
+    """Return a healthy session, recycling the given one if dead."""
+    if _healthy(spark):
+        return spark
+    print("[scale_probe] WARNING: Spark session dead — recycling", file=sys.stderr)
+    try:
+        spark.stop()
+    except Exception:
+        pass
+    spark = _fresh_session(cpus)
+    if not _healthy(spark):
+        raise SessionDead("could not re-establish a healthy Spark session")
+    return spark
+
+
+def main() -> None:
+    argv = sys.argv[1:]
+    deep_only: set[str] | None = None
+    if argv and argv[0] == "--deep-only":
+        deep_only = set(argv[1:])
+        unknown = deep_only - set(DEEP_PROBES)
+        if unknown:
+            sys.exit(f"--deep-only names not in DEEP_PROBES: {sorted(unknown)}")
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    md_path = os.path.join(root, "SCALING.md")
+    old = ""
+    if os.path.exists(md_path):
+        with open(md_path) as f:
+            old = f.read()
+    prev_rows = parse_deep_rows(old)
+    today = datetime.date.today().isoformat()
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = _fresh_session(cpus)
+
+    rows = []
+    if deep_only is None:
+        for name in PROBES:
+            ts = {label: _run(spark, name, d) for label, d in SFS}
+            # slope over the top decade: data grows 10x from sf0.01 to sf0.1
+            slope = math.log10(ts["0.1"] / ts["0.01"]) if ts["0.01"] > 0 else float("nan")
+            verdict = "linear-or-better" if slope <= 1.05 else "SUPER-LINEAR"
+            rows.append((name, ts["0.001"], ts["0.01"], ts["0.1"], slope, verdict))
+            print(f"{name}: {ts['0.001']:.2f}/{ts['0.01']:.2f}/{ts['0.1']:.2f}s slope={slope:.2f}")
+
+        out = [
+            "# SCALING — measured wall time vs data volume",
+            "",
+            "Generated by `tools/scale_probe.py` (min-of-2 warm runs per SF on "
+            "local[32]). `slope` = log10(t_sf0.1 / t_sf0.01) over the 10x top "
+            "decade: <= ~1.0 means the query's cost grows at most linearly with "
+            "data — the shape that survives a 100x cluster scale-up. Small-SF "
+            "times are dominated by fixed per-query costs (planning, task "
+            "launch), which is why the slope uses only the top decade; values "
+            "well below 1 mean the engine still isn't data-bound at sf0.1.",
+            "",
+            "| query | t@sf0.001 | t@sf0.01 | t@sf0.1 | slope | verdict |",
+            "|---|---|---|---|---|---|",
+        ]
+        out += [
+            f"| {n} | {a:.2f}s | {b:.2f}s | {c:.2f}s | {s:.2f} | {v} |"
+            for n, a, b, c, s, v in rows
+        ]
+    else:
+        # carry the committed first-decade section verbatim
+        if DEEP_HEADER not in old:
+            sys.exit("--deep-only needs an existing SCALING.md with a second-decade section")
+        out = old.split(DEEP_HEADER, 1)[0].rstrip("\n").splitlines()
     n_bad = sum(1 for r in rows if r[5] == "SUPER-LINEAR")
 
     if os.path.isdir(SF1_DIR):
         out += [
             "",
-            "## Second decade: sf0.01 -> sf0.1 -> sf1",
+            DEEP_HEADER,
             "",
             "sf1 is a key-shifted 10x replication of the driver's sf0.1"
             " (`tools/make_scale_slice.py`: FK-consistent key offsets;"
@@ -245,33 +383,69 @@ def main() -> None:
             " per-query costs are fully amortized — the closest local proxy"
             " for cluster-scale growth.",
             "",
-            "| query | t@sf0.01 | t@sf0.1 | t@sf1 | slope (top decade) | verdict |",
+            DEEP_TABLE_HEAD,
             "|---|---|---|---|---|---|",
         ]
         base = {n: (b, c) for n, _a, b, c, _s, _v in rows}
         pj_warm_sf1 = None
-        for name in DEEP_PROBES:
-            try:
-                if name in base:
-                    t001, t01 = base[name]
+        probes_since_recycle = 0
+        try:
+            for name in DEEP_PROBES:
+                if deep_only is not None and name not in deep_only:
+                    out.append(merge_deep_row(name, None, None, prev_rows, today))
+                    continue
+                if probes_since_recycle >= RECYCLE_EVERY:
+                    print(f"[scale_probe] recycling session after {probes_since_recycle} sf1 probes")
+                    try:
+                        spark.stop()
+                    except Exception:
+                        pass
+                    spark = _fresh_session(cpus)
+                    probes_since_recycle = 0
+                spark = _ensure_session(spark, cpus)
+                fresh_row, err = None, None
+                try:
+                    if name in base:
+                        t001, t01 = base[name]
+                    else:
+                        t001 = _run(spark, name, SFS[1][1])
+                        t01 = _run(spark, name, SFS[2][1])
+                    t1 = _run(spark, name, SF1_DIR)
+                except Exception as e:
+                    # One retry on a recycled session IF the session died —
+                    # a genuine query failure on a healthy session is final.
+                    if not _healthy(spark):
+                        spark = _ensure_session(spark, cpus)  # raises SessionDead if hopeless
+                        probes_since_recycle = 0
+                        try:
+                            if name not in base:
+                                t001 = _run(spark, name, SFS[1][1])
+                                t01 = _run(spark, name, SFS[2][1])
+                            t1 = _run(spark, name, SF1_DIR)
+                            err = None
+                        except Exception as e2:
+                            err = str(e2)
+                    else:
+                        err = str(e)
+                probes_since_recycle += 1
+                if err is None:
+                    if name == "dedup_prefix_join":
+                        pj_warm_sf1 = t1
+                    slope = math.log10(t1 / t01) if t01 > 0 else float("nan")
+                    verdict = "linear-or-better" if slope <= 1.05 else "SUPER-LINEAR"
+                    if verdict == "SUPER-LINEAR":
+                        n_bad += 1
+                    fresh_row = (
+                        f"| {name} | {t001:.2f}s | {t01:.2f}s | {t1:.2f}s | {slope:.2f} | {verdict} |"
+                    )
+                    print(f"[sf1] {name}: {t01:.2f} -> {t1:.2f}s slope={slope:.2f}")
                 else:
-                    t001 = _run(spark, name, SFS[1][1])
-                    t01 = _run(spark, name, SFS[2][1])
-                t1 = _run(spark, name, SF1_DIR)
-            except Exception as e:  # record, don't lose the whole table
-                out.append(f"| {name} | - | - | - | - | PROBE-ERROR: {str(e)[:80]} |")
-                print(f"[sf1] {name}: PROBE-ERROR {str(e)[:120]}")
-                continue
-            if name == "dedup_prefix_join":
-                pj_warm_sf1 = t1
-            slope = math.log10(t1 / t01) if t01 > 0 else float("nan")
-            verdict = "linear-or-better" if slope <= 1.05 else "SUPER-LINEAR"
-            if verdict == "SUPER-LINEAR":
-                n_bad += 1
-            out.append(
-                f"| {name} | {t001:.2f}s | {t01:.2f}s | {t1:.2f}s | {slope:.2f} | {verdict} |"
-            )
-            print(f"[sf1] {name}: {t01:.2f} -> {t1:.2f}s slope={slope:.2f}")
+                    print(f"[sf1] {name}: PROBE-ERROR {err[:120]} "
+                          f"({'carrying previous row' if name in prev_rows else 'no prior row'})")
+                out.append(merge_deep_row(name, fresh_row, err, prev_rows, today))
+        except SessionDead as e:
+            print(f"[scale_probe] ABORT: {e} — SCALING.md NOT written", file=sys.stderr)
+            sys.exit(1)
 
         pj_cold = COLD_WALLS.get(("dedup_prefix_join", SF1_DIR))
         if pj_cold is not None and pj_warm_sf1 is not None:
@@ -285,20 +459,22 @@ def main() -> None:
                 "is the recurring per-run cost a production pipeline pays, "
                 "and it is what the slope column grades.",
             ]
+        elif "cold/warm split at sf1" in old:
+            # carry the committed cold/warm footnote when the probe that
+            # produces it didn't run this invocation
+            for line in old.splitlines():
+                if "cold/warm split at sf1" in line:
+                    out += ["", line]
+                    break
     else:
         print(f"note: {SF1_DIR} missing — run tools/make_scale_slice.py for the second decade")
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    md_path = os.path.join(root, "SCALING.md")
     # Preserve the streaming-scale section (tools/stream_scale_probe.py owns
     # the block between its markers).
     stream_block = ""
-    if os.path.exists(md_path):
-        with open(md_path) as f:
-            old = f.read()
-        b, e = "<!-- STREAM-SCALE:BEGIN -->", "<!-- STREAM-SCALE:END -->"
-        if b in old and e in old:
-            stream_block = "\n" + old[old.index(b): old.index(e) + len(e)] + "\n"
+    b, e = "<!-- STREAM-SCALE:BEGIN -->", "<!-- STREAM-SCALE:END -->"
+    if b in old and e in old:
+        stream_block = "\n" + old[old.index(b): old.index(e) + len(e)] + "\n"
     with open(md_path, "w") as f:
         f.write("\n".join(out) + "\n" + stream_block)
     print(f"wrote SCALING.md ({len(rows)} probes, {n_bad} super-linear)")
