@@ -46,6 +46,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_pairs",
     "dedup_prefix_join",
+    "dedup_substring_ladder",
     "dedup_simhash",
     "sim_cosine_topk",
     "sim_ann_lsh",
@@ -164,6 +165,7 @@ HEADLINE = [
     "text_url_canonical",
     "ts_residual_anomalies",
     "quality_lr_eval",
+    "quality_ft_eval",
     "emb_triplet_mining",
     "pipeline_ingest_e2e",
 ]

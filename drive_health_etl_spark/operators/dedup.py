@@ -1421,8 +1421,100 @@ SELECT doc_a, doc_b, jaccard FROM (
 """
 
 
+# --- multi-resolution shared-substring profile ------------------------------
+
+_LADDER = (8, 16, 32, 64, 128)  # geometric char-gram resolutions
+
+
+def dedup_substring_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document shared-substring profile at a geometric ladder of
+    resolutions — the multi-resolution complement to
+    ``dedup_exactsubstr_spans``'s fixed 8-gram pass (Lee et al. 2022's
+    ExactSubstr uses a single length threshold; this measures how much
+    verbatim overlap exists AT EACH scale, which is how that threshold gets
+    chosen for a new corpus). For each k in {8,16,32,64,128}: the number of
+    distinct char k-grams appearing in >= 2 distinct documents, and the
+    number of documents containing at least one such shared gram. Counts
+    decay with k — long verbatim overlaps are rarer — and the decay curve
+    separates boilerplate-heavy corpora (flat) from clean ones (steep).
+
+    Scale shape: one explode to (doc, k, gram) rows (~|ladder| x corpus
+    chars — scan-shaped, no pairwise work), per-doc-distinct is map-side
+    combinable, then two keyed aggregations over the SHARED tail only; the
+    gram->doc back-join is equi-keyed on (k, gram). Never all-pairs; at
+    100 TB the profile costs a constant factor of the corpus scan, and a
+    production run would swap the raw-gram shuffle key for a 64-bit hash
+    (kept as raw strings here so the DuckDB oracle is byte-identical).
+    The k=8..128 rows always appear (left join from the ladder relation),
+    so the output shape is stable even on a corpus with zero overlap."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    lad = F.explode(F.array(*[F.lit(k) for k in _LADDER])).alias("k")
+    # guard: sequence(1, 0) is [1, 0] in Spark (step defaults to -1), so
+    # docs shorter than k must be fenced out before the position explode
+    pos = F.explode(
+        F.when(
+            F.length("text") >= F.col("k"),
+            F.sequence(F.lit(1), F.length("text") - F.col("k") + 1),
+        ).otherwise(F.array().cast("array<int>"))
+    ).alias("i")
+    dg = (
+        docs.select("doc_id", "text", lad)
+        .select("doc_id", "k", "text", pos)
+        .select("doc_id", "k", F.expr("substring(text, i, k)").alias("g"))
+        .distinct()
+        .localCheckpoint(eager=True)  # two consumers: shared-gram counts
+        # and the doc back-join
+    )
+    sh = dg.groupBy("k", "g").agg(F.count("*").alias("nd")).filter(F.col("nd") >= 2)
+    grams_per_k = sh.groupBy("k").agg(F.count("*").alias("n_shared_grams"))
+    docs_per_k = (
+        dg.join(sh.select("k", "g"), ["k", "g"])
+        .select("k", "doc_id")
+        .distinct()
+        .groupBy("k")
+        .agg(F.count("*").alias("n_docs_sharing"))
+    )
+    ladder = spark.createDataFrame([(k,) for k in _LADDER], "k int")
+    return (
+        ladder.join(grams_per_k, "k", "left")
+        .join(docs_per_k, "k", "left")
+        .select(
+            "k",
+            F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
+            F.coalesce("n_docs_sharing", F.lit(0)).alias("n_docs_sharing"),
+        )
+    )
+
+
+DEDUP_SUBSTRING_LADDER_SQL = f"""
+WITH lad AS (SELECT unnest([{", ".join(str(k) for k in _LADDER)}]) AS k),
+dg AS MATERIALIZED (
+  SELECT DISTINCT d.doc_id, l.k, substr(d.text, i, l.k) AS g
+  FROM documents d
+  JOIN lad l ON len(d.text) >= l.k
+  CROSS JOIN UNNEST(generate_series(1, len(d.text) - l.k + 1)) AS t(i)
+),
+sh AS MATERIALIZED (
+  SELECT k, g FROM dg GROUP BY k, g HAVING COUNT(*) >= 2
+),
+gk AS (SELECT k, COUNT(*) AS n_shared_grams FROM sh GROUP BY k),
+dk AS (
+  SELECT k, COUNT(*) AS n_docs_sharing FROM (
+    SELECT DISTINCT dg.k, dg.doc_id FROM dg JOIN sh USING (k, g)
+  ) GROUP BY k
+)
+SELECT lad.k,
+       COALESCE(gk.n_shared_grams, 0) AS n_shared_grams,
+       COALESCE(dk.n_docs_sharing, 0) AS n_docs_sharing
+FROM lad LEFT JOIN gk USING (k) LEFT JOIN dk USING (k)
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "dedup_prefix_join": (dedup_prefix_join, DEDUP_PREFIX_JOIN_SQL),
+    "dedup_substring_ladder": (dedup_substring_ladder, DEDUP_SUBSTRING_LADDER_SQL),
     "dedup_exactsubstr_spans": (dedup_exactsubstr_spans, DEDUP_EXACTSUBSTR_SQL),
     "dedup_lsh_quality": (dedup_lsh_quality, _dedup_lsh_quality_sql()),
     "dedup_lsh_scurve": (dedup_lsh_scurve, _dedup_lsh_scurve_sql()),

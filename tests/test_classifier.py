@@ -99,3 +99,70 @@ def test_lr_oracle_matches_on_degenerate_corpora(spark, tmp_path):
         con.close()
         assert got == want == {t: 0.0 for t in got}, (label, got, want)
     _LR_CACHE.clear()
+
+
+# --- fastText-style hashed-ngram classifier (NBSVM closed-form) ------------
+
+
+def test_ft_learns_above_majority_prior(spark, sf_dir):
+    """The hashed-ngram model must rediscover the stopword rule from labels
+    alone — accuracy well above the ~0.906 majority prior (measured 0.996
+    at sf0.01 with D=512)."""
+    row = REGISTRY["quality_ft_eval"][0](spark, sf_dir).collect()[0]
+    assert row["accuracy"] > row["majority_acc"] + 0.03
+    assert row["tp"] + row["fp"] + row["tn"] + row["fn"] == row["n"]
+
+
+def test_ft_known_answers(spark, tmp_path):
+    """Hand corpus: stopword docs (y=1) vs content docs (y=0). The fitted
+    weights must put positive mass on the stopword buckets, every doc must
+    classify correctly, and an empty-text doc must drop out entirely."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from drive_health_etl_spark.operators.classifier import (
+        FT_BUCKETS,
+        quality_ft_eval,
+        quality_ft_train,
+    )
+
+    rows = [
+        (1, "the data of the table and the sort", "en", "s", 34),
+        (2, "a fast join in a batch is a win", "en", "s", 31),
+        (3, "vector hash merge filter window batch", "en", "s", 37),
+        (4, "spark query scan group column stream", "en", "s", 36),
+        (5, "", "en", "s", 0),  # no grams -> no rows in either engine
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    ev = quality_ft_eval(spark, str(tmp_path)).collect()[0]
+    assert ev["n"] == 4  # doc 5 contributed nothing
+    assert ev["accuracy"] == 1.0
+    assert ev["tp"] == 2 and ev["tn"] == 2 and ev["fp"] == 0 and ev["fn"] == 0
+
+    # the bucket holding 'the' must carry positive weight
+    import hashlib
+
+    b_the = int(hashlib.md5(b"the").hexdigest()[:7], 16) % FT_BUCKETS
+    weights = {r["b"]: r["weight"] for r in quality_ft_train(spark, str(tmp_path)).collect()}
+    assert weights[b_the] > 0
+
+
+def test_ft_single_class_corpus_is_well_defined(spark, tmp_path):
+    """Add-1 smoothing keeps every log argument positive, so a one-class
+    corpus fits without any degenerate guard (unlike lr_train) and predicts
+    the one observed class."""
+    from drive_health_etl_spark.operators.classifier import quality_ft_eval
+
+    rows = [
+        (1, "the data of the table", "en", "s", 21),
+        (2, "a fast join in the batch", "en", "s", 24),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    ev = quality_ft_eval(spark, str(tmp_path)).collect()[0]
+    assert ev["n"] == 2 and ev["fn"] == 0 and ev["accuracy"] == 1.0

@@ -142,3 +142,33 @@ def test_prefix_join_equals_bruteforce_on_synthetic_corpus(spark):
         D._SUBTREE_CACHE.clear()
     assert truth, "fixture must contain engineered near-dup pairs"
     assert got == truth, f"missing={truth - got} extra={got - truth}"
+
+
+def test_substring_ladder_known_answers(spark, tmp_path):
+    """Two docs sharing an exact 40-char run: every k <= 40 must report
+    shared grams from that run, k > 40 must report zero — and the ladder
+    always emits its 5 rows, even for the zero-overlap resolutions."""
+    shared = "0123456789abcdefghijklmnopqrstuvwxyzABCD"  # 40 chars
+    assert len(shared) == 40
+    rows = [
+        (1, "XX" + shared + "YYYYYYYYYYYY", "en", "s", 54),
+        (2, "qq" + shared + "zzzzzzzzzzzz", "en", "s", 54),
+        (3, "no overlap here at all, pure filler text", "en", "s", 40),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from drive_health_etl_spark.operators.dedup import dedup_substring_ladder
+
+    out = {
+        r["k"]: (r["n_shared_grams"], r["n_docs_sharing"])
+        for r in dedup_substring_ladder(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {8, 16, 32, 64, 128}
+    # a 40-char shared run contains 40-k+1 shared k-grams (all unique here)
+    assert out[8] == (33, 2)
+    assert out[16] == (25, 2)
+    assert out[32] == (9, 2)
+    assert out[64] == (0, 0)
+    assert out[128] == (0, 0)

@@ -436,6 +436,23 @@ BENCH_PLAN_FINGERPRINTS = {
         "shuffle_exchange": 2,
     },
     "quality_lr_eval": {"shuffle_exchange": 1},
+    # hashed-ngram NB classifier: the eval's 5 shuffles are the gram
+    # count, the two NB-count aggs, the per-doc score, and the confusion
+    # agg; both small sides (lam, tots) ride back as broadcasts
+    "quality_ft_train": {"shuffle_exchange": 3, "broadcast_exchange": 1, "BroadcastNestedLoopJoin": 1},
+    "quality_ft_eval": {
+        "shuffle_exchange": 5,
+        "broadcast_exchange": 2,
+        "BroadcastHashJoin": 1,
+        "BroadcastNestedLoopJoin": 1,
+    },
+    # shared-substring ladder: per-doc-distinct grams, shared-gram agg,
+    # the two per-k rollups, plus the ladder left-joins (all broadcast)
+    "dedup_substring_ladder": {
+        "shuffle_exchange": 5,
+        "broadcast_exchange": 3,
+        "BroadcastHashJoin": 3,
+    },
     "multimodal_jpeg_bytes": {},
     "multimodal_mjpeg_stats": {},
     "multimodal_mjpeg_p_stats": {},

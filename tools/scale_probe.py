@@ -120,6 +120,8 @@ PROBES = [
     "emb_triplet_mining",
     "text_char_entropy",
     "corpus_dsir_select",
+    "quality_ft_eval",
+    "dedup_substring_ladder",
 ]
 
 
@@ -186,6 +188,11 @@ DEEP_PROBES = [
     "multimodal_mjpeg_p_stats",
     "text_char_entropy",
     "corpus_dsir_select",
+    # Round 7: the two new families — hashed-ngram NB classifier and the
+    # multi-resolution shared-substring profile (the char-explode is the
+    # heaviest scan shape in the repo; its sf1 slope is the row to watch).
+    "quality_ft_eval",
+    "dedup_substring_ladder",
 ]
 
 SF1_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf1")

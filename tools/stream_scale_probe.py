@@ -48,6 +48,13 @@ BATCH_COUNTS = [2, 8, 32]  # micro-batch axis (fixed volume: sf0.01)
 VOLUME_SFS = [("0.001", "/root/testdata/sf0.001"), ("0.01", "/root/testdata/sf0.01"), ("0.1", "/root/testdata/sf0.1")]
 VOLUME_BATCHES = 4  # fixed batch count for the volume axis
 
+# Second-decade volume probes (VERDICT r6 item 5): the three probes whose
+# state grows with input keys, extended to the sf1 slice — state rows must
+# stay key-linear at 10x volume (the corpus-dedup signature store is the
+# one to watch).
+SF1_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf1")
+DEEP_VOLUME = ("st_ingest_stream", "st_stream_dedup", "st_corpus_dedup")
+
 
 def _spool(df, n_files: int, cols) -> str:
     """Write df as n_files mtime-ordered parquet files (one micro-batch
@@ -368,8 +375,11 @@ def main() -> None:
 
     vol_rows = []  # (probe, [(sf, wall, state)])
     for name, fn in PROBES.items():
+        sfs = list(VOLUME_SFS)
+        if name in DEEP_VOLUME and os.path.isdir(SF1_DIR):
+            sfs.append(("1", SF1_DIR))
         per_sf = []
-        for label, d in VOLUME_SFS:
+        for label, d in sfs:
             wall, state = fn(spark, d, VOLUME_BATCHES)
             per_sf.append((label, wall, state))
             print(f"[volume] {name} sf{label}: {wall:.2f}s state={state}")
@@ -409,20 +419,27 @@ def main() -> None:
         "in B (state is touched incrementally, never rescanned per batch).",
         "",
         f"**Data volume** (fixed B={VOLUME_BATCHES} micro-batches,",
-        "sf0.001 -> sf0.01 -> sf0.1): `slope` = log10(t_sf0.1 / t_sf0.01),",
-        "same convention as the batch table; state rows should track input",
-        "keys linearly.",
+        "sf0.001 -> sf0.01 -> sf0.1, and the sf1 slice for the three probes",
+        "whose state grows with input keys): `slope` = log10(t_sf0.1 /",
+        "t_sf0.01); `slope (sf1)` = log10(t_sf1 / t_sf0.1), the second",
+        "decade. State rows should track input keys linearly at every",
+        "decade.",
         "",
-        "| probe | t@sf0.001 | t@sf0.01 | t@sf0.1 | slope | state@sf0.001 | state@sf0.01 | state@sf0.1 |",
-        "|---|---|---|---|---|---|---|---|",
+        "| probe | t@sf0.001 | t@sf0.01 | t@sf0.1 | t@sf1 | slope | slope (sf1) | state@sf0.001 | state@sf0.01 | state@sf0.1 | state@sf1 |",
+        "|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     for name, per_sf in vol_rows:
         d = {label: (wall, state) for label, wall, state in per_sf}
         slope = math.log10(d["0.1"][0] / d["0.01"][0])
+        if "1" in d:
+            t1, st1 = f"{d['1'][0]:.2f}s", str(d["1"][1])
+            slope1 = f"{math.log10(d['1'][0] / d['0.1'][0]):.2f}"
+        else:
+            t1, st1, slope1 = "-", "-", "-"
         lines.append(
             f"| {name} | {d['0.001'][0]:.2f}s | {d['0.01'][0]:.2f}s | "
-            f"{d['0.1'][0]:.2f}s | {slope:.2f} | {d['0.001'][1]} | "
-            f"{d['0.01'][1]} | {d['0.1'][1]} |"
+            f"{d['0.1'][0]:.2f}s | {t1} | {slope:.2f} | {slope1} | "
+            f"{d['0.001'][1]} | {d['0.01'][1]} | {d['0.1'][1]} | {st1} |"
         )
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
