@@ -166,6 +166,7 @@ HEADLINE = [
     "ts_residual_anomalies",
     "quality_lr_eval",
     "quality_ft_eval",
+    "corpus_novelty",
     "emb_triplet_mining",
     "pipeline_ingest_e2e",
 ]

@@ -508,6 +508,74 @@ WITH {_FT_DB_SQL}
 SELECT b, CAST(w AS DOUBLE) AS weight FROM lam
 """
 
+def quality_ft_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration diagnostic (reliability table) for the hashed-ngram
+    classifier: map each doc's mean-pooled NB score through the engine-exact
+    rational sigmoid to an uncalibrated confidence p in (0,1), bin into 8
+    fixed-width bins, and report per bin the doc count, mean confidence,
+    and EMPIRICAL positive rate — the gap between the last two columns IS
+    the calibration error a Platt rescale would fix, and the table is how a
+    keep-threshold on the score gets chosen in practice.
+
+    Exactness: the decimal score s is exact; m = s/n and p = sigma~(m) use
+    only + * / abs on identical doubles (the quality_lr sigmoid argument);
+    the bin is an explicit floor (both engines truncate identically);
+    mean confidence is a decimal sum of 9dp-rounded p terms over an integer
+    count. One extra aggregate over the scored relation — no new scan."""
+    db = _ft_db(spark, sf_dir)
+    lam = _ft_lam(db)
+    m = F.col("s").cast("double") / F.col("n_grams").cast("double")
+    p = F.lit(0.5) + m / (F.lit(2.0) * (F.lit(1.0) + F.abs(m)))
+    scored = (
+        db.join(F.broadcast(lam), "b")
+        .groupBy("doc_id", "y")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.sum(F.col("c").cast("decimal(8,0)") * F.col("w")).alias("s"),
+        )
+        .select("y", p.alias("p"))
+        .select(
+            "y", "p", F.floor(F.col("p") * 8).cast("int").alias("bin")
+        )
+    )
+    return (
+        scored.groupBy("bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (
+                F.sum(F.round(F.col("p"), 9).cast("decimal(28,9)")).cast("double")
+                / F.count("*")
+            ).alias("avg_conf"),
+            (
+                F.sum(F.col("y").cast("long")).cast("double") / F.count("*")
+            ).alias("pos_rate"),
+        )
+        .select("bin", "n_docs", "avg_conf", "pos_rate")
+    )
+
+
+QUALITY_FT_CALIBRATION_SQL = f"""
+WITH {_FT_DB_SQL},
+scored AS (
+  SELECT db.y,
+         0.5 + (m / (2.0 * (1.0 + abs(m)))) AS p
+  FROM (
+    SELECT db.doc_id, db.y,
+           CAST(SUM(db.c::DECIMAL(8,0) * lam.w) AS DOUBLE)
+             / CAST(SUM(db.c) AS DOUBLE) AS m
+    FROM db JOIN lam USING (b)
+    GROUP BY db.doc_id, db.y
+  ) db
+)
+SELECT CAST(floor(p * 8) AS INTEGER) AS bin,
+       COUNT(*) AS n_docs,
+       CAST(SUM(ROUND(p, 9)::DECIMAL(28,9)) AS DOUBLE) / COUNT(*) AS avg_conf,
+       CAST(SUM(CAST(y AS BIGINT)) AS DOUBLE) / COUNT(*) AS pos_rate
+FROM scored
+GROUP BY 1
+"""
+
+
 QUALITY_FT_EVAL_SQL = f"""
 WITH {_FT_DB_SQL},
 scored AS (
@@ -530,4 +598,5 @@ QUERIES: dict[str, tuple] = {
     "quality_lr_eval": (quality_lr_eval, QUALITY_LR_EVAL_SQL),
     "quality_ft_train": (quality_ft_train, QUALITY_FT_TRAIN_SQL),
     "quality_ft_eval": (quality_ft_eval, QUALITY_FT_EVAL_SQL),
+    "quality_ft_calibration": (quality_ft_calibration, QUALITY_FT_CALIBRATION_SQL),
 }

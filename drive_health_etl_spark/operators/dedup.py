@@ -1421,6 +1421,59 @@ SELECT doc_a, doc_b, jaccard FROM (
 """
 
 
+# --- per-document novelty score ---------------------------------------------
+
+
+def corpus_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document NOVELTY: the fraction of a doc's distinct 3-gram
+    shingles that appear in NO other document — the inverse of the
+    containment/duplication signals, used as a data-SELECTION weight
+    (novel documents add information; near-zero novelty means the doc is
+    assembled from text seen elsewhere, even when no single pair crosses a
+    dedup threshold). Lives here (not corpus.py) to share the per-session
+    `_shingle_sets` subtree cache with the dedup family.
+
+    Exactness: n_unique / n_shingles is a ratio of exact integers; the
+    double division of identical ints is IEEE-exact in both engines, so no
+    rounding is needed anywhere. Scale shape: one vocab-keyed aggregation
+    (docs-per-shingle, map-side combinable since sets are per-doc
+    distinct), one equi-keyed join back, one per-doc aggregate — never
+    pairwise."""
+    sets_df = _shingle_sets(spark, sf_dir)
+    ex = sets_df.select("doc_id", F.explode("sh_set").alias("s"))
+    dfc = ex.groupBy("s").agg(F.count("*").alias("nd"))
+    return (
+        ex.join(dfc, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("nd") == 1, 1).otherwise(0)).alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_unique",
+            (F.col("n_unique").cast("double") / F.col("n_shingles")).alias("novelty"),
+        )
+    )
+
+
+CORPUS_NOVELTY_SQL = f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, list_distinct({SHINGLES_SQL}) AS sh FROM documents
+),
+ex AS MATERIALIZED (
+  SELECT doc_id, unnest(sh) AS s FROM t WHERE len(sh) > 0
+),
+dfc AS (SELECT s, COUNT(*) AS nd FROM ex GROUP BY s)
+SELECT doc_id, COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN nd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       CAST(SUM(CASE WHEN nd = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS novelty
+FROM ex JOIN dfc USING (s)
+GROUP BY doc_id
+"""
+
+
 # --- multi-resolution shared-substring profile ------------------------------
 
 _LADDER = (8, 16, 32, 64, 128)  # geometric char-gram resolutions
@@ -1515,6 +1568,7 @@ FROM lad LEFT JOIN gk USING (k) LEFT JOIN dk USING (k)
 QUERIES: dict[str, tuple] = {
     "dedup_prefix_join": (dedup_prefix_join, DEDUP_PREFIX_JOIN_SQL),
     "dedup_substring_ladder": (dedup_substring_ladder, DEDUP_SUBSTRING_LADDER_SQL),
+    "corpus_novelty": (corpus_novelty, CORPUS_NOVELTY_SQL),
     "dedup_exactsubstr_spans": (dedup_exactsubstr_spans, DEDUP_EXACTSUBSTR_SQL),
     "dedup_lsh_quality": (dedup_lsh_quality, _dedup_lsh_quality_sql()),
     "dedup_lsh_scurve": (dedup_lsh_scurve, _dedup_lsh_scurve_sql()),

@@ -166,3 +166,21 @@ def test_ft_single_class_corpus_is_well_defined(spark, tmp_path):
     df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
     ev = quality_ft_eval(spark, str(tmp_path)).collect()[0]
     assert ev["n"] == 2 and ev["fn"] == 0 and ev["accuracy"] == 1.0
+
+
+def test_ft_calibration_reliability_table(spark, sf_dir):
+    """Bins partition the corpus; confidences and rates are probabilities;
+    the table must expose the raw model's miscalibration structure (every
+    bin's empirical rate is a valid probability and bin populations sum to
+    the scored corpus)."""
+    from drive_health_etl_spark.operators.classifier import quality_ft_calibration
+
+    rows = quality_ft_calibration(spark, sf_dir).collect()
+    ev = REGISTRY["quality_ft_eval"][0](spark, sf_dir).collect()[0]
+    assert sum(r["n_docs"] for r in rows) == ev["n"]
+    for r in rows:
+        assert 0 <= r["bin"] <= 7
+        assert 0.0 < r["avg_conf"] < 1.0
+        assert 0.0 <= r["pos_rate"] <= 1.0
+        # avg_conf must live inside its bin's range
+        assert r["bin"] / 8 <= r["avg_conf"] < (r["bin"] + 1) / 8

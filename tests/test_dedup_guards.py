@@ -172,3 +172,33 @@ def test_substring_ladder_known_answers(spark, tmp_path):
     assert out[32] == (9, 2)
     assert out[64] == (0, 0)
     assert out[128] == (0, 0)
+
+
+def test_novelty_known_answers(spark, tmp_path):
+    """Identical docs have novelty 0 (every shingle shared); a doc with no
+    shingle in common with any other has novelty 1; short docs (< 3 tokens,
+    no shingles) drop out entirely."""
+    import drive_health_etl_spark.operators.dedup as D
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon", "en", "s", 30),
+        (2, "alpha beta gamma delta epsilon", "en", "s", 30),
+        (3, "one two three four five six", "en", "s", 27),
+        (4, "tiny doc", "en", "s", 8),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    D._SUBTREE_CACHE.clear()
+    try:
+        out = {
+            r["doc_id"]: r.asDict()
+            for r in D.corpus_novelty(spark, str(tmp_path)).collect()
+        }
+    finally:
+        D._SUBTREE_CACHE.clear()
+    assert set(out) == {1, 2, 3}  # doc 4 has no 3-gram shingles
+    assert out[1]["novelty"] == 0.0 and out[2]["novelty"] == 0.0
+    assert out[3]["novelty"] == 1.0
+    assert out[3]["n_shingles"] == out[3]["n_unique"] == 4

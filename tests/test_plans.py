@@ -127,6 +127,9 @@ BNLJ_BY_DESIGN = {
     "sess_daily_gapfill",  # calendar-days x event-type-enum grid cross (both config-sized)
     "sess_event_assoc",  # 1-row distinct-user-count broadcast onto the pair table
     "corpus_kl_drift",  # 1-row corpus-totals broadcast onto the vocab-sized freq table
+    "quality_ft_train",  # 1-row NB smoothing-totals broadcast onto the bucket counts
+    "quality_ft_eval",  # same 1-row totals broadcast (composes quality_ft_train)
+    "quality_ft_calibration",  # same 1-row totals broadcast (composes quality_ft_train)
     "corpus_temperature_mix",  # 1-row weight-normalizer broadcast onto the source-sized rates
     "corpus_dsir_select",  # 1-row smoothing-totals broadcast onto the 128-bucket ratio table
     "feat_equidepth_bins",  # 1-row percentile-bounds broadcast onto the bin-assign map
@@ -452,6 +455,15 @@ BENCH_PLAN_FINGERPRINTS = {
         "shuffle_exchange": 5,
         "broadcast_exchange": 3,
         "BroadcastHashJoin": 3,
+    },
+    # novelty: docs-per-shingle agg + per-doc agg over the cached shingle
+    # subtree; the vocab-keyed count rides back as a broadcast at this SF
+    "corpus_novelty": {"shuffle_exchange": 2, "broadcast_exchange": 1, "BroadcastHashJoin": 1},
+    "quality_ft_calibration": {
+        "shuffle_exchange": 5,
+        "broadcast_exchange": 2,
+        "BroadcastHashJoin": 1,
+        "BroadcastNestedLoopJoin": 1,
     },
     "multimodal_jpeg_bytes": {},
     "multimodal_mjpeg_stats": {},

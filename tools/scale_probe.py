@@ -122,6 +122,8 @@ PROBES = [
     "corpus_dsir_select",
     "quality_ft_eval",
     "dedup_substring_ladder",
+    "corpus_novelty",
+    "quality_ft_calibration",
 ]
 
 
