@@ -1512,13 +1512,19 @@ def dedup_substring_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(1), F.length("text") - F.col("k") + 1),
         ).otherwise(F.array().cast("array<int>"))
     ).alias("i")
+    from pyspark.storagelevel import StorageLevel
+
     dg = (
         docs.select("doc_id", "text", lad)
         .select("doc_id", "k", "text", pos)
         .select("doc_id", "k", F.expr("substring(text, i, k)").alias("g"))
         .distinct()
-        .localCheckpoint(eager=True)  # two consumers: shared-gram counts
-        # and the doc back-join
+        # two consumers (shared-gram counts + the doc back-join), but the
+        # relation is |ladder| x corpus chars of LONG strings — DISK_ONLY
+        # keeps the reuse without holding gigabytes of gram text in
+        # executor heap (an eager in-memory checkpoint OOM'd an 8g driver
+        # at the sf1 slice; grams are cheap to re-read from disk blocks)
+        .persist(StorageLevel.DISK_ONLY)
     )
     sh = dg.groupBy("k", "g").agg(F.count("*").alias("nd")).filter(F.col("nd") >= 2)
     grams_per_k = sh.groupBy("k").agg(F.count("*").alias("n_shared_grams"))

@@ -288,11 +288,33 @@ def _run(spark, name: str, sf_dir: str) -> float:
     return best
 
 
+def _purge_package_caches() -> None:
+    """Drop per-application cache entries across the package so a recycled
+    session doesn't pin py4j references (and therefore JVM objects) of dead
+    SparkContexts — module-level dicts named *_CACHE are the convention."""
+    import sys as _sys
+
+    for mod_name, mod in list(_sys.modules.items()):
+        if not mod_name.startswith("drive_health_etl_spark"):
+            continue
+        for attr in dir(mod):
+            if attr.endswith("_CACHE"):
+                obj = getattr(mod, attr, None)
+                if isinstance(obj, dict):
+                    obj.clear()
+
+
 def _fresh_session(cpus: int):
     from drive_health_etl_spark.session import get_spark
 
-    spark = get_spark("scale-probe", cpus=cpus)
-    spark.sparkContext.setLogLevel("ERROR")
+    _purge_package_caches()
+    try:
+        spark = get_spark("scale-probe", cpus=cpus)
+        spark.sparkContext.setLogLevel("ERROR")
+    except Exception as e:  # a dead py4j gateway can make creation itself
+        # fail (e.g. Connection refused after a JVM OOM) — surface it as
+        # the clean abort-without-write path, not a raw traceback
+        raise SessionDead(f"could not create a Spark session: {e}") from e
     return spark
 
 
