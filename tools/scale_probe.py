@@ -204,6 +204,10 @@ SF1_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)
 # session; per-application caches (keyed by applicationId) re-fit cleanly in
 # the fresh session.
 RECYCLE_EVERY = 6
+# The first-decade loop needs recycling too: ~80 probes x 9 executions
+# accumulate ~30k tasks, and a round-7 run OOM'd an 8g driver right at the
+# end of that loop in a single session. 15 probes ~ 135 executions/session.
+RECYCLE_EVERY_FIRST = 15
 
 DEEP_HEADER = "## Second decade: sf0.01 -> sf0.1 -> sf1"
 DEEP_TABLE_HEAD = "| query | t@sf0.01 | t@sf0.1 | t@sf1 | slope (top decade) | verdict |"
@@ -368,13 +372,38 @@ def main() -> None:
 
     rows = []
     if deep_only is None:
-        for name in PROBES:
-            ts = {label: _run(spark, name, d) for label, d in SFS}
-            # slope over the top decade: data grows 10x from sf0.01 to sf0.1
-            slope = math.log10(ts["0.1"] / ts["0.01"]) if ts["0.01"] > 0 else float("nan")
-            verdict = "linear-or-better" if slope <= 1.05 else "SUPER-LINEAR"
-            rows.append((name, ts["0.001"], ts["0.01"], ts["0.1"], slope, verdict))
-            print(f"{name}: {ts['0.001']:.2f}/{ts['0.01']:.2f}/{ts['0.1']:.2f}s slope={slope:.2f}")
+        try:
+            for i, name in enumerate(PROBES):
+                if i and i % RECYCLE_EVERY_FIRST == 0:
+                    print(f"[scale_probe] recycling session after {RECYCLE_EVERY_FIRST} probes")
+                    try:
+                        spark.stop()
+                    except Exception:
+                        pass
+                    spark = _fresh_session(cpus)
+                spark = _ensure_session(spark, cpus)
+                try:
+                    ts = {label: _run(spark, name, d) for label, d in SFS}
+                except Exception:
+                    if _healthy(spark):
+                        raise  # genuine query failure: fail loud, nothing written
+                    spark = _ensure_session(spark, cpus)  # SessionDead if hopeless
+                    ts = {label: _run(spark, name, d) for label, d in SFS}
+                # slope over the top decade: data grows 10x sf0.01 -> sf0.1
+                slope = math.log10(ts["0.1"] / ts["0.01"]) if ts["0.01"] > 0 else float("nan")
+                verdict = "linear-or-better" if slope <= 1.05 else "SUPER-LINEAR"
+                rows.append((name, ts["0.001"], ts["0.01"], ts["0.1"], slope, verdict))
+                print(f"{name}: {ts['0.001']:.2f}/{ts['0.01']:.2f}/{ts['0.1']:.2f}s slope={slope:.2f}")
+            # fresh session for the sf1 phase: the first decade leaves ~30k
+            # completed tasks of JVM state behind
+            try:
+                spark.stop()
+            except Exception:
+                pass
+            spark = _fresh_session(cpus)
+        except SessionDead as e:
+            print(f"[scale_probe] ABORT: {e} — SCALING.md NOT written", file=sys.stderr)
+            sys.exit(1)
 
         out = [
             "# SCALING — measured wall time vs data volume",
