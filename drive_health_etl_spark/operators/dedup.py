@@ -1528,8 +1528,13 @@ def dedup_substring_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = dg.groupBy("k", "g").agg(F.count("*").alias("nd")).filter(F.col("nd") >= 2)
     grams_per_k = sh.groupBy("k").agg(F.count("*").alias("n_shared_grams"))
+    # the shared-gram side grows with the corpus's TRUE overlap structure
+    # (boilerplate-heavy corpora have millions of shared grams), so it must
+    # never be broadcast: AQE's estimate picked a ~300 MB long-string
+    # broadcast at the sf1 slice (46s warm); the pinned shuffle-hash join
+    # halves that (21s, slope 0.89) and is the only scale-safe strategy
     docs_per_k = (
-        dg.join(sh.select("k", "g"), ["k", "g"])
+        dg.join(sh.select("k", "g").hint("shuffle_hash"), ["k", "g"])
         .select("k", "doc_id")
         .distinct()
         .groupBy("k")

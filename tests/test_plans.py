@@ -450,11 +450,15 @@ BENCH_PLAN_FINGERPRINTS = {
         "BroadcastNestedLoopJoin": 1,
     },
     # shared-substring ladder: per-doc-distinct grams, shared-gram agg,
-    # the two per-k rollups, plus the ladder left-joins (all broadcast)
+    # the two per-k rollups, the ladder left-joins (broadcast), and the
+    # PINNED shuffle-hash back-join — the shared-gram side grows with the
+    # corpus's overlap structure and must never be broadcast (AQE picked a
+    # ~300 MB long-string broadcast at sf1; shuffle-hash halves the wall)
     "dedup_substring_ladder": {
-        "shuffle_exchange": 5,
-        "broadcast_exchange": 3,
-        "BroadcastHashJoin": 3,
+        "shuffle_exchange": 6,
+        "broadcast_exchange": 2,
+        "BroadcastHashJoin": 2,
+        "ShuffledHashJoin": 1,
     },
     # novelty: docs-per-shingle agg + per-doc agg over the cached shingle
     # subtree; the vocab-keyed count rides back as a broadcast at this SF
