@@ -576,6 +576,126 @@ GROUP BY 1
 """
 
 
+def quality_ft_histcal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-binning calibration (Zadrozny & Elkan 2001, public) for
+    the hashed-ngram classifier, with an honest holdout: bins are FIT on
+    odd doc_ids and EVALUATED on even doc_ids (a deterministic split both
+    engines reproduce exactly). The calibrated probability for a test doc
+    is its bin's train-side empirical positive rate (the binwise-optimal
+    map — the closed-form alternative to a Platt fit, chosen because the
+    engine-exact rational sigmoid saturates too slowly for a few-round GD
+    Platt fit to converge, measured); the one-row readout is the test-side
+    expected calibration error before and after.
+
+    Exactness: confidences are the engine-exact sigmoid of exact-decimal
+    scores; bins are explicit floors; train rates and test positive rates
+    are integer ratios; ECE terms are 9dp-rounded and decimal-summed. Test
+    bins with no train data fall back to the train prior (deterministic in
+    both engines). Scale shape: two aggregates over the scored relation +
+    an 8-row broadcast back — no new scan."""
+    db = _ft_db(spark, sf_dir)
+    lam = _ft_lam(db)
+    m = F.col("s").cast("double") / F.col("n_grams").cast("double")
+    p = F.lit(0.5) + m / (F.lit(2.0) * (F.lit(1.0) + F.abs(m)))
+    scored = (
+        db.join(F.broadcast(lam), "b")
+        .groupBy("doc_id", "y")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.sum(F.col("c").cast("decimal(8,0)") * F.col("w")).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "y",
+            p.alias("p"),
+            F.floor(p * 8).cast("int").alias("bin"),
+            (F.col("doc_id") % 2 == 1).alias("is_train"),
+        )
+        .localCheckpoint(eager=True)  # two consumers: bin fit + test eval
+    )
+    train = scored.filter("is_train")
+    cal = train.groupBy("bin").agg(
+        (F.sum(F.col("y").cast("long")).cast("double") / F.count("*")).alias("p_cal")
+    )
+    prior = train.agg(
+        (F.sum(F.col("y").cast("long")).cast("double") / F.count("*")).alias("p_prior")
+    )
+    _d9 = "decimal(28,9)"
+    test = (
+        scored.filter(~F.col("is_train"))
+        .join(F.broadcast(cal), "bin", "left")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "bin", "y", "p", F.coalesce("p_cal", "p_prior").alias("p_cal")
+        )
+    )
+    per_bin = test.groupBy("bin").agg(
+        F.count("*").alias("nb"),
+        F.sum(F.round(F.col("p"), 9).cast(_d9)).alias("sp"),
+        F.sum(F.col("y").cast("long")).alias("npos"),
+        # p_cal is constant within a bin (bin-keyed map); min = that value
+        F.min("p_cal").alias("p_cal"),
+    )
+    rate = F.col("npos").cast("double") / F.col("nb")
+    conf_raw = F.col("sp").cast("double") / F.col("nb")
+    term_raw = F.round(
+        F.col("nb").cast("double") * F.abs(conf_raw - rate), 9
+    ).cast(_d9)
+    term_cal = F.round(
+        F.col("nb").cast("double") * F.abs(F.col("p_cal") - rate), 9
+    ).cast(_d9)
+    return per_bin.agg(
+        F.sum("nb").alias("n_test"),
+        F.round(F.sum(term_raw).cast("double") / F.sum("nb"), 6).alias("ece_raw"),
+        F.round(F.sum(term_cal).cast("double") / F.sum("nb"), 6).alias("ece_cal"),
+    )
+
+
+QUALITY_FT_HISTCAL_SQL = f"""
+WITH {_FT_DB_SQL},
+scored AS MATERIALIZED (
+  SELECT doc_id, y, p, CAST(floor(p * 8) AS INTEGER) AS bin,
+         doc_id % 2 = 1 AS is_train
+  FROM (
+    SELECT db.doc_id, db.y,
+           0.5 + (m / (2.0 * (1.0 + abs(m)))) AS p
+    FROM (
+      SELECT db.doc_id, db.y,
+             CAST(SUM(db.c::DECIMAL(8,0) * lam.w) AS DOUBLE)
+               / CAST(SUM(db.c) AS DOUBLE) AS m
+      FROM db JOIN lam USING (b)
+      GROUP BY db.doc_id, db.y
+    ) db
+  )
+),
+cal AS (
+  SELECT bin, CAST(SUM(CAST(y AS BIGINT)) AS DOUBLE) / COUNT(*) AS p_cal
+  FROM scored WHERE is_train GROUP BY bin
+),
+prior AS (
+  SELECT CAST(SUM(CAST(y AS BIGINT)) AS DOUBLE) / COUNT(*) AS p_prior
+  FROM scored WHERE is_train
+),
+per_bin AS (
+  SELECT t.bin, COUNT(*) AS nb,
+         SUM(ROUND(t.p, 9)::DECIMAL(28,9)) AS sp,
+         CAST(SUM(CAST(t.y AS BIGINT)) AS BIGINT) AS npos,
+         MIN(COALESCE(cal.p_cal, prior.p_prior)) AS p_cal
+  FROM scored t LEFT JOIN cal USING (bin) CROSS JOIN prior
+  WHERE NOT t.is_train
+  GROUP BY t.bin
+)
+SELECT CAST(SUM(nb) AS BIGINT) AS n_test,
+       ROUND(CAST(SUM(ROUND(CAST(nb AS DOUBLE) * abs(CAST(sp AS DOUBLE) / nb
+                 - CAST(npos AS DOUBLE) / nb), 9)::DECIMAL(28,9)) AS DOUBLE)
+             / SUM(nb), 6) AS ece_raw,
+       ROUND(CAST(SUM(ROUND(CAST(nb AS DOUBLE) * abs(p_cal
+                 - CAST(npos AS DOUBLE) / nb), 9)::DECIMAL(28,9)) AS DOUBLE)
+             / SUM(nb), 6) AS ece_cal
+FROM per_bin
+"""
+
+
 QUALITY_FT_EVAL_SQL = f"""
 WITH {_FT_DB_SQL},
 scored AS (
@@ -599,4 +719,5 @@ QUERIES: dict[str, tuple] = {
     "quality_ft_train": (quality_ft_train, QUALITY_FT_TRAIN_SQL),
     "quality_ft_eval": (quality_ft_eval, QUALITY_FT_EVAL_SQL),
     "quality_ft_calibration": (quality_ft_calibration, QUALITY_FT_CALIBRATION_SQL),
+    "quality_ft_histcal": (quality_ft_histcal, QUALITY_FT_HISTCAL_SQL),
 }

@@ -130,6 +130,7 @@ BNLJ_BY_DESIGN = {
     "quality_ft_train",  # 1-row NB smoothing-totals broadcast onto the bucket counts
     "quality_ft_eval",  # same 1-row totals broadcast (composes quality_ft_train)
     "quality_ft_calibration",  # same 1-row totals broadcast (composes quality_ft_train)
+    "quality_ft_histcal",  # 1-row train-prior broadcast onto the test rows
     "corpus_temperature_mix",  # 1-row weight-normalizer broadcast onto the source-sized rates
     "corpus_dsir_select",  # 1-row smoothing-totals broadcast onto the 128-bucket ratio table
     "feat_equidepth_bins",  # 1-row percentile-bounds broadcast onto the bin-assign map
@@ -465,6 +466,14 @@ BENCH_PLAN_FINGERPRINTS = {
     "corpus_novelty": {"shuffle_exchange": 2, "broadcast_exchange": 1, "BroadcastHashJoin": 1},
     "quality_ft_calibration": {
         "shuffle_exchange": 5,
+        "broadcast_exchange": 2,
+        "BroadcastHashJoin": 1,
+        "BroadcastNestedLoopJoin": 1,
+    },
+    # histogram calibration: fingerprinted on the checkpointed scored
+    # relation — bin fit, prior, test-side join-back, final ECE agg
+    "quality_ft_histcal": {
+        "shuffle_exchange": 4,
         "broadcast_exchange": 2,
         "BroadcastHashJoin": 1,
         "BroadcastNestedLoopJoin": 1,
