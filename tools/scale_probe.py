@@ -124,6 +124,7 @@ PROBES = [
     "dedup_substring_ladder",
     "corpus_novelty",
     "quality_ft_calibration",
+    "quality_ft_histcal",
 ]
 
 
@@ -195,6 +196,9 @@ DEEP_PROBES = [
     # heaviest scan shape in the repo; its sf1 slope is the row to watch).
     "quality_ft_eval",
     "dedup_substring_ladder",
+    "corpus_novelty",
+    "quality_ft_calibration",
+    "quality_ft_histcal",
 ]
 
 SF1_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf1")
