@@ -391,6 +391,47 @@ AUDITS = [
         "final plan below is the trivial readout of the checkpointed ranks "
         "— the iterative work happens upstream, bounded per round.",
     ),
+    (
+        "quality_ft_eval",
+        "Hashed-ngram NB classifier (r7): ONE gram-explode scan folded to "
+        "map-side-combinable (doc, y, bucket) counts and checkpointed for "
+        "its two consumers; the closed-form NBSVM fit is one more "
+        "combinable aggregate whose 512-row weight table rides back as a "
+        "broadcast — no GD rounds, no driver round-trips, the one-pass "
+        "shape a 100 TB fit needs. Scoring is exact decimal sums per doc "
+        "plus one confusion aggregate.",
+    ),
+    (
+        "dedup_substring_ladder",
+        "Multi-resolution shared-substring profile (r7): the (doc, k, "
+        "gram) explode is scan-shaped (|ladder| x corpus chars, never "
+        "pairwise), persisted DISK_ONLY (long gram strings must not sit "
+        "in executor heap — an eager in-memory checkpoint OOM'd an 8g "
+        "driver at sf1); the shared-gram back-join is a PINNED "
+        "shuffle-hash join because the shared side grows with the "
+        "corpus's true overlap structure and must never be broadcast "
+        "(AQE's estimate picked a ~300 MB long-string broadcast at sf1 — "
+        "2x slower and a scale hazard).",
+    ),
+    (
+        "corpus_novelty",
+        "Per-doc novelty (r7): reuses the dedup family's persisted "
+        "shingle-set subtree; one vocab-keyed docs-per-shingle aggregate "
+        "(map-side combinable over per-doc-distinct sets), one HINT-FREE "
+        "equi-join back (AQE broadcasts at test scale, shuffles at open "
+        "vocabulary), one per-doc aggregate. Novelty is an exact integer "
+        "ratio — no rounding anywhere in the query.",
+    ),
+    (
+        "quality_ft_histcal",
+        "Holdout histogram calibration (r7): the scored relation is "
+        "checkpointed once (doc-count-sized); the bin fit and the train "
+        "prior are two tiny combinable aggregates broadcast back onto the "
+        "test half; the readout is one 8-group aggregate. Deterministic "
+        "odd/even doc split, so both engines replay the identical "
+        "holdout — a calibration fit whose cost is two passes over "
+        "scores at any corpus size.",
+    ),
 ]
 
 
