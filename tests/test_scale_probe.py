@@ -93,3 +93,42 @@ def test_carried_annotation_roundtrips_through_parse():
     rows2 = parse_deep_rows(md)
     assert "graph_pagerank" in rows2
     assert rows2["graph_pagerank"].startswith(GOOD_ROW)
+
+
+def test_purge_package_caches_clears_cache_dicts():
+    """Recycling must drop per-application cache entries (they pin py4j
+    references of dead SparkContexts) — any module-level *_CACHE dict in
+    the package is the convention."""
+    import drive_health_etl_spark.operators.dedup as D
+    from scale_probe import _purge_package_caches
+
+    D._SUBTREE_CACHE["sentinel"] = "x"
+    D._VOCAB_SIZE_CACHE[("app", "sf")] = 7
+    _purge_package_caches()
+    assert D._SUBTREE_CACHE == {}
+    assert D._VOCAB_SIZE_CACHE == {}
+
+
+def test_deep_only_names_are_validated():
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "tools/scale_probe.py", "--deep-only", "not_a_query"],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=60,
+    )
+    assert r.returncode != 0
+    assert "not_a_query" in (r.stdout + r.stderr)
+
+
+def test_all_deep_probes_resolve():
+    """Every DEEP_PROBES/PROBES name must resolve to a probe-able callable
+    — a rename in the registry must fail here, not 30 minutes into a probe
+    run."""
+    import scale_probe as sp
+
+    for name in set(sp.PROBES) | set(sp.DEEP_PROBES):
+        assert callable(sp._probe_fn(name)), name
