@@ -516,6 +516,91 @@ FROM documents
 """
 
 
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus frequency spectrum: OLS of ln(freq) on
+    ln(rank) — natural language sits near slope -1; strong deviation flags
+    synthetic, templated, or boilerplate-heavy corpora, making this the
+    corpus-level health check run before committing a source to a
+    training mix.
+
+    Exactness (the stat_ols_trend recipe): each ln term is 9dp-rounded and
+    decimal(15,9)-cast so all five OLS moments are EXACT decimal sums
+    (products stay under the 38-digit cap at (31,18)); slope/intercept/R^2
+    are then identical double chains, rounded 6dp.
+
+    Scale shape: the word-count aggregate is map-side combinable over the
+    corpus scan; everything after operates on the VOCAB-sized spectrum,
+    where the global rank window's single-partition sort is exactly as
+    large as the vocabulary. At an open 100 TB vocabulary, pre-filter the
+    spectrum head (freq above a cutoff) before ranking — the fit only
+    needs the head; the tie order (freq desc, token asc) is a total order
+    both engines replay."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokens_col()).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+    )
+    r = F.row_number().over(Window.orderBy(F.col("f").desc(), F.col("w").asc()))
+    pts = freq.select(
+        F.round(F.log(r.cast("double")), 9).cast("decimal(15,9)").alias("x"),
+        F.round(F.log(F.col("f").cast("double")), 9).cast("decimal(15,9)").alias("y"),
+    )
+    mom = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
+    sy, sxy = F.col("sy").cast("double"), F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    num = n * sxy - sx * sy
+    den_x = n * sxx - sx * sx
+    den_y = n * syy - sy * sy
+    slope = num / den_x
+    intercept = (sy - slope * sx) / n
+    r2 = num * num / (den_x * den_y)
+    return mom.select(
+        F.col("n").alias("n_vocab"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
+TEXT_ZIPF_FIT_SQL = f"""
+WITH freq AS (
+  SELECT w, COUNT(*) AS f
+  FROM (SELECT unnest({TOKENS_SQL}) AS w FROM documents)
+  GROUP BY w
+),
+pts AS (
+  SELECT ROUND(ln(CAST(ROW_NUMBER() OVER (ORDER BY f DESC, w ASC) AS DOUBLE)), 9)::DECIMAL(15,9) AS x,
+         ROUND(ln(CAST(f AS DOUBLE)), 9)::DECIMAL(15,9) AS y
+  FROM freq
+),
+mom AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx,
+         SUM(y) AS sy, SUM(x * y) AS sxy, SUM(y * y) AS syy
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_vocab,
+       ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope,
+       ROUND((CAST(sy AS DOUBLE) - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE)) / n, 6) AS intercept,
+       ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             * (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+FROM mom
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "text_langid": (text_langid, _langid_sql()),
     "text_bpe_token_count": (text_bpe_token_count, TEXT_BPE_SQL),
@@ -525,6 +610,7 @@ QUERIES: dict[str, tuple] = {
     "text_readability": (text_readability, TEXT_READABILITY_SQL),
     "text_langid_eval": (text_langid_eval, TEXT_LANGID_EVAL_SQL),
     "text_word_freq": (text_word_freq, TEXT_WORD_FREQ_SQL),
+    "text_zipf_fit": (text_zipf_fit, TEXT_ZIPF_FIT_SQL),
     "text_lang_dist": (text_lang_dist, TEXT_LANG_DIST_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "text_fingerprint": (text_fingerprint, TEXT_FINGERPRINT_SQL),

@@ -267,3 +267,26 @@ def test_reconcile_orders_totals_positive(spark):
     for r in rows:
         assert r["n_mismatch"] <= r["n_orders"]
         assert r["max_abs_diff"] >= 0
+
+
+def test_zipf_fit_known_answers(spark, tmp_path, sf_dir):
+    """A corpus with frequencies exactly N/rank is perfectly Zipfian: the
+    log-log OLS must return slope -1, R^2 1 (12/6/4/3 occurrences of four
+    distinct words). The driver's synthetic near-uniform vocabulary must be
+    flagged as strongly NON-Zipfian (shallow slope, low R^2) — the signal
+    this diagnostic exists to produce."""
+    from drive_health_etl_spark.operators.text import text_zipf_fit
+
+    text = " ".join(["a"] * 12 + ["b"] * 6 + ["c"] * 4 + ["d"] * 3)
+    df = spark.createDataFrame(
+        [(1, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    row = text_zipf_fit(spark, str(tmp_path)).collect()[0]
+    assert row["n_vocab"] == 4
+    assert row["zipf_slope"] == -1.0 and row["r2"] == 1.0
+
+    synth = text_zipf_fit(spark, sf_dir).collect()[0]
+    assert synth["zipf_slope"] > -0.5  # far shallower than natural language
+    assert synth["r2"] < 0.3

@@ -440,6 +440,8 @@ BENCH_PLAN_FINGERPRINTS = {
         "shuffle_exchange": 2,
     },
     "quality_lr_eval": {"shuffle_exchange": 1},
+    # zipf fit: word-count shuffle + the vocab-sized rank/moment aggregate
+    "text_zipf_fit": {"shuffle_exchange": 2},
     # hashed-ngram NB classifier: the eval's 5 shuffles are the gram
     # count, the two NB-count aggs, the per-doc score, and the confusion
     # agg; both small sides (lam, tots) ride back as broadcasts
