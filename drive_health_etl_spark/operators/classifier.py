@@ -422,8 +422,12 @@ def _ft_lam(db: DataFrame) -> DataFrame:
             - F.log((F.col("cn") + 1).cast("double") / F.col("nn_t").cast("double")),
             9,
         )
-        .cast("decimal(20,9)")  # small precision: the c*w product must stay
-        # under Spark's 38-digit cap or the scale silently drops
+        .cast("decimal(16,9)")  # sized so the c*w product stays under
+        # Spark's 38-digit cap (decimal(12,0) x decimal(16,9) -> precision
+        # 29, scale 9 — exact in both engines); past the cap Spark silently
+        # DROPS SCALE while DuckDB raises. 12 digits of count headroom:
+        # a per-(doc,bucket) gram count >= 10^12 would overflow-to-NULL in
+        # Spark (non-ANSI) — unreachable for any real document
         .alias("w"),
     )
 
@@ -445,7 +449,7 @@ def quality_ft_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         db.join(F.broadcast(lam), "b")
         .groupBy("doc_id", "y")
-        .agg(F.sum(F.col("c").cast("decimal(8,0)") * F.col("w")).alias("s"))
+        .agg(F.sum(F.col("c").cast("decimal(12,0)") * F.col("w")).alias("s"))
         .select("y", (F.col("s") > 0).cast("int").alias("pred"))
     )
     return scored.agg(
@@ -490,7 +494,7 @@ lam AS MATERIALIZED (
   SELECT b,
          ROUND(ln(CAST(cp + 1 AS DOUBLE) / CAST(np_t AS DOUBLE))
                - ln(CAST(cn + 1 AS DOUBLE) / CAST(nn_t AS DOUBLE)),
-               9)::DECIMAL(20,9) AS w
+               9)::DECIMAL(16,9) AS w
   FROM (
     SELECT b,
            SUM(CASE WHEN y = 1.0 THEN c ELSE 0 END) AS cp,
@@ -531,7 +535,7 @@ def quality_ft_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "y")
         .agg(
             F.sum("c").alias("n_grams"),
-            F.sum(F.col("c").cast("decimal(8,0)") * F.col("w")).alias("s"),
+            F.sum(F.col("c").cast("decimal(12,0)") * F.col("w")).alias("s"),
         )
         .select("y", p.alias("p"))
         .select(
@@ -561,7 +565,7 @@ scored AS (
          0.5 + (m / (2.0 * (1.0 + abs(m)))) AS p
   FROM (
     SELECT db.doc_id, db.y,
-           CAST(SUM(db.c::DECIMAL(8,0) * lam.w) AS DOUBLE)
+           CAST(SUM(db.c::DECIMAL(12,0) * lam.w) AS DOUBLE)
              / CAST(SUM(db.c) AS DOUBLE) AS m
     FROM db JOIN lam USING (b)
     GROUP BY db.doc_id, db.y
@@ -602,7 +606,7 @@ def quality_ft_histcal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "y")
         .agg(
             F.sum("c").alias("n_grams"),
-            F.sum(F.col("c").cast("decimal(8,0)") * F.col("w")).alias("s"),
+            F.sum(F.col("c").cast("decimal(12,0)") * F.col("w")).alias("s"),
         )
         .select(
             "doc_id",
@@ -661,7 +665,7 @@ scored AS MATERIALIZED (
            0.5 + (m / (2.0 * (1.0 + abs(m)))) AS p
     FROM (
       SELECT db.doc_id, db.y,
-             CAST(SUM(db.c::DECIMAL(8,0) * lam.w) AS DOUBLE)
+             CAST(SUM(db.c::DECIMAL(12,0) * lam.w) AS DOUBLE)
                / CAST(SUM(db.c) AS DOUBLE) AS m
       FROM db JOIN lam USING (b)
       GROUP BY db.doc_id, db.y
@@ -699,7 +703,7 @@ FROM per_bin
 QUALITY_FT_EVAL_SQL = f"""
 WITH {_FT_DB_SQL},
 scored AS (
-  SELECT db.y, CASE WHEN SUM(db.c::DECIMAL(8,0) * lam.w) > 0 THEN 1 ELSE 0 END AS pred
+  SELECT db.y, CASE WHEN SUM(db.c::DECIMAL(12,0) * lam.w) > 0 THEN 1 ELSE 0 END AS pred
   FROM db JOIN lam USING (b)
   GROUP BY db.doc_id, db.y
 )

@@ -817,8 +817,10 @@ def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.log((F.col("r") + 1).cast("double") / F.col("rt").cast("double")),
                 9,
             )
-            .cast("decimal(20,9)")  # small precision: the n*lam product must
-            # stay under Spark's 38-digit cap or the scale silently drops
+            .cast("decimal(16,9)")  # sized so the n*lam product stays under
+            # Spark's 38-digit cap (decimal(12,0) x decimal(16,9) ->
+            # precision 29, scale 9 — exact in both engines); 12 digits of
+            # count headroom before Spark's silent overflow-to-NULL
             .alias("lam"),
         )
     )
@@ -827,7 +829,7 @@ def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.sum("n").alias("n_tokens"),
-            F.sum(F.col("n").cast("decimal(8,0)") * F.col("lam")).alias("s"),
+            F.sum(F.col("n").cast("decimal(12,0)") * F.col("lam")).alias("s"),
         )
     )
     # No final round: `s` is an exact decimal identical in both engines
@@ -862,11 +864,11 @@ lam AS (
   SELECT b,
          CAST(ROUND(ln(CAST(t + 1 AS DOUBLE) / CAST(tt AS DOUBLE))
                     - ln(CAST(r + 1 AS DOUBLE) / CAST(rt AS DOUBLE)), 9)
-              AS DECIMAL(20,9)) AS lam
+              AS DECIMAL(16,9)) AS lam
   FROM counts, totals
 ),
 scored AS (
-  SELECT doc_id, SUM(n) AS n_tokens, SUM(CAST(n AS DECIMAL(8,0)) * lam) AS s
+  SELECT doc_id, SUM(n) AS n_tokens, SUM(CAST(n AS DECIMAL(12,0)) * lam) AS s
   FROM db JOIN lam USING (b) GROUP BY doc_id
 )
 SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,

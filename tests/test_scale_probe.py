@@ -132,3 +132,81 @@ def test_all_deep_probes_resolve():
 
     for name in set(sp.PROBES) | set(sp.DEEP_PROBES):
         assert callable(sp._probe_fn(name)), name
+
+
+def test_error_text_is_sanitized_for_markdown():
+    """Spark/py4j exception strings contain newlines and '|' within the
+    first 60 chars; embedding them raw breaks the table row and leaves the
+    carried comment unterminated (ADVICE r7)."""
+    prev = parse_deep_rows(SAMPLE_MD)
+    nasty = "An error occurred\nwhile calling o123.save:\n| Py4JJavaError --> x"
+    carried = merge_deep_row("graph_pagerank", None, nasty, prev, "2026-08-15")
+    assert "\n" not in carried
+    assert carried.count("|") == GOOD_ROW.count("|")  # no phantom cells
+    assert carried.count("-->") == 1  # comment terminates exactly once
+    # and the carried row must survive a reparse as a single good row
+    md = f"{DEEP_HEADER}\n\n{DEEP_TABLE_HEAD}\n|---|---|---|---|---|---|\n{carried}\n"
+    assert parse_deep_rows(md)["graph_pagerank"].startswith(GOOD_ROW)
+    # PROBE-ERROR cells get the same treatment
+    err_row = merge_deep_row("brand_new_query", None, nasty, {}, "2026-08-15")
+    assert "\n" not in err_row and err_row.count("|") == 7
+
+
+def test_carried_annotations_do_not_accumulate():
+    """Consecutive failed runs must REPLACE the carried annotation, not
+    append a second one (ADVICE r7: unbounded row growth)."""
+    prev = parse_deep_rows(SAMPLE_MD)
+    once = merge_deep_row("graph_pagerank", None, "err one", prev, "2026-08-14")
+    md = f"{DEEP_HEADER}\n\n{DEEP_TABLE_HEAD}\n|---|---|---|---|---|---|\n{once}\n"
+    twice = merge_deep_row("graph_pagerank", None, "err two", parse_deep_rows(md), "2026-08-15")
+    assert twice.count("<!--") == 1
+    assert "err two" in twice and "err one" not in twice
+    assert twice.startswith(GOOD_ROW)
+
+
+def test_deep_only_aborts_without_sf1_dir(tmp_path, monkeypatch):
+    """--deep-only with .scale/sf1 absent must exit BEFORE writing: its whole
+    purpose is regenerating deep rows, and writing without them would delete
+    the committed deep table (ADVICE r7 — same vandalism class as round 6)."""
+    import pytest
+    import scale_probe as sp
+
+    monkeypatch.setattr(sp, "SF1_DIR", str(tmp_path / "definitely-missing"))
+    monkeypatch.setattr(sys, "argv", ["scale_probe.py", "--deep-only", "graph_pagerank"])
+    with pytest.raises(SystemExit) as ei:
+        sp.main()
+    assert "aborting WITHOUT writing" in str(ei.value)
+
+
+def test_healthy_times_out_on_wedged_session():
+    """A wedged-but-alive JVM (hung count()) must read as unhealthy after
+    the watchdog timeout instead of hanging the regeneration (ADVICE r7)."""
+    import threading
+    from scale_probe import _healthy
+
+    class WedgedRange:
+        def count(self):
+            threading.Event().wait(10)  # hangs far past the probe timeout
+
+    class WedgedSpark:
+        def range(self, n):
+            return WedgedRange()
+
+    import time as _t
+    t0 = _t.perf_counter()
+    assert _healthy(WedgedSpark(), timeout_s=0.2) is False
+    assert _t.perf_counter() - t0 < 5
+
+
+def test_healthy_true_on_live_session_stub():
+    class OkRange:
+        def count(self):
+            return 1
+
+    class OkSpark:
+        def range(self, n):
+            return OkRange()
+
+    from scale_probe import _healthy
+
+    assert _healthy(OkSpark(), timeout_s=5) is True

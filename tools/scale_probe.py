@@ -251,19 +251,32 @@ def parse_deep_rows(md_text: str) -> dict[str, str]:
     return rows
 
 
+def _sanitize_err(err: str) -> str:
+    """Make an exception string safe to embed in a markdown table row /
+    HTML comment: Spark/py4j messages routinely contain newlines (which
+    would break the row) and '|' (which would add phantom cells) within
+    the first 60 chars."""
+    return " ".join(str(err).split()).replace("|", "/").replace("-->", "-- >")
+
+
 def merge_deep_row(name: str, fresh_row: str | None, err: str | None,
                    prev_rows: dict[str, str], today: str) -> str:
     """Decide the emitted row for one deep probe. INVARIANT: an errored
     probe can never replace a previously good row — it carries it, stamped
-    with the failed-attempt date."""
+    with the failed-attempt date (prior carried annotations are replaced,
+    not accumulated)."""
     if fresh_row is not None:
         return fresh_row
     prev = prev_rows.get(name)
     if prev is not None:
         if err is None:
             return prev  # --deep-only skip: carry verbatim
-        return prev + f" <!-- carried: probe errored {today}: {err[:60]} -->"
-    return f"| {name} | - | - | - | - | PROBE-ERROR: {(err or 'skipped, no prior row')[:80]} |"
+        # strip any prior carried annotation so consecutive failed runs
+        # don't grow the row without bound
+        prev = prev.split("<!--", 1)[0].rstrip()
+        return prev + f" <!-- carried: probe errored {today}: {_sanitize_err(err)[:60]} -->"
+    reason = _sanitize_err(err) if err else "skipped, no prior row"
+    return f"| {name} | - | - | - | - | PROBE-ERROR: {reason[:80]} |"
 
 
 # ---------------------------------------------------------------------------
@@ -326,11 +339,34 @@ def _fresh_session(cpus: int):
     return spark
 
 
-def _healthy(spark) -> bool:
-    try:
-        return spark.range(1).count() == 1
-    except Exception:
+HEALTH_PROBE_TIMEOUT_S = 60
+
+
+def _healthy(spark, timeout_s: float = HEALTH_PROBE_TIMEOUT_S) -> bool:
+    """Probe the session with a trivial job under a watchdog: a
+    wedged-but-alive JVM (GC thrash before an OOM) would otherwise hang
+    the regeneration indefinitely instead of triggering the recycle path.
+    The probe runs in a daemon thread; on timeout the thread is abandoned
+    (the session is about to be stopped anyway) and the session is
+    treated as unhealthy."""
+    import threading
+
+    result: list[bool] = []
+
+    def probe() -> None:
+        try:
+            result.append(spark.range(1).count() == 1)
+        except Exception:
+            result.append(False)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        print(f"[scale_probe] health probe timed out after {timeout_s}s — treating session as dead",
+              file=sys.stderr)
         return False
+    return bool(result and result[0])
 
 
 class SessionDead(RuntimeError):
@@ -361,6 +397,12 @@ def main() -> None:
         unknown = deep_only - set(DEEP_PROBES)
         if unknown:
             sys.exit(f"--deep-only names not in DEEP_PROBES: {sorted(unknown)}")
+        if not os.path.isdir(SF1_DIR):
+            # The mode's entire purpose is regenerating deep rows; writing
+            # without the sf1 data would silently drop the whole committed
+            # deep table (abort-without-write contract).
+            sys.exit(f"--deep-only requires {SF1_DIR} (run tools/make_scale_slice.py) "
+                     "— aborting WITHOUT writing SCALING.md")
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     md_path = os.path.join(root, "SCALING.md")
