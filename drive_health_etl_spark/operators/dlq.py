@@ -126,12 +126,10 @@ def run_replay_job(
     # the DLQ rewrite below would re-ingest the same messages — the same
     # event-date-pruned existing-keys anti-join the streaming sink uses makes
     # the append idempotent (reference: BigQuery insertId, src/bq.js:49).
-    from drive_health_etl_spark.streaming.ingest_stream import existing_warehouse_keys
+    from drive_health_etl_spark.streaming.ingest_stream import dedup_against_warehouse
 
     recovered = res.warehouse.withColumn("event_date", F.to_date("occurred_at"))
-    existing = existing_warehouse_keys(spark, warehouse_path, recovered)
-    if existing is not None:
-        recovered = recovered.join(existing, "idempotency_key", "left_anti")
+    recovered = dedup_against_warehouse(spark, warehouse_path, recovered)
     recovered.persist()
     n_replayed = routed.replay.count()
     n_parked = routed.parked.count()

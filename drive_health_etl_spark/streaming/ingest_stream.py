@@ -50,38 +50,62 @@ class StreamIngestConfig:
     source_format: str = "parquet"
 
 
-def existing_warehouse_keys(
-    spark: SparkSession, warehouse_path: str, rows: DataFrame, horizon_days: int = 7
-) -> DataFrame | None:
-    """Warehouse idempotency keys for the incoming batch's event-date range
-    (partition-pruned read; ± horizon days of slack for clock skew).
-    ``rows`` must carry ``event_date``. Shared by the streaming sink and the
-    DLQ replay job — both need the same BigQuery-insertId-style cross-run
-    exactly-once guard (``src/bq.js:49``)."""
+# Above this many incoming rows the per-batch dedup falls back to the
+# shuffle anti-join: broadcasting the batch's keys (~60 B/key) past this
+# stops being free. A micro-batch this large is an availableNow backlog
+# drain, where the shuffle is amortized anyway.
+BROADCAST_DEDUP_MAX_KEYS = 500_000
+
+
+def dedup_against_warehouse(
+    spark: SparkSession,
+    warehouse_path: str,
+    rows: DataFrame,
+    horizon_days: int = 7,
+    broadcast_max_keys: int = BROADCAST_DEDUP_MAX_KEYS,
+) -> DataFrame:
+    """Cross-run exactly-once guard (BigQuery insertId semantics,
+    ``src/bq.js:49``): drop incoming rows whose idempotency_key already
+    exists in the warehouse's overlapping event-date partitions. Shared by
+    the streaming sink and the DLQ replay job.
+
+    Strategy by batch size (round-8: st_ingest_stream paid ~35x per-row vs
+    batch at sf1, dominated by per-batch shuffles of warehouse keys):
+
+    - **small batch** (the steady-state micro-batch): broadcast the batch's
+      keys, left_semi against the pruned warehouse key scan (the scan is
+      column- and partition-pruned and never shuffles), then broadcast the
+      resulting duplicate set — at most batch-sized — back for the
+      left_anti. Warehouse bytes touched: one key-column scan; warehouse
+      bytes SHUFFLED: zero.
+    - **large batch** (availableNow backlog drain): plain shuffle anti-join;
+      at that size the shuffle is amortized over the rows.
+    """
     try:
-        wh = spark.read.parquet(warehouse_path)
+        spark.read.parquet(warehouse_path)
     except Exception:
-        return None  # first batch: warehouse doesn't exist yet
-    bounds = rows.agg(
-        F.min("event_date").alias("lo"), F.max("event_date").alias("hi")
+        return rows  # first batch: warehouse doesn't exist yet
+    stats = rows.agg(
+        F.min("event_date").alias("lo"),
+        F.max("event_date").alias("hi"),
+        F.count("*").alias("n"),
     ).collect()[0]
-    if bounds["lo"] is None:
-        return None  # empty batch
-    lo = F.date_sub(F.lit(bounds["lo"]), horizon_days)
-    hi = F.date_add(F.lit(bounds["hi"]), horizon_days)
-    return (
-        wh.filter((F.col("event_date") >= lo) & (F.col("event_date") <= hi))
+    if stats["lo"] is None:
+        return rows  # empty batch
+    wh_keys = (
+        spark.read.parquet(warehouse_path)
+        .filter(
+            (F.col("event_date") >= F.date_sub(F.lit(stats["lo"]), horizon_days))
+            & (F.col("event_date") <= F.date_add(F.lit(stats["hi"]), horizon_days))
+        )
         .select("idempotency_key")
-        .distinct()
     )
-
-
-def _existing_keys(
-    spark: SparkSession, cfg: StreamIngestConfig, rows: DataFrame
-) -> DataFrame | None:
-    return existing_warehouse_keys(
-        spark, cfg.warehouse_path, rows, horizon_days=cfg.dedup_horizon_days
-    )
+    if stats["n"] <= broadcast_max_keys:
+        dup = wh_keys.join(
+            F.broadcast(rows.select("idempotency_key")), "idempotency_key", "left_semi"
+        )
+        return rows.join(F.broadcast(dup), "idempotency_key", "left_anti")
+    return rows.join(wh_keys, "idempotency_key", "left_anti")
 
 
 def _process_batch(cfg: StreamIngestConfig):
@@ -90,14 +114,14 @@ def _process_batch(cfg: StreamIngestConfig):
         # Multi-sink foreachBatch: persist so decode/validate runs once for
         # warehouse + DLQ branches, not once per sink.
         batch.persist()
-        rows = None
+        rows_base = None
         try:
             res = ingest(batch, audit_rate=cfg.audit_rate, normalize_phones=cfg.normalize_phones)
-            rows = res.warehouse.withColumn("event_date", F.to_date("occurred_at"))
-            rows.persist()
-            existing = _existing_keys(spark, cfg, rows)
-            if existing is not None:
-                rows = rows.join(existing, "idempotency_key", "left_anti")
+            rows_base = res.warehouse.withColumn("event_date", F.to_date("occurred_at"))
+            rows_base.persist()
+            rows = dedup_against_warehouse(
+                spark, cfg.warehouse_path, rows_base, horizon_days=cfg.dedup_horizon_days
+            )
             (
                 rows.repartition("event_date")
                 .sortWithinPartitions("tenant_id", "event_type")
@@ -111,8 +135,11 @@ def _process_batch(cfg: StreamIngestConfig):
                 )
         finally:
             batch.unpersist()
-            if rows is not None:
-                rows.unpersist()
+            if rows_base is not None:
+                # unpersist the frame that was actually persisted — the
+                # post-dedup frame is a different plan and unpersisting it
+                # would leak the cached base until session end
+                rows_base.unpersist()
 
     return inner
 

@@ -180,3 +180,44 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir, tmp_path):
     }
     assert got == expected
     assert any(t is None for _e, t in got)  # unmatched keys preserved by the left join
+
+
+def test_dedup_against_warehouse_strategies(spark, tmp_path):
+    """Round-8 per-batch dedup (VERDICT r7 item 5): a steady-state
+    micro-batch must dedup against the warehouse WITHOUT shuffling
+    warehouse keys (double-broadcast plan), the backlog path falls back to
+    the shuffle anti-join, and both drop exactly the already-written keys."""
+    from drive_health_etl_spark.streaming.ingest_stream import dedup_against_warehouse
+
+    wh = str(tmp_path / "wh")
+    spark.createDataFrame(
+        [(f"k{i}", "2026-01-0%d" % (1 + i % 3)) for i in range(50)],
+        "idempotency_key string, event_date string",
+    ).withColumn("event_date", F.to_date("event_date")).write.partitionBy(
+        "event_date"
+    ).parquet(wh)
+
+    batch = spark.createDataFrame(
+        [("k1", "2026-01-01"), ("k2", "2026-01-02"), ("new1", "2026-01-01"), ("new2", "2026-01-03")],
+        "idempotency_key string, event_date string",
+    ).withColumn("event_date", F.to_date("event_date"))
+
+    # small-batch path: both joins broadcast, warehouse keys NEVER hash-
+    # shuffled (zero hash exchanges anywhere in the plan)
+    small = dedup_against_warehouse(spark, wh, batch)
+    plan = small._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "Exchange hashpartitioning" not in plan
+    kept = {r["idempotency_key"] for r in small.collect()}
+    assert kept == {"new1", "new2"}
+
+    # large-batch fallback: single anti-join, planner free to pick the
+    # strategy (it auto-broadcasts the tiny build side at test scale) —
+    # the contract here is values, and that the double-broadcast plan is gone
+    big = dedup_against_warehouse(spark, wh, batch, broadcast_max_keys=2)
+    plan_big = big._jdf.queryExecution().executedPlan().toString()
+    assert plan_big.count("BroadcastHashJoin") <= 1
+    assert {r["idempotency_key"] for r in big.collect()} == {"new1", "new2"}
+
+    # first batch: warehouse absent -> passthrough
+    assert dedup_against_warehouse(spark, str(tmp_path / "missing"), batch).count() == 4

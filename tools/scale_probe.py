@@ -125,6 +125,7 @@ PROBES = [
     "corpus_novelty",
     "quality_ft_calibration",
     "quality_ft_histcal",
+    "text_zipf_fit",
 ]
 
 
@@ -199,6 +200,7 @@ DEEP_PROBES = [
     "corpus_novelty",
     "quality_ft_calibration",
     "quality_ft_histcal",
+    "text_zipf_fit",
 ]
 
 SF1_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf1")
