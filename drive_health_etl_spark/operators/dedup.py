@@ -1491,13 +1491,20 @@ def dedup_substring_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     decay with k — long verbatim overlaps are rarer — and the decay curve
     separates boilerplate-heavy corpora (flat) from clean ones (steep).
 
-    Scale shape: one explode to (doc, k, gram) rows (~|ladder| x corpus
-    chars — scan-shaped, no pairwise work), per-doc-distinct is map-side
-    combinable, then two keyed aggregations over the SHARED tail only; the
-    gram->doc back-join is equi-keyed on (k, gram). Never all-pairs; at
-    100 TB the profile costs a constant factor of the corpus scan, and a
-    production run would swap the raw-gram shuffle key for a 64-bit hash
-    (kept as raw strings here so the DuckDB oracle is byte-identical).
+    Scale shape: one explode to (doc, k, gram-hash) rows (~|ladder| x
+    corpus chars — scan-shaped, no pairwise work), per-doc-distinct is
+    map-side combinable, then two keyed aggregations over the SHARED tail
+    only; the gram->doc back-join is equi-keyed on (k, hash). Never
+    all-pairs; at 100 TB the profile costs a constant factor of the corpus
+    scan. Round-8: grams are folded to a 60-bit engine-portable hash
+    (``conv(substr(md5(g),1,15),16,10)`` == DuckDB
+    ``('0x'||substr(md5(g),1,15))::BIGINT``) BEFORE any shuffle — the k=128
+    rung was shuffling ~128-byte strings through distinct + groupBy + the
+    back-join (22.3 s at sf1); 8-byte keys cut the shuffled bytes ~10x.
+    Counts are therefore over gram HASHES: both engines hash identically so
+    parity is exact by construction, and a 60-bit collision (expected
+    ~0.04 collisions at sf1's ~3x10^8 distinct grams) would merge the same
+    pair in both engines; a 100 TB run widens to the md5's full 128 bits.
     The k=8..128 rows always appear (left join from the ladder relation),
     so the output shape is stable even on a corpus with zero overlap."""
     docs = load_table(spark, sf_dir, "documents").repartition(
@@ -1514,27 +1521,28 @@ def dedup_substring_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).alias("i")
     from pyspark.storagelevel import StorageLevel
 
+    gh = F.conv(F.substring(F.md5(F.expr("substring(text, i, k)")), 1, 15), 16, 10).cast(
+        "long"
+    )
     dg = (
         docs.select("doc_id", "text", lad)
         .select("doc_id", "k", "text", pos)
-        .select("doc_id", "k", F.expr("substring(text, i, k)").alias("g"))
+        .select("doc_id", "k", gh.alias("h"))
         .distinct()
-        # two consumers (shared-gram counts + the doc back-join), but the
-        # relation is |ladder| x corpus chars of LONG strings — DISK_ONLY
-        # keeps the reuse without holding gigabytes of gram text in
-        # executor heap (an eager in-memory checkpoint OOM'd an 8g driver
-        # at the sf1 slice; grams are cheap to re-read from disk blocks)
+        # two consumers (shared-gram counts + the doc back-join); DISK_ONLY
+        # keeps the reuse without holding the relation in executor heap (an
+        # eager in-memory checkpoint OOM'd an 8g driver at the sf1 slice)
         .persist(StorageLevel.DISK_ONLY)
     )
-    sh = dg.groupBy("k", "g").agg(F.count("*").alias("nd")).filter(F.col("nd") >= 2)
+    sh = dg.groupBy("k", "h").agg(F.count("*").alias("nd")).filter(F.col("nd") >= 2)
     grams_per_k = sh.groupBy("k").agg(F.count("*").alias("n_shared_grams"))
     # the shared-gram side grows with the corpus's TRUE overlap structure
     # (boilerplate-heavy corpora have millions of shared grams), so it must
     # never be broadcast: AQE's estimate picked a ~300 MB long-string
     # broadcast at the sf1 slice (46s warm); the pinned shuffle-hash join
-    # halves that (21s, slope 0.89) and is the only scale-safe strategy
+    # is the only scale-safe strategy
     docs_per_k = (
-        dg.join(sh.select("k", "g").hint("shuffle_hash"), ["k", "g"])
+        dg.join(sh.select("k", "h").hint("shuffle_hash"), ["k", "h"])
         .select("k", "doc_id")
         .distinct()
         .groupBy("k")
@@ -1554,6 +1562,114 @@ def dedup_substring_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_SUBSTRING_LADDER_SQL = f"""
 WITH lad AS (SELECT unnest([{", ".join(str(k) for k in _LADDER)}]) AS k),
+dg AS MATERIALIZED (
+  SELECT DISTINCT d.doc_id, l.k,
+         ('0x' || substr(md5(substr(d.text, i, l.k)), 1, 15))::BIGINT AS h
+  FROM documents d
+  JOIN lad l ON len(d.text) >= l.k
+  CROSS JOIN UNNEST(generate_series(1, len(d.text) - l.k + 1)) AS t(i)
+),
+sh AS MATERIALIZED (
+  SELECT k, h FROM dg GROUP BY k, h HAVING COUNT(*) >= 2
+),
+gk AS (SELECT k, COUNT(*) AS n_shared_grams FROM sh GROUP BY k),
+dk AS (
+  SELECT k, COUNT(*) AS n_docs_sharing FROM (
+    SELECT DISTINCT dg.k, dg.doc_id FROM dg JOIN sh USING (k, h)
+  ) GROUP BY k
+)
+SELECT lad.k,
+       COALESCE(gk.n_shared_grams, 0) AS n_shared_grams,
+       COALESCE(dk.n_docs_sharing, 0) AS n_docs_sharing
+FROM lad LEFT JOIN gk USING (k) LEFT JOIN dk USING (k)
+"""
+
+
+# --- KMR prefix-doubling shared-substring profile ---------------------------
+
+_KMR_LADDER = (8, 16, 32, 64, 128, 256)
+
+
+def dedup_suffix_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-substring profile at k = 8..256 built by Karp-Miller-Rosenberg
+    prefix doubling (KMR 1972) — the fingerprint-doubling step of
+    suffix-array construction (Manber-Myers; distributed form: Flick &
+    Aluru, SC'15), re-expressed as equi-joins. One substring extraction at
+    k=8 assigns each position a 64-bit fingerprint; each round combines a
+    position's fingerprint with the one h characters ahead
+    (``id_2h(p) = xxhash64(id_h(p), id_h(p+h))``), so length-2h equality
+    classes are built from length-h classes by ONE equi-self-join on
+    (doc, pos) — never re-extracting text, never sorting globally (equality
+    classes, not ranks, are what dedup counting needs). Per rung the output
+    is the same measure as ``dedup_substring_ladder``: distinct k-grams
+    appearing in >= 2 documents, and documents touched.
+
+    The DuckDB oracle is the INDEPENDENT explode algorithm (extract every
+    k-gram per rung and count) — agreement is a cross-algorithm check, not
+    a reimplementation. Spark counts fingerprint classes: an xxhash64
+    collision would merge two grams (expected ~1e-6 at sf1's ~1.5e7
+    positions over the 2^64 space); the oracle's raw-gram counts would
+    catch exactly that.
+
+    Scale shape: the k=8 explode is the only pass over text; each of the 5
+    doubling rounds is one equi-join + hash over a slim (doc, pos, id)
+    relation that SHRINKS as suffixes run out of characters, then two keyed
+    aggregations per rung. Total O(N log k_max) slim-row joins vs the
+    explode ladder's O(N x |ladder|) re-extraction — at 100 TB this is the
+    exact-substring-dedup construction (Lee et al. 2022's suffix-array
+    step) with cost independent of gram WIDTH, where the explode ladder
+    pays k bytes per position per rung."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    pos = F.explode(
+        F.when(
+            F.length("text") >= 8, F.sequence(F.lit(1), F.length("text") - 7)
+        ).otherwise(F.array().cast("array<int>"))
+    ).alias("pos")
+    r = (
+        docs.select("doc_id", "text", pos)
+        .select(
+            "doc_id", "pos", F.xxhash64(F.expr("substring(text, pos, 8)")).alias("id")
+        )
+        # each rung relation feeds its two aggregations AND the next round's
+        # self-join — pin it or the whole doubling chain re-executes per
+        # consumer (the graph-family localCheckpoint discipline)
+        .localCheckpoint(eager=True)
+    )
+    parts = []
+    for h in _KMR_LADDER:
+        dd = r.select("doc_id", "id").distinct()
+        sh = dd.groupBy("id").agg(F.count("*").alias("nd")).filter(F.col("nd") >= 2)
+        g = sh.agg(F.count("*").alias("n_shared_grams"))
+        d = (
+            dd.join(sh.select("id").hint("shuffle_hash"), "id", "left_semi")
+            .select("doc_id")
+            .distinct()
+            .agg(F.count("*").alias("n_docs_sharing"))
+        )
+        parts.append(
+            g.crossJoin(d).select(
+                F.lit(h).alias("k"), "n_shared_grams", "n_docs_sharing"
+            )
+        )
+        if h < _KMR_LADDER[-1]:
+            ahead = r.select(
+                "doc_id", (F.col("pos") - h).alias("pos"), F.col("id").alias("id2")
+            )
+            r = (
+                r.join(ahead, ["doc_id", "pos"])
+                .select("doc_id", "pos", F.xxhash64("id", "id2").alias("id"))
+                .localCheckpoint(eager=True)
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+DEDUP_SUFFIX_DOUBLING_SQL = f"""
+WITH lad AS (SELECT unnest([{", ".join(str(k) for k in _KMR_LADDER)}]) AS k),
 dg AS MATERIALIZED (
   SELECT DISTINCT d.doc_id, l.k, substr(d.text, i, l.k) AS g
   FROM documents d
@@ -1578,6 +1694,7 @@ FROM lad LEFT JOIN gk USING (k) LEFT JOIN dk USING (k)
 
 QUERIES: dict[str, tuple] = {
     "dedup_prefix_join": (dedup_prefix_join, DEDUP_PREFIX_JOIN_SQL),
+    "dedup_suffix_doubling": (dedup_suffix_doubling, DEDUP_SUFFIX_DOUBLING_SQL),
     "dedup_substring_ladder": (dedup_substring_ladder, DEDUP_SUBSTRING_LADDER_SQL),
     "corpus_novelty": (corpus_novelty, CORPUS_NOVELTY_SQL),
     "dedup_exactsubstr_spans": (dedup_exactsubstr_spans, DEDUP_EXACTSUBSTR_SQL),

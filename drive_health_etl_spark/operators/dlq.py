@@ -122,6 +122,9 @@ def run_replay_job(
         routed.replay.select("data", "attributes", "message_id", "ordering_key"),
         audit_rate=audit_rate,
     )
+    # both the warehouse and requeue branches filter res.validated — persist
+    # the parent so decode+validate runs once (round-8 streaming profile)
+    res.validated.persist()
     # Cross-run exactly-once: a crash/rerun between the warehouse append and
     # the DLQ rewrite below would re-ingest the same messages — the same
     # event-date-pruned existing-keys anti-join the streaming sink uses makes
@@ -152,7 +155,7 @@ def run_replay_job(
     requeued = requeued.localCheckpoint(eager=True)  # DLQ dir is about to be rewritten
     requeued.write.mode("overwrite").parquet(dlq_path)
 
-    for df in (routed.replay, routed.parked, recovered):
+    for df in (routed.replay, routed.parked, recovered, res.validated):
         df.unpersist()
     return ReplayJobStats(
         n_replayed=n_replayed,

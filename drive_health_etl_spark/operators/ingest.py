@@ -136,6 +136,11 @@ class IngestResult:
     warehouse: DataFrame  # deduped rows to append (204 success)
     sampled_out: DataFrame  # kept-out by audit sampling (204, not persisted)
     dlq: DataFrame  # terminal failures: raw message + status + attempts=0
+    # the decoded+validated parent all three branches filter — a caller
+    # consuming more than one branch should persist THIS (decode+validate
+    # then runs once per batch, not once per branch; round-8 streaming
+    # profile: the per-branch recompute was ~25% of micro-batch wall)
+    validated: DataFrame = None
 
 
 def ingest(raw: DataFrame, audit_rate: float = 1.0, normalize_phones: bool = True) -> IngestResult:
@@ -187,6 +192,7 @@ def ingest(raw: DataFrame, audit_rate: float = 1.0, normalize_phones: bool = Tru
         warehouse=to_warehouse_rows(deduped),
         sampled_out=sampled_out,
         dlq=dlq,
+        validated=validated,
     )
 
 
