@@ -47,6 +47,7 @@ HEADLINE = [
     "dedup_minhash_pairs",
     "dedup_prefix_join",
     "dedup_substring_ladder",
+    "dedup_suffix_doubling",
     "dedup_simhash",
     "sim_cosine_topk",
     "sim_ann_lsh",

@@ -202,3 +202,33 @@ def test_novelty_known_answers(spark, tmp_path):
     assert out[1]["novelty"] == 0.0 and out[2]["novelty"] == 0.0
     assert out[3]["novelty"] == 1.0
     assert out[3]["n_shingles"] == out[3]["n_unique"] == 4
+
+
+def test_suffix_doubling_known_answer(spark, tmp_path):
+    """KMR prefix doubling on a hand corpus with an EXACTLY known overlap
+    structure: two docs share a 40-char block (so rungs 8/16/32 see sharing,
+    64+ see none), a third doc is disjoint. Counts are derivable by hand
+    from the k-gram definition (distinct k-grams in >= 2 docs)."""
+    shared = "0123456789abcdefghijklmnopqrstuvwxyzABCD"  # 40 chars, no repeats
+    rows = [
+        (1, shared + "!unique-tail-one-" + "q" * 30, "en", "s", 0),
+        (2, "%PREFIX-two%" + shared + "#tail#" + "z" * 30, "en", "s", 0),
+        (3, "completely different text with no forty char overlap at all....", "en", "s", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    from drive_health_etl_spark.operators.dedup import dedup_suffix_doubling
+
+    got = {r["k"]: (r["n_shared_grams"], r["n_docs_sharing"]) for r in
+           dedup_suffix_doubling(spark, str(tmp_path)).collect()}
+    assert set(got) == {8, 16, 32, 64, 128, 256}
+    # k-grams fully inside the 40-char shared block appear in docs 1 AND 2:
+    # 40-k+1 of them; nothing else is shared (tails are made distinct).
+    for k in (8, 16, 32):
+        assert got[k] == (40 - k + 1, 2), (k, got[k])
+    # no 64+ char substring is shared
+    for k in (64, 128, 256):
+        assert got[k] == (0, 0), (k, got[k])

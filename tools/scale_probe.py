@@ -126,6 +126,7 @@ PROBES = [
     "quality_ft_calibration",
     "quality_ft_histcal",
     "text_zipf_fit",
+    "dedup_suffix_doubling",
 ]
 
 
@@ -201,6 +202,7 @@ DEEP_PROBES = [
     "quality_ft_calibration",
     "quality_ft_histcal",
     "text_zipf_fit",
+    "dedup_suffix_doubling",
 ]
 
 SF1_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf1")

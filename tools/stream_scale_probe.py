@@ -48,12 +48,21 @@ BATCH_COUNTS = [2, 8, 32]  # micro-batch axis (fixed volume: sf0.01)
 VOLUME_SFS = [("0.001", "/root/testdata/sf0.001"), ("0.01", "/root/testdata/sf0.01"), ("0.1", "/root/testdata/sf0.1")]
 VOLUME_BATCHES = 4  # fixed batch count for the volume axis
 
-# Second-decade volume probes (VERDICT r6 item 5): the three probes whose
-# state grows with input keys, extended to the sf1 slice — state rows must
-# stay key-linear at 10x volume (the corpus-dedup signature store is the
-# one to watch).
+# Second-decade volume probes: originally (r6) the three probes whose state
+# grows with input keys; round 8 (VERDICT r7 item 6) extends to ALL probes —
+# st_media_decode, st_stateful_counters, st_stream_stream_join had `-` sf1
+# cells. st_sprt_monitor's state is two integers at any scale but its sf1
+# wall is still evidence.
 SF1_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf1")
-DEEP_VOLUME = ("st_ingest_stream", "st_stream_dedup", "st_corpus_dedup")
+DEEP_VOLUME = (
+    "st_ingest_stream",
+    "st_stream_dedup",
+    "st_corpus_dedup",
+    "st_media_decode",
+    "st_stateful_counters",
+    "st_stream_stream_join",
+    "st_sprt_monitor",
+)
 
 
 def _spool(df, n_files: int, cols) -> str:
