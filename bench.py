@@ -48,6 +48,7 @@ HEADLINE = [
     "dedup_prefix_join",
     "dedup_substring_ladder",
     "dedup_suffix_doubling",
+    "dedup_cdc_chunks",
     "dedup_simhash",
     "sim_cosine_topk",
     "sim_ann_lsh",

@@ -1692,9 +1692,136 @@ FROM lad LEFT JOIN gk USING (k) LEFT JOIN dk USING (k)
 """
 
 
+# --- content-defined chunking (CDC) ------------------------------------------
+
+_CDC_W = 16  # hash-window width (chars)
+_CDC_D = 64  # boundary divisor -> expected chunk length ~ D chars
+
+
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup stats — the storage-layer complement
+    to document-level dedup (Manber 1994's fingerprint anchors; LBFS,
+    Muthitacharoen et al. SOSP'01; FastCDC, Xia et al. ATC'16). A chunk
+    boundary falls AFTER position i wherever the hash of the trailing
+    W=16-char window is ≡ 0 mod D=64, so boundaries move with content:
+    insert a byte mid-doc and only the chunks touching the edit change,
+    which is why a content-addressed chunk store dedups across shifted
+    copies where fixed-size blocks cannot. Output: corpus chunk-store
+    stats — chunk counts, distinct/shared chunk contents, exact byte
+    dedup ratio.
+
+    The window hash is the engine-portable 60-bit md5 head (identical
+    expression in the DuckDB oracle, so boundaries — and therefore every
+    count — are exact parity by construction). This is the analyzable
+    unconstrained-boundary CDC (chunk lengths geometric, mean ~D); a
+    production store adds FastCDC's min/max clamps + normalized masks and
+    a rolling Gear hash (O(1)/byte instead of O(W)/byte) — sequential
+    within a doc, so it would live in a mapInPandas kernel; the boundary
+    SEMANTICS and the store stats here are the same.
+
+    Scale shape: boundary detection + chunk assembly are per-row array
+    expressions inside one narrow scan (no shuffle; work bounded by doc
+    length x W); then ONE content-keyed aggregation over chunks and two
+    scalar folds. At 100 TB the chunk aggregation is the only shuffle and
+    its key is ~D-char chunk text (a production store keys on the chunk
+    digest instead — same shape)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    w, d = _CDC_W, _CDC_D
+    bnd = (
+        f"filter(CASE WHEN length(text) >= {w} THEN sequence({w}, length(text)) "
+        f"ELSE CAST(array() AS array<int>) END, "
+        f"i -> CAST(conv(substring(md5(substring(text, i - {w - 1}, {w})), 1, 15), 16, 10) AS BIGINT) % {d} = 0)"
+    )
+    cuts = (
+        f"CASE WHEN size(_bnd) > 0 AND element_at(_bnd, -1) = length(text) THEN _bnd "
+        f"ELSE concat(_bnd, array(length(text))) END"
+    )
+    # Spark transform's index is 0-based; element_at is 1-based, so
+    # element_at(_cuts, idx) IS the previous cut for idx >= 1.
+    chunks = (
+        "transform(_cuts, (c, idx) -> substring(text, "
+        "CASE WHEN idx = 0 THEN 1 ELSE element_at(_cuts, idx) + 1 END, "
+        "c - CASE WHEN idx = 0 THEN 0 ELSE element_at(_cuts, idx) END))"
+    )
+    ch = (
+        docs.withColumn("_bnd", F.expr(bnd))
+        .withColumn("_cuts", F.expr(cuts))
+        .select("doc_id", F.explode(F.expr(chunks)).alias("chunk"))
+        .persist()
+    )
+    tot = ch.agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.length("chunk")).alias("bytes_total"),
+    )
+    per = ch.groupBy("chunk").agg(
+        F.count_distinct("doc_id").alias("nd"), F.max(F.length("chunk")).alias("l")
+    )
+    uniq = per.agg(
+        F.count("*").alias("n_distinct_chunks"),
+        F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("n_shared_chunks"),
+        F.sum("l").alias("bytes_unique"),
+    )
+    return tot.crossJoin(uniq).select(
+        "n_chunks",
+        "n_distinct_chunks",
+        "n_shared_chunks",
+        "bytes_total",
+        "bytes_unique",
+        (F.col("bytes_unique").cast("double") / F.col("bytes_total")).alias("dedup_ratio"),
+        (F.col("bytes_total").cast("double") / F.col("n_chunks")).alias("avg_chunk_len"),
+    )
+
+
+DEDUP_CDC_CHUNKS_SQL = f"""
+WITH bnd AS (
+  SELECT doc_id, text,
+         list_filter(
+           CASE WHEN len(text) >= {_CDC_W} THEN range({_CDC_W}, len(text) + 1) ELSE [] END,
+           i -> ('0x' || substr(md5(substr(text, i - {_CDC_W - 1}, {_CDC_W})), 1, 15))::BIGINT % {_CDC_D} = 0
+         ) AS b
+  FROM documents WHERE len(text) > 0
+),
+cuts AS (
+  SELECT doc_id, text,
+         CASE WHEN len(b) > 0 AND b[-1] = len(text) THEN b
+              ELSE list_append(b, len(text)) END AS c
+  FROM bnd
+),
+ch AS MATERIALIZED (
+  SELECT doc_id, u.chunk
+  FROM (
+    SELECT doc_id,
+           list_transform(c, (x, idx) -> substr(text,
+             CASE WHEN idx = 1 THEN 1 ELSE c[idx - 1] + 1 END,
+             x - CASE WHEN idx = 1 THEN 0 ELSE c[idx - 1] END)) AS chunks
+    FROM cuts
+  ), UNNEST(chunks) AS u(chunk)
+),
+tot AS (SELECT COUNT(*) AS n_chunks, CAST(SUM(len(chunk)) AS BIGINT) AS bytes_total FROM ch),
+per AS (
+  SELECT chunk, COUNT(DISTINCT doc_id) AS nd, MAX(len(chunk)) AS l FROM ch GROUP BY chunk
+),
+uniq AS (
+  SELECT COUNT(*) AS n_distinct_chunks,
+         CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_chunks,
+         CAST(SUM(l) AS BIGINT) AS bytes_unique
+  FROM per
+)
+SELECT n_chunks, n_distinct_chunks, n_shared_chunks, bytes_total, bytes_unique,
+       CAST(bytes_unique AS DOUBLE) / bytes_total AS dedup_ratio,
+       CAST(bytes_total AS DOUBLE) / n_chunks AS avg_chunk_len
+FROM tot CROSS JOIN uniq
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "dedup_prefix_join": (dedup_prefix_join, DEDUP_PREFIX_JOIN_SQL),
     "dedup_suffix_doubling": (dedup_suffix_doubling, DEDUP_SUFFIX_DOUBLING_SQL),
+    "dedup_cdc_chunks": (dedup_cdc_chunks, DEDUP_CDC_CHUNKS_SQL),
     "dedup_substring_ladder": (dedup_substring_ladder, DEDUP_SUBSTRING_LADDER_SQL),
     "corpus_novelty": (corpus_novelty, CORPUS_NOVELTY_SQL),
     "dedup_exactsubstr_spans": (dedup_exactsubstr_spans, DEDUP_EXACTSUBSTR_SQL),

@@ -232,3 +232,52 @@ def test_suffix_doubling_known_answer(spark, tmp_path):
     # no 64+ char substring is shared
     for k in (64, 128, 256):
         assert got[k] == (0, 0), (k, got[k])
+
+
+def _cdc_chunks_py(text, w=16, d=64):
+    """Pure-Python replica of the CDC boundary rule (independent of both
+    engines): boundary after i where the 60-bit md5 head of the trailing
+    w-window is divisible by d."""
+    import hashlib
+
+    cuts = [
+        i for i in range(w, len(text) + 1)
+        if int(hashlib.md5(text[i - w:i].encode()).hexdigest()[:15], 16) % d == 0
+    ]
+    if not cuts or cuts[-1] != len(text):
+        cuts.append(len(text))
+    out, prev = [], 0
+    for c in cuts:
+        out.append(text[prev:c])
+        prev = c
+    return out
+
+
+def test_cdc_chunks_match_python_model(spark, tmp_path):
+    """Engine output must equal a pure-Python recompute on a corpus built
+    to exercise the defining CDC property: doc2 = prefix + doc1, so every
+    chunk after the first post-edit boundary is shared (content-defined
+    boundaries realign; fixed-size blocks would not)."""
+    import random
+
+    rng = random.Random(8)
+    base = "".join(rng.choice("abcdefgh ") for _ in range(400))
+    docs = [base, "THE-INSERTED-PREFIX-" + base, "totally unrelated filler " * 16]
+    chunks = [c for t in docs for c in _cdc_chunks_py(t)]
+    per_doc = [set(_cdc_chunks_py(t)) for t in docs]
+    shared = {c for c in set(chunks) if sum(c in s for s in per_doc) >= 2}
+    assert shared, "fixture must realize the shift-invariance property"
+
+    rows = [(i + 1, t, "en", "s", len(t)) for i, t in enumerate(docs)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    from drive_health_etl_spark.operators.dedup import dedup_cdc_chunks
+
+    got = dedup_cdc_chunks(spark, str(tmp_path)).collect()[0]
+    assert got["n_chunks"] == len(chunks)
+    assert got["n_distinct_chunks"] == len(set(chunks))
+    assert got["n_shared_chunks"] == len(shared)
+    assert got["bytes_total"] == sum(len(c) for c in chunks)
+    assert got["bytes_unique"] == sum(len(c) for c in set(chunks))

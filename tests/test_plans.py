@@ -237,6 +237,7 @@ def test_constant_folded_sampling_fast_path(spark, sf_dir):
 # pinned property. Regenerate expected values with
 # tools/plan_fingerprints.py after an INTENTIONAL plan change.
 BENCH_PLAN_FINGERPRINTS = {
+    "dedup_cdc_chunks": {"shuffle_exchange": 4, "broadcast_exchange": 1, "BroadcastNestedLoopJoin": 1},
     "dedup_suffix_doubling": {"shuffle_exchange": 54, "broadcast_exchange": 6, "ShuffledHashJoin": 6, "BroadcastNestedLoopJoin": 6},
     "pipeline_ingest_e2e": {"shuffle_exchange": 4},
     "o8_projection_rename": {},

@@ -127,6 +127,7 @@ PROBES = [
     "quality_ft_histcal",
     "text_zipf_fit",
     "dedup_suffix_doubling",
+    "dedup_cdc_chunks",
 ]
 
 
@@ -203,6 +204,7 @@ DEEP_PROBES = [
     "quality_ft_histcal",
     "text_zipf_fit",
     "dedup_suffix_doubling",
+    "dedup_cdc_chunks",
 ]
 
 SF1_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf1")
