@@ -103,6 +103,8 @@ def test_whole_stage_codegen_in_hot_paths(spark, sf_dir):
 # physical plan broadcasts the tiny query side into a nested-loop — the
 # LSH/IVF variants are the scale paths that avoid it.
 BNLJ_BY_DESIGN = {
+    "dedup_suffix_doubling",  # per-rung 1-row x 1-row scalar crossJoins (grams x docs counts)
+    "dedup_cdc_chunks",  # 1-row totals x 1-row distinct-stats scalar crossJoin
     "sim_cosine_topk",
     "sim_ann_binary",  # signature scan: 16-byte/vec broadcast BNLJ replaces the float BNLJ
     "sim_binary_quality",  # composes sim_cosine_topk + sim_ann_binary
