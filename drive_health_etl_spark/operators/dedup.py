@@ -1588,84 +1588,104 @@ FROM lad LEFT JOIN gk USING (k) LEFT JOIN dk USING (k)
 # --- KMR prefix-doubling shared-substring profile ---------------------------
 
 _KMR_LADDER = (8, 16, 32, 64, 128, 256)
+_KMR_SEG = 4096  # segment length (chars); bounds per-row state
+_KMR_OVERLAP = _KMR_LADDER[-1] - 1  # k_max-1 overlap preserves every k-gram
 
 
 def dedup_suffix_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared-substring profile at k = 8..256 built by Karp-Miller-Rosenberg
     prefix doubling (KMR 1972) — the fingerprint-doubling step of
-    suffix-array construction (Manber-Myers; distributed form: Flick &
-    Aluru, SC'15), re-expressed as equi-joins. One substring extraction at
+    suffix-array construction (Manber-Myers). One substring extraction at
     k=8 assigns each position a 64-bit fingerprint; each round combines a
     position's fingerprint with the one h characters ahead
     (``id_2h(p) = xxhash64(id_h(p), id_h(p+h))``), so length-2h equality
-    classes are built from length-h classes by ONE equi-self-join on
-    (doc, pos) — never re-extracting text, never sorting globally (equality
-    classes, not ranks, are what dedup counting needs). Per rung the output
-    is the same measure as ``dedup_substring_ladder``: distinct k-grams
-    appearing in >= 2 documents, and documents touched.
+    classes are built from length-h classes WITHOUT re-extracting text —
+    cost independent of gram width (equality classes, not sorted ranks,
+    are what dedup counting needs). Per rung the output is the same
+    measure as ``dedup_substring_ladder``: distinct k-grams appearing in
+    >= 2 documents, and documents touched.
+
+    Distribution strategy: documents are split into 4096-char SEGMENTS
+    with k_max-1 = 255-char overlap — the standard sharding identity (a
+    k <= 256 gram lies wholly inside at least one segment, and overlap
+    duplicates collapse in the per-(k, doc, id) distinct) — and the whole
+    doubling chain then runs as per-row array transforms inside one
+    narrow scan: no joins, no iteration state, per-row memory bounded by
+    the segment cap regardless of document length. Round 8 tried the
+    textbook equi-join formulation first: localCheckpoint erases
+    partitioning metadata, so every round re-planned as a sort-merge join
+    (77 s at sf1) and pinned SHJ hit non-spillable hash-build OOM against
+    the checkpoint storage in one 8 GB JVM — the segment form is 9 s at
+    sf1 with zero iteration state. (A full suffix ARRAY — unbounded k —
+    still wants the join/sort formulation, e.g. pDC3/Flick & Aluru SC'15;
+    this operator caps k at 256, which is what the dedup ladder needs.)
 
     The DuckDB oracle is the INDEPENDENT explode algorithm (extract every
     k-gram per rung and count) — agreement is a cross-algorithm check, not
     a reimplementation. Spark counts fingerprint classes: an xxhash64
     collision would merge two grams (expected ~1e-6 at sf1's ~1.5e7
     positions over the 2^64 space); the oracle's raw-gram counts would
-    catch exactly that.
-
-    Scale shape: the k=8 explode is the only pass over text; each of the 5
-    doubling rounds is one equi-join + hash over a slim (doc, pos, id)
-    relation that SHRINKS as suffixes run out of characters, then two keyed
-    aggregations per rung. Total O(N log k_max) slim-row joins vs the
-    explode ladder's O(N x |ladder|) re-extraction — at 100 TB this is the
-    exact-substring-dedup construction (Lee et al. 2022's suffix-array
-    step) with cost independent of gram WIDTH, where the explode ladder
-    pays k bytes per position per rung."""
+    catch exactly that."""
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    pos = F.explode(
-        F.when(
-            F.length("text") >= 8, F.sequence(F.lit(1), F.length("text") - 7)
-        ).otherwise(F.array().cast("array<int>"))
-    ).alias("pos")
-    r = (
-        docs.select("doc_id", "text", pos)
+    step = _KMR_SEG - _KMR_OVERLAP
+    segs = (
+        docs.filter(F.length("text") >= 8)
         .select(
-            "doc_id", "pos", F.xxhash64(F.expr("substring(text, pos, 8)")).alias("id")
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(text), {step}), s -> substring(text, s, {_KMR_SEG}))"
+                )
+            ).alias("seg"),
         )
-        # each rung relation feeds its two aggregations AND the next round's
-        # self-join — pin it or the whole doubling chain re-executes per
-        # consumer (the graph-family localCheckpoint discipline)
-        .localCheckpoint(eager=True)
+        .filter(F.length("seg") >= 8)
     )
-    parts = []
-    for h in _KMR_LADDER:
-        dd = r.select("doc_id", "id").distinct()
-        sh = dd.groupBy("id").agg(F.count("*").alias("nd")).filter(F.col("nd") >= 2)
-        g = sh.agg(F.count("*").alias("n_shared_grams"))
-        d = (
-            dd.join(sh.select("id").hint("shuffle_hash"), "id", "left_semi")
-            .select("doc_id")
-            .distinct()
-            .agg(F.count("*").alias("n_docs_sharing"))
+    # fingerprint chain as per-row array columns: ids{n}[i] covers
+    # seg[i .. i + h - 1] at h = ladder[n]; |ids| = len(seg) - h + 1
+    cur = segs.withColumn(
+        "ids0",
+        F.expr("transform(sequence(1, length(seg) - 7), i -> xxhash64(substring(seg, i, 8)))"),
+    ).drop("seg")
+    for n, h in enumerate(_KMR_LADDER[:-1]):
+        cur = cur.withColumn(
+            f"ids{n + 1}",
+            F.expr(
+                f"CASE WHEN size(ids{n}) > {h} THEN transform(sequence(1, size(ids{n}) - {h}), "
+                f"i -> xxhash64(element_at(ids{n}, i), element_at(ids{n}, i + {h}))) "
+                f"ELSE CAST(array() AS array<bigint>) END"
+            ),
         )
-        parts.append(
-            g.crossJoin(d).select(
-                F.lit(h).alias("k"), "n_shared_grams", "n_docs_sharing"
-            )
+    rung_cols = [
+        F.expr(f"transform(ids{n}, x -> struct({k} AS k, x AS id))")
+        for n, k in enumerate(_KMR_LADDER)
+    ]
+    allr = cur.select(
+        "doc_id", F.explode(F.concat(*rung_cols)).alias("g")
+    ).select("doc_id", F.col("g.k").alias("k"), F.col("g.id").alias("id"))
+    # dd feeds BOTH the shared-gram counts and the doc back-join — persist,
+    # or the distinct (and the whole fingerprint scan) computes twice
+    dd = allr.select("k", "doc_id", "id").distinct().persist()
+    sh = dd.groupBy("k", "id").agg(F.count("*").alias("nd")).filter(F.col("nd") >= 2)
+    gk = sh.groupBy("k").agg(F.count("*").alias("n_shared_grams"))
+    dk = (
+        dd.join(sh.select("k", "id").hint("shuffle_hash"), ["k", "id"], "left_semi")
+        .select("k", "doc_id")
+        .distinct()
+        .groupBy("k")
+        .agg(F.count("*").alias("n_docs_sharing"))
+    )
+    ladder = spark.createDataFrame([(k,) for k in _KMR_LADDER], "k int")
+    return (
+        ladder.join(gk, "k", "left")
+        .join(dk, "k", "left")
+        .select(
+            "k",
+            F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
+            F.coalesce("n_docs_sharing", F.lit(0)).alias("n_docs_sharing"),
         )
-        if h < _KMR_LADDER[-1]:
-            ahead = r.select(
-                "doc_id", (F.col("pos") - h).alias("pos"), F.col("id").alias("id2")
-            )
-            r = (
-                r.join(ahead, ["doc_id", "pos"])
-                .select("doc_id", "pos", F.xxhash64("id", "id2").alias("id"))
-                .localCheckpoint(eager=True)
-            )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    )
 
 
 DEDUP_SUFFIX_DOUBLING_SQL = f"""

@@ -281,3 +281,39 @@ def test_cdc_chunks_match_python_model(spark, tmp_path):
     assert got["n_shared_chunks"] == len(shared)
     assert got["bytes_total"] == sum(len(c) for c in chunks)
     assert got["bytes_unique"] == sum(len(c) for c in set(chunks))
+
+
+def test_suffix_doubling_multi_segment(spark, tmp_path):
+    """Docs longer than the 4096-char segment cap must produce EXACTLY the
+    same counts as an unsegmented k-gram counter — the 255-char overlap
+    preserves every k <= 256 gram across segment boundaries, and overlap
+    duplicates collapse in the per-(k, doc, id) distinct."""
+    import random
+
+    rng = random.Random(88)
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+    long_doc = "".join(rng.choice(alpha) for _ in range(9000))  # 3 segments
+    # second doc embeds a 600-char block straddling long_doc's first segment
+    # boundary (positions 3700..4300 cross the 3841/4096 cut region)
+    other = "zz" + long_doc[3700:4300] + "qq" * 50
+    docs = [long_doc, other]
+
+    def grams(t, k):
+        return {t[i:i + k] for i in range(len(t) - k + 1)}
+
+    expect = {}
+    for k in (8, 16, 32, 64, 128, 256):
+        per_doc = [grams(t, k) for t in docs]
+        sh = {g for g in set.union(*per_doc) if sum(g in s for s in per_doc) >= 2}
+        expect[k] = (len(sh), sum(1 for s in per_doc if s & sh))
+
+    rows = [(i + 1, t, "en", "s", len(t)) for i, t in enumerate(docs)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    from drive_health_etl_spark.operators.dedup import dedup_suffix_doubling
+
+    got = {r["k"]: (r["n_shared_grams"], r["n_docs_sharing"]) for r in
+           dedup_suffix_doubling(spark, str(tmp_path)).collect()}
+    assert got == expect

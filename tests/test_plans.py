@@ -103,7 +103,6 @@ def test_whole_stage_codegen_in_hot_paths(spark, sf_dir):
 # physical plan broadcasts the tiny query side into a nested-loop — the
 # LSH/IVF variants are the scale paths that avoid it.
 BNLJ_BY_DESIGN = {
-    "dedup_suffix_doubling",  # per-rung 1-row x 1-row scalar crossJoins (grams x docs counts)
     "dedup_cdc_chunks",  # 1-row totals x 1-row distinct-stats scalar crossJoin
     "sim_cosine_topk",
     "sim_ann_binary",  # signature scan: 16-byte/vec broadcast BNLJ replaces the float BNLJ
@@ -240,7 +239,7 @@ def test_constant_folded_sampling_fast_path(spark, sf_dir):
 # tools/plan_fingerprints.py after an INTENTIONAL plan change.
 BENCH_PLAN_FINGERPRINTS = {
     "dedup_cdc_chunks": {"shuffle_exchange": 4, "broadcast_exchange": 1, "BroadcastNestedLoopJoin": 1},
-    "dedup_suffix_doubling": {"shuffle_exchange": 54, "broadcast_exchange": 6, "ShuffledHashJoin": 6, "BroadcastNestedLoopJoin": 6},
+    "dedup_suffix_doubling": {"shuffle_exchange": 6, "broadcast_exchange": 2, "BroadcastHashJoin": 2, "ShuffledHashJoin": 1},
     "pipeline_ingest_e2e": {"shuffle_exchange": 4},
     "o8_projection_rename": {},
     "a1_group_count": {"shuffle_exchange": 1},
