@@ -432,6 +432,33 @@ AUDITS = [
         "holdout — a calibration fit whose cost is two passes over "
         "scores at any corpus size.",
     ),
+    (
+        "text_zipf_fit",
+        "Zipf spectrum OLS (r7): the word-frequency spectrum is one "
+        "explode + map-side-combinable count; ranks come from a single "
+        "window over the VOCABULARY-sized relation (not the corpus); the "
+        "OLS moments are one decimal-exact aggregate over that same "
+        "vocab-sized input. Corpus-size work is the token explode only.",
+    ),
+    (
+        "dedup_suffix_doubling",
+        "KMR prefix doubling (r8): the whole fingerprint chain (k=8 "
+        "doubled to 256) is per-row array transforms over overlap-"
+        "segmented documents inside ONE narrow scan — no joins, no "
+        "iteration state; the plan's only exchanges are the per-(k,doc,id) "
+        "distinct, the shared-class count, and the doc back-join over the "
+        "persisted distinct relation. Per-row memory is bounded by the "
+        "4096-char segment cap for arbitrarily long documents.",
+    ),
+    (
+        "dedup_cdc_chunks",
+        "Content-defined chunking (r8): boundary detection and chunk "
+        "assembly are per-row array expressions in the scan (window-hash "
+        "mod test, Manber/LBFS family) — the ONLY data shuffle is the "
+        "chunk-content aggregation; the two scalar folds meet in a "
+        "single-row crossJoin. Chunk-store stats at 100 TB cost one "
+        "content-keyed exchange.",
+    ),
 ]
 
 
