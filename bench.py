@@ -49,6 +49,8 @@ HEADLINE = [
     "dedup_substring_ladder",
     "dedup_suffix_doubling",
     "dedup_cdc_chunks",
+    "corpus_weighted_sample",
+    "quality_ppx_gate",
     "dedup_simhash",
     "sim_cosine_topk",
     "sim_ann_lsh",

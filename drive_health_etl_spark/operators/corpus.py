@@ -878,7 +878,64 @@ FROM scored
 """
 
 
+# --- weighted sampling without replacement -----------------------------------
+
+ES_K = 100  # sample size
+
+
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, one pass, no RNG state:
+    Efraimidis & Spirakis 2006 (A-ES) — each doc gets the key
+    ``ln(u) / w`` with u a deterministic hash uniform and w the doc's byte
+    mass (``n_chars``); the K largest keys are EXACTLY a weight-
+    proportional sample without replacement. This is how "subsample the
+    corpus to M tokens, proportional to document mass" runs at 100 TB:
+    the key is computed in the scan projection, selection is a single
+    top-K (``TakeOrderedAndProject`` — per-partition heaps + one K-row
+    merge, no global sort, no per-round passes like sequential reservoir
+    algorithms), and the same (key, rate) always yields the same sample
+    across runs and shards.
+
+    Parity: u is the repo's sha256-ratio (bit-identical expressions both
+    engines); keys are ln terms rounded to 9dp — the established ln-parity
+    discipline — with doc_id as the deterministic tiebreak. u is clamped
+    away from 0 (ln(0) = -inf) at 1e-12."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    u = F.greatest(
+        sample_hash_ratio(F.concat(F.lit("es-"), F.col("doc_id").cast("string"))),
+        F.lit(1e-12),
+    )
+    key = F.round(F.log(u) / F.col("n_chars"), 9)
+    top = (
+        docs.select("doc_id", "n_chars", key.alias("es_key"))
+        .orderBy(F.col("es_key").desc(), F.col("doc_id"))
+        .limit(ES_K)
+    )
+    # slot assignment runs on the K-row result only — the unpartitioned
+    # window is bounded by ES_K, never by the corpus
+    w = Window.orderBy(F.col("es_key").desc(), F.col("doc_id"))
+    return top.withColumn("slot", F.row_number().over(w)).select(
+        "slot", "doc_id", "n_chars", "es_key"
+    )
+
+
+_ES_U = sample_hash_ratio_sql("'es-' || CAST(doc_id AS VARCHAR)")
+
+CORPUS_WEIGHTED_SAMPLE_SQL = f"""
+SELECT slot, doc_id, n_chars, es_key FROM (
+  SELECT doc_id, n_chars, es_key,
+         ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id) AS slot
+  FROM (
+    SELECT doc_id, n_chars,
+           ROUND(ln(GREATEST({_ES_U}, 1e-12)) / n_chars, 9) AS es_key
+    FROM documents
+  )
+) WHERE slot <= {ES_K}
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "corpus_weighted_sample": (corpus_weighted_sample, CORPUS_WEIGHTED_SAMPLE_SQL),
     "corpus_dsir_select": (corpus_dsir_select, CORPUS_DSIR_SQL),
     "corpus_temperature_mix": (corpus_temperature_mix, CORPUS_TEMPERATURE_MIX_SQL),
     "corpus_shard_balance": (corpus_shard_balance, CORPUS_SHARD_SQL),

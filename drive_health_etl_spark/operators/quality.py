@@ -14,7 +14,7 @@ gram set, so every operator scales linearly with corpus size.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from drive_health_etl_spark.operators.text import TOKENS_SQL, tokens_col
@@ -840,6 +840,62 @@ FROM perdoc
 """.format(toks=TOKENS_SQL, grams3=_grams_sql("ws", 3))
 
 
+def quality_ppx_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity gate (Wenzek et al. 2020): score every doc
+    with the corpus-trained KN-lite trigram LM, split the corpus into
+    head / middle / tail TERCILES of perplexity (bucket 1 = most fluent),
+    and report per-bucket volume and perplexity range — CCNet keeps
+    head+middle and drops the tail, which is the ``keep`` column. This is
+    how an LM quality score becomes a FILTER: from the score distribution,
+    not a magic constant threshold.
+
+    Determinism/parity: perplexities are the 6dp-rounded doubles of the
+    KN query (identical in both engines); NTILE order is (perplexity,
+    doc_id) so ties break identically; bucket means decimal-sum before
+    dividing. Scale note: NTILE here is a doc-count-sized global window —
+    exact terciles for the oracle's sake; a 100 TB run fits the two
+    thresholds on a sample and broadcasts them (the CCNet recipe), which
+    replaces the window with a scan-side filter at the cost of
+    approximate bucket boundaries."""
+    perdoc = text_trigram_kn_logprob(spark, sf_dir).select("doc_id", "perplexity")
+    w = Window.orderBy(F.col("perplexity"), F.col("doc_id"))
+    b = perdoc.withColumn("bucket", F.ntile(3).over(w))
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("perplexity").alias("min_ppx"),
+            F.max("perplexity").alias("max_ppx"),
+            F.round(
+                F.sum(F.col("perplexity").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_ppx"),
+        )
+        .select(
+            "bucket", "n_docs", "min_ppx", "max_ppx", "avg_ppx",
+            (F.col("bucket") <= 2).alias("keep"),
+        )
+    )
+
+
+QUALITY_PPX_GATE_SQL = f"""
+WITH ppx AS MATERIALIZED (
+  SELECT doc_id, perplexity FROM ({TEXT_TRIGRAM_KN_SQL})
+),
+b AS (
+  SELECT doc_id, perplexity,
+         NTILE(3) OVER (ORDER BY perplexity, doc_id) AS bucket
+  FROM ppx
+)
+SELECT bucket, COUNT(*) AS n_docs,
+       MIN(perplexity) AS min_ppx, MAX(perplexity) AS max_ppx,
+       ROUND(CAST(SUM(CAST(perplexity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_ppx,
+       bucket <= 2 AS keep
+FROM b GROUP BY bucket
+"""
+
+
 def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Shannon character entropy — the compression-style
     repetitiveness signal corpus filters use alongside the Gopher rules
@@ -907,6 +963,7 @@ FROM per_doc
 QUERIES: dict[str, tuple] = {
     "text_char_entropy": (text_char_entropy, TEXT_CHAR_ENTROPY_SQL),
     "text_trigram_kn_logprob": (text_trigram_kn_logprob, TEXT_TRIGRAM_KN_SQL),
+    "quality_ppx_gate": (quality_ppx_gate, QUALITY_PPX_GATE_SQL),
     "text_boilerplate": (text_boilerplate, TEXT_BOILERPLATE_SQL),
     "text_bigram_logprob": (text_bigram_logprob, TEXT_BIGRAM_LOGPROB_SQL),
     "text_gopher_rules": (text_gopher_rules, TEXT_GOPHER_RULES_SQL),

@@ -140,6 +140,7 @@ BNLJ_BY_DESIGN = {
     "graph_hits",  # 1-row per-side max-score broadcast onto the top-k normalize
     "emb_jl_projection",  # fenced 20-vector sample pair stage (190 pairs, broadcast)
     "text_trigram_kn_logprob",  # 1-row corpus-total broadcast onto the gram table
+    "quality_ppx_gate",  # composes text_trigram_kn_logprob (same 1-row broadcast)
     "rfm_segments",  # 1-row max-date + 1-row tercile-bounds broadcasts onto the binning map
     "sketch_distinct_hll",  # 1-row merged-sketch broadcast onto the 1-row global exact agg
     "graph_triangles",  # 1-row edge-count x 1-row triangle-count metadata join
@@ -238,6 +239,8 @@ def test_constant_folded_sampling_fast_path(spark, sf_dir):
 # pinned property. Regenerate expected values with
 # tools/plan_fingerprints.py after an INTENTIONAL plan change.
 BENCH_PLAN_FINGERPRINTS = {
+    "corpus_weighted_sample": {},
+    "quality_ppx_gate": {"shuffle_exchange": 11, "broadcast_exchange": 7, "BroadcastHashJoin": 6, "BroadcastNestedLoopJoin": 1},
     "dedup_cdc_chunks": {"shuffle_exchange": 4, "broadcast_exchange": 1, "BroadcastNestedLoopJoin": 1},
     "dedup_suffix_doubling": {"shuffle_exchange": 6, "broadcast_exchange": 2, "BroadcastHashJoin": 2, "ShuffledHashJoin": 1},
     "pipeline_ingest_e2e": {"shuffle_exchange": 4},

@@ -128,6 +128,8 @@ PROBES = [
     "text_zipf_fit",
     "dedup_suffix_doubling",
     "dedup_cdc_chunks",
+    "corpus_weighted_sample",
+    "quality_ppx_gate",
 ]
 
 
@@ -205,6 +207,8 @@ DEEP_PROBES = [
     "text_zipf_fit",
     "dedup_suffix_doubling",
     "dedup_cdc_chunks",
+    "corpus_weighted_sample",
+    "quality_ppx_gate",
 ]
 
 SF1_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf1")
