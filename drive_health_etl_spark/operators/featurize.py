@@ -225,7 +225,94 @@ FROM enc GROUP BY event_type
 """
 
 
+def feat_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence encoding + information value per category — the
+    credit-scoring-standard supervised categorical encoder (Siddiqi,
+    "Credit Risk Scorecards"): for category i with good/bad counts against
+    a binary target,
+
+        woe_i = ln( (good_i/G) / (bad_i/B) ),
+        IV    = sum_i (good_i/G - bad_i/B) * woe_i
+
+    here over order priority vs the target 'order totalprice above the
+    global median' (exact integer counts by construction). +0.5 Laplace
+    smoothing on every cell keeps woe finite on empty cells; IV > 0.3
+    reads as a strong predictor. All ratios are exact-int divisions on
+    identical inputs; ln/round follow the repo's logprob parity policy
+    (round 6 dp after the ln chain).
+
+    Scale: one conditional aggregate over the fact table (map-side
+    combinable), then scalar math + an unpartitioned sum over the
+    ENUM-SIZED category table (5 rows). The median bound is a 1-row
+    broadcast onto the scan."""
+    o = load_table(spark, sf_dir, "orders")
+    med = o.agg(F.expr("percentile(o_totalprice, 0.5)").alias("med"))
+    flagged = o.crossJoin(F.broadcast(med)).select(
+        "o_orderpriority", (F.col("o_totalprice") > F.col("med")).alias("good")
+    )
+    agg = flagged.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("good"), 1)).alias("n_good"),
+        F.count(F.when(~F.col("good"), 1)).alias("n_bad"),
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tot = agg.withColumn("g_tot", F.sum("n_good").over(w_all)).withColumn(
+        "b_tot", F.sum("n_bad").over(w_all)
+    ).withColumn("k", F.count("*").over(w_all))
+    # 0.5e0 / explicit double casts: a bare 0.5 literal is DECIMAL in Spark
+    # SQL, which would silently run the whole ratio in decimal arithmetic
+    # (truncated scale) while DuckDB's '/' always yields DOUBLE.
+    pg = _WOE_PG
+    pb = _WOE_PB
+    woed = tot.withColumn("woe", F.round(F.expr(f"ln({pg} / {pb})"), 6)).withColumn(
+        "iv_contrib", F.round(F.expr(f"({pg} - {pb}) * ln({pg} / {pb})"), 6)
+    )
+    # decimal-cast before the unordered window sum (order-independent policy)
+    return woed.withColumn(
+        "iv_total",
+        F.round(
+            F.sum(
+                F.expr(f"CAST(({pg} - {pb}) * ln({pg} / {pb}) AS DECIMAL(38,18))")
+            ).over(w_all).cast("double"),
+            6,
+        ),
+    ).select(
+        "o_orderpriority", "n_good", "n_bad", "woe", "iv_contrib", "iv_total"
+    )
+
+
+_WOE_PG = ("((CAST(n_good AS DOUBLE) + 0.5e0)"
+           " / (CAST(g_tot AS DOUBLE) + 0.5e0 * CAST(k AS DOUBLE)))")
+_WOE_PB = ("((CAST(n_bad AS DOUBLE) + 0.5e0)"
+           " / (CAST(b_tot AS DOUBLE) + 0.5e0 * CAST(k AS DOUBLE)))")
+
+FEAT_WOE_IV_SQL = f"""
+WITH med AS (SELECT quantile_cont(o_totalprice, 0.5) AS med FROM orders),
+flagged AS (
+  SELECT o_orderpriority, (o_totalprice > med) AS good FROM orders CROSS JOIN med
+),
+agg AS (
+  SELECT o_orderpriority,
+         COUNT(CASE WHEN good THEN 1 END) AS n_good,
+         COUNT(CASE WHEN NOT good THEN 1 END) AS n_bad
+  FROM flagged GROUP BY o_orderpriority
+),
+tot AS (
+  SELECT *, SUM(n_good) OVER () AS g_tot, SUM(n_bad) OVER () AS b_tot,
+         COUNT(*) OVER () AS k
+  FROM agg
+)
+SELECT o_orderpriority, n_good, n_bad,
+       ROUND(ln({_WOE_PG} / {_WOE_PB}), 6) AS woe,
+       ROUND(({_WOE_PG} - {_WOE_PB}) * ln({_WOE_PG} / {_WOE_PB}), 6) AS iv_contrib,
+       ROUND(CAST(SUM(CAST(({_WOE_PG} - {_WOE_PB}) * ln({_WOE_PG} / {_WOE_PB}) AS DECIMAL(38,18))) OVER () AS DOUBLE), 6) AS iv_total
+FROM tot
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "feat_woe_iv": (feat_woe_iv, FEAT_WOE_IV_SQL),
     "feat_hashing_tf": (feat_hashing_tf, FEAT_HASHING_TF_SQL),
     "feat_tfidf_top_terms": (feat_tfidf_top_terms, FEAT_TFIDF_SQL),
     "feat_target_encoding": (feat_target_encoding, FEAT_TARGET_ENC_SQL),

@@ -970,6 +970,307 @@ FROM agg
 """
 
 
+# A&S 7.1.26 erfc in Horner form over x = |z|/sqrt(2) — ONE shared string so
+# Spark and DuckDB execute the identical IEEE op sequence (sqrt(2) inlined as
+# the correctly-rounded double literal; abs/exp/arithmetic elementwise).
+_BH_X = "(abs(z_stat) / 1.4142135623730951)"
+_BH_T = f"(1.0 / (1.0 + 0.3275911 * {_BH_X}))"
+_BH_ERFC = (
+    f"((((((1.061405429 * {_BH_T} - 1.453152027) * {_BH_T} + 1.421413741) * {_BH_T}"
+    f" - 0.284496736) * {_BH_T} + 0.254829592) * {_BH_T}) * exp(-({_BH_X} * {_BH_X})))"
+)
+assert _BH_ERFC.count("(") == _BH_ERFC.count(")")
+
+
+def stat_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control (JRSS-B 1995) over the full family of
+    per-(event_type, weekday) two-proportion z-tests — the multiple-testing
+    layer every large experimentation platform needs on top of the single
+    tests (`stat_ab_proportion` runs ONE test per type; slicing by weekday
+    multiplies the family and naive per-test alpha would flood false
+    positives).
+
+    Chain: per-cell pooled z (same integer-count + round-6dp policy as
+    `stat_ab_proportion`); two-sided p = erfc(|z|/sqrt(2)) via the
+    Abramowitz-Stegun 7.1.26 rational approximation (|error| < 1.5e-7 —
+    identical Horner form in both engines, input pre-rounded so both see
+    the same doubles); BH step-up adjustment
+    p_adj(i) = min_{j>=i} min(1, p_(j) * m / j) as a running window min
+    over the descending p-rank. Degenerate cells (an empty arm or a 0/100%
+    pooled rate) are excluded deterministically.
+
+    Scale: the fact scan is one conditional aggregate (map-side
+    combinable); everything after runs on the HYPOTHESIS table, whose size
+    is the enum-sized test family (types x 7), so the unpartitioned BH
+    rank/min windows sort m ~ dozens of rows, not data."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    med = e.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    flagged = e.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.weekday("ts").alias("wd"),
+        (F.pmod(F.col("user_id"), F.lit(2)) == 0).alias("is_a"),
+        (F.col("value") > F.col("med")).alias("hit"),
+    )
+    agg = flagged.groupBy("event_type", "wd").agg(
+        F.count(F.when(F.col("is_a"), 1)).alias("n_a"),
+        F.count(F.when(~F.col("is_a"), 1)).alias("n_b"),
+        F.count(F.when(F.col("is_a") & F.col("hit"), 1)).alias("x_a"),
+        F.count(F.when(~F.col("is_a") & F.col("hit"), 1)).alias("x_b"),
+    )
+    ok = agg.filter(
+        (F.col("n_a") > 0)
+        & (F.col("n_b") > 0)
+        & (F.col("x_a") + F.col("x_b") > 0)
+        & (F.col("x_a") + F.col("x_b") < F.col("n_a") + F.col("n_b"))
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    xa = F.col("x_a").cast("double")
+    xb = F.col("x_b").cast("double")
+    p_pool = (xa + xb) / (na + nb)
+    z = (xa / na - xb / nb) / F.sqrt(p_pool * (1 - p_pool) * (1 / na + 1 / nb))
+    zd = ok.withColumn("z_stat", F.round(z, 6))
+    # A&S 7.1.26 erfc, Horner form — the EXACT same expression string as the
+    # oracle so both engines execute the same IEEE op sequence.
+    pe = zd.withColumn("p_value", F.round(F.expr(_BH_ERFC), 6))
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_rank = Window.orderBy("p_value", "event_type", "wd")
+    r = pe.withColumn("m", F.count("*").over(w_all)).withColumn(
+        "rnk", F.row_number().over(w_rank)
+    )
+    w_min = Window.orderBy(F.col("rnk").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    adj = r.withColumn(
+        "p_adj",
+        F.round(
+            F.min(F.least(F.lit(1.0), (F.col("p_value") * F.col("m")) / F.col("rnk"))).over(
+                w_min
+            ),
+            6,
+        ),
+    )
+    return adj.select(
+        "event_type",
+        "wd",
+        "n_a",
+        "n_b",
+        "x_a",
+        "x_b",
+        "z_stat",
+        "p_value",
+        "p_adj",
+        (F.col("p_adj") <= F.lit(0.05)).alias("reject"),
+    )
+
+
+STAT_BH_FDR_SQL = """
+WITH e AS (SELECT * FROM events WHERE value IS NOT NULL),
+med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med FROM e GROUP BY event_type
+),
+flagged AS (
+  SELECT e.event_type, isodow(e.ts) - 1 AS wd,
+         (e.user_id % 2 = 0) AS is_a, (e.value > m.med) AS hit
+  FROM e JOIN med m USING (event_type)
+),
+agg AS (
+  SELECT event_type, wd,
+         COUNT(CASE WHEN is_a THEN 1 END) AS n_a,
+         COUNT(CASE WHEN NOT is_a THEN 1 END) AS n_b,
+         COUNT(CASE WHEN is_a AND hit THEN 1 END) AS x_a,
+         COUNT(CASE WHEN NOT is_a AND hit THEN 1 END) AS x_b
+  FROM flagged GROUP BY event_type, wd
+),
+ok AS (
+  SELECT * FROM agg
+  WHERE n_a > 0 AND n_b > 0 AND x_a + x_b > 0 AND x_a + x_b < n_a + n_b
+),
+zt AS (
+  SELECT *, ROUND(
+    (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+     - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+    / sqrt((CAST(x_a AS DOUBLE) + CAST(x_b AS DOUBLE))
+             / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+           * (1 - (CAST(x_a AS DOUBLE) + CAST(x_b AS DOUBLE))
+                    / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+           * (1 / CAST(n_a AS DOUBLE) + 1 / CAST(n_b AS DOUBLE)))
+  , 6) AS z_stat
+  FROM ok
+),
+pv AS (
+  SELECT *, ROUND({ERFC}, 6) AS p_value
+  FROM zt
+),
+r AS (
+  SELECT *, COUNT(*) OVER () AS m,
+         ROW_NUMBER() OVER (ORDER BY p_value, event_type, wd) AS rnk
+  FROM pv
+),
+adj AS (
+  SELECT *, ROUND(
+    MIN(least(1.0, (p_value * m) / rnk))
+      OVER (ORDER BY rnk DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+  , 6) AS p_adj
+  FROM r
+)
+SELECT event_type, wd, n_a, n_b, x_a, x_b, z_stat, p_value, p_adj,
+       (p_adj <= 0.05) AS reject
+FROM adj
+""".replace("{ERFC}", _BH_ERFC)
+
+
+# SAX (Lin/Keogh/Lonardi/Chiu, DMKD'07) parameters: 4-day PAA frames,
+# 4-frame words, alphabet {a,b,c,d} split at the N(0,1) quartiles.
+_SAX_PAA_W = 4
+_SAX_WORD = 4
+_SAX_BP_LO = "-0.6744897501960817"
+_SAX_BP_HI = "0.6744897501960817"
+_SAX_LETTER = (
+    f"(CASE WHEN paa < CAST({_SAX_BP_LO} AS DOUBLE) THEN 'a'"
+    f" WHEN paa < CAST(0.0 AS DOUBLE) THEN 'b'"
+    f" WHEN paa < CAST({_SAX_BP_HI} AS DOUBLE) THEN 'c' ELSE 'd' END)"
+)
+
+
+def ts_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolic motif mining over the per-type daily-total series (Lin
+    et al., "Experiencing SAX", DMKD'07): z-normalize each series, average
+    into 4-day PAA frames, quantize frames to a 4-letter alphabet at the
+    standard-normal quartile breakpoints, slide a 4-frame word window, and
+    report each type's top-3 most frequent words — recurring weekly-scale
+    shapes ('dcba' = a falling week) that exact-value methods can't see.
+
+    Float discipline: daily totals and all sums are decimal
+    (order-independent); mean/var/std and z run as one identical double
+    chain on exact inputs; PAA averages decimal-sum the 9-dp-rounded z's
+    and divide by the frame width (a power of two — exact); breakpoint
+    comparisons see identical doubles.
+
+    Scale: one fact aggregate (map-combinable), then everything runs on
+    the calendar-sized per-type series — the row_number/lead windows key
+    on event_type, so no global sort anywhere."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    # Integer micro-unit series: z-normalization is scale-invariant, and an
+    # exact integer series lets BOTH engines square without decimal-width
+    # overflow (Spark decimal(18,0)^2 -> (37,0); DuckDB squares in HUGEINT).
+    daily = e.groupBy("event_type", "day").agg(
+        F.expr("CAST(SUM(v) * 1000000 AS DECIMAL(18,0))").alias("yi")
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.sum("yi").alias("s1"),
+        F.sum((F.col("yi") * F.col("yi")).cast("decimal(38,0)")).alias("s2"),
+        F.count("*").alias("n"),
+    )
+    zs = (
+        daily.join(F.broadcast(stats), "event_type")
+        .withColumn("mean", F.expr("CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)"))
+        .withColumn(
+            "std",
+            F.expr("sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - mean * mean)"),
+        )
+        .filter(F.col("std") > 0)
+        .withColumn("z", F.expr("(CAST(yi AS DOUBLE) - mean) / std"))
+    )
+    w_idx = Window.partitionBy("event_type").orderBy("day")
+    frames = (
+        zs.withColumn("idx", F.row_number().over(w_idx))
+        .withColumn("bk", F.expr(f"(idx - 1) div {_SAX_PAA_W}"))
+        .groupBy("event_type", "bk")
+        .agg(
+            F.count("*").alias("nf"),
+            F.expr(
+                "CAST(SUM(CAST(ROUND(z, 9) AS DECIMAL(20,10))) AS DOUBLE)"
+                f" / CAST({_SAX_PAA_W} AS DOUBLE)"
+            ).alias("paa"),
+        )
+        .filter(F.col("nf") == _SAX_PAA_W)
+        .withColumn("l", F.expr(_SAX_LETTER))
+    )
+    w_bk = Window.partitionBy("event_type").orderBy("bk")
+    words = frames.select(
+        "event_type",
+        F.concat(
+            "l",
+            F.lead("l", 1).over(w_bk),
+            F.lead("l", 2).over(w_bk),
+            F.lead("l", 3).over(w_bk),
+        ).alias("motif"),
+    ).filter(F.col("motif").isNotNull())
+    counts = words.groupBy("event_type", "motif").agg(F.count("*").alias("n_occ"))
+    w_rank = Window.partitionBy("event_type").orderBy(
+        F.col("n_occ").desc(), F.col("motif").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 3)
+        .select("event_type", "rank", "motif", "n_occ")
+    )
+
+
+TS_SAX_MOTIFS_SQL = f"""
+WITH e AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(value AS DECIMAL(18,6)) AS v
+  FROM events
+),
+daily AS (
+  SELECT event_type, day, CAST(SUM(v) * 1000000 AS HUGEINT) AS yi
+  FROM e GROUP BY event_type, day
+),
+stats AS (
+  SELECT event_type, SUM(yi) AS s1, SUM(yi * yi) AS s2, COUNT(*) AS n
+  FROM daily GROUP BY event_type
+),
+zs AS (
+  SELECT d.event_type, d.day,
+         (CAST(d.yi AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+           / sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) AS z
+  FROM daily d JOIN stats USING (event_type)
+  WHERE sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+             - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) > 0
+),
+frames AS (
+  SELECT event_type, bk, COUNT(*) AS nf,
+         CAST(SUM(CAST(ROUND(z, 9) AS DECIMAL(20,10))) AS DOUBLE)
+           / CAST({_SAX_PAA_W} AS DOUBLE) AS paa
+  FROM (
+    SELECT event_type, z,
+           (ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) - 1)
+             // {_SAX_PAA_W} AS bk
+    FROM zs
+  ) GROUP BY event_type, bk
+),
+letters AS (
+  SELECT event_type, bk, {_SAX_LETTER} AS l
+  FROM frames WHERE nf = {_SAX_PAA_W}
+),
+words AS (
+  SELECT event_type,
+         l || LEAD(l, 1) OVER w || LEAD(l, 2) OVER w || LEAD(l, 3) OVER w AS motif
+  FROM letters
+  WINDOW w AS (PARTITION BY event_type ORDER BY bk)
+),
+counts AS (
+  SELECT event_type, motif, COUNT(*) AS n_occ
+  FROM words WHERE motif IS NOT NULL GROUP BY event_type, motif
+)
+SELECT event_type, rank, motif, n_occ FROM (
+  SELECT event_type, motif, n_occ,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n_occ DESC, motif ASC) AS rank
+  FROM counts
+) WHERE rank <= 3
+"""
+
+
 def stat_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov statistic per event type between the
     ``user_id % 2`` A/B buckets: D = max over pooled values of
@@ -1557,6 +1858,7 @@ QUERIES: dict[str, tuple] = {
     "ts_residual_anomalies": (ts_residual_anomalies, TS_RESIDUAL_ANOM_SQL),
     "ts_streaks": (ts_streaks, TS_STREAKS_SQL),
     "stat_ab_proportion": (stat_ab_proportion, STAT_AB_PROP_SQL),
+    "stat_bh_fdr": (stat_bh_fdr, STAT_BH_FDR_SQL),
     "stat_zipf_exponent": (stat_zipf_exponent, STAT_ZIPF_SQL),
     "stat_ks_test": (stat_ks_test, STAT_KS_SQL),
     "stat_kruskal_wallis": (stat_kruskal_wallis, STAT_KRUSKAL_SQL),
@@ -1569,6 +1871,7 @@ QUERIES: dict[str, tuple] = {
     "stat_bootstrap_ci": (stat_bootstrap_ci, STAT_BOOTSTRAP_SQL),
     "stat_sprt_ab": (stat_sprt_ab, STAT_SPRT_SQL),
     "ts_seasonal_decompose": (ts_seasonal_decompose, TS_SEASONAL_SQL),
+    "ts_sax_motifs": (ts_sax_motifs, TS_SAX_MOTIFS_SQL),
     "stat_mann_whitney": (stat_mann_whitney, STAT_MANN_WHITNEY_SQL),
     "stat_ols_trend": (stat_ols_trend, STAT_OLS_SQL),
     "ts_acf": (ts_acf, TS_ACF_SQL),

@@ -290,3 +290,38 @@ def test_zipf_fit_known_answers(spark, tmp_path, sf_dir):
     synth = text_zipf_fit(spark, sf_dir).collect()[0]
     assert synth["zipf_slope"] > -0.5  # far shallower than natural language
     assert synth["r2"] < 0.3
+
+
+def test_dp_counts_match_python_mechanism(spark, sf_dir):
+    """Independent replay of the discrete-Laplace mechanism: the noise for
+    each group must equal tz(md5('dpA|'+key)) - tz(md5('dpB|'+key)) where
+    tz is the trailing-zero count of the 20-bit digest head, and the noisy
+    count must clamp at 0. Also pins the mechanism's distribution contract
+    on a wide synthetic key domain: trailing-zero counts are Geometric(1/2)
+    (about half the mass at 0, monotone tail)."""
+    import hashlib
+
+    from drive_health_etl_spark.operators.expectations import dq_dp_counts
+
+    def tz20(s: str) -> int:
+        u = int(hashlib.md5(s.encode()).hexdigest()[:5], 16)
+        n = 0
+        while n < 20 and u % 2 == 0:
+            n, u = n + 1, u // 2
+        return n
+
+    rows = dq_dp_counts(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        want = tz20("dpA|" + r["event_type"]) - tz20("dpB|" + r["event_type"])
+        assert r["noise"] == want
+        assert r["n_noisy"] == max(0, r["n_true"] + want)
+        assert r["epsilon"] == 0.6931471805599453
+
+    # mechanism shape on 4096 synthetic keys: Geometric(1/2) masses
+    counts = [0] * 21
+    for i in range(4096):
+        counts[tz20(f"dpA|k{i}")] += 1
+    assert 0.44 < counts[0] / 4096 < 0.56
+    assert 0.19 < counts[1] / 4096 < 0.31
+    assert all(counts[j] >= counts[j + 3] for j in range(0, 9))

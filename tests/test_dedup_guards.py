@@ -317,3 +317,65 @@ def test_suffix_doubling_multi_segment(spark, tmp_path):
     got = {r["k"]: (r["n_shared_grams"], r["n_docs_sharing"]) for r in
            dedup_suffix_doubling(spark, str(tmp_path)).collect()}
     assert got == expect
+
+
+def _lev_py(a: str, b: str) -> int:
+    """Pure-Python Levenshtein — the independent truth for the edit join."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_join_equals_bruteforce_on_synthetic_corpus(spark, tmp_path):
+    """Completeness of the Ed-Join filter stack (rarity prefix + length +
+    count filter + small-set brute branch) against all-pairs Levenshtein:
+    on a corpus with engineered edits the pair set must EQUAL the
+    brute-force ed <= K set. Includes repetitive short docs whose distinct
+    q-gram sets are <= Q*K — the tau < 1 regime where prefix filtering has
+    NO guarantee and only the brute branch preserves exactness."""
+    import random
+    from itertools import combinations
+
+    from drive_health_etl_spark.operators.dedup import _EDJ_K, dedup_edit_join
+
+    rng = random.Random(812)
+    alpha = "abcdefghijklmnopqrstuvwxyz "
+    base = "".join(rng.choice(alpha) for _ in range(260))
+    mid = "".join(rng.choice(alpha) for _ in range(130))
+    docs = [
+        base,                                   # 0
+        base[:100] + "XYZ" + base[103:],        # 1: 3 substitutions
+        base[:50] + base[58:],                  # 2: 8 deletions (== K)
+        base[:50] + base[59:],                  # 3: 9 deletions (> K, excluded)
+        "".join(rng.choice(alpha) for _ in range(260)),  # 4: unrelated
+        mid,                                    # 5
+        mid[:40] + "qq" + mid[40:],             # 6: 2 insertions
+        # repetitive small-distinct-gram docs (brute branch): ~2 distinct
+        # 12-grams each, within 2 edits of each other
+        "ab" * 40,                              # 7
+        "ab" * 39 + "ba",                       # 8
+        "cd" * 40,                              # 9: unrelated repetitive
+    ]
+    truth = set()
+    for (ia, ta), (ib, tb) in combinations(enumerate(docs), 2):
+        if abs(len(ta) - len(tb)) <= _EDJ_K and _lev_py(ta, tb) <= _EDJ_K:
+            truth.add((ia + 1, ib + 1))
+    assert (8, 9) in truth and (1, 2) in truth, "fixture must engineer near pairs"
+
+    rows = [(i + 1, t, "en", "s", len(t)) for i, t in enumerate(docs)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = dedup_edit_join(spark, str(tmp_path)).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in out}
+    assert got == truth, f"missing={truth - got} extra={got - truth}"
+    by_pair = {(r["doc_a"], r["doc_b"]): r["edit_distance"] for r in out}
+    for (a, b), ed in by_pair.items():
+        assert ed == _lev_py(docs[a - 1], docs[b - 1])

@@ -130,6 +130,11 @@ EMPTY_SAFE = [
     "multimodal_jpeg_stats",
     "multimodal_jpeg420_stats",
     "dq_k_anonymity",
+    "dedup_edit_join",
+    "stat_bh_fdr",
+    "dq_dp_counts",
+    "feat_woe_iv",
+    "ts_sax_motifs",
 ]
 
 

@@ -167,6 +167,7 @@ BNLJ_BY_DESIGN = {
     "stat_kruskal_wallis",  # 1-row rank-sum x 1-row tie-total broadcast join
     "ts_streaks",  # 1-row global-median broadcast onto the calendar series
     "corpus_shard_balance",  # 1-row total-bytes broadcast onto the 16-shard audit
+    "feat_woe_iv",  # 1-row global-median broadcast onto the orders scan
 }
 CARTESIAN_BY_DESIGN = {"t5_cross_join"}  # 5 x 25 dims, explicitly cross
 
@@ -494,6 +495,35 @@ BENCH_PLAN_FINGERPRINTS = {
     "multimodal_png_adam7_stats": {},
     "multimodal_flac_stats": {},
     "dedup_exactsubstr_spans": {"shuffle_exchange": 5, "broadcast_exchange": 2, "BroadcastHashJoin": 2},
+    # Ed-Join: gram freq + rarity window + prefix self-join + count-filter
+    # join-back + union-distinct + two verify joins — all equi-keyed; the
+    # many broadcasts are the small sides (freq map, cnt, docs) at this SF
+    "dedup_edit_join": {
+        "shuffle_exchange": 9,
+        "broadcast_exchange": 12,
+        "BroadcastHashJoin": 12,
+    },
+    # BH-FDR: fact agg + enum-sized hypothesis table; the rank/min windows
+    # are single-partition BY DESIGN (m = test family, ~dozens of rows)
+    "stat_bh_fdr": {
+        "shuffle_exchange": 3,
+        "broadcast_exchange": 1,
+        "BroadcastHashJoin": 1,
+    },
+    # DP counts: one map-side-combinable aggregate; noise is scalar math
+    "dq_dp_counts": {"shuffle_exchange": 1},
+    # WOE/IV: fact agg + enum-sized window math; 1-row median broadcast
+    "feat_woe_iv": {
+        "shuffle_exchange": 3,
+        "broadcast_exchange": 1,
+        "BroadcastNestedLoopJoin": 1,
+    },
+    # SAX: fact agg -> per-type stats broadcast -> calendar-sized windows
+    "ts_sax_motifs": {
+        "shuffle_exchange": 4,
+        "broadcast_exchange": 1,
+        "BroadcastHashJoin": 1,
+    },
 }
 
 

@@ -114,3 +114,133 @@ def test_holt_constant_series_converges_to_level(spark, tmp_path):
     ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
     got = ts_holt_linear(spark, str(tmp_path)).collect()[0]
     assert got["level"] == 5.0 and got["trend"] == 0.0 and got["forecast_3"] == 5.0
+
+
+def test_bh_fdr_matches_python_recompute(spark):
+    """Independent reimplementation: from the query's own integer counts,
+    recompute z (pooled two-proportion), p (A&S 7.1.26 erfc), and the BH
+    step-up adjustment in pure Python; every output column must agree to
+    the query's 6-dp rounding. Also pins the BH contracts: p_adj >= p,
+    p_adj monotone along the p-ranking, and the rejection frontier is a
+    prefix of that ranking."""
+    from drive_health_etl_spark.plans.stats_suite import stat_bh_fdr
+
+    rows = stat_bh_fdr(spark, SF).collect()
+    assert len(rows) >= 20  # types x weekdays family, minus degenerate cells
+
+    def p_from_z(z):
+        x = abs(z) / 1.4142135623730951
+        t = 1.0 / (1.0 + 0.3275911 * x)
+        poly = ((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+                 - 0.284496736) * t + 0.254829592) * t
+        return round(poly * math.exp(-(x * x)), 6)
+
+    recomputed = []
+    for r in rows:
+        na, nb, xa, xb = r["n_a"], r["n_b"], r["x_a"], r["x_b"]
+        pp = (xa + xb) / (na + nb)
+        z = round((xa / na - xb / nb)
+                  / math.sqrt(pp * (1 - pp) * (1 / na + 1 / nb)), 6)
+        assert z == r["z_stat"], (r, z)
+        p = p_from_z(z)
+        assert p == r["p_value"], (r, p)
+        recomputed.append((p, r["event_type"], r["wd"], r))
+    recomputed.sort(key=lambda t: t[:3])
+    m = len(recomputed)
+    run = None
+    for i in range(m - 1, -1, -1):
+        cand = min(1.0, (recomputed[i][0] * m) / (i + 1))
+        run = cand if run is None else min(run, cand)
+        r = recomputed[i][3]
+        assert round(run, 6) == r["p_adj"], (r, run)
+        assert r["p_adj"] >= r["p_value"] - 1e-12
+        assert r["reject"] == (r["p_adj"] <= 0.05)
+    adj_sorted = [t[3]["p_adj"] for t in recomputed]
+    assert adj_sorted == sorted(adj_sorted)  # monotone along the ranking
+    rejects = [t[3]["reject"] for t in recomputed]
+    assert all(rejects[i] or not rejects[i + 1] for i in range(m - 1))  # prefix
+
+
+def test_woe_iv_matches_python_recompute(spark):
+    """Recompute WOE/IV in pure Python from the query's own integer counts
+    (smoothed ratios + ln + decimal-summed IV) and pin the structural
+    contracts: woe sign tracks the good/bad ratio and iv_total is constant
+    across rows."""
+    from drive_health_etl_spark.plans.stats_suite import load_table  # noqa: F401
+    from drive_health_etl_spark.operators.featurize import feat_woe_iv
+
+    rows = feat_woe_iv(spark, SF).collect()
+    assert len(rows) == 5
+    g_tot = sum(r["n_good"] for r in rows)
+    b_tot = sum(r["n_bad"] for r in rows)
+    k = len(rows)
+    iv = 0.0
+    for r in rows:
+        pg = (r["n_good"] + 0.5) / (g_tot + 0.5 * k)
+        pb = (r["n_bad"] + 0.5) / (b_tot + 0.5 * k)
+        woe = math.log(pg / pb)
+        assert round(woe, 6) == r["woe"]
+        assert round((pg - pb) * woe, 6) == r["iv_contrib"]
+        assert (r["woe"] > 0) == (pg > pb)
+        iv += (pg - pb) * woe
+    assert len({r["iv_total"] for r in rows}) == 1
+    assert abs(rows[0]["iv_total"] - iv) < 1e-5
+    assert iv >= 0  # IV is a sum of x*ln-ratio terms with matching signs
+
+
+def _sax_py(series, paa_w=4, word=4):
+    """Pure-Python SAX replica (population z, 4-day PAA, quartile alphabet,
+    sliding words) — independent truth for the motif counts."""
+    n = len(series)
+    mean = sum(series) / n
+    var = sum(v * v for v in series) / n - mean * mean
+    std = math.sqrt(var)
+    if std <= 0:
+        return {}
+    z = [(v - mean) / std for v in series]
+    frames = [
+        sum(z[i:i + paa_w]) / paa_w
+        for i in range(0, n - n % paa_w, paa_w)
+    ]
+    def letter(p):
+        if p < -0.6744897501960817:
+            return "a"
+        if p < 0.0:
+            return "b"
+        if p < 0.6744897501960817:
+            return "c"
+        return "d"
+    ls = [letter(p) for p in frames]
+    words = ["".join(ls[i:i + word]) for i in range(len(ls) - word + 1)]
+    out = {}
+    for w in words:
+        out[w] = out.get(w, 0) + 1
+    return out
+
+
+def test_sax_motifs_known_answer(spark, tmp_path):
+    """A square-wave series (4 low days, 4 high days, repeated) must SAX to
+    alternating 'a'/'d' frames, so the only 4-frame words are adad/dada —
+    and the engine's counts must equal the pure-Python replica exactly."""
+    import datetime as dt
+
+    from drive_health_etl_spark.plans.stats_suite import ts_sax_motifs
+
+    base = dt.datetime(2024, 1, 1)
+    vals = ([10.0] * 4 + [20.0] * 4) * 4  # 32 days -> 8 frames -> 5 words
+    rows = [
+        (i, base + dt.timedelta(days=i), 1, "square", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    got = {(r["motif"], r["n_occ"]): r["rank"]
+           for r in ts_sax_motifs(spark, str(tmp_path)).collect()}
+    expect = _sax_py(vals)
+    assert expect == {"adad": 3, "dada": 2}
+    assert set(got) == {("adad", 3), ("dada", 2)}
+    assert got[("adad", 3)] == 1 and got[("dada", 2)] == 2

@@ -459,6 +459,36 @@ AUDITS = [
         "single-row crossJoin. Chunk-store stats at 100 TB cost one "
         "content-keyed exchange.",
     ),
+    (
+        "dedup_edit_join",
+        "Ed-Join exact edit-distance similarity join (r8): candidate "
+        "generation is an equi-join keyed on each document's Q*K+1 RAREST "
+        "q-grams (rarity keying bounds bucket skew), the exact count "
+        "filter joins the candidate list back onto the gram table before "
+        "any Levenshtein runs, and the verifier is the threshold-banded "
+        "O(K*n) levenshtein on survivors only. No cartesian/BNLJ anywhere; "
+        "every stage is an equi-keyed shuffle whose width is constant per "
+        "document. The length-bucketed brute branch exists only for "
+        "near-single-gram pathological strings and stays banded.",
+    ),
+    (
+        "stat_bh_fdr",
+        "Benjamini-Hochberg FDR (r8): ONE conditional map-combinable "
+        "aggregate over the fact table produces the hypothesis table; the "
+        "single-partition rank/running-min windows that implement the "
+        "step-up adjustment sort only the enum-sized test family "
+        "(types x weekdays), never data rows — the scale-correct shape "
+        "for multiple-testing control over a 100 TB fact scan.",
+    ),
+    (
+        "ts_sax_motifs",
+        "SAX motif mining (r8): the fact scan collapses to per-(type,day) "
+        "decimal totals in one aggregate; z-normalization constants ride "
+        "back as an enum-sized broadcast; PAA/alphabet/word windows all "
+        "key on event_type over calendar-sized rows. Motif counting is "
+        "one more enum-bounded aggregate — nothing downstream of the "
+        "first exchange scales with data volume.",
+    ),
 ]
 
 
