@@ -1881,30 +1881,34 @@ def dedup_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter). Wider grams trade a longer prefix (Q*K+1 = 97) for
     discriminative keys — the classic Ed-Join tuning knob.
 
-    Scale shape: gram stats, rarity window, prefix equi-join, count-filter
-    join, and the two verify joins are all equi-keyed single shuffles;
-    prefix size is a CONSTANT per doc regardless of doc length, and keying
-    on rarest grams bounds bucket skew exactly as in PPJoin. The brute
-    branch is empty unless the corpus contains short/repetitive strings,
-    and even then stays banded by length bucket, never all-pairs."""
+    Scale shape: the gram ARRAY is a per-row expression inside the scan
+    (computed once, reused by the explode, the count filter, and the
+    small-set test — no gram-table re-shuffles); gram stats, rarity
+    window, prefix equi-join, and the verify join are all equi-keyed
+    single shuffles; prefix size is a CONSTANT per doc regardless of doc
+    length, and keying on rarest grams bounds bucket skew exactly as in
+    PPJoin. The exact count filter runs as size(array_intersect(...)) on
+    candidate rows (|cand| x grams-per-doc work, zero extra exchanges).
+    The brute branch is empty unless the corpus contains short/repetitive
+    strings, and even then stays banded by length bucket, never
+    all-pairs."""
     q, k = _EDJ_Q, _EDJ_K
     docs = (
         load_table(spark, sf_dir, "documents")
         .filter(F.length("text") >= q)
+        .repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", "text", F.length("text").alias("n"))
-        .persist()  # three consumers: gram explode + both verify sides
-    )
-    g = docs.select(
-        "doc_id",
-        "n",
-        F.explode(
+        .withColumn(
+            "grams",
             F.expr(
                 f"array_distinct(transform(sequence(1, length(text) - {q} + 1),"
                 f" i -> substring(text, i, {q})))"
-            )
-        ).alias("g"),
+            ),
+        )
+        .withColumn("ng", F.size("grams"))
+        .persist()  # consumers: gram explode, count filter, verify sides
     )
-    cnt = g.groupBy("doc_id").agg(F.count("*").alias("ng"))
+    g = docs.select("doc_id", "n", F.explode("grams").alias("g"))
     freq = g.groupBy("g").agg(F.count("*").alias("df"))
     # Same conditional-broadcast policy as dedup_prefix_join: the df map is
     # vocab-sized; AQE picks the strategy if it outgrows an executor.
@@ -1927,33 +1931,31 @@ def dedup_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # Exact count filter: ed <= K forces |A∩B| >= max(ng_a, ng_b) - Q*K.
-    # One join back onto the gram table counts each candidate's true
-    # distinct-gram overlap (bounded: |cand| x grams-per-doc rows).
-    ga = g.select(F.col("doc_id").alias("doc_a"), "g")
-    gb = g.select(F.col("doc_id").alias("doc_b"), "g")
-    common = (
-        cand0.join(ga, "doc_a")
-        .join(gb, ["doc_b", "g"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
+    # The gram arrays ride the candidate join, so the overlap is a per-row
+    # array_intersect — no gram-table shuffle.
+    ga = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("grams").alias("grams_a"),
+        F.col("ng").alias("ng_a"),
     )
-    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("ng").alias("ng_a"))
-    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("ng").alias("ng_b"))
+    gb = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("grams").alias("grams_b"),
+        F.col("ng").alias("ng_b"),
+    )
     main = (
-        common.join(ca, "doc_a")
-        .join(cb, "doc_b")
+        cand0.join(ga, "doc_a")
+        .join(gb, "doc_b")
         .filter(
-            F.col("n_common")
+            F.size(F.array_intersect("grams_a", "grams_b"))
             >= F.greatest("ng_a", "ng_b") - F.lit(q * k)
         )
         .select("doc_a", "doc_b")
     )
     # Brute branch: docs whose DISTINCT gram count <= Q*K (tau < 1 possible).
     # Banded small x small join on length buckets of width K.
-    small = (
-        cnt.filter(F.col("ng") <= F.lit(q * k))
-        .join(docs.select("doc_id", "n"), "doc_id")
-        .select("doc_id", "n", F.expr(f"n div {k}").alias("bk"))
+    small = docs.filter(F.col("ng") <= F.lit(q * k)).select(
+        "doc_id", "n", F.expr(f"n div {k}").alias("bk")
     )
     sl = small.select(
         F.col("doc_id").alias("doc_a"),

@@ -495,13 +495,14 @@ BENCH_PLAN_FINGERPRINTS = {
     "multimodal_png_adam7_stats": {},
     "multimodal_flac_stats": {},
     "dedup_exactsubstr_spans": {"shuffle_exchange": 5, "broadcast_exchange": 2, "BroadcastHashJoin": 2},
-    # Ed-Join: gram freq + rarity window + prefix self-join + count-filter
-    # join-back + union-distinct + two verify joins — all equi-keyed; the
-    # many broadcasts are the small sides (freq map, cnt, docs) at this SF
+    # Ed-Join: gram freq + rarity window + prefix self-join + union-distinct
+    # + verify joins — all equi-keyed; the count filter is a per-row
+    # array_intersect (no gram-table shuffle), the broadcasts are the small
+    # sides (freq map, persisted docs) at this SF
     "dedup_edit_join": {
-        "shuffle_exchange": 9,
-        "broadcast_exchange": 12,
-        "BroadcastHashJoin": 12,
+        "shuffle_exchange": 5,
+        "broadcast_exchange": 8,
+        "BroadcastHashJoin": 8,
     },
     # BH-FDR: fact agg + enum-sized hypothesis table; the rank/min windows
     # are single-partition BY DESIGN (m = test family, ~dozens of rows)

@@ -130,6 +130,13 @@ PROBES = [
     "dedup_cdc_chunks",
     "corpus_weighted_sample",
     "quality_ppx_gate",
+    # Round 8, second session: Ed-Join exact edit-distance join, BH-FDR,
+    # DP counts, WOE/IV, SAX motifs.
+    "dedup_edit_join",
+    "stat_bh_fdr",
+    "dq_dp_counts",
+    "feat_woe_iv",
+    "ts_sax_motifs",
 ]
 
 
@@ -209,6 +216,14 @@ DEEP_PROBES = [
     "dedup_cdc_chunks",
     "corpus_weighted_sample",
     "quality_ppx_gate",
+    # Round 8, second session: the gram explode + prefix window make the
+    # edit join the batch's heaviest scan shape; the other four are
+    # enum-bounded aggregates whose sf1 rows are cheap insurance.
+    "dedup_edit_join",
+    "stat_bh_fdr",
+    "dq_dp_counts",
+    "feat_woe_iv",
+    "ts_sax_motifs",
 ]
 
 SF1_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf1")
