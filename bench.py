@@ -178,6 +178,9 @@ HEADLINE = [
     "dq_dp_counts",
     "feat_woe_iv",
     "ts_sax_motifs",
+    "stat_cuped",
+    "stat_did",
+    "graph_adamic_adar",
     "pipeline_ingest_e2e",
 ]
 

@@ -609,7 +609,84 @@ SELECT * FROM auth UNION ALL SELECT * FROM hub
 """
 
 
+# --- Adamic-Adar link prediction ------------------------------------------
+
+_AA_HUB_MAX = 64  # exclude parts bought by more than this many customers
+_AA_TOP_N = 20
+
+
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction (Adamic & Adar, Social Networks 2003)
+    over the customer-part bipartite graph: for each customer pair, score
+    = sum over commonly-purchased parts of 1/ln(deg(part)) — rare shared
+    interests weigh more than popular ones — and report the top-{20}
+    predicted links. The classic common-neighbor predictor behind
+    people-you-may-know / co-purchase recommendations.
+
+    Hub guard: parts with more than {64} distinct buyers are excluded
+    BEFORE pair expansion — the standard Adamic-Adar scale device (a hub's
+    per-pair weight 1/ln(deg) is the smallest in the graph while its pair
+    count grows deg^2, so hubs cost quadratically and change rankings
+    negligibly; the exclusion is part of the operator's declared
+    semantics, applied identically in the oracle). With the cap, the
+    self-join on part keys expands at most C({64},2) pairs per part — a
+    per-key constant, never all-pairs.
+
+    Float discipline: deg is an exact distinct count; 1/ln(deg) is an
+    identical double on both engines, rounded 12 dp and decimal-cast
+    BEFORE the per-pair sum (order-independent); the top-k is a
+    TakeOrdered on (score desc, ids) — fully tiebroken."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cp = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    deg = cp.groupBy("part").agg(F.count("*").alias("deg"))
+    wparts = deg.filter((F.col("deg") >= 2) & (F.col("deg") <= _AA_HUB_MAX)).select(
+        "part",
+        F.expr("CAST(ROUND(1.0e0 / ln(CAST(deg AS DOUBLE)), 12) AS DECIMAL(20,12))").alias("w"),
+    )
+    # cpw feeds BOTH self-join sides (and cp feeds deg + cpw): persist, or
+    # the order-join + distinct re-executes per consumer.
+    cpw = cp.join(wparts, "part").persist()
+    a = cpw.select("part", F.col("cust").alias("cust_a"), "w")
+    b = cpw.select(F.col("part").alias("part_b"), F.col("cust").alias("cust_b"))
+    return (
+        a.join(b, (a["part"] == b["part_b"]) & (F.col("cust_a") < F.col("cust_b")))
+        .groupBy("cust_a", "cust_b")
+        .agg(
+            F.count("*").alias("n_common"),
+            F.round(F.sum("w").cast("double"), 6).alias("aa_score"),
+        )
+        .orderBy(F.col("aa_score").desc(), "cust_a", "cust_b")
+        .limit(_AA_TOP_N)
+    )
+
+
+GRAPH_ADAMIC_ADAR_SQL = f"""
+WITH cp AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+deg AS (SELECT part, COUNT(*) AS deg FROM cp GROUP BY part),
+wparts AS (
+  SELECT part, CAST(ROUND(1.0e0 / ln(CAST(deg AS DOUBLE)), 12) AS DECIMAL(20,12)) AS w
+  FROM deg WHERE deg >= 2 AND deg <= {_AA_HUB_MAX}
+),
+cpw AS MATERIALIZED (SELECT cp.cust, cp.part, w FROM cp JOIN wparts USING (part))
+SELECT a.cust AS cust_a, b.cust AS cust_b, COUNT(*) AS n_common,
+       ROUND(CAST(SUM(a.w) AS DOUBLE), 6) AS aa_score
+FROM cpw a JOIN cpw b ON a.part = b.part AND a.cust < b.cust
+GROUP BY 1, 2
+ORDER BY aa_score DESC, cust_a, cust_b
+LIMIT {_AA_TOP_N}
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "graph_adamic_adar": (graph_adamic_adar, GRAPH_ADAMIC_ADAR_SQL),
     "graph_hits": (graph_hits, GRAPH_HITS_SQL),
     "graph_kcore": (graph_kcore, GRAPH_KCORE_SQL),
     "graph_pagerank": (graph_pagerank, GRAPH_PAGERANK_SQL),

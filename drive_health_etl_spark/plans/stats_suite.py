@@ -1271,6 +1271,214 @@ SELECT event_type, rank, motif, n_occ FROM (
 """
 
 
+def stat_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM'13) — the
+    industry-standard pre-experiment covariate adjustment: per user,
+    X = pre-period value total and Y = post-period value total (split at
+    the corpus median day); theta = cov(X,Y)/var(X); the adjusted metric
+    Y' = Y - theta*(X - mean(X)) has variance var(Y)(1 - rho^2). Output:
+    one row with theta, the naive and CUPED A/B deltas (user_id % 2 arms),
+    and the measured variance-reduction fraction — the number that decides
+    how much traffic an experiment platform saves.
+
+    Exactness: per-user totals are integer micro-units (x1e6), so the
+    moment sums (Sx, Sy, Sxx, Sxy, Syy and per-arm variants) are EXACT
+    integers in both engines (Spark decimal(38,0), DuckDB HUGEINT); every
+    moment then enters one identical double chain, rounded 6 dp on output.
+    Cells with zero pre-period variance return NULL theta (degenerate).
+
+    Scale: one (user, period) aggregate over the fact scan (map-side
+    combinable), a per-user pivot, then a single 1-row moment aggregate —
+    the same two-exchange shape at any data volume."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    med = e.agg(F.expr("percentile(CAST(unix_date(to_date(ts)) AS DOUBLE), 0.5)").alias("mday"))
+    per_user = (
+        e.crossJoin(F.broadcast(med))
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "CAST(SUM(CASE WHEN CAST(unix_date(to_date(ts)) AS DOUBLE) <= mday"
+                " THEN CAST(value AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END)"
+                " * 1000000 AS DECIMAL(18,0))"
+            ).alias("x"),
+            F.expr(
+                "CAST(SUM(CASE WHEN CAST(unix_date(to_date(ts)) AS DOUBLE) > mday"
+                " THEN CAST(value AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END)"
+                " * 1000000 AS DECIMAL(18,0))"
+            ).alias("y"),
+        )
+        .withColumn("arm_a", F.pmod(F.col("user_id"), F.lit(2)) == 0)
+    )
+    m = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+        F.count(F.when(F.col("arm_a"), 1)).alias("n_a"),
+        F.sum(F.when(F.col("arm_a"), F.col("x")).otherwise(F.lit(0).cast("decimal(18,0)"))).alias("sx_a"),
+        F.sum(F.when(F.col("arm_a"), F.col("y")).otherwise(F.lit(0).cast("decimal(18,0)"))).alias("sy_a"),
+    )
+    return m.selectExpr(
+        "n",
+        "n_a",
+        "ROUND(" + _CUPED_THETA + ", 6) AS theta",
+        "ROUND(" + _CUPED_DIFF_NAIVE + ", 6) AS diff_naive",
+        "ROUND(" + _CUPED_DIFF_ADJ + ", 6) AS diff_cuped",
+        "ROUND(" + _CUPED_VAR_RED + ", 6) AS var_reduction",
+    )
+
+
+# Shared double chains (identical text in both engines). All inputs are
+# exact integer moments; 1e6 scaling cancels inside every ratio.
+_C_MX = "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+_C_MY = "(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"
+_C_VX = f"(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) - {_C_MX} * {_C_MX})"
+_C_VY = f"(CAST(syy AS DOUBLE) / CAST(n AS DOUBLE) - {_C_MY} * {_C_MY})"
+_C_CXY = f"(CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE) - {_C_MX} * {_C_MY})"
+_CUPED_THETA = f"(CASE WHEN {_C_VX} > 0 THEN {_C_CXY} / {_C_VX} ELSE NULL END)"
+_C_MXA = "(CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE))"
+_C_MYA = "(CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE))"
+_C_MXB = "(CAST(sx - sx_a AS DOUBLE) / CAST(n - n_a AS DOUBLE))"
+_C_MYB = "(CAST(sy - sy_a AS DOUBLE) / CAST(n - n_a AS DOUBLE))"
+_CUPED_DIFF_NAIVE = f"(({_C_MYA} - {_C_MYB}) / 1000000.0e0)"
+_CUPED_DIFF_ADJ = (
+    f"((({_C_MYA} - {_C_MYB}) - {_CUPED_THETA} * ({_C_MXA} - {_C_MXB})) / 1000000.0e0)"
+)
+_CUPED_VAR_RED = (
+    f"(CASE WHEN {_C_VY} > 0 AND {_C_VX} > 0"
+    f" THEN ({_CUPED_THETA} * {_CUPED_THETA} * {_C_VX}) / {_C_VY} ELSE NULL END)"
+)
+
+STAT_CUPED_SQL = f"""
+WITH e AS (SELECT * FROM events WHERE value IS NOT NULL),
+med AS (
+  SELECT quantile_cont(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS DOUBLE), 0.5) AS mday
+  FROM e
+),
+per_user AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS DOUBLE) <= mday
+              THEN CAST(value AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END)
+              * 1000000 AS HUGEINT) AS x,
+         CAST(SUM(CASE WHEN CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS DOUBLE) > mday
+              THEN CAST(value AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END)
+              * 1000000 AS HUGEINT) AS y,
+         (user_id % 2 = 0) AS arm_a
+  FROM e CROSS JOIN med GROUP BY user_id
+),
+m AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy,
+         COUNT(CASE WHEN arm_a THEN 1 END) AS n_a,
+         SUM(CASE WHEN arm_a THEN x ELSE 0 END) AS sx_a,
+         SUM(CASE WHEN arm_a THEN y ELSE 0 END) AS sy_a
+  FROM per_user
+)
+SELECT n, n_a,
+       ROUND({_CUPED_THETA}, 6) AS theta,
+       ROUND({_CUPED_DIFF_NAIVE}, 6) AS diff_naive,
+       ROUND({_CUPED_DIFF_ADJ}, 6) AS diff_cuped,
+       ROUND({_CUPED_VAR_RED}, 6) AS var_reduction
+FROM m
+"""
+
+
+def stat_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator per event type: arms are the
+    user_id % 2 split, periods are pre/post the corpus median day, cells
+    are exact decimal value means, and the effect is
+    (treat_post - treat_pre) - (ctrl_post - ctrl_pre) — the canonical
+    causal readout when treatment rollout correlates with time.
+
+    Exactness: the four cell sums/counts per type are decimal/integer
+    (order-independent); the four means and the double-difference are one
+    identical double chain, rounded 6 dp.
+
+    Scale: a 1-row median broadcast onto the scan, then ONE map-side
+    combinable conditional aggregate per type — nothing after the first
+    exchange scales with data."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    med = e.agg(
+        F.expr("percentile(CAST(unix_date(to_date(ts)) AS DOUBLE), 0.5)").alias("mday")
+    )
+    cells = (
+        e.crossJoin(F.broadcast(med))
+        .select(
+            "event_type",
+            (F.pmod(F.col("user_id"), F.lit(2)) == 0).alias("treat"),
+            (F.expr("CAST(unix_date(to_date(ts)) AS DOUBLE)") > F.col("mday")).alias("post"),
+            F.col("value").cast("decimal(18,6)").alias("v"),
+        )
+        .groupBy("event_type")
+        .agg(
+            *[
+                agg
+                for t, p, tag in [
+                    (True, True, "tp"), (True, False, "tr"),
+                    (False, True, "cp"), (False, False, "cr"),
+                ]
+                for agg in (
+                    F.sum(
+                        F.when((F.col("treat") == t) & (F.col("post") == p), F.col("v"))
+                        .otherwise(F.lit(0).cast("decimal(18,6)"))
+                    ).alias(f"s_{tag}"),
+                    F.count(
+                        F.when((F.col("treat") == t) & (F.col("post") == p), 1)
+                    ).alias(f"n_{tag}"),
+                )
+            ]
+        )
+    )
+    mean = lambda tag: f"(CAST(s_{tag} AS DOUBLE) / CAST(n_{tag} AS DOUBLE))"  # noqa: E731
+    return cells.filter(
+        (F.col("n_tp") > 0) & (F.col("n_tr") > 0) & (F.col("n_cp") > 0) & (F.col("n_cr") > 0)
+    ).selectExpr(
+        "event_type",
+        "n_tp", "n_tr", "n_cp", "n_cr",
+        f"ROUND({mean('tp')}, 6) AS mean_treat_post",
+        f"ROUND({mean('tr')}, 6) AS mean_treat_pre",
+        f"ROUND({mean('cp')}, 6) AS mean_ctrl_post",
+        f"ROUND({mean('cr')}, 6) AS mean_ctrl_pre",
+        f"ROUND(({mean('tp')} - {mean('tr')}) - ({mean('cp')} - {mean('cr')}), 6) AS did_effect",
+    )
+
+
+STAT_DID_SQL = """
+WITH e AS (SELECT * FROM events WHERE value IS NOT NULL),
+med AS (
+  SELECT quantile_cont(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS DOUBLE), 0.5) AS mday
+  FROM e
+),
+cells AS (
+  SELECT event_type,
+         SUM(CASE WHEN (user_id % 2 = 0) AND CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS DOUBLE) > mday
+             THEN CAST(value AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) AS s_tp,
+         COUNT(CASE WHEN (user_id % 2 = 0) AND CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS DOUBLE) > mday THEN 1 END) AS n_tp,
+         SUM(CASE WHEN (user_id % 2 = 0) AND NOT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS DOUBLE) > mday
+             THEN CAST(value AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) AS s_tr,
+         COUNT(CASE WHEN (user_id % 2 = 0) AND NOT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS DOUBLE) > mday THEN 1 END) AS n_tr,
+         SUM(CASE WHEN NOT (user_id % 2 = 0) AND CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS DOUBLE) > mday
+             THEN CAST(value AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) AS s_cp,
+         COUNT(CASE WHEN NOT (user_id % 2 = 0) AND CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS DOUBLE) > mday THEN 1 END) AS n_cp,
+         SUM(CASE WHEN NOT (user_id % 2 = 0) AND NOT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS DOUBLE) > mday
+             THEN CAST(value AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) AS s_cr,
+         COUNT(CASE WHEN NOT (user_id % 2 = 0) AND NOT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS DOUBLE) > mday THEN 1 END) AS n_cr
+  FROM e CROSS JOIN med GROUP BY event_type
+)
+SELECT event_type, n_tp, n_tr, n_cp, n_cr,
+       ROUND(CAST(s_tp AS DOUBLE) / CAST(n_tp AS DOUBLE), 6) AS mean_treat_post,
+       ROUND(CAST(s_tr AS DOUBLE) / CAST(n_tr AS DOUBLE), 6) AS mean_treat_pre,
+       ROUND(CAST(s_cp AS DOUBLE) / CAST(n_cp AS DOUBLE), 6) AS mean_ctrl_post,
+       ROUND(CAST(s_cr AS DOUBLE) / CAST(n_cr AS DOUBLE), 6) AS mean_ctrl_pre,
+       ROUND((CAST(s_tp AS DOUBLE) / CAST(n_tp AS DOUBLE) - CAST(s_tr AS DOUBLE) / CAST(n_tr AS DOUBLE))
+             - (CAST(s_cp AS DOUBLE) / CAST(n_cp AS DOUBLE) - CAST(s_cr AS DOUBLE) / CAST(n_cr AS DOUBLE)), 6) AS did_effect
+FROM cells
+WHERE n_tp > 0 AND n_tr > 0 AND n_cp > 0 AND n_cr > 0
+"""
+
+
 def stat_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov statistic per event type between the
     ``user_id % 2`` A/B buckets: D = max over pooled values of
@@ -1859,6 +2067,8 @@ QUERIES: dict[str, tuple] = {
     "ts_streaks": (ts_streaks, TS_STREAKS_SQL),
     "stat_ab_proportion": (stat_ab_proportion, STAT_AB_PROP_SQL),
     "stat_bh_fdr": (stat_bh_fdr, STAT_BH_FDR_SQL),
+    "stat_cuped": (stat_cuped, STAT_CUPED_SQL),
+    "stat_did": (stat_did, STAT_DID_SQL),
     "stat_zipf_exponent": (stat_zipf_exponent, STAT_ZIPF_SQL),
     "stat_ks_test": (stat_ks_test, STAT_KS_SQL),
     "stat_kruskal_wallis": (stat_kruskal_wallis, STAT_KRUSKAL_SQL),

@@ -325,3 +325,51 @@ def test_dp_counts_match_python_mechanism(spark, sf_dir):
     assert 0.44 < counts[0] / 4096 < 0.56
     assert 0.19 < counts[1] / 4096 < 0.31
     assert all(counts[j] >= counts[j + 3] for j in range(0, 9))
+
+
+def test_adamic_adar_matches_python_recompute(spark, sf_dir):
+    """Recompute Adamic-Adar end to end in pure Python (bipartite distinct,
+    degree, hub cap, 12-dp weight, per-pair sum, top-20 with full
+    tiebreak) from the raw parquet and require exact equality with the
+    operator's rows — including the deterministic boundary at the LIMIT."""
+    import duckdb
+    import math
+
+    from drive_health_etl_spark.operators.graph import (
+        _AA_HUB_MAX, _AA_TOP_N, graph_adamic_adar,
+    )
+
+    con = duckdb.connect()
+    cp = con.execute(
+        f"SELECT DISTINCT o.o_custkey, l.l_partkey"
+        f" FROM '{sf_dir}/lineitem.parquet' l"
+        f" JOIN '{sf_dir}/orders.parquet' o ON l.l_orderkey = o.o_orderkey"
+    ).fetchall()
+    by_part = {}
+    for cust, part in cp:
+        by_part.setdefault(part, []).append(cust)
+    pair_w, pair_n = {}, {}
+    for part, custs in by_part.items():
+        deg = len(custs)
+        if deg < 2 or deg > _AA_HUB_MAX:
+            continue
+        w = round(1.0 / math.log(deg), 12)
+        custs = sorted(custs)
+        for i in range(len(custs)):
+            for j in range(i + 1, len(custs)):
+                key = (custs[i], custs[j])
+                pair_w[key] = pair_w.get(key, 0) + int(round(w * 1e12))  # exact int sum
+                pair_n[key] = pair_n.get(key, 0) + 1
+    ranked = sorted(
+        ((w, k) for k, w in pair_w.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:_AA_TOP_N]
+    expect = [
+        (k[0], k[1], pair_n[k], round(w / 1e12, 6)) for w, k in ranked
+    ]
+
+    got = [
+        (r["cust_a"], r["cust_b"], r["n_common"], r["aa_score"])
+        for r in graph_adamic_adar(spark, sf_dir).collect()
+    ]
+    assert got == expect

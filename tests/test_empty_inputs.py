@@ -135,6 +135,9 @@ EMPTY_SAFE = [
     "dq_dp_counts",
     "feat_woe_iv",
     "ts_sax_motifs",
+    "stat_cuped",
+    "stat_did",
+    "graph_adamic_adar",
 ]
 
 

@@ -168,6 +168,8 @@ BNLJ_BY_DESIGN = {
     "ts_streaks",  # 1-row global-median broadcast onto the calendar series
     "corpus_shard_balance",  # 1-row total-bytes broadcast onto the 16-shard audit
     "feat_woe_iv",  # 1-row global-median broadcast onto the orders scan
+    "stat_cuped",  # 1-row median-day broadcast onto the events scan
+    "stat_did",  # 1-row median-day broadcast onto the events scan
 }
 CARTESIAN_BY_DESIGN = {"t5_cross_join"}  # 5 x 25 dims, explicitly cross
 
@@ -522,6 +524,25 @@ BENCH_PLAN_FINGERPRINTS = {
     # SAX: fact agg -> per-type stats broadcast -> calendar-sized windows
     "ts_sax_motifs": {
         "shuffle_exchange": 4,
+        "broadcast_exchange": 1,
+        "BroadcastHashJoin": 1,
+    },
+    # CUPED: per-user pivot agg + one 1-row moment agg; 1-row median bcast
+    "stat_cuped": {
+        "shuffle_exchange": 3,
+        "broadcast_exchange": 1,
+        "BroadcastNestedLoopJoin": 1,
+    },
+    # DiD: one conditional aggregate per type; 1-row median broadcast
+    "stat_did": {
+        "shuffle_exchange": 2,
+        "broadcast_exchange": 1,
+        "BroadcastNestedLoopJoin": 1,
+    },
+    # Adamic-Adar: the readout over the persisted weighted bipartite cache
+    # (pair-expand self-join + pair aggregate + TakeOrdered)
+    "graph_adamic_adar": {
+        "shuffle_exchange": 1,
         "broadcast_exchange": 1,
         "BroadcastHashJoin": 1,
     },

@@ -244,3 +244,91 @@ def test_sax_motifs_known_answer(spark, tmp_path):
     assert expect == {"adad": 3, "dada": 2}
     assert set(got) == {("adad", 3), ("dada", 2)}
     assert got[("adad", 3)] == 1 and got[("dada", 2)] == 2
+
+
+def _median_interp(xs):
+    xs = sorted(xs)
+    n = len(xs)
+    if n % 2:
+        return float(xs[n // 2])
+    return (xs[n // 2 - 1] + xs[n // 2]) / 2.0
+
+
+def test_cuped_matches_python_recompute(spark):
+    """Recompute the whole CUPED chain in pure Python from the raw events
+    parquet (median-day split, per-user integer micro-unit totals, moment
+    sums, theta, naive/adjusted deltas, variance reduction) and require
+    6-dp equality with the operator."""
+    import duckdb
+
+    from drive_health_etl_spark.plans.stats_suite import stat_cuped
+
+    con = duckdb.connect()
+    raw = con.execute(
+        f"SELECT user_id, CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS DOUBLE),"
+        f" CAST(value AS DECIMAL(18,6)) FROM '{SF}/events.parquet'"
+        f" WHERE value IS NOT NULL"
+    ).fetchall()
+    mday = _median_interp([d for _, d, _ in raw])
+    users = {}
+    for uid, d, v in raw:
+        x, y = users.get(uid, (0, 0))
+        vi = int(v.scaleb(6))  # exact micro-units
+        users[uid] = (x + vi, y) if d <= mday else (x, y + vi)
+    n = len(users)
+    sx = sum(x for x, _ in users.values())
+    sy = sum(y for _, y in users.values())
+    sxx = sum(x * x for x, _ in users.values())
+    sxy = sum(x * y for x, y in users.values())
+    n_a = sum(1 for u in users if u % 2 == 0)
+    sx_a = sum(x for u, (x, _) in users.items() if u % 2 == 0)
+    sy_a = sum(y for u, (_, y) in users.items() if u % 2 == 0)
+    mx, my = sx / n, sy / n
+    vx = sxx / n - mx * mx
+    cxy = sxy / n - mx * my
+    theta = cxy / vx
+    mya, myb = sy_a / n_a, (sy - sy_a) / (n - n_a)
+    mxa, mxb = sx_a / n_a, (sx - sx_a) / (n - n_a)
+
+    row = stat_cuped(spark, SF).collect()[0]
+    assert row["n"] == n and row["n_a"] == n_a
+    assert row["theta"] == round(theta, 6)
+    assert row["diff_naive"] == round((mya - myb) / 1e6, 6)
+    assert row["diff_cuped"] == round(((mya - myb) - theta * (mxa - mxb)) / 1e6, 6)
+    assert 0 <= row["var_reduction"] <= 1
+
+
+def test_did_matches_python_recompute(spark):
+    """Per-type difference-in-differences must equal a pure-Python replay
+    of the four-cell means; the effect is exactly the double difference of
+    the reported (rounded) cell means' unrounded parents."""
+    import duckdb
+
+    from drive_health_etl_spark.plans.stats_suite import stat_did
+
+    con = duckdb.connect()
+    raw = con.execute(
+        f"SELECT event_type, user_id,"
+        f" CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS DOUBLE),"
+        f" CAST(value AS DECIMAL(18,6)) FROM '{SF}/events.parquet'"
+        f" WHERE value IS NOT NULL"
+    ).fetchall()
+    mday = _median_interp([d for _, _, d, _ in raw])
+    cells = {}
+    for et, uid, d, v in raw:
+        key = (et, uid % 2 == 0, d > mday)
+        s, c = cells.get(key, (0, 0))
+        cells[key] = (s + int(v.scaleb(6)), c + 1)
+
+    rows = stat_did(spark, SF).collect()
+    assert rows
+    for r in rows:
+        et = r["event_type"]
+        m = {}
+        for treat, post, tag in [(True, True, "tp"), (True, False, "tr"),
+                                 (False, True, "cp"), (False, False, "cr")]:
+            s, c = cells[(et, treat, post)]
+            assert c == r[f"n_{tag}"]
+            m[tag] = (s / 1e6) / c
+        assert r["mean_treat_post"] == round(m["tp"], 6)
+        assert r["did_effect"] == round((m["tp"] - m["tr"]) - (m["cp"] - m["cr"]), 6)

@@ -481,6 +481,25 @@ AUDITS = [
         "for multiple-testing control over a 100 TB fact scan.",
     ),
     (
+        "stat_cuped",
+        "CUPED variance reduction (r8): the fact scan collapses to one "
+        "(user, period) pivot aggregate with map-side combine; every "
+        "moment (Sx, Sy, Sxx, Sxy, Syy, per-arm sums) is an exact integer "
+        "in a single 1-row aggregate, and theta/deltas/variance-reduction "
+        "are scalar math on that row. Two exchanges total at any volume; "
+        "the median-day bound is a 1-row broadcast.",
+    ),
+    (
+        "graph_adamic_adar",
+        "Adamic-Adar link prediction (r8): pair expansion is a self-join "
+        "on part keys over the persisted weighted bipartite relation, "
+        "bounded per key by the declared hub cap (deg <= 64, the standard "
+        "AA scale device — hub pairs cost deg^2 for the graph's smallest "
+        "weights); per-pair scores sum 12-dp decimal-cast weights "
+        "(order-independent) and the readout is a TakeOrdered, not a "
+        "global sort.",
+    ),
+    (
         "ts_sax_motifs",
         "SAX motif mining (r8): the fact scan collapses to per-(type,day) "
         "decimal totals in one aggregate; z-normalization constants ride "

@@ -137,6 +137,9 @@ PROBES = [
     "dq_dp_counts",
     "feat_woe_iv",
     "ts_sax_motifs",
+    "stat_cuped",
+    "stat_did",
+    "graph_adamic_adar",
 ]
 
 
@@ -224,6 +227,9 @@ DEEP_PROBES = [
     "dq_dp_counts",
     "feat_woe_iv",
     "ts_sax_motifs",
+    "stat_cuped",
+    "stat_did",
+    "graph_adamic_adar",
 ]
 
 SF1_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf1")
