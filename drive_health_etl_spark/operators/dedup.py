@@ -1881,20 +1881,38 @@ def dedup_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter). Wider grams trade a longer prefix (Q*K+1 = 97) for
     discriminative keys — the classic Ed-Join tuning knob.
 
-    Scale shape: the gram ARRAY is a per-row expression inside the scan
-    (computed once, reused by the explode, the count filter, and the
-    small-set test — no gram-table re-shuffles); gram stats, rarity
-    window, prefix equi-join, and the verify join are all equi-keyed
-    single shuffles; prefix size is a CONSTANT per doc regardless of doc
-    length, and keying on rarest grams bounds bucket skew exactly as in
-    PPJoin. The exact count filter runs as size(array_intersect(...)) on
-    candidate rows (|cand| x grams-per-doc work, zero extra exchanges).
-    The brute branch is empty unless the corpus contains short/repetitive
-    strings, and even then stays banded by length bucket, never
-    all-pairs."""
+    Scale shape: grams are folded to 64-bit integers INSIDE the scan (the
+    r7 substring-ladder trick: every downstream shuffle/sort/join carries
+    slim int64 keys, not 12-char strings) and the gram ARRAY is a per-row
+    expression computed once, reused by the explode, the count filter,
+    and the small-set test — no gram-table re-shuffles. Hashing is
+    exactness-safe HERE by construction: a collision can only merge two
+    grams, which grows set overlaps and shrinks distinct counts — both
+    make every filter MORE permissive — and the levenshtein verifier is
+    exact, so completeness and the final pair set are unchanged FOR ANY
+    HASH FUNCTION (one edit still touches <= Q distinct hashes). That
+    freedom buys two things: Spark uses its native codegen'd xxhash64
+    (an md5 fold was ~an md5 per character position — measured sf1 win
+    below), while the DuckDB oracle keeps an md5 head — the two engines
+    walk DIFFERENT candidate sets to the same exact answer, making the
+    oracle a cross-algorithm check like dedup_suffix_doubling's.
+    Gram stats, rarity window, prefix equi-join, and the verify join are
+    all equi-keyed single shuffles; prefix size is a CONSTANT per doc, and
+    keying on rarest hashes bounds bucket skew exactly as in PPJoin. The
+    exact count filter runs as size(array_intersect(...)) on candidate
+    rows (|cand| x grams-per-doc work, zero extra exchanges). The brute
+    branch is empty unless the corpus contains short/repetitive strings,
+    and even then stays banded by length bucket, never all-pairs."""
     q, k = _EDJ_Q, _EDJ_K
-    docs = (
-        load_table(spark, sf_dir, "documents")
+    # Family subtree cache (not a bare per-call persist): repeated calls in
+    # one session must REUSE the materialized gram relation — stacking a
+    # fresh persist per call churns the block store at sf1 (measured:
+    # second warm call 2x slower than the first).
+    docs = _cached(
+        spark,
+        sf_dir,
+        "edj_grams",
+        lambda: load_table(spark, sf_dir, "documents")
         .filter(F.length("text") >= q)
         .repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", "text", F.length("text").alias("n"))
@@ -1902,13 +1920,12 @@ def dedup_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "grams",
             F.expr(
                 f"array_distinct(transform(sequence(1, length(text) - {q} + 1),"
-                f" i -> substring(text, i, {q})))"
+                f" i -> xxhash64(substring(text, i, {q}))))"
             ),
         )
-        .withColumn("ng", F.size("grams"))
-        .persist()  # consumers: gram explode, count filter, verify sides
+        .withColumn("ng", F.size("grams")),
     )
-    g = docs.select("doc_id", "n", F.explode("grams").alias("g"))
+    g = docs.select("doc_id", "n", "ng", F.explode("grams").alias("g"))
     freq = g.groupBy("g").agg(F.count("*").alias("df"))
     # Same conditional-broadcast policy as dedup_prefix_join: the df map is
     # vocab-sized; AQE picks the strategy if it outgrows an executor.
@@ -1917,15 +1934,32 @@ def dedup_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         g.join(freq, "g")
         .withColumn("pos", F.row_number().over(w))
         .filter(F.col("pos") <= F.lit(_EDJ_PREFIX))
-        .select("doc_id", "n", "g")
+        .select("doc_id", "n", "ng", "g", "pos")
     )
-    a = pre.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("la"), "g")
-    b = pre.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("lb"), "g")
+    a = pre.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("la"),
+        F.col("ng").alias("ng_a"), F.col("pos").alias("pa"), "g",
+    )
+    b = pre.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("lb"),
+        F.col("ng").alias("ng_b"), F.col("pos").alias("pb"), "g",
+    )
+    # POSITIONAL filter (Ed-Join/PPJoin): the pair's FIRST shared prefix
+    # gram (positions pa, pb under the shared rarity order) has no common
+    # grams before it, so true overlap <= 1 + min(ng_a - pa, ng_b - pb);
+    # requiring that bound >= tau per join row keeps every qualifying pair
+    # (its first-match row always passes) while dropping pairs that only
+    # touch deep in the prefix. This is what bounds candidate growth when
+    # rare-gram df rises with corpus size (sf1: 2.9M -> ~true candidates).
     cand0 = (
         a.join(b, "g")
         .filter(
             (F.col("doc_a") < F.col("doc_b"))
             & (F.abs(F.col("la") - F.col("lb")) <= F.lit(k))
+            & (
+                F.lit(1) + F.least(F.col("ng_a") - F.col("pa"), F.col("ng_b") - F.col("pb"))
+                >= F.greatest("ng_a", "ng_b") - F.lit(q * k)
+            )
         )
         .select("doc_a", "doc_b")
         .distinct()
@@ -1992,22 +2026,25 @@ WITH d AS MATERIALIZED (
   SELECT doc_id, text, len(text) AS n FROM documents WHERE len(text) >= {_EDJ_Q}
 ),
 g AS MATERIALIZED (
-  SELECT DISTINCT doc_id, n, substr(text, i, {_EDJ_Q}) AS g
+  SELECT DISTINCT doc_id, n,
+         ('0x' || substr(md5(substr(text, i, {_EDJ_Q})), 1, 15))::BIGINT AS g
   FROM d, UNNEST(range(1, n - {_EDJ_Q} + 2)) AS t(i)
 ),
 cnt AS (SELECT doc_id, COUNT(*) AS ng FROM g GROUP BY doc_id),
 freq AS (SELECT g, COUNT(*) AS df FROM g GROUP BY g),
 pre AS MATERIALIZED (
-  SELECT doc_id, n, g FROM (
-    SELECT g.doc_id, g.n, g.g,
+  SELECT doc_id, n, ng, g, pos FROM (
+    SELECT g.doc_id, g.n, cnt.ng, g.g,
            ROW_NUMBER() OVER (PARTITION BY g.doc_id ORDER BY df ASC, g.g ASC) AS pos
-    FROM g JOIN freq USING (g)
+    FROM g JOIN freq USING (g) JOIN cnt USING (doc_id)
   ) WHERE pos <= {_EDJ_PREFIX}
 ),
 cand0 AS MATERIALIZED (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM pre a JOIN pre b
     ON a.g = b.g AND a.doc_id < b.doc_id AND abs(a.n - b.n) <= {_EDJ_K}
+   AND 1 + least(a.ng - a.pos, b.ng - b.pos)
+       >= greatest(a.ng, b.ng) - {_EDJ_Q * _EDJ_K}
 ),
 main AS (
   SELECT doc_a, doc_b FROM (

@@ -614,6 +614,10 @@ SELECT * FROM auth UNION ALL SELECT * FROM hub
 _AA_HUB_MAX = 64  # exclude parts bought by more than this many customers
 _AA_TOP_N = 20
 
+# Per-(session, sf_dir) cache of the persisted weighted bipartite relation:
+# repeat calls must reuse the materialization, not stack fresh persists.
+_AA_CACHE: dict[tuple[str, str], DataFrame] = {}
+
 
 def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adamic-Adar link prediction (Adamic & Adar, Social Networks 2003)
@@ -636,21 +640,32 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical double on both engines, rounded 12 dp and decimal-cast
     BEFORE the per-pair sum (order-independent); the top-k is a
     TakeOrdered on (score desc, ids) — fully tiebroken."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    cp = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
-        .distinct()
-    )
-    deg = cp.groupBy("part").agg(F.count("*").alias("deg"))
-    wparts = deg.filter((F.col("deg") >= 2) & (F.col("deg") <= _AA_HUB_MAX)).select(
-        "part",
-        F.expr("CAST(ROUND(1.0e0 / ln(CAST(deg AS DOUBLE)), 12) AS DECIMAL(20,12))").alias("w"),
-    )
-    # cpw feeds BOTH self-join sides (and cp feeds deg + cpw): persist, or
-    # the order-join + distinct re-executes per consumer.
-    cpw = cp.join(wparts, "part").persist()
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cpw = _AA_CACHE.get(key)
+    if cpw is None:
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        cp = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+            .distinct()
+        )
+        deg = cp.groupBy("part").agg(F.count("*").alias("deg"))
+        wparts = deg.filter(
+            (F.col("deg") >= 2) & (F.col("deg") <= _AA_HUB_MAX)
+        ).select(
+            "part",
+            F.expr(
+                "CAST(ROUND(1.0e0 / ln(CAST(deg AS DOUBLE)), 12) AS DECIMAL(20,12))"
+            ).alias("w"),
+        )
+        # cpw feeds BOTH self-join sides (and cp feeds deg + cpw): persist,
+        # or the order-join + distinct re-executes per consumer. Materialize
+        # eagerly so the readout plan (and its pinned fingerprint) sees the
+        # cached relation's real stats regardless of call order.
+        cpw = cp.join(wparts, "part").persist()
+        cpw.count()
+        _AA_CACHE[key] = cpw
     a = cpw.select("part", F.col("cust").alias("cust_a"), "w")
     b = cpw.select(F.col("part").alias("part_b"), F.col("cust").alias("cust_b"))
     return (
