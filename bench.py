@@ -181,6 +181,7 @@ HEADLINE = [
     "stat_cuped",
     "stat_did",
     "graph_adamic_adar",
+    "stat_srm_check",
     "pipeline_ingest_e2e",
 ]
 

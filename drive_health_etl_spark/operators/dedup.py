@@ -1840,9 +1840,11 @@ FROM tot CROSS JOIN uniq
 
 # --- edit-distance similarity join (Ed-Join family) --------------------------
 
-_EDJ_Q = 12  # char q-gram width (wide on purpose: see docstring)
+_EDJ_Q = 12  # char q-gram width at base corpus sizes (see docstring)
+_EDJ_Q_BIG = 16  # width above _EDJ_BIG_DOCS: keeps prefix keys discriminative
+_EDJ_BIG_DOCS = 20_000  # corpus-size threshold for the wider gram
 _EDJ_K = 8  # edit-distance threshold (absolute, in single-char edits)
-_EDJ_PREFIX = _EDJ_Q * _EDJ_K + 1  # prefix-filter length: q*k+1 rarest grams
+_EDJ_PREFIX = _EDJ_Q * _EDJ_K + 1  # base prefix-filter length (q*k+1)
 
 
 def dedup_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1874,12 +1876,19 @@ def dedup_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cuts 26k candidates to ~the true pair set, so the O(K·n) verifier runs
     on real near-dups only.
 
-    Q=12 is deliberately wide: this corpus draws from a tiny word
-    vocabulary, so 5-gram prefixes are useless (2,041 distinct 5-grams at
-    sf0.1, rarest df ~300 -> 307k candidates); at Q=12 the gram universe
-    is 131k and prefix df collapses (~26k candidates before the count
-    filter). Wider grams trade a longer prefix (Q*K+1 = 97) for
-    discriminative keys — the classic Ed-Join tuning knob.
+    Q is deliberately wide AND grows with the corpus: this corpus draws
+    from a tiny word vocabulary, so 5-gram prefixes are useless (2,041
+    distinct 5-grams at sf0.1, rarest df ~300 -> 307k candidates); at
+    Q=12 the gram universe is 131k and prefix df collapses (~26k
+    candidates before the count filter). Because the WORD vocabulary is
+    closed, gram document-frequency keeps rising with corpus size and
+    prefix-join volume grows ~df^2 — so above {20k} documents the
+    operator switches to Q=16 (gram universe 603k at sf0.1), the classic
+    Ed-Join knob. The switch is pure candidate-generation tuning: the
+    result set is provably IDENTICAL for any Q (all filters are
+    completeness-preserving and the verifier is exact), which is also why
+    the sf0.01 oracle may run a different Q than a large-corpus Spark run
+    and still hash-match.
 
     Scale shape: grams are folded to 64-bit integers INSIDE the scan (the
     r7 substring-ladder trick: every downstream shuffle/sort/join carries
@@ -1903,7 +1912,13 @@ def dedup_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows (|cand| x grams-per-doc work, zero extra exchanges). The brute
     branch is empty unless the corpus contains short/repetitive strings,
     and even then stays banded by length bucket, never all-pairs."""
-    q, k = _EDJ_Q, _EDJ_K
+    k = _EDJ_K
+    n_key = (spark.sparkContext.applicationId, sf_dir)
+    n_docs = _VOCAB_SIZE_CACHE.get(("edj_ndocs",) + n_key)
+    if n_docs is None:
+        n_docs = load_table(spark, sf_dir, "documents").count()
+        _VOCAB_SIZE_CACHE[("edj_ndocs",) + n_key] = n_docs
+    q = _EDJ_Q_BIG if n_docs > _EDJ_BIG_DOCS else _EDJ_Q
     # Family subtree cache (not a bare per-call persist): repeated calls in
     # one session must REUSE the materialized gram relation — stacking a
     # fresh persist per call churns the block store at sf1 (measured:
@@ -1911,7 +1926,7 @@ def dedup_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _cached(
         spark,
         sf_dir,
-        "edj_grams",
+        f"edj_grams_q{q}",
         lambda: load_table(spark, sf_dir, "documents")
         .filter(F.length("text") >= q)
         .repartition(spark.sparkContext.defaultParallelism)
@@ -1933,7 +1948,7 @@ def dedup_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre = (
         g.join(freq, "g")
         .withColumn("pos", F.row_number().over(w))
-        .filter(F.col("pos") <= F.lit(_EDJ_PREFIX))
+        .filter(F.col("pos") <= F.lit(q * k + 1))
         .select("doc_id", "n", "ng", "g", "pos")
     )
     a = pre.select(

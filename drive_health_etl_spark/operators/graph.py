@@ -637,9 +637,9 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-key constant, never all-pairs.
 
     Float discipline: deg is an exact distinct count; 1/ln(deg) is an
-    identical double on both engines, rounded 12 dp and decimal-cast
-    BEFORE the per-pair sum (order-independent); the top-k is a
-    TakeOrdered on (score desc, ids) — fully tiebroken."""
+    identical double on both engines, folded to exact integer pico-units
+    BEFORE the per-pair sum (order-independent long aggregate); the top-k
+    is a TakeOrdered on (score desc, ids) — fully tiebroken."""
     key = (spark.sparkContext.applicationId, sf_dir)
     cpw = _AA_CACHE.get(key)
     if cpw is None:
@@ -651,12 +651,16 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
         deg = cp.groupBy("part").agg(F.count("*").alias("deg"))
+        # Weight as exact integer picro-units (1e12): the pair shuffle rows
+        # carry a long instead of a decimal(20,12) and the per-pair sum is
+        # a long aggregate — max 2,016 common parts x 1e12 stays far under
+        # int64. The decimal-free sum is still order-independent (integers).
         wparts = deg.filter(
             (F.col("deg") >= 2) & (F.col("deg") <= _AA_HUB_MAX)
         ).select(
             "part",
             F.expr(
-                "CAST(ROUND(1.0e0 / ln(CAST(deg AS DOUBLE)), 12) AS DECIMAL(20,12))"
+                "CAST(ROUND(1.0e12 / ln(CAST(deg AS DOUBLE)), 0) AS BIGINT)"
             ).alias("w"),
         )
         # cpw feeds BOTH self-join sides (and cp feeds deg + cpw): persist,
@@ -673,7 +677,7 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cust_a", "cust_b")
         .agg(
             F.count("*").alias("n_common"),
-            F.round(F.sum("w").cast("double"), 6).alias("aa_score"),
+            F.round(F.sum("w").cast("double") / F.lit(1.0e12), 6).alias("aa_score"),
         )
         .orderBy(F.col("aa_score").desc(), "cust_a", "cust_b")
         .limit(_AA_TOP_N)
@@ -687,12 +691,12 @@ WITH cp AS MATERIALIZED (
 ),
 deg AS (SELECT part, COUNT(*) AS deg FROM cp GROUP BY part),
 wparts AS (
-  SELECT part, CAST(ROUND(1.0e0 / ln(CAST(deg AS DOUBLE)), 12) AS DECIMAL(20,12)) AS w
+  SELECT part, CAST(ROUND(1.0e12 / ln(CAST(deg AS DOUBLE)), 0) AS BIGINT) AS w
   FROM deg WHERE deg >= 2 AND deg <= {_AA_HUB_MAX}
 ),
 cpw AS MATERIALIZED (SELECT cp.cust, cp.part, w FROM cp JOIN wparts USING (part))
 SELECT a.cust AS cust_a, b.cust AS cust_b, COUNT(*) AS n_common,
-       ROUND(CAST(SUM(a.w) AS DOUBLE), 6) AS aa_score
+       ROUND(CAST(SUM(a.w) AS DOUBLE) / 1.0e12, 6) AS aa_score
 FROM cpw a JOIN cpw b ON a.part = b.part AND a.cust < b.cust
 GROUP BY 1, 2
 ORDER BY aa_score DESC, cust_a, cust_b

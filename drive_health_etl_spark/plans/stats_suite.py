@@ -1479,6 +1479,59 @@ WHERE n_tp > 0 AND n_tr > 0 AND n_cp > 0 AND n_cr > 0
 """
 
 
+def stat_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail (Kohavi et al., KDD'19 'Diagnosing
+    Sample Ratio Mismatch'): per event type, test the observed user split
+    against the designed 50/50 allocation with the one-degree chi-square
+    chi2 = (n_a - n_b)^2 / (n_a + n_b). SRM is the #1 invalidator of A/B
+    readouts — any significant imbalance means assignment/logging is
+    broken and the experiment's metrics (including `stat_cuped` /
+    `stat_did` outputs) cannot be trusted. Users are counted DISTINCT per
+    arm (assignment is per user, not per event). Flag at chi2 > 9
+    (~|z| > 3, alpha ~ 0.0027 — the conventional always-on monitor bar).
+
+    Exactness: distinct counts are exact integers; chi2 is one identical
+    double chain rounded 6 dp.
+
+    Scale: one distinct-aggregate over the fact scan (map-side partial),
+    then enum-sized scalar math."""
+    e = load_table(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.count_distinct(F.when(F.pmod(F.col("user_id"), F.lit(2)) == 0, F.col("user_id"))).alias("n_a"),
+        F.count_distinct(F.when(F.pmod(F.col("user_id"), F.lit(2)) == 1, F.col("user_id"))).alias("n_b"),
+    )
+    chi2 = (
+        "(CAST(n_a AS DOUBLE) - CAST(n_b AS DOUBLE))"
+        " * (CAST(n_a AS DOUBLE) - CAST(n_b AS DOUBLE))"
+        " / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))"
+    )
+    return agg.selectExpr(
+        "event_type",
+        "n_a",
+        "n_b",
+        f"ROUND({chi2}, 6) AS chi2",
+        f"({chi2} > 9.0) AS srm_flag",
+    )
+
+
+STAT_SRM_SQL = """
+WITH agg AS (
+  SELECT event_type,
+         COUNT(DISTINCT CASE WHEN user_id % 2 = 0 THEN user_id END) AS n_a,
+         COUNT(DISTINCT CASE WHEN user_id % 2 = 1 THEN user_id END) AS n_b
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n_a, n_b,
+       ROUND((CAST(n_a AS DOUBLE) - CAST(n_b AS DOUBLE))
+             * (CAST(n_a AS DOUBLE) - CAST(n_b AS DOUBLE))
+             / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)), 6) AS chi2,
+       ((CAST(n_a AS DOUBLE) - CAST(n_b AS DOUBLE))
+        * (CAST(n_a AS DOUBLE) - CAST(n_b AS DOUBLE))
+        / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) > 9.0) AS srm_flag
+FROM agg
+"""
+
+
 def stat_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov statistic per event type between the
     ``user_id % 2`` A/B buckets: D = max over pooled values of
@@ -2069,6 +2122,7 @@ QUERIES: dict[str, tuple] = {
     "stat_bh_fdr": (stat_bh_fdr, STAT_BH_FDR_SQL),
     "stat_cuped": (stat_cuped, STAT_CUPED_SQL),
     "stat_did": (stat_did, STAT_DID_SQL),
+    "stat_srm_check": (stat_srm_check, STAT_SRM_SQL),
     "stat_zipf_exponent": (stat_zipf_exponent, STAT_ZIPF_SQL),
     "stat_ks_test": (stat_ks_test, STAT_KS_SQL),
     "stat_kruskal_wallis": (stat_kruskal_wallis, STAT_KRUSKAL_SQL),

@@ -353,12 +353,12 @@ def test_adamic_adar_matches_python_recompute(spark, sf_dir):
         deg = len(custs)
         if deg < 2 or deg > _AA_HUB_MAX:
             continue
-        w = round(1.0 / math.log(deg), 12)
+        w = int(round(1.0e12 / math.log(deg)))  # engine's exact pico-unit weight
         custs = sorted(custs)
         for i in range(len(custs)):
             for j in range(i + 1, len(custs)):
                 key = (custs[i], custs[j])
-                pair_w[key] = pair_w.get(key, 0) + int(round(w * 1e12))  # exact int sum
+                pair_w[key] = pair_w.get(key, 0) + w  # exact int sum
                 pair_n[key] = pair_n.get(key, 0) + 1
     ranked = sorted(
         ((w, k) for k, w in pair_w.items()),

@@ -138,6 +138,7 @@ EMPTY_SAFE = [
     "stat_cuped",
     "stat_did",
     "graph_adamic_adar",
+    "stat_srm_check",
 ]
 
 

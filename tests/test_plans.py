@@ -546,6 +546,8 @@ BENCH_PLAN_FINGERPRINTS = {
         "broadcast_exchange": 1,
         "BroadcastHashJoin": 1,
     },
+    # SRM guardrail: one distinct-aggregate (partial + final) over the scan
+    "stat_srm_check": {"shuffle_exchange": 2},
 }
 
 

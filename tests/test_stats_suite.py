@@ -332,3 +332,31 @@ def test_did_matches_python_recompute(spark):
             m[tag] = (s / 1e6) / c
         assert r["mean_treat_post"] == round(m["tp"], 6)
         assert r["did_effect"] == round((m["tp"] - m["tr"]) - (m["cp"] - m["cr"]), 6)
+
+
+def test_srm_check_matches_python_recompute(spark):
+    """Per-type distinct-user arm counts and the 1-df chi-square must equal
+    a pure-Python replay; the synthetic user_id split is near-50/50 so no
+    type may flag SRM on clean data."""
+    import duckdb
+
+    from drive_health_etl_spark.plans.stats_suite import stat_srm_check
+
+    con = duckdb.connect()
+    raw = con.execute(
+        f"SELECT event_type, user_id FROM '{SF}/events.parquet'"
+    ).fetchall()
+    arms = {}
+    for et, uid in raw:
+        a, b = arms.get(et, (set(), set()))
+        (a if uid % 2 == 0 else b).add(uid)
+        arms[et] = (a, b)
+    rows = stat_srm_check(spark, SF).collect()
+    assert rows
+    for r in rows:
+        na, nb = len(arms[r["event_type"]][0]), len(arms[r["event_type"]][1])
+        assert (r["n_a"], r["n_b"]) == (na, nb)
+        chi2 = (na - nb) ** 2 / (na + nb)
+        assert r["chi2"] == round(chi2, 6)
+        assert r["srm_flag"] == (chi2 > 9.0)
+        assert not r["srm_flag"]  # clean synthetic assignment

@@ -140,6 +140,7 @@ PROBES = [
     "stat_cuped",
     "stat_did",
     "graph_adamic_adar",
+    "stat_srm_check",
 ]
 
 
@@ -230,6 +231,7 @@ DEEP_PROBES = [
     "stat_cuped",
     "stat_did",
     "graph_adamic_adar",
+    "stat_srm_check",
 ]
 
 SF1_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf1")
