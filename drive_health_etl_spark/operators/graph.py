@@ -672,8 +672,15 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         _AA_CACHE[key] = cpw
     a = cpw.select("part", F.col("cust").alias("cust_a"), "w")
     b = cpw.select(F.col("part").alias("part_b"), F.col("cust").alias("cust_b"))
+    # The pair stream is the dominant volume (sum over parts of deg^2 rows);
+    # hash-partition it 4x wider than the session's shuffle default before
+    # the aggregate — ClusteredDistribution(keys) accepts any width, so no
+    # second exchange, and each reduce task's hash map stays comfortably
+    # in memory instead of spilling at 10x data.
+    wide = spark.sparkContext.defaultParallelism * 4
     return (
         a.join(b, (a["part"] == b["part_b"]) & (F.col("cust_a") < F.col("cust_b")))
+        .repartition(wide, "cust_a", "cust_b")
         .groupBy("cust_a", "cust_b")
         .agg(
             F.count("*").alias("n_common"),
