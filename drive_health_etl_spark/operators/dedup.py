@@ -1865,7 +1865,10 @@ def dedup_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation on RARE grams only. Pairs where BOTH gram sets are <= Q*K
     (pathologically repetitive strings, tau < 1 — zero docs in this corpus)
     fall through to a length-bucketed brute branch so exactness holds for
-    arbitrary input. A length filter |len_a - len_b| <= K prunes before
+    arbitrary input; docs SHORTER than Q (zero grams, ng = 0) route there
+    too, and the length filter guarantees their partners are also brute-set
+    members (n <= Q-1+K implies ng <= K), so the result is independent of
+    the adaptive Q choice even for sub-gram-length docs. A length filter |len_a - len_b| <= K prunes before
     verification; the verifier is Spark's built-in banded levenshtein
     (threshold form: O(K·n) per pair, not O(n²)).
 
@@ -1923,19 +1926,25 @@ def dedup_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one session must REUSE the materialized gram relation — stacking a
     # fresh persist per call churns the block store at sf1 (measured:
     # second warm call 2x slower than the first).
+    # Docs shorter than Q have NO q-grams: their gram array is empty and
+    # ng = 0 <= Q*K, so they route into the length-bucketed brute branch
+    # below (never silently dropped — their only possible partners have
+    # n <= (q-1)+K, hence ng <= K <= Q*K, so every partner is in the brute
+    # set too and completeness holds independent of the adaptive Q).
     docs = _cached(
         spark,
         sf_dir,
         f"edj_grams_q{q}",
         lambda: load_table(spark, sf_dir, "documents")
-        .filter(F.length("text") >= q)
         .repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", "text", F.length("text").alias("n"))
         .withColumn(
             "grams",
             F.expr(
-                f"array_distinct(transform(sequence(1, length(text) - {q} + 1),"
-                f" i -> xxhash64(substring(text, i, {q}))))"
+                f"if(length(text) >= {q},"
+                f" array_distinct(transform(sequence(1, length(text) - {q} + 1),"
+                f" i -> xxhash64(substring(text, i, {q})))),"
+                f" cast(array() as array<bigint>))"
             ),
         )
         .withColumn("ng", F.size("grams")),
@@ -2038,14 +2047,20 @@ def dedup_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_EDIT_JOIN_SQL = f"""
 WITH d AS MATERIALIZED (
-  SELECT doc_id, text, len(text) AS n FROM documents WHERE len(text) >= {_EDJ_Q}
+  SELECT doc_id, text, len(text) AS n FROM documents
 ),
 g AS MATERIALIZED (
+  -- range() is empty for n < Q: short docs contribute no grams and get
+  -- ng = 0 from the LEFT-join count below, routing them to the brute
+  -- branch exactly like the Spark side.
   SELECT DISTINCT doc_id, n,
          ('0x' || substr(md5(substr(text, i, {_EDJ_Q})), 1, 15))::BIGINT AS g
   FROM d, UNNEST(range(1, n - {_EDJ_Q} + 2)) AS t(i)
 ),
-cnt AS (SELECT doc_id, COUNT(*) AS ng FROM g GROUP BY doc_id),
+cnt AS (
+  SELECT d.doc_id, COUNT(g.g) AS ng
+  FROM d LEFT JOIN g USING (doc_id) GROUP BY d.doc_id
+),
 freq AS (SELECT g, COUNT(*) AS df FROM g GROUP BY g),
 pre AS MATERIALIZED (
   SELECT doc_id, n, ng, g, pos FROM (

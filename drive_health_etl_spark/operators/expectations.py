@@ -423,7 +423,7 @@ def _dp_tz(u_expr: str) -> str:
     return "(" + _DP_TZ.replace("{U}", u_expr) + ")"
 
 
-def dq_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dq_dp_counts(spark: SparkSession, sf_dir: str, salt: str = "") -> DataFrame:
     """Differentially private histogram release: per-event-type counts with
     two-sided geometric noise (the DISCRETE Laplace mechanism — Ghosh,
     Roughgarden & Sundararajan STOC'09 show it is the universally optimal
@@ -434,24 +434,38 @@ def dq_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The geometric draws come from trailing-zero counts of keyed md5 bits —
     a DETERMINISTIC seeded mechanism so pipeline releases are reproducible
-    and the oracle can replay them exactly; a production deployment swaps
-    the fixed domain-separation tags ('dpA|'/'dpB|') for a secret per-release
-    salt, which changes no other code. Truncation: each geometric is capped
-    at 20 (probability 2^-20 per draw) — the standard bounded-noise
-    compromise, noted here because it technically costs a negligible delta.
+    and the oracle can replay them exactly. With the default empty `salt`
+    the domain-separation tags ('dpA|'/'dpB|') are FIXED and the noise is a
+    public function of the group key: the release is exactly invertible and
+    carries NO privacy — which is why the shipped column is named
+    `epsilon_nominal` (the mechanism's epsilon under a secret salt), not
+    `epsilon`. A production deployment passes a secret per-release `salt`
+    (folded into both tags), which makes the draws unpredictable without
+    changing any other code or the bench-reproducible default. Truncation:
+    each geometric is capped at 20 (probability 2^-20 per draw) — the
+    standard bounded-noise compromise, noted here because it technically
+    costs a negligible delta.
 
     Scale: ONE map-side-combinable count aggregate over the fact table;
     the noise is a per-group scalar expression over the (enum-sized) result."""
+    if "'" in salt or "\\" in salt:
+        raise ValueError("salt must not contain quotes or backslashes")
     e = load_table(spark, sf_dir, "events")
     agg = e.groupBy("event_type").agg(F.count("*").alias("n_true"))
-    u1 = "CAST(conv(substring(md5(concat('dpA|', event_type)), 1, 5), 16, 10) AS BIGINT)"
-    u2 = "CAST(conv(substring(md5(concat('dpB|', event_type)), 1, 5), 16, 10) AS BIGINT)"
+    u1 = (
+        f"CAST(conv(substring(md5(concat('dpA|{salt}', event_type)), 1, 5), 16, 10)"
+        " AS BIGINT)"
+    )
+    u2 = (
+        f"CAST(conv(substring(md5(concat('dpB|{salt}', event_type)), 1, 5), 16, 10)"
+        " AS BIGINT)"
+    )
     return agg.select(
         "event_type",
         "n_true",
         F.expr(f"{_dp_tz(u1)} - {_dp_tz(u2)}").alias("noise"),
         F.expr(f"greatest(0, n_true + {_dp_tz(u1)} - {_dp_tz(u2)})").alias("n_noisy"),
-        F.lit(0.6931471805599453).alias("epsilon"),
+        F.lit(0.6931471805599453).alias("epsilon_nominal"),
     )
 
 
@@ -463,7 +477,7 @@ WITH agg AS (SELECT event_type, COUNT(*) AS n_true FROM events GROUP BY event_ty
 SELECT event_type, n_true,
        {_dp_tz(_DP_U1)} - {_dp_tz(_DP_U2)} AS noise,
        greatest(0, n_true + {_dp_tz(_DP_U1)} - {_dp_tz(_DP_U2)}) AS n_noisy,
-       CAST(0.6931471805599453 AS DOUBLE) AS epsilon
+       CAST(0.6931471805599453 AS DOUBLE) AS epsilon_nominal
 FROM agg
 """
 

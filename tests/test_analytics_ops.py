@@ -316,7 +316,17 @@ def test_dp_counts_match_python_mechanism(spark, sf_dir):
         want = tz20("dpA|" + r["event_type"]) - tz20("dpB|" + r["event_type"])
         assert r["noise"] == want
         assert r["n_noisy"] == max(0, r["n_true"] + want)
-        assert r["epsilon"] == 0.6931471805599453
+        assert r["epsilon_nominal"] == 0.6931471805599453
+
+    # salted release: noise becomes a different (still deterministic)
+    # draw keyed by the secret, and a bad salt is rejected up front
+    import pytest as _pytest
+
+    salted = {r["event_type"]: r["noise"] for r in dq_dp_counts(spark, sf_dir, salt="s3cr3t").collect()}
+    for et, noise in salted.items():
+        assert noise == tz20("dpA|s3cr3t" + et) - tz20("dpB|s3cr3t" + et)
+    with _pytest.raises(ValueError):
+        dq_dp_counts(spark, sf_dir, salt="x'y")
 
     # mechanism shape on 4096 synthetic keys: Geometric(1/2) masses
     counts = [0] * 21
@@ -360,9 +370,13 @@ def test_adamic_adar_matches_python_recompute(spark, sf_dir):
                 key = (custs[i], custs[j])
                 pair_w[key] = pair_w.get(key, 0) + w  # exact int sum
                 pair_n[key] = pair_n.get(key, 0) + 1
+    # Rank by the 6-dp ROUNDED score (the engine's declared ordering), not
+    # the exact integer weight: two weights differing by < 5e5 pico-units
+    # tie after rounding and must fall back to the (cust_a, cust_b)
+    # tiebreak on both sides or the LIMIT boundary can flake on other data.
     ranked = sorted(
         ((w, k) for k, w in pair_w.items()),
-        key=lambda t: (-t[0], t[1]),
+        key=lambda t: (-round(t[0] / 1e12, 6), t[1]),
     )[:_AA_TOP_N]
     expect = [
         (k[0], k[1], pair_n[k], round(w / 1e12, 6)) for w, k in ranked

@@ -361,12 +361,22 @@ def test_edit_join_equals_bruteforce_on_synthetic_corpus(spark, tmp_path):
         "ab" * 40,                              # 7
         "ab" * 39 + "ba",                       # 8
         "cd" * 40,                              # 9: unrelated repetitive
+        # sub-gram-length docs (len < Q=12, zero q-grams): must route via
+        # the brute branch, not be dropped (ADVICE r8 medium defect)
+        "hello world",                          # 10: len 11 < Q
+        "hello w0rld",                          # 11: 1 sub of 10
+        "hello world ab",                       # 12: len 14 >= Q, 3 edits
+        "zq",                                   # 13: len 2, unrelated
     ]
     truth = set()
     for (ia, ta), (ib, tb) in combinations(enumerate(docs), 2):
         if abs(len(ta) - len(tb)) <= _EDJ_K and _lev_py(ta, tb) <= _EDJ_K:
             truth.add((ia + 1, ib + 1))
     assert (8, 9) in truth and (1, 2) in truth, "fixture must engineer near pairs"
+    assert (11, 12) in truth and (11, 13) in truth, (
+        "fixture must engineer short-doc pairs (len < Q) incl. one crossing "
+        "the gram-length boundary"
+    )
 
     rows = [(i + 1, t, "en", "s", len(t)) for i, t in enumerate(docs)]
     spark.createDataFrame(
