@@ -111,3 +111,72 @@ def test_tree_cpu_grows_when_we_burn_cpu():
     # and the burn is attributed to US, not to external load
     s = external_shares(pre, post)
     assert s["external_cpu_share"] < 0.9  # our own burn never reads as ~all-external
+
+
+# --- idle-gated refresh merge rule (VERDICT r8 item 1) ----------------------
+
+from bench import merge_attempts, IDLE_LOAD1_MAX as _L1  # noqa: E402
+
+
+def _fake_attempt(timings, idle, reasons=None, ext=0.0, load1=0.2, first=True):
+    return {
+        "timings": dict(timings),
+        "sampling": {k: {"n": 2, "spread": 1.0} for k in timings},
+        "load": {
+            "pre_run_loadavg": [load1, load1, load1],
+            "pre_run_load1_authoritative": first,
+            "post_run_load1": load1,
+            "external_cpu_share": ext,
+            "iowait_share": 0.0,
+            "box_idle": idle,
+            "non_idle_reasons": reasons or [],
+            "thresholds": {},
+        },
+    }
+
+
+def test_merge_single_idle_attempt_is_verbatim():
+    a = _fake_attempt({"q1": 1.0, "q2": 2.0}, idle=True)
+    m = merge_attempts([a])
+    assert m["timings"] == {"q1": 1.0, "q2": 2.0}
+    assert m["load"]["box_idle"] is True
+    assert m["load"]["merged_min_of_attempts"] is False
+    assert m["load"]["attempts"] == 1
+    assert len(m["load"]["attempt_history"]) == 1
+
+
+def test_merge_uses_first_idle_attempt_verbatim():
+    # loop appends a non-idle attempt, then an idle one, and stops
+    a1 = _fake_attempt({"q1": 3.0, "q2": 1.5}, idle=False, reasons=["pre-run load1 3.8 > 1.0"])
+    a2 = _fake_attempt({"q1": 1.8, "q2": 2.0}, idle=True, first=False)
+    m = merge_attempts([a1, a2])
+    # verbatim from the idle attempt — even where the loaded attempt was
+    # accidentally faster on one query (q2): verbatim beats cherry-picking
+    assert m["timings"] == {"q1": 1.8, "q2": 2.0}
+    assert m["load"]["box_idle"] is True
+    assert m["load"]["merged_min_of_attempts"] is False
+    hist = m["load"]["attempt_history"]
+    assert [h["box_idle"] for h in hist] == [False, True]
+    assert hist[0]["non_idle_reasons"] == ["pre-run load1 3.8 > 1.0"]
+
+
+def test_merge_never_idle_takes_per_query_minima_with_history():
+    a1 = _fake_attempt({"q1": 3.0, "q2": 1.5}, idle=False, reasons=["r1"], ext=0.2)
+    a2 = _fake_attempt({"q1": 1.8, "q2": 2.0}, idle=False, reasons=["r2"], ext=0.1, first=False)
+    m = merge_attempts([a1, a2])
+    assert m["timings"] == {"q1": 1.8, "q2": 1.5}
+    assert m["load"]["box_idle"] is False
+    assert m["load"]["merged_min_of_attempts"] is True
+    assert m["sampling"]["q1"]["from_attempt"] == 2
+    assert m["sampling"]["q2"]["from_attempt"] == 1
+    assert [h["attempt"] for h in m["load"]["attempt_history"]] == [1, 2]
+    assert m["load"]["attempts"] == 2
+
+
+def test_retry_verdict_ignores_self_polluted_loadavg():
+    # retry attempts: our own just-finished tasks inflate load1 — the
+    # verdict must rest on the self-excluding shares only
+    ok = {"external_cpu_share": 0.0, "iowait_share": 0.0}
+    assert idle_verdict(_L1 + 30.0, ok, load1_counts=False) == (True, [])
+    idle, why = idle_verdict(0.0, {"external_cpu_share": 0.5, "iowait_share": 0.0}, load1_counts=False)
+    assert not idle and "external" in why[0]

@@ -13,7 +13,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
 
 from scale_probe import DEEP_HEADER, DEEP_TABLE_HEAD, merge_deep_row, parse_deep_rows
 
-GOOD_ROW = "| graph_pagerank | 1.75s | 3.18s | 11.83s | 0.57 | linear-or-better |"
+GOOD_ROW = "| graph_pagerank | 1.75s | 3.18s | 11.83s | 0.57 | linear-or-better | idle |"
+# pre-load-column format (older committed SCALING.md files): one cell fewer
+OLD_FORMAT_ROW = "| text_bpe_train | 1.12s | 1.92s | 10.90s | 0.75 | linear-or-better |"
 
 SAMPLE_MD = f"""# SCALING — measured wall time vs data volume
 
@@ -28,7 +30,7 @@ prose about sf1.
 {DEEP_TABLE_HEAD}
 |---|---|---|---|---|---|
 {GOOD_ROW}
-| text_bpe_train | 1.12s | 1.92s | 10.90s | 0.75 | linear-or-better |
+{OLD_FORMAT_ROW}
 | dq_reconcile_orders | - | - | - | - | PROBE-ERROR: [Errno 111] Connection refused |
 
 `dedup_prefix_join` cold/warm split at sf1: first call 90.7s, warm 7.0s.
@@ -149,7 +151,7 @@ def test_error_text_is_sanitized_for_markdown():
     assert parse_deep_rows(md)["graph_pagerank"].startswith(GOOD_ROW)
     # PROBE-ERROR cells get the same treatment
     err_row = merge_deep_row("brand_new_query", None, nasty, {}, "2026-08-15")
-    assert "\n" not in err_row and err_row.count("|") == 7
+    assert "\n" not in err_row and err_row.count("|") == 8
 
 
 def test_carried_annotations_do_not_accumulate():
@@ -210,3 +212,41 @@ def test_healthy_true_on_live_session_stub():
     from scale_probe import _healthy
 
     assert _healthy(OkSpark(), timeout_s=5) is True
+
+
+# --- per-row load annotation (VERDICT r8 item 2) -----------------------------
+
+from scale_probe import pad_row_cells, probe_load_cell  # noqa: E402
+
+
+def test_probe_load_cell_idle_and_loaded():
+    assert probe_load_cell(None) == "-"
+    assert probe_load_cell({"external_cpu_share": 0.0, "iowait_share": 0.0}) == "idle"
+    assert probe_load_cell({"external_cpu_share": 0.05, "iowait_share": 0.05}) == "idle"
+    cell = probe_load_cell({"external_cpu_share": 0.31, "iowait_share": 0.0})
+    assert cell == "ext 31%, io 0%"
+    assert probe_load_cell({"external_cpu_share": 0.0, "iowait_share": 0.2}).endswith("io 20%")
+
+
+def test_pad_row_cells_pads_old_format_and_keeps_comment():
+    padded = pad_row_cells(OLD_FORMAT_ROW)
+    assert padded == OLD_FORMAT_ROW + " - |"
+    assert padded.count("|") == GOOD_ROW.count("|")
+    # current-format rows pass through untouched
+    assert pad_row_cells(GOOD_ROW) == GOOD_ROW
+    # comments survive padding
+    with_comment = OLD_FORMAT_ROW + " <!-- carried: x -->"
+    out = pad_row_cells(with_comment)
+    assert out.startswith(OLD_FORMAT_ROW + " - |") and out.endswith("<!-- carried: x -->")
+
+
+def test_old_format_row_padded_on_carry_paths():
+    prev = parse_deep_rows(SAMPLE_MD)
+    # --deep-only skip carry
+    skipped = merge_deep_row("text_bpe_train", None, None, prev, "2026-08-16")
+    assert skipped.count("|") == GOOD_ROW.count("|")
+    assert skipped.startswith(OLD_FORMAT_ROW)
+    # error carry
+    carried = merge_deep_row("text_bpe_train", None, "boom", prev, "2026-08-16")
+    assert carried.split("<!--")[0].rstrip().count("|") == GOOD_ROW.count("|")
+    assert "carried" in carried

@@ -36,6 +36,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from bench import (  # noqa: E402  (repo root)
+    IDLE_EXT_SHARE_MAX,
+    IDLE_IOWAIT_SHARE_MAX,
+    external_shares,
+    load_snapshot,
+)
+
 SFS = [("0.001", "/root/testdata/sf0.001"), ("0.01", "/root/testdata/sf0.01"), ("0.1", "/root/testdata/sf0.1")]
 
 # Breadth across operator families: scan-agg, joins, windows, dedup/LSH,
@@ -247,7 +254,13 @@ RECYCLE_EVERY = 6
 RECYCLE_EVERY_FIRST = 15
 
 DEEP_HEADER = "## Second decade: sf0.01 -> sf0.1 -> sf1"
-DEEP_TABLE_HEAD = "| query | t@sf0.01 | t@sf0.1 | t@sf1 | slope (top decade) | verdict |"
+DEEP_TABLE_HEAD = (
+    "| query | t@sf0.01 | t@sf0.1 | t@sf1 | slope (top decade) | verdict | load |"
+)
+# Prefix shared by the current head and the pre-load-column format, so a
+# regeneration over an old committed file still finds (and carries) rows.
+_DEEP_TABLE_HEAD_PREFIX = "| query | t@sf0.01 |"
+DEEP_N_CELLS = 7
 
 _ROW_RE = re.compile(r"^\|\s*(?P<name>[A-Za-z0-9_]+)\s*\|")
 
@@ -268,7 +281,7 @@ def parse_deep_rows(md_text: str) -> dict[str, str]:
     rows: dict[str, str] = {}
     in_table = False
     for line in section.splitlines():
-        if line.startswith(DEEP_TABLE_HEAD):
+        if line.startswith(_DEEP_TABLE_HEAD_PREFIX):
             in_table = True
             continue
         if in_table:
@@ -292,6 +305,34 @@ def _sanitize_err(err: str) -> str:
     return " ".join(str(err).split()).replace("|", "/").replace("-->", "-- >")
 
 
+def probe_load_cell(shares: dict[str, float] | None) -> str:
+    """Format one probe window's machine-load verdict as a table cell
+    (round-9: VERDICT r8 item 2 — the r8 substring-ladder row read 17.47s
+    vs 12.85s measured mid-window and the file couldn't say which number
+    was the engine; every row now self-annotates like bench rows do).
+    Loadavg is polluted by the probe's own Spark tasks, so the verdict uses
+    only the self-excluding signals: external CPU share and iowait over the
+    probe's own window (thresholds shared with bench.py)."""
+    if shares is None:
+        return "-"
+    ext, io = shares["external_cpu_share"], shares["iowait_share"]
+    if ext <= IDLE_EXT_SHARE_MAX and io <= IDLE_IOWAIT_SHARE_MAX:
+        return "idle"
+    return f"ext {ext:.0%}, io {io:.0%}"
+
+
+def pad_row_cells(row: str, want_cells: int = DEEP_N_CELLS) -> str:
+    """Pad a carried prior-format table row (pre-load-column files have one
+    cell fewer) with '-' cells so the table stays rectangular. Comments
+    after the closing pipe are preserved."""
+    body, sep, comment = row.partition("<!--")
+    body = body.rstrip()
+    n_cells = body.count("|") - 1
+    if n_cells < want_cells:
+        body += " - |" * (want_cells - n_cells)
+    return body + ((" " + sep + comment) if sep else "")
+
+
 def merge_deep_row(name: str, fresh_row: str | None, err: str | None,
                    prev_rows: dict[str, str], today: str) -> str:
     """Decide the emitted row for one deep probe. INVARIANT: an errored
@@ -303,13 +344,13 @@ def merge_deep_row(name: str, fresh_row: str | None, err: str | None,
     prev = prev_rows.get(name)
     if prev is not None:
         if err is None:
-            return prev  # --deep-only skip: carry verbatim
+            return pad_row_cells(prev)  # --deep-only skip: carry verbatim
         # strip any prior carried annotation so consecutive failed runs
         # don't grow the row without bound
-        prev = prev.split("<!--", 1)[0].rstrip()
+        prev = pad_row_cells(prev.split("<!--", 1)[0].rstrip())
         return prev + f" <!-- carried: probe errored {today}: {_sanitize_err(err)[:60]} -->"
     reason = _sanitize_err(err) if err else "skipped, no prior row"
-    return f"| {name} | - | - | - | - | PROBE-ERROR: {reason[:80]} |"
+    return f"| {name} | - | - | - | - | PROBE-ERROR: {reason[:80]} | - |"
 
 
 # ---------------------------------------------------------------------------
@@ -461,18 +502,28 @@ def main() -> None:
                         pass
                     spark = _fresh_session(cpus)
                 spark = _ensure_session(spark, cpus)
+                snap_pre = load_snapshot()
                 try:
                     ts = {label: _run(spark, name, d) for label, d in SFS}
                 except Exception:
                     if _healthy(spark):
                         raise  # genuine query failure: fail loud, nothing written
                     spark = _ensure_session(spark, cpus)  # SessionDead if hopeless
+                    snap_pre = load_snapshot()
                     ts = {label: _run(spark, name, d) for label, d in SFS}
+                snap_post = load_snapshot()
+                shares = (
+                    external_shares(snap_pre, snap_post)
+                    if snap_pre is not None and snap_post is not None
+                    else None
+                )
+                load_cell = probe_load_cell(shares)
                 # slope over the top decade: data grows 10x sf0.01 -> sf0.1
                 slope = math.log10(ts["0.1"] / ts["0.01"]) if ts["0.01"] > 0 else float("nan")
                 verdict = "linear-or-better" if slope <= 1.05 else "SUPER-LINEAR"
-                rows.append((name, ts["0.001"], ts["0.01"], ts["0.1"], slope, verdict))
-                print(f"{name}: {ts['0.001']:.2f}/{ts['0.01']:.2f}/{ts['0.1']:.2f}s slope={slope:.2f}")
+                rows.append((name, ts["0.001"], ts["0.01"], ts["0.1"], slope, verdict, load_cell))
+                print(f"{name}: {ts['0.001']:.2f}/{ts['0.01']:.2f}/{ts['0.1']:.2f}s "
+                      f"slope={slope:.2f} load={load_cell}")
             # fresh session for the sf1 phase: the first decade leaves ~30k
             # completed tasks of JVM state behind
             try:
@@ -495,12 +546,18 @@ def main() -> None:
             "launch), which is why the slope uses only the top decade; values "
             "well below 1 mean the engine still isn't data-bound at sf0.1.",
             "",
-            "| query | t@sf0.001 | t@sf0.01 | t@sf0.1 | slope | verdict |",
-            "|---|---|---|---|---|---|",
+            "The `load` column is the probe's own machine-load window "
+            "(external-CPU/iowait share outside the probe's process tree, "
+            "thresholds shared with bench.py): `idle` means the number was "
+            "taken on a quiet box; anything else flags host contention in "
+            "that row's window.",
+            "",
+            "| query | t@sf0.001 | t@sf0.01 | t@sf0.1 | slope | verdict | load |",
+            "|---|---|---|---|---|---|---|",
         ]
         out += [
-            f"| {n} | {a:.2f}s | {b:.2f}s | {c:.2f}s | {s:.2f} | {v} |"
-            for n, a, b, c, s, v in rows
+            f"| {n} | {a:.2f}s | {b:.2f}s | {c:.2f}s | {s:.2f} | {v} | {lc} |"
+            for n, a, b, c, s, v, lc in rows
         ]
     else:
         # carry the committed first-decade section verbatim
@@ -523,9 +580,9 @@ def main() -> None:
             " for cluster-scale growth.",
             "",
             DEEP_TABLE_HEAD,
-            "|---|---|---|---|---|---|",
+            "|---|---|---|---|---|---|---|",
         ]
-        base = {n: (b, c) for n, _a, b, c, _s, _v in rows}
+        base = {n: (b, c) for n, _a, b, c, _s, _v, _lc in rows}
         pj_warm_sf1 = None
         probes_since_recycle = 0
         try:
@@ -543,6 +600,7 @@ def main() -> None:
                     probes_since_recycle = 0
                 spark = _ensure_session(spark, cpus)
                 fresh_row, err = None, None
+                snap_pre = load_snapshot()
                 try:
                     if name in base:
                         t001, t01 = base[name]
@@ -556,6 +614,7 @@ def main() -> None:
                     if not _healthy(spark):
                         spark = _ensure_session(spark, cpus)  # raises SessionDead if hopeless
                         probes_since_recycle = 0
+                        snap_pre = load_snapshot()
                         try:
                             if name not in base:
                                 t001 = _run(spark, name, SFS[1][1])
@@ -568,6 +627,13 @@ def main() -> None:
                         err = str(e)
                 probes_since_recycle += 1
                 if err is None:
+                    snap_post = load_snapshot()
+                    shares = (
+                        external_shares(snap_pre, snap_post)
+                        if snap_pre is not None and snap_post is not None
+                        else None
+                    )
+                    load_cell = probe_load_cell(shares)
                     if name == "dedup_prefix_join":
                         pj_warm_sf1 = t1
                     slope = math.log10(t1 / t01) if t01 > 0 else float("nan")
@@ -575,9 +641,10 @@ def main() -> None:
                     if verdict == "SUPER-LINEAR":
                         n_bad += 1
                     fresh_row = (
-                        f"| {name} | {t001:.2f}s | {t01:.2f}s | {t1:.2f}s | {slope:.2f} | {verdict} |"
+                        f"| {name} | {t001:.2f}s | {t01:.2f}s | {t1:.2f}s | {slope:.2f} "
+                        f"| {verdict} | {load_cell} |"
                     )
-                    print(f"[sf1] {name}: {t01:.2f} -> {t1:.2f}s slope={slope:.2f}")
+                    print(f"[sf1] {name}: {t01:.2f} -> {t1:.2f}s slope={slope:.2f} load={load_cell}")
                 else:
                     print(f"[sf1] {name}: PROBE-ERROR {err[:120]} "
                           f"({'carrying previous row' if name in prev_rows else 'no prior row'})")
