@@ -43,6 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from drive_health_etl_spark.operators.fitcache import FitCache
 from drive_health_etl_spark.operators.quality import (
     MAX_MEAN_WORD_LEN,
     MAX_WORDS,
@@ -154,16 +155,12 @@ def lr_train(spark: SparkSession, sf_dir: str, rounds: int = LR_ROUNDS) -> list[
 
 # Trained weights per (session, sf_dir): deterministic fit, shared by the
 # train-readout and eval queries (the _CENTROID_CACHE pattern).
-_LR_CACHE: dict[tuple[str, str], list[float]] = {}
+_LR_CACHE = FitCache()  # scope-LRU bounded
 
 
 def _lr_weights_cached(spark: SparkSession, sf_dir: str) -> list[float]:
     key = (spark.sparkContext.applicationId, sf_dir)
-    w = _LR_CACHE.get(key)
-    if w is None:
-        w = lr_train(spark, sf_dir)
-        _LR_CACHE[key] = w
-    return w
+    return _LR_CACHE.get_or_build(key, lambda: lr_train(spark, sf_dir))
 
 
 def quality_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:

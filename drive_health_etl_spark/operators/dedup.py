@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from drive_health_etl_spark.operators.fitcache import FitCache
 from drive_health_etl_spark.operators.text import TOKENS_SQL, tokens_col
 from drive_health_etl_spark.sources.tables import load_table
 
@@ -118,16 +119,14 @@ FROM documents GROUP BY 1
 # per query dominated the driver-contract runtime; one persisted copy per
 # (session, sf_dir) amortizes it. Testdata is immutable, so staleness is not
 # a concern; memory cost is one (doc_id, 8 longs) row per document.
-_SUBTREE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# Scope-LRU bounded (fitcache.FitCache): a long-lived driver sweeping many
+# sf_dirs sheds whole past datasets, unpersisting their blocks on evict.
+_SUBTREE_CACHE = FitCache(scope_len=2)
 
 
 def _cached(spark: SparkSession, sf_dir: str, what: str, build) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, what)
-    df = _SUBTREE_CACHE.get(key)
-    if df is None:
-        df = build().persist()
-        _SUBTREE_CACHE[key] = df
-    return df
+    return _SUBTREE_CACHE.get_or_build(key, lambda: build().persist())
 
 
 def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from drive_health_etl_spark.operators.fitcache import FitCache
 from drive_health_etl_spark.session import shuffle_partitions
 from drive_health_etl_spark.sources.tables import load_table
 
@@ -36,7 +37,7 @@ PR_TOP_N = 20
 # two distincts); a real deployment materializes the edge table once and
 # iterates over it — cache it per (app, sf_dir) the same way dedup.py caches
 # the MinHash signature subtree.
-_EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
+_EDGE_CACHE = FitCache()  # scope-LRU bounded; unpersist-on-evict
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -85,19 +86,19 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
-    ed = _EDGE_CACHE.get(key)
-    if ed is None:
+
+    def build() -> DataFrame:
         edges = _edges(spark, sf_dir)
         deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
         # Fold 1/deg into the edge relation ONCE and localCheckpoint it:
         # each iteration is then a single equi-join + aggregate over a
         # lineage-free input (3 fewer stages per round than joining deg
         # every time).
-        ed = edges.join(deg, "src").select(
+        return edges.join(deg, "src").select(
             "src", "dst", (F.lit(1.0) / F.col("deg")).alias("w")
         ).localCheckpoint()
-        _EDGE_CACHE[key] = ed
-    return ed
+
+    return _EDGE_CACHE.get_or_build(key, build)
 
 
 def _pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -272,20 +273,20 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 # + aggregate) shared by the triangle census, BFS, and label propagation —
 # cache it per (app, sf_dir) like the pagerank edge list (a real deployment
 # materializes the edge table once and every graph job reads it).
-_SUPPORT_CACHE: dict[tuple[str, str], DataFrame] = {}
+_SUPPORT_CACHE = FitCache()  # scope-LRU bounded; unpersist-on-evict
 
 
 def _support_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected support-filtered co-purchase pairs (pa < pb), cached."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    pairs = _SUPPORT_CACHE.get(key)
-    if pairs is None:
+
+    def build() -> DataFrame:
         li = load_table(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_partkey"
         ).distinct()
         a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
         b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
-        pairs = (
+        return (
             a.join(b, "o")
             .filter(F.col("pa") < F.col("pb"))
             .groupBy("pa", "pb")
@@ -294,8 +295,8 @@ def _support_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("pa", "pb")
             .localCheckpoint()
         )
-        _SUPPORT_CACHE[key] = pairs
-    return pairs
+
+    return _SUPPORT_CACHE.get_or_build(key, build)
 
 
 def _support_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -616,7 +617,7 @@ _AA_TOP_N = 20
 
 # Per-(session, sf_dir) cache of the persisted weighted bipartite relation:
 # repeat calls must reuse the materialization, not stack fresh persists.
-_AA_CACHE: dict[tuple[str, str], DataFrame] = {}
+_AA_CACHE = FitCache()  # scope-LRU bounded; unpersist-on-evict
 
 
 def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -641,8 +642,8 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE the per-pair sum (order-independent long aggregate); the top-k
     is a TakeOrdered on (score desc, ids) — fully tiebroken."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    cpw = _AA_CACHE.get(key)
-    if cpw is None:
+
+    def build() -> DataFrame:
         li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
         o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
         cp = (
@@ -669,7 +670,9 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cached relation's real stats regardless of call order.
         cpw = cp.join(wparts, "part").persist()
         cpw.count()
-        _AA_CACHE[key] = cpw
+        return cpw
+
+    cpw = _AA_CACHE.get_or_build(key, build)
     a = cpw.select("part", F.col("cust").alias("cust_a"), "w")
     b = cpw.select(F.col("part").alias("part_b"), F.col("cust").alias("cust_b"))
     # The pair stream is the dominant volume (sum over parts of deg^2 rows);

@@ -33,6 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from drive_health_etl_spark.operators.fitcache import FitCache
 from drive_health_etl_spark.sources.tables import load_table
 
 MEDIA_SCHEMA = (
@@ -507,7 +508,9 @@ FROM px GROUP BY doc_id
 # work. Bounded: the fixture corpus is |documents|/3 thumbnail blobs of <=
 # ~1.5 KB each (a few MB per SF); at production scale media arrives already
 # encoded and this generation step does not exist.
-_MEDIA_CACHE: dict[tuple, DataFrame] = {}
+# Scope-LRU bounded; unpersist-on-evict. Keys are (applicationId, codec,
+# sf_dir, *params) — the dataset scope is (applicationId, sf_dir).
+_MEDIA_CACHE = FitCache(scope_of=lambda k: (k[0], k[2]))
 
 
 def _cached_media(spark: SparkSession, key: tuple, build) -> DataFrame:
@@ -527,11 +530,9 @@ def _cached_media(spark: SparkSession, key: tuple, build) -> DataFrame:
         except Exception:
             pass  # session already gone; the handle is unusable either way
         del _MEDIA_CACHE[stale]
-    df = _MEDIA_CACHE.get(full_key)
-    if df is None:
-        df = build().persist()
-        _MEDIA_CACHE[full_key] = df
-    return df
+    # Cross-dataset growth within ONE live session is bounded by FitCache's
+    # scope LRU (unpersist-on-evict).
+    return _MEDIA_CACHE.get_or_build(full_key, lambda: build().persist())
 
 
 def attach_png_images(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from drive_health_etl_spark.operators.fitcache import FitCache
 from drive_health_etl_spark.sources.tables import load_table
 
 N_QUERIES = 8
@@ -251,18 +252,14 @@ def kmeans_centroids(
 # repeated sim_ann_ivf calls (contract sweep + bench + bench recall pass)
 # reuse one Lloyd run instead of re-fitting. Same pattern as the MinHash
 # subtree cache in operators/dedup.py.
-_CENTROID_CACHE: dict[tuple[str, str, int], list[tuple[int, list[float]]]] = {}
+_CENTROID_CACHE = FitCache()  # keys (appId, sf_dir, k); scope-LRU bounded
 
 
 def _centroids_cached(
     spark: SparkSession, sf_dir: str, emb: DataFrame, k: int = N_CELLS
 ) -> list[tuple[int, list[float]]]:
     key = (spark.sparkContext.applicationId, sf_dir, k)
-    cents = _CENTROID_CACHE.get(key)
-    if cents is None:
-        cents = kmeans_centroids(emb, k=k)
-        _CENTROID_CACHE[key] = cents
-    return cents
+    return _CENTROID_CACHE.get_or_build(key, lambda: kmeans_centroids(emb, k=k))
 
 
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -795,16 +792,12 @@ def pq_codebooks(emb: DataFrame, rounds: int = PQ_ROUNDS) -> list[tuple[int, int
 # three PQ consumers (emb_pq_stats, sim_ann_pq_adc/_adc_distances,
 # sim_ann_ivfpq) and repeated bench/sweep calls share ONE Lloyd run — the
 # same pattern as _CENTROID_CACHE.
-_PQ_CB_CACHE: dict[tuple[str, str], list[tuple[int, int, list[float]]]] = {}
+_PQ_CB_CACHE = FitCache()  # scope-LRU bounded
 
 
 def _pq_codebooks_cached(spark: SparkSession, sf_dir: str, emb: DataFrame) -> list[tuple[int, int, list[float]]]:
     ckey = (spark.sparkContext.applicationId, sf_dir)
-    cbs = _PQ_CB_CACHE.get(ckey)
-    if cbs is None:
-        cbs = pq_codebooks(emb)
-        _PQ_CB_CACHE[ckey] = cbs
-    return cbs
+    return _PQ_CB_CACHE.get_or_build(ckey, lambda: pq_codebooks(emb))
 
 
 def _pq_kmeans_sql_ctes(rounds: int = PQ_ROUNDS) -> str:
