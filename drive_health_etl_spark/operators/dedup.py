@@ -1840,10 +1840,13 @@ FROM tot CROSS JOIN uniq
 # --- edit-distance similarity join (Ed-Join family) --------------------------
 
 _EDJ_Q = 12  # char q-gram width at base corpus sizes (see docstring)
-_EDJ_Q_BIG = 16  # width above _EDJ_BIG_DOCS: keeps prefix keys discriminative
+_EDJ_Q_BIG = 16  # width above _EDJ_BIG_DOCS: keeps chunk contents discriminative
 _EDJ_BIG_DOCS = 20_000  # corpus-size threshold for the wider gram
 _EDJ_K = 8  # edit-distance threshold (absolute, in single-char edits)
-_EDJ_PREFIX = _EDJ_Q * _EDJ_K + 1  # base prefix-filter length (q*k+1)
+_EDJ_PREFIX = _EDJ_Q * _EDJ_K + 1  # oracle's prefix-filter length (q*k+1)
+_EDJ_BCAST_DOCS = 500_000  # broadcast the (K+1)-chunks/doc signature below
+# this corpus size (~100 MB of slim rows); larger corpora fall back to a
+# plain int64 equi-join — one shuffle, no driver pressure.
 
 
 def dedup_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1854,66 +1857,61 @@ def dedup_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     K=8 single-character edits, catching near-dups that token Jaccard
     blurs (one-word insertions, typo copies).
 
-    Why the prefix bound is exact: one edit operation touches at most Q
-    distinct q-grams (the windows overlapping the edit position; a shifted
-    suffix keeps its gram CONTENT), so ed(s,t) <= K implies the distinct
-    gram sets differ by at most Q*K per side, hence overlap
-    |A∩B| >= max(|A|,|B|) - Q*K =: tau. By the prefix-filter theorem, when
-    tau >= 1 the (Q*K+1)-prefixes under any shared total order intersect —
-    we use (global gram frequency asc, gram asc), keying candidate
-    generation on RARE grams only. Pairs where BOTH gram sets are <= Q*K
-    (pathologically repetitive strings, tau < 1 — zero docs in this corpus)
-    fall through to a length-bucketed brute branch so exactness holds for
-    arbitrary input; docs SHORTER than Q (zero grams, ng = 0) route there
-    too, and the length filter guarantees their partners are also brute-set
-    members (n <= Q-1+K implies ng <= K), so the result is independent of
-    the adaptive Q choice even for sub-gram-length docs. A length filter |len_a - len_b| <= K prunes before
-    verification; the verifier is Spark's built-in banded levenshtein
-    (threshold form: O(K·n) per pair, not O(n²)).
+    Candidate generation is the ASYMMETRIC chunk-gram signature (Qin,
+    Wang, Lu, Lin & Zhou VLDB'11 "Asymmetric signature schemes for
+    efficient exact edit similarity joins"), which round 9 swapped in for
+    the classic Ed-Join rarity-prefix join: split each doc into its
+    floor(n/Q) DISJOINT full Q-chunks (substrings at offsets 0, Q, 2Q, …).
+    One edit operation overlaps at most ONE chunk (chunks are disjoint),
+    and any chunk untouched by all K edits maps to an identical contiguous
+    run of the partner — i.e. appears verbatim among the partner's
+    q-grams. So ed(A,B) <= K forces at least nchunks(A) - K of A's chunks
+    to occur in B's gram SET, and whenever nchunks(A) >= K+1 at least one
+    of ANY fixed K+1 chunks of A matches (at most K can miss). The
+    signature is therefore the K+1 globally-RAREST chunks per doc (rarity
+    = corpus gram document-frequency, ties by hash), joined against the
+    full gram relation of every other doc. This is strictly stronger than
+    gram-set prefix filtering on this workload: the corpus's word-permuted
+    near-dups share most of their gram SETS (408k prefix-filter survivors
+    at sf1, 2.9k true pairs) but a permutation scatters any 16-char
+    CONTIGUOUS run, so chunk containment kills them at generation time
+    (149k candidates, most from exact-dup clusters).
 
-    Between candidate generation and the levenshtein verify sits the exact
-    COUNT filter (Gravano'01): a surviving pair must share
-    >= max(ng_a, ng_b) - Q*K distinct grams, checked by one equi-join of
-    the candidate list back onto the gram table — measured at sf0.1 it
-    cuts 26k candidates to ~the true pair set, so the O(K·n) verifier runs
-    on real near-dups only.
+    Exactness routing: docs with n < (K+1)*Q have no signature guarantee —
+    but n <= (K+1)*Q - 1 is EXACTLY ng <= Q*K (ng = n-Q+1), the brute-set
+    test, so every such doc (including docs shorter than Q, ng = 0) routes
+    to the length-bucketed brute branch, and a mixed pair (one side
+    brute-small, one side >= (K+1)*Q) is still generated by the big side's
+    chunks against the small side's grams (the small side has n >=
+    (K+1)*Q - K > Q, so its gram relation is non-empty). The result set is
+    provably IDENTICAL for any Q (signature choice only tunes candidate
+    volume; the verifier is exact), which is why the sf0.01 DuckDB oracle
+    — still the r8 Ed-Join rarity-prefix algorithm over md5-folded grams —
+    hash-matches while walking a COMPLETELY different candidate set: a
+    cross-algorithm check like dedup_suffix_doubling's. A length filter
+    |len_a - len_b| <= K prunes at generation; the verifier is Spark's
+    built-in banded levenshtein (threshold form: O(K·n) per pair, not
+    O(n²)), applied directly — with chunk candidates the Gravano count
+    filter no longer pays for its gram-array shuffle.
 
-    Q is deliberately wide AND grows with the corpus: this corpus draws
-    from a tiny word vocabulary, so 5-gram prefixes are useless (2,041
-    distinct 5-grams at sf0.1, rarest df ~300 -> 307k candidates); at
-    Q=12 the gram universe is 131k and prefix df collapses (~26k
-    candidates before the count filter). Because the WORD vocabulary is
-    closed, gram document-frequency keeps rising with corpus size and
-    prefix-join volume grows ~df^2 — so above {20k} documents the
-    operator switches to Q=16 (gram universe 603k at sf0.1), the classic
-    Ed-Join knob. The switch is pure candidate-generation tuning: the
-    result set is provably IDENTICAL for any Q (all filters are
-    completeness-preserving and the verifier is exact), which is also why
-    the sf0.01 oracle may run a different Q than a large-corpus Spark run
-    and still hash-match.
+    Q grows with the corpus (12 -> 16 above {20k} docs, the classic gram
+    width knob): the WORD vocabulary is closed, so wider grams keep chunk
+    contents discriminative as the corpus grows. Chunk/gram hashing is
+    exactness-safe by construction: a hash collision can only ADD a
+    candidate pair (chunk "appears" spuriously), never lose one — a true
+    pair's chunk match is a content match and always hash-matches — and
+    the levenshtein verifier is exact.
 
-    Scale shape: grams are folded to 64-bit integers INSIDE the scan (the
-    r7 substring-ladder trick: every downstream shuffle/sort/join carries
-    slim int64 keys, not 12-char strings) and the gram ARRAY is a per-row
-    expression computed once, reused by the explode, the count filter,
-    and the small-set test — no gram-table re-shuffles. Hashing is
-    exactness-safe HERE by construction: a collision can only merge two
-    grams, which grows set overlaps and shrinks distinct counts — both
-    make every filter MORE permissive — and the levenshtein verifier is
-    exact, so completeness and the final pair set are unchanged FOR ANY
-    HASH FUNCTION (one edit still touches <= Q distinct hashes). That
-    freedom buys two things: Spark uses its native codegen'd xxhash64
-    (an md5 fold was ~an md5 per character position — measured sf1 win
-    below), while the DuckDB oracle keeps an md5 head — the two engines
-    walk DIFFERENT candidate sets to the same exact answer, making the
-    oracle a cross-algorithm check like dedup_suffix_doubling's.
-    Gram stats, rarity window, prefix equi-join, and the verify join are
-    all equi-keyed single shuffles; prefix size is a CONSTANT per doc, and
-    keying on rarest hashes bounds bucket skew exactly as in PPJoin. The
-    exact count filter runs as size(array_intersect(...)) on candidate
-    rows (|cand| x grams-per-doc work, zero extra exchanges). The brute
-    branch is empty unless the corpus contains short/repetitive strings,
-    and even then stays banded by length bucket, never all-pairs."""
+    Scale shape: chunks and grams fold to 64-bit xxhash64 INSIDE the scan
+    (the r7 substring-ladder trick — slim int64 join keys, no string
+    shuffles). The signature relation is K+1 rows per doc; at this corpus
+    size it broadcasts (one scan-side hash join, ZERO shuffle for
+    candidate generation), and above _EDJ_BCAST_DOCS docs it degrades to a
+    plain equi-join on the gram hash — still one shuffle of slim longs.
+    Gram df stats are one map-side-combinable count aggregate; the rarest-
+    chunk selection is a per-doc slice(array_sort(collect_list)) over
+    <= n/Q structs — a hash aggregate, never a partition-wide sort. The
+    brute branch is banded by length bucket, never all-pairs."""
     k = _EDJ_K
     n_key = (spark.sparkContext.applicationId, sf_dir)
     n_docs = _VOCAB_SIZE_CACHE.get(("edj_ndocs",) + n_key)
@@ -1948,69 +1946,66 @@ def dedup_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("ng", F.size("grams")),
     )
-    g = docs.select("doc_id", "n", "ng", F.explode("grams").alias("g"))
+    g = docs.select("doc_id", "n", F.explode("grams").alias("g"))
     freq = g.groupBy("g").agg(F.count("*").alias("df"))
-    # Same conditional-broadcast policy as dedup_prefix_join: the df map is
-    # vocab-sized; AQE picks the strategy if it outgrows an executor.
-    w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("g").asc())
-    pre = (
-        g.join(freq, "g")
-        .withColumn("pos", F.row_number().over(w))
-        .filter(F.col("pos") <= F.lit(q * k + 1))
-        .select("doc_id", "n", "ng", "g", "pos")
-    )
-    a = pre.select(
-        F.col("doc_id").alias("doc_a"), F.col("n").alias("la"),
-        F.col("ng").alias("ng_a"), F.col("pos").alias("pa"), "g",
-    )
-    b = pre.select(
-        F.col("doc_id").alias("doc_b"), F.col("n").alias("lb"),
-        F.col("ng").alias("ng_b"), F.col("pos").alias("pb"), "g",
-    )
-    # POSITIONAL filter (Ed-Join/PPJoin): the pair's FIRST shared prefix
-    # gram (positions pa, pb under the shared rarity order) has no common
-    # grams before it, so true overlap <= 1 + min(ng_a - pa, ng_b - pb);
-    # requiring that bound >= tau per join row keeps every qualifying pair
-    # (its first-match row always passes) while dropping pairs that only
-    # touch deep in the prefix. This is what bounds candidate growth when
-    # rare-gram df rises with corpus size (sf1: 2.9M -> ~true candidates).
-    cand0 = (
-        a.join(b, "g")
-        .filter(
-            (F.col("doc_a") < F.col("doc_b"))
-            & (F.abs(F.col("la") - F.col("lb")) <= F.lit(k))
-            & (
-                F.lit(1) + F.least(F.col("ng_a") - F.col("pa"), F.col("ng_b") - F.col("pb"))
-                >= F.greatest("ng_a", "ng_b") - F.lit(q * k)
+    # Signature: the K+1 rarest full Q-chunks per doc (docs with
+    # n >= (K+1)*Q — everything smaller is brute-set by the ng <= Q*K test
+    # below, see docstring). Chunk hashes are also gram hashes of the same
+    # doc, so rarity comes from the gram df relation; the rarest-(K+1)
+    # selection is a per-doc slice(array_sort(collect_list)) hash
+    # aggregate over <= n/Q structs — no window, no partition-wide sort.
+    ch = docs.filter(F.col("n") >= (k + 1) * q).select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, n div {q} - 1),"
+                f" j -> xxhash64(substring(text, 1 + j * {q}, {q})))"
             )
-        )
-        .select("doc_a", "doc_b")
-        .distinct()
+        ).alias("c"),
     )
-    # Exact count filter: ed <= K forces |A∩B| >= max(ng_a, ng_b) - Q*K.
-    # The gram arrays ride the candidate join, so the overlap is a per-row
-    # array_intersect — no gram-table shuffle.
-    ga = docs.select(
+    sig = (
+        ch.join(freq, ch["c"] == freq["g"])
+        .groupBy("doc_id")
+        .agg(
+            F.first("n").alias("n"),
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("df", F.col("c").alias("c")))),
+                1,
+                k + 1,
+            ).alias("sc"),
+        )
+    )
+    sig_flat = sig.select(
         F.col("doc_id").alias("doc_a"),
-        F.col("grams").alias("grams_a"),
-        F.col("ng").alias("ng_a"),
+        F.col("n").alias("la"),
+        F.explode("sc.c").alias("c"),
     )
-    gb = docs.select(
+    # Candidate join: every doc's gram relation probes the signature. The
+    # signature is K+1 slim rows per doc — broadcastable until the corpus
+    # is huge, after which a plain equi-join on the int64 hash (one
+    # shuffle) takes over.
+    if n_docs <= _EDJ_BCAST_DOCS:
+        sig_flat = F.broadcast(sig_flat)
+    bg = docs.select(
         F.col("doc_id").alias("doc_b"),
-        F.col("grams").alias("grams_b"),
-        F.col("ng").alias("ng_b"),
+        F.col("n").alias("lb"),
+        F.explode("grams").alias("g"),
     )
-    main = (
-        cand0.join(ga, "doc_a")
-        .join(gb, "doc_b")
+    cand0 = (
+        bg.join(sig_flat, bg["g"] == sig_flat["c"])
         .filter(
-            F.size(F.array_intersect("grams_a", "grams_b"))
-            >= F.greatest("ng_a", "ng_b") - F.lit(q * k)
+            (F.col("doc_a") != F.col("doc_b"))
+            & (F.abs(F.col("la") - F.col("lb")) <= F.lit(k))
         )
-        .select("doc_a", "doc_b")
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        )
     )
-    # Brute branch: docs whose DISTINCT gram count <= Q*K (tau < 1 possible).
-    # Banded small x small join on length buckets of width K.
+    # Brute branch: docs whose DISTINCT gram count <= Q*K (tau < 1 possible,
+    # and docs shorter than Q with ng = 0). Banded small x small join on
+    # length buckets of width K.
     small = docs.filter(F.col("ng") <= F.lit(q * k)).select(
         "doc_id", "n", F.expr(f"n div {k}").alias("bk")
     )
@@ -2030,14 +2025,22 @@ def dedup_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b")
     )
-    cand = main.union(brute).distinct()
-    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"),
-                     F.col("n").alias("len_a"))
-    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"),
-                     F.col("n").alias("len_b"))
+    # ONE distinct over both branches, then one slim text join per side and
+    # the banded levenshtein verify directly — chunk candidates are already
+    # near-true (the r8 Gravano count filter earned its gram-array shuffle
+    # only against the loose rarity-prefix candidate set).
+    cand = cand0.union(brute).distinct()
+    da = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"),
+        F.col("n").alias("len_a"),
+    )
+    db = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"),
+        F.col("n").alias("len_b"),
+    )
     return (
-        cand.join(ta, "doc_a")
-        .join(tb, "doc_b")
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
         .withColumn("edit_distance", F.levenshtein("text_a", "text_b", k))
         .filter(F.col("edit_distance") >= 0)  # threshold form returns -1 past K
         .select("doc_a", "doc_b", "len_a", "len_b", "edit_distance")

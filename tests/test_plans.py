@@ -497,14 +497,17 @@ BENCH_PLAN_FINGERPRINTS = {
     "multimodal_png_adam7_stats": {},
     "multimodal_flac_stats": {},
     "dedup_exactsubstr_spans": {"shuffle_exchange": 5, "broadcast_exchange": 2, "BroadcastHashJoin": 2},
-    # Ed-Join: gram freq + rarity window + prefix self-join + union-distinct
-    # + verify joins — all equi-keyed; the count filter is a per-row
-    # array_intersect (no gram-table shuffle), the broadcasts are the small
-    # sides (freq map, persisted docs) at this SF
+    # Edit join (r9: asymmetric chunk-gram signature, Qin et al. VLDB'11):
+    # gram freq agg + rarest-chunk hash agg + union-distinct = the 3
+    # shuffles; the signature broadcast makes candidate generation a
+    # scan-side hash join (zero shuffle), and the verify text joins
+    # broadcast the persisted docs at this SF. No window, no sort, no
+    # gram-array shuffle (the r8 count filter is gone with the rarity
+    # prefix it served).
     "dedup_edit_join": {
-        "shuffle_exchange": 5,
-        "broadcast_exchange": 8,
-        "BroadcastHashJoin": 8,
+        "shuffle_exchange": 3,
+        "broadcast_exchange": 5,
+        "BroadcastHashJoin": 5,
     },
     # BH-FDR: fact agg + enum-sized hypothesis table; the rank/min windows
     # are single-partition BY DESIGN (m = test family, ~dozens of rows)
