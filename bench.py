@@ -48,6 +48,7 @@ HEADLINE = [
     "dedup_prefix_join",
     "dedup_substring_ladder",
     "dedup_suffix_doubling",
+    "dedup_suffix_lcs",
     "dedup_cdc_chunks",
     "corpus_weighted_sample",
     "quality_ppx_gate",

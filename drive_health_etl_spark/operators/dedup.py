@@ -1837,6 +1837,201 @@ FROM tot CROSS JOIN uniq
 """
 
 
+# --- longest cross-document repeated substring (suffix ranks, unbounded k) ---
+
+# Broadcast the slim docs relation into per-probe text lookups below this
+# row count; a 100 TB corpus falls back to shuffle joins on doc_id.
+_LCS_BCAST_DOCS = 2_000_000
+
+
+def dedup_suffix_lcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT longest cross-document repeated substring — the unbounded-k
+    completion of the suffix-rank family (`dedup_suffix_doubling` caps its
+    KMR ladder at k=256; this operator answers "how long is the longest
+    run of text shared verbatim by two different documents?", the quantity
+    a suffix ARRAY's cross-document LCP maximum gives, cf. Manber-Myers
+    1990 and the suffix-array dedup machinery of Lee et al. 2022).
+
+    Algorithm (distributed rank bisection): shared(L) := "some length-L
+    substring occurs in >= 2 distinct documents" is monotone decreasing in
+    L, so L* is found by binary search over L in [0, max_len]. A probe at
+    L = mid fingerprints every candidate suffix position's length-mid
+    prefix (xxhash64 of the substring — 64-bit equality classes exactly as
+    in KMR prefix doubling, except the class id is computed directly
+    because documents are scan-resident strings) and hash-aggregates by
+    fingerprint, testing for a class with >= 2 distinct docs. The position
+    FRONTIER shrinks on every successful probe to the positions extending
+    a shared mid-prefix (a position can start an L-repeat, L > mid, only
+    if its mid-prefix is already shared), so only the first probes touch
+    the full position set; the tail probes run over the near-dup cluster
+    positions. O(log max_len) rounds (<= 10 here), each one broadcast text
+    lookup + one hash aggregate over the frontier — no sort, no window, no
+    iteration state beyond the persisted frontier. Driver involvement is
+    one boolean per round (`pagerank`-style bounded iteration).
+
+    Readout at L* groups by substring CONTENT (not hash), so the reported
+    repeat count and doc count are collision-free; a fingerprint collision
+    during the search (prob ~ positions^2 / 2^64) could only inflate L*,
+    and the content-grouped readout plus the cross-algorithm oracle would
+    both expose it. The DuckDB oracle is a COMPLETELY different algorithm:
+    sorted-adjacency over candidate suffixes (the max cross-doc LCP is
+    attained at a sorted-adjacent cross-doc pair — the classic suffix-array
+    LCP property) with an 11-round unrolled prefix-bisection computing
+    each adjacent pair's exact LCP in static SQL.
+
+    Scale shape: each probe is a scan-shaped job (frontier join + hash
+    agg of slim (doc_id, pos, fp) rows); the frontier is persisted and
+    monotonically shrinking; the text side broadcasts below
+    {_LCS_BCAST_DOCS} docs and shuffle-joins above. Nothing is quadratic:
+    candidate positions bound the work, never document pairs."""
+    docs = _cached(
+        spark,
+        sf_dir,
+        "lcs_docs",
+        lambda: load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", "text", F.length("text").alias("n")),
+    )
+    row = docs.agg(F.max("n").alias("m"), F.count("*").alias("c")).first()
+    max_n, n_docs = (row["m"] or 0), row["c"]
+    empty = spark.createDataFrame(
+        [(0, 0, 0)], "lcs_len int, n_repeats bigint, n_docs bigint"
+    )
+    if n_docs < 2 or max_n == 0:
+        return empty
+    d_txt = F.broadcast(docs) if n_docs <= _LCS_BCAST_DOCS else docs
+    # localCheckpoint (not persist): each round's frontier plan would
+    # otherwise nest the whole previous round's plan — exponential plan
+    # trees by round ~10 (the pagerank lesson; eager checkpoint truncates
+    # lineage and old blocks are freed by the ContextCleaner as rounds
+    # drop their references).
+    frontier = docs.select(
+        "doc_id", F.explode(F.expr("sequence(1, n)")).alias("i")
+    ).localCheckpoint()
+    lo, hi = 0, max_n + 1
+    while hi - lo > 1:
+        mid = (lo + hi) // 2
+        # ONE action per round: the eager localCheckpoint materializes the
+        # shrunk frontier (probe + shrink fused — an empty result IS the
+        # "not shared" verdict); the count afterwards reads the checkpoint.
+        test = (
+            frontier.join(d_txt, "doc_id")
+            .filter(F.col("n") - F.col("i") + 1 >= mid)
+            .select(
+                "doc_id", "i",
+                F.expr(f"xxhash64(substring(text, i, {mid}))").alias("fp"),
+            )
+            .persist()
+        )
+        hit = (
+            test.groupBy("fp")
+            .agg(F.count_distinct("doc_id").alias("nd"))
+            .filter(F.col("nd") >= 2)
+            .select("fp")
+        )
+        nxt = test.join(hit, "fp", "left_semi").select("doc_id", "i").localCheckpoint()
+        test.unpersist()
+        if nxt.count():
+            frontier = nxt
+            lo = mid
+        else:
+            hi = mid
+    if lo == 0:
+        return empty
+    sharedg = (
+        frontier.join(d_txt, "doc_id")
+        .select("doc_id", F.expr(f"substring(text, i, {lo})").alias("gc"))
+    )
+    grp = (
+        sharedg.groupBy("gc")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gc")
+    )
+    rep = grp.agg(F.count("*").alias("n_repeats"))
+    dc = (
+        sharedg.join(grp, "gc", "left_semi")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+    )
+    return rep.crossJoin(dc).select(
+        F.lit(lo).cast("int").alias("lcs_len"), "n_repeats", "n_docs"
+    )
+
+
+def _lcs_bisect_ctes(rounds: int = 11, hi0: int = 2048) -> str:
+    """Unrolled exact-LCP bisection rounds over candidate adjacent pairs:
+    invariant after round t — prefix of length lo matches, prefix of
+    length hi does not (hi0 = 2048 > 2 * max rung, so every LCP < hi0)."""
+    parts = ["b0 AS (SELECT s, ns, 0 AS lo, %d AS hi FROM pairs)" % hi0]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"b{t} AS (SELECT s, ns, CASE WHEN ok THEN m ELSE lo END AS lo, "
+            f"CASE WHEN ok THEN hi ELSE m END AS hi FROM ("
+            f"SELECT s, ns, lo, hi, (lo + hi) // 2 AS m, "
+            f"((lo + hi) // 2 <= least(len(s), len(ns)) AND "
+            f"substr(s, 1, (lo + hi) // 2) = substr(ns, 1, (lo + hi) // 2)) AS ok "
+            f"FROM b{t - 1}))"
+        )
+    return ",\n".join(parts)
+
+
+DEDUP_SUFFIX_LCS_SQL = f"""
+WITH d AS MATERIALIZED (SELECT doc_id, text, len(text) AS n FROM documents),
+rungs AS (SELECT unnest([8, 16, 32, 64, 128, 256, 512, 1024]) AS r),
+rg AS MATERIALIZED (
+  SELECT r.r, t.i, d.doc_id, substr(d.text, t.i, r.r) AS g
+  FROM d JOIN rungs r ON d.n >= r.r, UNNEST(range(1, d.n - r.r + 2)) AS t(i)
+),
+shr AS MATERIALIZED (
+  SELECT r, g FROM rg GROUP BY r, g HAVING COUNT(DISTINCT doc_id) >= 2
+),
+best AS (SELECT COALESCE(MAX(r), 0) AS r FROM shr),
+-- L* < 8 fallback: tiny direct ladder over lengths 1..7
+small AS (
+  SELECT ll.l, substr(d.text, t.i, ll.l) AS g, d.doc_id
+  FROM d, UNNEST([1, 2, 3, 4, 5, 6, 7]) AS ll(l), UNNEST(range(1, d.n - ll.l + 2)) AS t(i)
+  WHERE (SELECT r FROM best) = 0 AND d.n >= ll.l
+),
+lsmall AS (
+  SELECT COALESCE(MAX(l), 0) AS l FROM (
+    SELECT l FROM small GROUP BY l, g HAVING COUNT(DISTINCT doc_id) >= 2
+  )
+),
+-- candidate suffixes: positions whose best-rung gram is cross-doc shared,
+-- capped at 2 * best rung chars (L* < 2 * best, so LCPs never need more)
+cs AS MATERIALIZED (
+  SELECT rg.doc_id, substr(d.text, rg.i, 2 * (SELECT r FROM best)) AS s
+  FROM rg JOIN shr ON rg.r = shr.r AND rg.g = shr.g
+  JOIN d ON d.doc_id = rg.doc_id
+  WHERE rg.r = (SELECT r FROM best)
+),
+adj AS (
+  SELECT doc_id, s,
+         LEAD(s) OVER (ORDER BY s, doc_id) AS ns,
+         LEAD(doc_id) OVER (ORDER BY s, doc_id) AS nd2
+  FROM cs
+),
+pairs AS (SELECT s, ns FROM adj WHERE nd2 IS NOT NULL AND nd2 <> doc_id),
+{_lcs_bisect_ctes()},
+lbig AS (SELECT COALESCE(MAX(lo), 0) AS l FROM b11),
+lstar AS (
+  SELECT CASE WHEN (SELECT r FROM best) > 0
+              THEN (SELECT l FROM lbig) ELSE (SELECT l FROM lsmall) END AS l
+),
+sharedg AS MATERIALIZED (
+  SELECT substr(d.text, t.i, (SELECT l FROM lstar)) AS gc, d.doc_id
+  FROM d, UNNEST(range(1, d.n - (SELECT l FROM lstar) + 2)) AS t(i)
+  WHERE (SELECT l FROM lstar) > 0
+),
+grp AS MATERIALIZED (
+  SELECT gc FROM sharedg GROUP BY gc HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT CAST((SELECT l FROM lstar) AS INTEGER) AS lcs_len,
+       (SELECT COUNT(*) FROM grp) AS n_repeats,
+       (SELECT COUNT(DISTINCT s.doc_id) FROM sharedg s JOIN grp USING (gc)) AS n_docs
+"""
+
+
 # --- edit-distance similarity join (Ed-Join family) --------------------------
 
 _EDJ_Q = 12  # char q-gram width at base corpus sizes (see docstring)
@@ -2115,6 +2310,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_edit_join": (dedup_edit_join, DEDUP_EDIT_JOIN_SQL),
     "dedup_prefix_join": (dedup_prefix_join, DEDUP_PREFIX_JOIN_SQL),
     "dedup_suffix_doubling": (dedup_suffix_doubling, DEDUP_SUFFIX_DOUBLING_SQL),
+    "dedup_suffix_lcs": (dedup_suffix_lcs, DEDUP_SUFFIX_LCS_SQL),
     "dedup_cdc_chunks": (dedup_cdc_chunks, DEDUP_CDC_CHUNKS_SQL),
     "dedup_substring_ladder": (dedup_substring_ladder, DEDUP_SUBSTRING_LADDER_SQL),
     "corpus_novelty": (corpus_novelty, CORPUS_NOVELTY_SQL),

@@ -389,3 +389,81 @@ def test_edit_join_equals_bruteforce_on_synthetic_corpus(spark, tmp_path):
     by_pair = {(r["doc_a"], r["doc_b"]): r["edit_distance"] for r in out}
     for (a, b), ed in by_pair.items():
         assert ed == _lev_py(docs[a - 1], docs[b - 1])
+
+
+def _brute_lcs(docs: dict[int, str]):
+    """Exact longest cross-doc repeated substring by direct enumeration:
+    (L*, n distinct shared contents at L*, n docs containing one)."""
+    maxlen = max((len(t) for t in docs.values()), default=0)
+    for L in range(maxlen, 0, -1):
+        seen: dict[str, set[int]] = {}
+        for did, t in docs.items():
+            for i in range(len(t) - L + 1):
+                seen.setdefault(t[i : i + L], set()).add(did)
+        shared = {g: ds for g, ds in seen.items() if len(ds) >= 2}
+        if shared:
+            return L, len(shared), len(set().union(*shared.values()))
+    return 0, 0, 0
+
+
+def test_suffix_lcs_matches_bruteforce(spark, tmp_path):
+    """Exactness of the rank-bisection longest cross-doc repeat against a
+    pure-Python third implementation (the DuckDB oracle is the second):
+    engineered corpus with two planted max-length runs shared by two pairs,
+    shorter decoys, and no exact duplicates."""
+    import random
+
+    from drive_health_etl_spark.operators.dedup import dedup_suffix_lcs
+
+    rng = random.Random(93)
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+    def rand(n):
+        return "".join(rng.choice(alpha) for _ in range(n))
+
+    run1, run2 = rand(37), rand(37)   # two distinct max-length shared runs
+    decoy = rand(21)                  # shorter shared run
+    docs = {
+        1: rand(40) + run1 + rand(40),
+        2: run1 + rand(90),
+        3: rand(15) + run2 + rand(55) + decoy,
+        4: rand(60) + run2,
+        5: decoy + rand(100),
+        6: rand(120),
+    }
+    want = _brute_lcs(docs)
+    assert want[0] == 37 and want[1] == 2 and want[2] == 4, "fixture must plant the answer"
+
+    rows = [(d, t, "en", "s", len(t)) for d, t in docs.items()]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = dedup_suffix_lcs(spark, str(tmp_path)).collect()
+    assert [(r["lcs_len"], r["n_repeats"], r["n_docs"]) for r in got] == [want]
+
+
+def test_suffix_lcs_short_repeat_and_no_repeat(spark, tmp_path):
+    """The L* < 8 regime (below the oracle's rung grid) and the zero-share
+    corpus must both be exact."""
+    from drive_health_etl_spark.operators.dedup import dedup_suffix_lcs
+
+    docs = {1: "abcXYZ", 2: "qqXYZpp", 3: "zzzz"}  # L* = 3 ("XYZ")
+    want = _brute_lcs(docs)
+    assert want == (3, 1, 2)
+    rows = [(d, t, "en", "s", len(t)) for d, t in docs.items()]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = dedup_suffix_lcs(spark, str(tmp_path)).collect()
+    assert [(r["lcs_len"], r["n_repeats"], r["n_docs"]) for r in got] == [want]
+
+    # disjoint alphabets: nothing shared at any length
+    docs2 = {1: "aaaa", 2: "bbbb"}
+    spark.createDataFrame(
+        [(d, t, "en", "s", len(t)) for d, t in docs2.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from drive_health_etl_spark.operators import dedup as D
+    D._SUBTREE_CACHE.clear()  # same tmp_path: drop the cached docs relation
+    got2 = dedup_suffix_lcs(spark, str(tmp_path)).collect()
+    assert [(r["lcs_len"], r["n_repeats"], r["n_docs"]) for r in got2] == [(0, 0, 0)]

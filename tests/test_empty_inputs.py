@@ -139,6 +139,7 @@ EMPTY_SAFE = [
     "stat_did",
     "graph_adamic_adar",
     "stat_srm_check",
+    "dedup_suffix_lcs",
 ]
 
 

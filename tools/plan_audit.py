@@ -478,6 +478,20 @@ AUDITS = [
         "the (K+1)*Q signature-guarantee length and stays banded.",
     ),
     (
+        "dedup_suffix_lcs",
+        "Longest cross-document repeated substring (r9, unbounded-k suffix "
+        "ranks): driver-bounded rank bisection — O(log max_len) rounds, "
+        "each ONE action fusing the fingerprint probe (xxhash64 equality "
+        "classes, the KMR idea at a single arbitrary length) with the "
+        "frontier shrink via an eager localCheckpoint; the frontier only "
+        "shrinks, so tail probes touch near-dup cluster positions only. "
+        "The pinned plan is the content-grouped readout: checkpoint scan + "
+        "broadcast text join + two count-distinct aggregates + scalar "
+        "crossJoin — no sort, no window, no pair join anywhere; the DuckDB "
+        "oracle is a different algorithm entirely (sorted-adjacency LCP "
+        "bisection).",
+    ),
+    (
         "stat_bh_fdr",
         "Benjamini-Hochberg FDR (r8): ONE conditional map-combinable "
         "aggregate over the fact table produces the hypothesis table; the "

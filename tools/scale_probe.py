@@ -148,6 +148,8 @@ PROBES = [
     "stat_did",
     "graph_adamic_adar",
     "stat_srm_check",
+    # Round 9: suffix-rank bisection (unbounded-k longest cross-doc repeat)
+    "dedup_suffix_lcs",
 ]
 
 
@@ -239,6 +241,8 @@ DEEP_PROBES = [
     "stat_did",
     "graph_adamic_adar",
     "stat_srm_check",
+    # Round 9: suffix-rank bisection (unbounded-k longest cross-doc repeat)
+    "dedup_suffix_lcs",
 ]
 
 SF1_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf1")
