@@ -1979,11 +1979,15 @@ DEDUP_SUFFIX_LCS_SQL = f"""
 WITH d AS MATERIALIZED (SELECT doc_id, text, len(text) AS n FROM documents),
 rungs AS (SELECT unnest([8, 16, 32, 64, 128, 256, 512, 1024]) AS r),
 rg AS MATERIALIZED (
-  SELECT r.r, t.i, d.doc_id, substr(d.text, t.i, r.r) AS g
+  -- md5 hex keys, not gram strings: the materialized rung relation would
+  -- otherwise carry up-to-512-char substrings (~10x the bytes); a 128-bit
+  -- key never collides in practice and the LCP bisection downstream is
+  -- exact on the real text either way
+  SELECT r.r, t.i, d.doc_id, md5(substr(d.text, t.i, r.r)) AS h
   FROM d JOIN rungs r ON d.n >= r.r, UNNEST(range(1, d.n - r.r + 2)) AS t(i)
 ),
 shr AS MATERIALIZED (
-  SELECT r, g FROM rg GROUP BY r, g HAVING COUNT(DISTINCT doc_id) >= 2
+  SELECT r, h FROM rg GROUP BY r, h HAVING COUNT(DISTINCT doc_id) >= 2
 ),
 best AS (SELECT COALESCE(MAX(r), 0) AS r FROM shr),
 -- L* < 8 fallback: tiny direct ladder over lengths 1..7
@@ -2001,7 +2005,7 @@ lsmall AS (
 -- capped at 2 * best rung chars (L* < 2 * best, so LCPs never need more)
 cs AS MATERIALIZED (
   SELECT rg.doc_id, substr(d.text, rg.i, 2 * (SELECT r FROM best)) AS s
-  FROM rg JOIN shr ON rg.r = shr.r AND rg.g = shr.g
+  FROM rg JOIN shr ON rg.r = shr.r AND rg.h = shr.h
   JOIN d ON d.doc_id = rg.doc_id
   WHERE rg.r = (SELECT r FROM best)
 ),

@@ -14,10 +14,15 @@ itself, and the trainer fits are warmed up-front so pool workers rarely
 enter it at all. Three groups stay ORDERED/serial:
 
 1. warm-up compares that populate the shared fit caches (minhash subtree,
-   k-means centroids, PQ codebooks) so pool workers never duplicate a fit,
+   k-means centroids, PQ codebooks) run BEFORE the pool so pool workers
+   never duplicate a fit — but the five warm-ups build five DISJOINT
+   caches, so they run concurrently with each other on a small pool
+   (r9: 30.8s serial -> ~max of the five; the serialization that matters
+   is warmups-before-pool, not warmup-vs-warmup),
 2. streaming / write-side-effect queries (st_*, lake_*, sdp_*, rollups,
-   warehouse e2e) — they manage temp dirs and checkpoints and are the only
-   queries where interleaving could plausibly matter,
+   warehouse e2e) — each owns its temp dirs and checkpoints (mkdtemp) and
+   Spark runs concurrent availableNow streams in one session, so they run
+   on their own pool, merely capped lower than the main one,
 3. everything already covered — the pool.
 
 Pass --serial to force the old strictly-sequential order when debugging.
@@ -61,9 +66,12 @@ POOL_WORKERS = 6  # 32-core box: 6 workers x ~5 spark threads — measured best
 # (8 workers only inflates per-query contention: spark-side total grew
 # 351s -> 420s for the same wall). The r6 SHINGLES_SQL oracle fix dropped the
 # DuckDB side to ~27s total, so the remaining levers are Spark-side.
-STREAM_POOL_WORKERS = 3  # the write-side group: each query owns its temp
+STREAM_POOL_WORKERS = 5  # the write-side group: each query owns its temp
 # dirs/checkpoints (mkdtemp) and Spark supports concurrent availableNow
-# streams in one session; 3 workers cut the 40s serial tail to ~15s.
+# streams in one session; 3 workers cut the 40s serial tail to ~15s, and
+# r9 raised it to 5 (the group grew to 23 queries / ~70s wall at 3 — the
+# long pole st_stream_stream_join bounds the floor).
+WARMUP_POOL_WORKERS = 5  # the five warm-ups build five DISJOINT fit caches
 
 
 def _is_serial(name: str) -> bool:
@@ -147,8 +155,12 @@ def main() -> int:
 
     main_con = new_con()
     t_warm = time.monotonic()
-    for name in warm:
-        run_one(name, main_con)
+    if serial_only:
+        for name in warm:
+            run_one(name, main_con)
+    else:
+        with ThreadPoolExecutor(max_workers=WARMUP_POOL_WORKERS) as pool:
+            list(pool.map(pool_run, warm))
     t_serial = time.monotonic()
     if serial_only:
         for name in serial:
