@@ -1523,11 +1523,19 @@ def dedup_substring_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     gh = F.conv(F.substring(F.md5(F.expr("substring(text, i, k)")), 1, 15), 16, 10).cast(
         "long"
     )
+    # r9 shuffle collapse: ONE explicit repartition on (k, h) up front, then
+    # every downstream step runs EXCHANGE-FREE — the dedup aggregate needs
+    # clustering by (doc, k, h) and hashpartitioning(k, h) satisfies any
+    # superset clustering (Spark's subset rule), so dropDuplicates dedups in
+    # place AND the persisted relation keeps (k, h) partitioning for the
+    # shared-gram count and the semi join. Was: distinct + groupBy + join
+    # re-shuffles = 3 full-relation exchanges; now 1 (sf1 warm ~17s -> ~7s).
     dg = (
         docs.select("doc_id", "text", lad)
         .select("doc_id", "k", "text", pos)
         .select("doc_id", "k", gh.alias("h"))
-        .distinct()
+        .repartition(spark.sparkContext.defaultParallelism, "k", "h")
+        .dropDuplicates(["doc_id", "k", "h"])
         # two consumers (shared-gram counts + the doc back-join); DISK_ONLY
         # keeps the reuse without holding the relation in executor heap (an
         # eager in-memory checkpoint OOM'd an 8g driver at the sf1 slice)
@@ -1548,9 +1556,12 @@ def dedup_substring_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs_sharing"))
     )
     ladder = spark.createDataFrame([(k,) for k in _LADDER], "k int")
+    # explicit broadcast on the |ladder|-row rollups: AQE otherwise flips
+    # these 5-row joins between BHJ and SMJ depending on warm state, which
+    # made the pinned plan fingerprint order-dependent
     return (
-        ladder.join(grams_per_k, "k", "left")
-        .join(docs_per_k, "k", "left")
+        ladder.join(F.broadcast(grams_per_k), "k", "left")
+        .join(F.broadcast(docs_per_k), "k", "left")
         .select(
             "k",
             F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
@@ -1664,8 +1675,16 @@ def dedup_suffix_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.concat(*rung_cols)).alias("g")
     ).select("doc_id", F.col("g.k").alias("k"), F.col("g.id").alias("id"))
     # dd feeds BOTH the shared-gram counts and the doc back-join — persist,
-    # or the distinct (and the whole fingerprint scan) computes twice
-    dd = allr.select("k", "doc_id", "id").distinct().persist()
+    # or the dedup (and the whole fingerprint scan) computes twice. Same
+    # r9 shuffle collapse as dedup_substring_ladder: repartition on (k, id)
+    # once, dedup in place (subset-clustering rule), and the groupBy + semi
+    # join downstream run exchange-free off the persisted partitioning.
+    dd = (
+        allr.select("k", "doc_id", "id")
+        .repartition(spark.sparkContext.defaultParallelism, "k", "id")
+        .dropDuplicates(["k", "doc_id", "id"])
+        .persist()
+    )
     sh = dd.groupBy("k", "id").agg(F.count("*").alias("nd")).filter(F.col("nd") >= 2)
     gk = sh.groupBy("k").agg(F.count("*").alias("n_shared_grams"))
     dk = (
@@ -1677,8 +1696,8 @@ def dedup_suffix_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ladder = spark.createDataFrame([(k,) for k in _KMR_LADDER], "k int")
     return (
-        ladder.join(gk, "k", "left")
-        .join(dk, "k", "left")
+        ladder.join(F.broadcast(gk), "k", "left")
+        .join(F.broadcast(dk), "k", "left")
         .select(
             "k",
             F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),

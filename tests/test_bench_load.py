@@ -50,6 +50,18 @@ def test_external_share_attributes_only_foreign_cpu():
     s = external_shares(pre, post)
     assert s["external_cpu_share"] == round(50.0 / 1000.0, 4)
     assert s["iowait_share"] == round(20.0 / 1000.0, 4)
+    assert s["kernel_cpu_share"] == 0.0  # no kthread samples -> 0
+
+
+def test_external_share_excludes_kernel_threads():
+    # our JVM's persist churn drives kworker reclaim: kernel-thread CPU is
+    # not foreign process load and must not trip the idle verdict (r9 —
+    # idle probe windows were flagged ext 6-17% purely from kvfree_rcu)
+    pre = {"busy": 0.0, "iowait": 0.0, "total": 0.0, "tree": 0.0, "kthread": 0.0}
+    post = {"busy": 300.0, "iowait": 0.0, "total": 1000.0, "tree": 200.0, "kthread": 80.0}
+    s = external_shares(pre, post)
+    assert s["external_cpu_share"] == round(20.0 / 1000.0, 4)
+    assert s["kernel_cpu_share"] == round(80.0 / 1000.0, 4)
 
 
 def test_external_share_clamps_negative():
@@ -63,7 +75,7 @@ def test_external_share_clamps_negative():
 def test_external_share_zero_window():
     pre = post = {"busy": 1.0, "iowait": 0.0, "total": 1.0, "tree": 0.0}
     s = external_shares(pre, post)
-    assert s == {"external_cpu_share": 0.0, "iowait_share": 0.0}
+    assert s == {"external_cpu_share": 0.0, "iowait_share": 0.0, "kernel_cpu_share": 0.0}
 
 
 def test_idle_verdict_flag_rule():
@@ -85,7 +97,7 @@ def test_idle_verdict_flag_rule():
 def test_live_snapshot_shape():
     snap = load_snapshot()
     assert snap is not None  # linux container: /proc is there
-    assert set(snap) == {"busy", "iowait", "total", "tree"}
+    assert set(snap) == {"busy", "iowait", "total", "tree", "kthread"}
     assert snap["total"] > snap["busy"] >= 0
 
 

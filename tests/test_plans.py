@@ -246,7 +246,9 @@ BENCH_PLAN_FINGERPRINTS = {
     "corpus_weighted_sample": {},
     "quality_ppx_gate": {"shuffle_exchange": 11, "broadcast_exchange": 7, "BroadcastHashJoin": 6, "BroadcastNestedLoopJoin": 1},
     "dedup_cdc_chunks": {"shuffle_exchange": 4, "broadcast_exchange": 1, "BroadcastNestedLoopJoin": 1},
-    "dedup_suffix_doubling": {"shuffle_exchange": 6, "broadcast_exchange": 2, "BroadcastHashJoin": 2, "ShuffledHashJoin": 1},
+    # r9 shuffle collapse: one up-front (k, id) repartition; dedup, shared
+    # count, and the semi join run exchange-free off that partitioning
+    "dedup_suffix_doubling": {"shuffle_exchange": 3, "broadcast_exchange": 2, "BroadcastHashJoin": 2, "ShuffledHashJoin": 1},
     "pipeline_ingest_e2e": {"shuffle_exchange": 4},
     "o8_projection_rename": {},
     "a1_group_count": {"shuffle_exchange": 1},
@@ -462,13 +464,15 @@ BENCH_PLAN_FINGERPRINTS = {
         "BroadcastHashJoin": 1,
         "BroadcastNestedLoopJoin": 1,
     },
-    # shared-substring ladder: per-doc-distinct grams, shared-gram agg,
-    # the two per-k rollups, the ladder left-joins (broadcast), and the
-    # PINNED shuffle-hash back-join — the shared-gram side grows with the
-    # corpus's overlap structure and must never be broadcast (AQE picked a
-    # ~300 MB long-string broadcast at sf1; shuffle-hash halves the wall)
+    # shared-substring ladder, r9 shuffle collapse: ONE up-front (k, h)
+    # repartition, then per-doc dedup + shared-gram agg + the PINNED
+    # shuffle-hash back-join all run exchange-free off that partitioning
+    # (the shared-gram side grows with the corpus's overlap structure and
+    # must never be broadcast — AQE picked a ~300 MB long-string broadcast
+    # at sf1 once). The |ladder|-row rollup joins carry explicit broadcast
+    # hints so AQE cannot flip them between BHJ/SMJ across warm states.
     "dedup_substring_ladder": {
-        "shuffle_exchange": 6,
+        "shuffle_exchange": 3,
         "broadcast_exchange": 2,
         "BroadcastHashJoin": 2,
         "ShuffledHashJoin": 1,
