@@ -260,13 +260,21 @@ def _descendant_pids() -> set[int]:
 
 
 def _tree_cpu_jiffies() -> float:
-    """utime+stime summed over the bench's live process tree."""
+    """utime+stime summed over the bench's live process tree, PLUS each
+    member's reaped-children time (cutime+cstime): transient pyspark
+    workers spawn and die inside a measurement window, and their jiffies
+    would otherwise vanish from the live-pid sum and read as ~5% 'external'
+    CPU (r9: two bench attempts were idle-gated away by exactly this). A
+    live child's time is in its own utime/stime; once reaped it moves to
+    the parent's cutime/cstime — summing both keeps the tree total
+    continuous across worker death without double counting."""
     tot = 0.0
     for pid in _descendant_pids():
         try:
             with open(f"/proc/{pid}/stat") as f:
                 fields = f.read().rsplit(")", 1)[1].split()
-            tot += float(fields[11]) + float(fields[12])  # utime, stime
+            # utime, stime, cutime, cstime
+            tot += sum(float(fields[i]) for i in (11, 12, 13, 14))
         except Exception:
             continue
     return tot

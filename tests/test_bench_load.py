@@ -192,3 +192,18 @@ def test_retry_verdict_ignores_self_polluted_loadavg():
     assert idle_verdict(_L1 + 30.0, ok, load1_counts=False) == (True, [])
     idle, why = idle_verdict(0.0, {"external_cpu_share": 0.5, "iowait_share": 0.0}, load1_counts=False)
     assert not idle and "external" in why[0]
+
+
+def test_tree_counts_reaped_children():
+    """A short-lived child that burns CPU and exits inside the window must
+    still be attributed to the tree (via the parent's cutime/cstime), not
+    read as external load."""
+    pre = load_snapshot()
+    subprocess.run(
+        [sys.executable, "-c",
+         "t=0\nfor i in range(3_000_000): t += i*i"],
+        check=True,
+    )
+    post = load_snapshot()
+    # the child is dead at the post sample; its CPU must appear in tree
+    assert post["tree"] > pre["tree"]
