@@ -2008,14 +2008,20 @@ rg AS MATERIALIZED (
 shr AS MATERIALIZED (
   SELECT r, h FROM rg GROUP BY r, h HAVING COUNT(DISTINCT doc_id) >= 2
 ),
-best AS (SELECT COALESCE(MAX(r), 0) AS r FROM shr),
--- L* < 8 fallback: tiny direct ladder over lengths 1..7
+best AS MATERIALIZED (SELECT COALESCE(MAX(r), 0) AS r FROM shr),
+-- L* < 8 fallback: tiny direct ladder over lengths 1..7. The range bound
+-- collapses to an empty generator when a rung already matched, and every
+-- scalar CTE here is MATERIALIZED: un-materialized scalars get re-inlined
+-- at each reference and this branch's 10M-row generation was re-running
+-- ~6x (34s -> ~4s at sf0.1).
 small AS (
   SELECT ll.l, substr(d.text, t.i, ll.l) AS g, d.doc_id
-  FROM d, UNNEST([1, 2, 3, 4, 5, 6, 7]) AS ll(l), UNNEST(range(1, d.n - ll.l + 2)) AS t(i)
-  WHERE (SELECT r FROM best) = 0 AND d.n >= ll.l
+  FROM d, UNNEST([1, 2, 3, 4, 5, 6, 7]) AS ll(l),
+       UNNEST(range(1, CASE WHEN (SELECT r FROM best) = 0
+                            THEN d.n - ll.l + 2 ELSE 1 END)) AS t(i)
+  WHERE d.n >= ll.l
 ),
-lsmall AS (
+lsmall AS MATERIALIZED (
   SELECT COALESCE(MAX(l), 0) AS l FROM (
     SELECT l FROM small GROUP BY l, g HAVING COUNT(DISTINCT doc_id) >= 2
   )
@@ -2036,8 +2042,8 @@ adj AS (
 ),
 pairs AS (SELECT s, ns FROM adj WHERE nd2 IS NOT NULL AND nd2 <> doc_id),
 {_lcs_bisect_ctes()},
-lbig AS (SELECT COALESCE(MAX(lo), 0) AS l FROM b11),
-lstar AS (
+lbig AS MATERIALIZED (SELECT COALESCE(MAX(lo), 0) AS l FROM b11),
+lstar AS MATERIALIZED (
   SELECT CASE WHEN (SELECT r FROM best) > 0
               THEN (SELECT l FROM lbig) ELSE (SELECT l FROM lsmall) END AS l
 ),

@@ -99,6 +99,11 @@ def main() -> int:
 
     def new_con():
         con = duckdb.connect()
+        # Each connection defaults to one thread per core: 6 pool workers x
+        # 32 duckdb threads + 32 Spark threads thrashed the box at sf0.1
+        # (o8's trivial projection oracle read 21s; suffix-lcs's 256s).
+        # 4 threads/connection keeps the duck side at ~pool-width cores.
+        con.execute("SET threads = 4")
         for t in TABLES:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
         return con
