@@ -82,6 +82,7 @@ HEADLINE = [
     "multimodal_png_adam7_stats",
     "multimodal_qoi_stats",
     "dedup_exactsubstr_spans",
+    "dedup_exactsubstr_clean",
     "multimodal_flac_stats",
     "asof_last_purchase",
     "sess_stats",

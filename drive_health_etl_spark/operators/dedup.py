@@ -1105,30 +1105,14 @@ EXACTSUBSTR_L = 8  # tokens per gram: a "duplicated span" is an exact
 # L-token run whose content occurs at ≥2 positions corpus-wide
 
 
-def dedup_exactsubstr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ExactSubstr-style duplicated-span detection (Lee et al. 2021,
-    "Deduplicating Training Data Makes Language Models Better"), token-level
-    distributed approximation: mark every overlapping L-token gram whose
-    content occurs at two or more positions corpus-wide (WITHIN-doc repeats
-    included, as in the paper), then merge overlapping/adjacent marked
-    positions into MAXIMAL duplicated spans per document (gap > L breaks a
-    span; coverage of an island is exactly [min_pos, max_pos + L)).
-
-    Scale shape — the reason this replaces a suffix array at 100 TB: the
-    paper's suffix-array pass needs a global sorted order; this formulation
-    is two hash-key shuffles (gram count, count join-back) plus one doc-key
-    window — counts join back per POSITION, never pair-expanding, so an
-    all-identical corpus concentrates only the count row, not O(n^2) pairs.
-    Emits per-doc span stats (integer-exact, hash-solid oracle); removal =
-    substring drop on the span offsets downstream."""
+def _exactsubstr_spans(docs: DataFrame) -> DataFrame:
+    """Maximal duplicated token spans (doc_id, s, e) over a docs relation
+    carrying a `toks` column — the shared core of
+    ``dedup_exactsubstr_spans`` (stats) and ``dedup_exactsubstr_clean``
+    (removal). Positions are 0-based; a span covers [s, e)."""
     from pyspark.sql import Window
 
     L = EXACTSUBSTR_L
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .withColumn("toks", tokens_col())
-    )
     grams = docs.select(
         "doc_id",
         F.posexplode(
@@ -1148,9 +1132,34 @@ def dedup_exactsubstr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     islands = dup.withColumn(
         "brk", F.when(F.col("pos") - F.lag("pos").over(w) > L, 1).otherwise(0)
     ).withColumn("island", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
-    spans = islands.groupBy("doc_id", "island").agg(
-        F.min("pos").alias("s"), (F.max("pos") + F.lit(L)).alias("e")
+    return islands.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"), (F.max("pos") + F.lit(EXACTSUBSTR_L)).alias("e")
+    ).select("doc_id", "s", "e")
+
+
+def dedup_exactsubstr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span detection (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"), token-level
+    distributed approximation: mark every overlapping L-token gram whose
+    content occurs at two or more positions corpus-wide (WITHIN-doc repeats
+    included, as in the paper), then merge overlapping/adjacent marked
+    positions into MAXIMAL duplicated spans per document (gap > L breaks a
+    span; coverage of an island is exactly [min_pos, max_pos + L)).
+
+    Scale shape — the reason this replaces a suffix array at 100 TB: the
+    paper's suffix-array pass needs a global sorted order; this formulation
+    is two hash-key shuffles (gram count, count join-back) plus one doc-key
+    window — counts join back per POSITION, never pair-expanding, so an
+    all-identical corpus concentrates only the count row, not O(n^2) pairs.
+    Emits per-doc span stats (integer-exact, hash-solid oracle); removal =
+    substring drop on the span offsets downstream
+    (``dedup_exactsubstr_clean``)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("toks", tokens_col())
     )
+    spans = _exactsubstr_spans(docs)
     per_doc = spans.groupBy("doc_id").agg(
         F.count("*").alias("n_dup_spans"),
         F.sum(F.col("e") - F.col("s")).alias("dup_tokens"),
@@ -1218,6 +1227,103 @@ SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tokens,
                   THEN CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE) / len(t.ws)
                   ELSE 0.0 END, 6) AS dup_frac
 FROM toks t LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+def dedup_exactsubstr_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr REMOVAL — the corpus transformation half of Lee et al.
+    2021's pipeline (``dedup_exactsubstr_spans`` is the detection half):
+    delete every maximal duplicated span from every document and emit the
+    cleaned text plus before/after token counts. The paper's semantics are
+    deliberately aggressive: EVERY occurrence of a duplicated span is
+    dropped (including the "first" one — with no canonical copy, exact-dup
+    documents clean to empty), which is what makes the pass idempotent and
+    order-independent; a gentler keep-one policy needs a global canonical
+    choice and is a different operator.
+
+    Scale shape: reuses the span subtree (two hash-keyed shuffles + one
+    doc-key window, never pair-expanding); the spans collapse to a per-doc
+    ARRAY of (s, e) structs — bounded by n_tokens/L per doc — and removal
+    is then a single per-row higher-order filter over the token array
+    (token index covered by no span), zero additional shuffles beyond the
+    span aggregation's doc grouping. Output is a full corpus rewrite: at
+    100 TB this is scan -> span join -> scan-shaped write, the same cost
+    class as the detection pass."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("toks", tokens_col())
+    )
+    sp = _exactsubstr_spans(docs).groupBy("doc_id").agg(
+        F.collect_list(F.struct("s", "e")).alias("sp")
+    )
+    return (
+        docs.join(sp, "doc_id", "left_outer")
+        .withColumn(
+            "sp",
+            F.coalesce("sp", F.expr("cast(array() as array<struct<s:int,e:int>>)")),
+        )
+        .withColumn(
+            "kept",
+            F.expr("filter(toks, (t, i) -> NOT exists(sp, x -> i >= x.s AND i < x.e))"),
+        )
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.size("kept").cast("long").alias("kept_tokens"),
+            F.concat_ws(" ", F.col("kept")).alias("cleaned_text"),
+        )
+    )
+
+
+DEDUP_EXACTSUBSTR_CLEAN_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {TOKENS_SQL} AS ws FROM documents
+),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(ws[i:i+{EXACTSUBSTR_L - 1}], ' ')) AS h
+  FROM toks, UNNEST(generate_series(1, len(ws) - {EXACTSUBSTR_L} + 1)) AS u(i)
+),
+counts AS (SELECT h, COUNT(*) AS n_occ FROM grams GROUP BY h),
+dup AS (
+  SELECT doc_id, pos FROM grams JOIN counts USING (h) WHERE n_occ > 1
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN pos - lagpos > {EXACTSUBSTR_L} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (
+    SELECT doc_id, pos,
+           LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS lagpos
+    FROM dup
+  )
+),
+spans AS (
+  SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + {EXACTSUBSTR_L} AS e
+  FROM isl GROUP BY doc_id, island
+),
+pos AS (
+  SELECT doc_id, u.i - 1 AS p, ws[u.i] AS tok
+  FROM toks, UNNEST(generate_series(1, len(ws))) AS u(i)
+),
+badpos AS (
+  SELECT DISTINCT pos.doc_id, pos.p
+  FROM pos JOIN spans ON pos.doc_id = spans.doc_id
+                     AND pos.p >= spans.s AND pos.p < spans.e
+),
+keptagg AS (
+  SELECT pos.doc_id,
+         COUNT(*) FILTER (WHERE b.p IS NULL) AS kept_tokens,
+         string_agg(pos.tok, ' ' ORDER BY pos.p) FILTER (WHERE b.p IS NULL)
+           AS cleaned_text
+  FROM pos LEFT JOIN badpos b ON pos.doc_id = b.doc_id AND pos.p = b.p
+  GROUP BY pos.doc_id
+)
+SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       COALESCE(k.cleaned_text, '') AS cleaned_text
+FROM toks t LEFT JOIN keptagg k USING (doc_id)
 """
 
 
@@ -2344,6 +2450,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_substring_ladder": (dedup_substring_ladder, DEDUP_SUBSTRING_LADDER_SQL),
     "corpus_novelty": (corpus_novelty, CORPUS_NOVELTY_SQL),
     "dedup_exactsubstr_spans": (dedup_exactsubstr_spans, DEDUP_EXACTSUBSTR_SQL),
+    "dedup_exactsubstr_clean": (dedup_exactsubstr_clean, DEDUP_EXACTSUBSTR_CLEAN_SQL),
     "dedup_lsh_quality": (dedup_lsh_quality, _dedup_lsh_quality_sql()),
     "dedup_lsh_scurve": (dedup_lsh_scurve, _dedup_lsh_scurve_sql()),
     "dedup_minhash_bias": (dedup_minhash_bias, _dedup_minhash_bias_sql()),

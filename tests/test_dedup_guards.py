@@ -467,3 +467,32 @@ def test_suffix_lcs_short_repeat_and_no_repeat(spark, tmp_path):
     D._SUBTREE_CACHE.clear()  # same tmp_path: drop the cached docs relation
     got2 = dedup_suffix_lcs(spark, str(tmp_path)).collect()
     assert [(r["lcs_len"], r["n_repeats"], r["n_docs"]) for r in got2] == [(0, 0, 0)]
+
+
+def test_exactsubstr_clean_removes_exactly_the_spans(spark):
+    """The removal half must drop exactly the maximal duplicated spans the
+    detection half reports: engineered corpus with a known shared phrase,
+    a unique doc (untouched), and a fully-duplicated doc (cleans to empty —
+    the paper's aggressive every-occurrence semantics)."""
+    from unittest import mock
+
+    import drive_health_etl_spark.operators.dedup as D
+    from drive_health_etl_spark.operators.dedup import EXACTSUBSTR_L, dedup_exactsubstr_clean
+
+    assert EXACTSUBSTR_L == 8
+    phrase = "a b c d e f g h"
+    docs = [
+        (0, f"u0 u1 u2 {phrase} u3 u4 u5"),
+        (1, f"v0 {phrase} v1 v2 v3 v4 v5 v6 v7 v8 v9"),
+        (2, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+        (3, f"{phrase} {phrase}"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    with mock.patch.object(D, "load_table", lambda _s, _d, _t: df):
+        rows = {r["doc_id"]: r.asDict() for r in dedup_exactsubstr_clean(spark, "x").collect()}
+    assert rows[0]["cleaned_text"] == "u0 u1 u2 u3 u4 u5"
+    assert rows[0]["n_tokens"] == 14 and rows[0]["kept_tokens"] == 6
+    assert rows[1]["cleaned_text"] == "v0 v1 v2 v3 v4 v5 v6 v7 v8 v9"
+    assert rows[2]["cleaned_text"] == docs[2][1]  # unique doc untouched
+    assert rows[2]["kept_tokens"] == rows[2]["n_tokens"] == 11
+    assert rows[3]["cleaned_text"] == "" and rows[3]["kept_tokens"] == 0

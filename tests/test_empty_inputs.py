@@ -140,6 +140,7 @@ EMPTY_SAFE = [
     "graph_adamic_adar",
     "stat_srm_check",
     "dedup_suffix_lcs",
+    "dedup_exactsubstr_clean",
 ]
 
 

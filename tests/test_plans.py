@@ -502,6 +502,9 @@ BENCH_PLAN_FINGERPRINTS = {
     "multimodal_png_adam7_stats": {},
     "multimodal_flac_stats": {},
     "dedup_exactsubstr_spans": {"shuffle_exchange": 5, "broadcast_exchange": 2, "BroadcastHashJoin": 2},
+    # removal half: same span subtree + per-doc span-array agg + the
+    # higher-order token filter (no extra shuffles beyond the doc grouping)
+    "dedup_exactsubstr_clean": {"shuffle_exchange": 5, "broadcast_exchange": 2, "BroadcastHashJoin": 2},
     # Edit join (r9: asymmetric chunk-gram signature, Qin et al. VLDB'11):
     # gram freq agg + rarest-chunk hash agg + union-distinct = the 3
     # shuffles; the signature broadcast makes candidate generation a

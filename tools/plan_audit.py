@@ -478,6 +478,15 @@ AUDITS = [
         "the (K+1)*Q signature-guarantee length and stays banded.",
     ),
     (
+        "dedup_exactsubstr_clean",
+        "ExactSubstr removal (r9, the transformation half of Lee et al.'s "
+        "pipeline): reuses the span subtree (two hash-keyed shuffles + one "
+        "doc-key window, never pair-expanding), collapses spans to a "
+        "per-doc (s, e) struct array, and the rewrite itself is ONE "
+        "higher-order filter over the token array — a full-corpus "
+        "scan -> span join -> scan-shaped write, no extra exchanges.",
+    ),
+    (
         "dedup_suffix_lcs",
         "Longest cross-document repeated substring (r9, unbounded-k suffix "
         "ranks): driver-bounded rank bisection — O(log max_len) rounds, "

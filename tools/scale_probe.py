@@ -149,7 +149,9 @@ PROBES = [
     "graph_adamic_adar",
     "stat_srm_check",
     # Round 9: suffix-rank bisection (unbounded-k longest cross-doc repeat)
+    # + the ExactSubstr removal pass (full corpus rewrite)
     "dedup_suffix_lcs",
+    "dedup_exactsubstr_clean",
 ]
 
 
@@ -242,7 +244,9 @@ DEEP_PROBES = [
     "graph_adamic_adar",
     "stat_srm_check",
     # Round 9: suffix-rank bisection (unbounded-k longest cross-doc repeat)
+    # + the ExactSubstr removal pass (full corpus rewrite)
     "dedup_suffix_lcs",
+    "dedup_exactsubstr_clean",
 ]
 
 SF1_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf1")
