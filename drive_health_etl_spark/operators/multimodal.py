@@ -524,12 +524,11 @@ def _cached_media(spark: SparkSession, key: tuple, build) -> DataFrame:
     # driver, check liveness (SparkSession.getActiveSession / an app
     # registry) before unpersisting another session's entries.
     app_id = full_key[0]
-    for stale in [k for k in _MEDIA_CACHE if k[0] != app_id]:
-        try:
-            _MEDIA_CACHE[stale].unpersist()
-        except Exception:
-            pass  # session already gone; the handle is unusable either way
-        del _MEDIA_CACHE[stale]
+    # Routed through FitCache.purge so the scope-order list stays exact
+    # (plain `del` left dead scopes occupying LRU slots — ADVICE r9) and the
+    # sweep is atomic under the cache's lock (rehearsal pools hit this
+    # concurrently).
+    _MEDIA_CACHE.purge(lambda k: k[0] != app_id)
     # Cross-dataset growth within ONE live session is bounded by FitCache's
     # scope LRU (unpersist-on-evict).
     return _MEDIA_CACHE.get_or_build(full_key, lambda: build().persist())

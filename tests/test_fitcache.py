@@ -96,6 +96,114 @@ def test_clear_drops_without_unpersist_for_session_recycle():
     assert ("app", "sfB") in c
 
 
+def test_delete_drops_empty_scope_from_lru_order():
+    # ADVICE r9: plain deletion must not leave a dead scope occupying an
+    # LRU slot — after removing a scope's last key, a full complement of
+    # NEW scopes must fit without evicting a live one.
+    c = FitCache(scope_len=2, max_scopes=2)
+    a, b, d = FakeDF(), FakeDF(), FakeDF()
+    c.get_or_build(("app", "sfA", "x"), lambda: a)
+    c.get_or_build(("app", "sfB", "x"), lambda: b)
+    del c[("app", "sfA", "x")]
+    assert c._scope_order == [("app", "sfB")]
+    c.get_or_build(("app", "sfC", "x"), lambda: d)
+    assert b.persisted and d.persisted  # sfB survived: sfA's slot was freed
+    # pop maintains the order list the same way (and returns the value)
+    assert c.pop(("app", "sfB", "x")) is b
+    assert c._scope_order == [("app", "sfC")]
+    assert c.pop(("missing",), "dflt") == "dflt"
+
+
+def test_delete_keeps_scope_while_siblings_remain():
+    c = FitCache(scope_len=2, max_scopes=2)
+    c.get_or_build(("app", "sfA", "x"), lambda: FakeDF())
+    c.get_or_build(("app", "sfA", "y"), lambda: FakeDF())
+    del c[("app", "sfA", "x")]
+    assert c._scope_order == [("app", "sfA")]  # sibling still lives
+
+
+def test_purge_unpersists_and_maintains_order():
+    # the _cached_media stale-session sweep path
+    c = FitCache(max_scopes=4, scope_of=lambda k: (k[0], k[2]))
+    old1, old2, live = FakeDF(), FakeDF(), FakeDF()
+    c.get_or_build(("app1", "png", "sfA"), lambda: old1)
+    c.get_or_build(("app1", "gif", "sfA"), lambda: old2)
+    c.get_or_build(("app2", "png", "sfA"), lambda: live)
+    n = c.purge(lambda k: k[0] != "app2")
+    assert n == 2
+    assert not old1.persisted and not old2.persisted and live.persisted
+    assert list(c) == [("app2", "png", "sfA")]
+    assert c._scope_order == [("app2", "sfA")]
+
+
+def test_concurrent_touch_and_build_is_race_free():
+    # ADVICE r9 (medium): rehearsal pools hit the module-global caches from
+    # 6+ threads; unsynchronized check-then-remove raced (ValueError /
+    # RuntimeError). Hammer one cache from many threads across overlapping
+    # scopes and assert zero exceptions and exact bookkeeping.
+    import threading
+
+    c = FitCache(scope_len=2, max_scopes=3)
+    errors = []
+    barrier = threading.Barrier(8)
+
+    def worker(tid):
+        try:
+            barrier.wait()
+            for i in range(300):
+                scope = f"sf{(tid + i) % 6}"
+                c.get_or_build(("app", scope, i % 4), lambda: FakeDF())
+                if i % 7 == 0:
+                    c.pop(("app", scope, i % 4), None)
+                if i % 11 == 0:
+                    c.purge(lambda k: k[1] == f"sf{(tid + i + 3) % 6}")
+        except Exception as e:  # pragma: no cover - failure path
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    with c._lock:
+        live_scopes = {c._scope(k) for k in c}
+        assert len(c._scope_order) <= 3
+        assert live_scopes <= set(c._scope_order)
+        assert len(set(c._scope_order)) == len(c._scope_order)
+
+
+def test_get_or_build_race_keeps_first_value():
+    # two threads missing the same key concurrently: exactly one value is
+    # retained; the loser's fresh DataFrame is unpersisted, not leaked
+    import threading
+
+    c = FitCache(scope_len=2, max_scopes=4)
+    built = []
+    gate = threading.Barrier(2)
+
+    def build():
+        df = FakeDF()
+        built.append(df)
+        gate.wait()  # force both threads to finish building before storing
+        return df
+
+    threads = [
+        threading.Thread(
+            target=lambda: c.get_or_build(("app", "sfA", "k"), build))
+        for _ in range(2)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(built) == 2
+    winner = c[("app", "sfA", "k")]
+    assert winner in built
+    loser = built[0] if built[1] is winner else built[1]
+    assert winner.persisted and not loser.persisted
+
+
 def test_dedup_subtree_cache_sweep_frees_old_blocks(spark, monkeypatch):
     """End-to-end on the real dedup cache: sweeping a second sf_dir past
     the scope bound unpersists the first dataset's persisted subtree."""
