@@ -90,6 +90,7 @@ HEADLINE = [
     "text_bm25",
     "dedup_components",
     "dedup_semantic",
+    "dedup_semantic_prune",
     "q13_customer_distribution",
     "q21_waiting_orders",
     "corpus_prep_pipeline",

@@ -479,6 +479,120 @@ GROUP BY cell ORDER BY cell
 """
 
 
+def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup's PRUNE half with the paper's keeper rule (Abbas et al.
+    2023, "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication", §2.2): per-vector keep/drop verdicts — the corpus
+    transformation a pipeline actually applies — where each group of
+    cosine-near in-cluster vectors keeps the exemplar with the LOWEST
+    cosine to its cluster centroid (the paper's diversity-preserving
+    choice: the item farthest from the cluster center survives).
+    `dedup_semantic` reports per-cell drop COUNTS under a lowest-id rule;
+    this emits the row-level verdict table under the published priority.
+
+    Drop rule in the order-free DOMINANCE form: x is dropped iff some
+    same-cell y with higher keep priority — lower centroid-cosine, ties by
+    lower vec_id — has cos(x, y) >= SEMDEDUP_TAU. Any mutually-near clique
+    keeps exactly its highest-priority member, matching the paper's
+    per-cluster sweep; the forms differ only on chains whose middle
+    element is the sole link between survivors. The dominance form is one
+    bounded in-cell join (no sequential per-cluster scan), deterministic
+    under any row/partition order.
+
+    Scale shape: identical to `dedup_semantic` — one centroid broadcast
+    (fit cached per session/dataset), assignment as a narrow
+    centroid-literal map, the quadratic term bounded to within-cell pairs
+    (k grows with the corpus via the `dedup_semantic_scaled` policy at
+    production scale), plus one K-row centroid broadcast join to attach
+    the assigned cell's vector for the centroid-cosine priority. The
+    centroid cosine and pair cosine keep the oracle's exact IEEE operation
+    order (dot / (norm * norm)), so every threshold and priority
+    comparison is bit-identical in both engines."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    )
+    cents = _centroids_cached(spark, sf_dir, emb)
+    cent_rows = spark.createDataFrame(
+        [(cid, ce, _const_norm(ce)) for cid, ce in cents],
+        "cell int, ce array<double>, cnorm double",
+    )
+    assigned = (
+        emb.join(F.broadcast(_cents_df(spark, cents)))
+        .withColumn("cell", _assign_cell_expr(F.col("e")))
+        .select("vec_id", "e", "cell", _norm(F.col("e")).alias("enorm"))
+        .join(F.broadcast(cent_rows), "cell")
+        .select(
+            "vec_id", "cell", "e", "enorm",
+            (_dot(F.col("e"), F.col("ce")) / (F.col("enorm") * F.col("cnorm"))).alias("ccos"),
+        )
+    )
+    u = assigned.select(
+        F.col("cell").alias("ucell"), F.col("vec_id").alias("u_id"),
+        F.col("e").alias("ue"), F.col("enorm").alias("unorm"),
+        F.col("ccos").alias("ucos"),
+    )
+    v = assigned.select(
+        F.col("cell").alias("vcell"), F.col("vec_id").alias("v_id"),
+        F.col("e").alias("ve"), F.col("enorm").alias("vnorm"),
+        F.col("ccos").alias("vcos"),
+    )
+    dropped = (
+        u.join(
+            v,
+            (F.col("ucell") == F.col("vcell"))
+            & (
+                (F.col("ucos") < F.col("vcos"))
+                | ((F.col("ucos") == F.col("vcos")) & (F.col("u_id") < F.col("v_id")))
+            ),
+        )
+        .filter(
+            _pdot_udf(F.col("ue"), F.col("ve")) / (F.col("unorm") * F.col("vnorm"))
+            >= SEMDEDUP_TAU
+        )
+        .select(F.col("v_id").alias("dropped_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped, assigned.vec_id == dropped.dropped_id, "left_outer")
+        .select(
+            "vec_id", "cell",
+            F.round(F.col("ccos"), 6).alias("cent_cos"),
+            F.col("dropped_id").isNull().alias("kept"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+DEDUP_SEMANTIC_PRUNE_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+{_kmeans_sql_ctes()},
+assigned AS (
+  SELECT vec_id, emb, cell, ccos FROM (
+    SELECT e.vec_id, e.emb, c.cent_id AS cell,
+           {_COS_SQL.format(a="e.emb", b="c.ce")} AS ccos,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS_SQL.format(a="e.emb", b="c.ce")} DESC,
+                      c.cent_id ASC) AS rn
+    FROM e CROSS JOIN cent{KMEANS_ROUNDS} c
+  ) WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT v.vec_id AS dropped_id
+  FROM assigned u JOIN assigned v
+    ON u.cell = v.cell
+   AND (u.ccos < v.ccos OR (u.ccos = v.ccos AND u.vec_id < v.vec_id))
+  WHERE {_COS_SQL.format(a="u.emb", b="v.emb")} >= {SEMDEDUP_TAU}
+)
+SELECT a.vec_id, a.cell, ROUND(a.ccos, 6) AS cent_cos,
+       (d.dropped_id IS NULL) AS kept
+FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.dropped_id
+ORDER BY a.vec_id
+"""
+
+
 # --- kNN classification eval -------------------------------------------------
 
 KNN_EVAL_N = 64  # vec_id < KNN_EVAL_N form the held-out eval set
@@ -2043,5 +2157,6 @@ QUERIES: dict[str, tuple] = {
     "sim_cosine_topk": (sim_cosine_topk, SIM_COSINE_TOPK_SQL),
     "sim_ann_ivf": (sim_ann_ivf, SIM_ANN_IVF_SQL),
     "dedup_semantic": (dedup_semantic, DEDUP_SEMANTIC_SQL),
+    "dedup_semantic_prune": (dedup_semantic_prune, DEDUP_SEMANTIC_PRUNE_SQL),
     "emb_norm_stats": (emb_norm_stats, EMB_NORM_STATS_SQL),
 }

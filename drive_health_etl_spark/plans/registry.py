@@ -642,7 +642,7 @@ _ORDER = [
     "graph_bfs_distances", "sketch_cms_estimate", "feat_target_encoding",
     # (4) one-time-startup / iterative cost
     "sim_ann_lsh_multitable", "sim_ann_ivf", "sim_ann_pq_adc", "sim_adc_quality", "sim_ann_ivfpq", "sim_knn_classify",
-    "dedup_semantic", "dedup_components", "dedup_near_pipeline",
+    "dedup_semantic", "dedup_semantic_prune", "dedup_components", "dedup_near_pipeline",
     "dedup_lsh_quality", "dedup_lsh_scurve", "dedup_minhash_bias",
     "graph_pagerank", "corpus_prep_pipeline",
     "u4_udtf_chunks", "u5_grouped_agg_udaf", "u5_window_agg_udaf",

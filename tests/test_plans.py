@@ -113,6 +113,7 @@ BNLJ_BY_DESIGN = {
     "sim_ann_lsh_multitable",  # 1-row plane-matrix broadcast (keeps 3072 weights out of the expr tree)
     "text_unigram_logprob",  # 1-row corpus-total broadcast onto the vocab-sized freq table
     "dedup_semantic",  # K-constant centroid scoring (same broadcast as sim_ann_ivf)
+    "dedup_semantic_prune",  # same centroid-scoring broadcast, applied to u/v/readout
     "q11_important_stock",  # 1-row global-threshold scalar subquery broadcast
     "q22_global_sales_opportunity",  # 1-row scalar-AVG subquery broadcast
     "text_bm25",  # 1-row corpus-constants (N, avgdl) broadcast onto the tf table
@@ -352,6 +353,9 @@ BENCH_PLAN_FINGERPRINTS = {
     "sim_ann_pq_adc": {"shuffle_exchange": 3, "broadcast_exchange": 3, "BroadcastHashJoin": 1, "BroadcastNestedLoopJoin": 2},
     "sim_ann_ivfpq": {"shuffle_exchange": 6, "broadcast_exchange": 6, "BroadcastHashJoin": 2, "SortMergeJoin": 1, "BroadcastNestedLoopJoin": 4},
     "dedup_semantic": {"shuffle_exchange": 9, "broadcast_exchange": 3, "SortMergeJoin": 2, "BroadcastNestedLoopJoin": 3},
+    # prune half: + the K-row assigned-centroid broadcast join per assigned
+    # instance (u / v / readout) for the paper's centroid-cosine priority
+    "dedup_semantic_prune": {"shuffle_exchange": 8, "broadcast_exchange": 6, "BroadcastHashJoin": 3, "SortMergeJoin": 2, "BroadcastNestedLoopJoin": 3},
     "dedup_components": {},
     "dedup_near_pipeline": {"shuffle_exchange": 4, "broadcast_exchange": 1, "BroadcastHashJoin": 1, "SortMergeJoin": 1},
     "dedup_lsh_scurve": {"shuffle_exchange": 9, "broadcast_exchange": 4, "BroadcastHashJoin": 4},
