@@ -365,8 +365,73 @@ def idle_verdict(
 # carries per-query MINIMA across attempts (a floor under external load is
 # still an upper bound on engine cost) plus the full attempt history, so the
 # judge can see exactly what was tried.
-MAX_BENCH_ATTEMPTS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3")))
+MAX_BENCH_ATTEMPTS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "5")))
 ATTEMPT_BACKOFF_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BACKOFF", "30"))
+
+# Opportunistic idle-window mode (round-10: VERDICT r9 item 4 — r9's final
+# file went box_idle=false by honest exhaustion, 3/3 attempts on a busy box
+# with a capped linear backoff that gives up within minutes). Instead of
+# starting each attempt blind, poll the external-CPU/iowait shares over
+# short windows and START the attempt only once a window reads idle, up to
+# a shared time budget across the whole retry loop. The budget bounds the
+# worst case (a box that never quiets still produces min-merged attempts);
+# a box that quiets within the budget ships box_idle=true.
+IDLE_WAIT_BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT", "600"))
+IDLE_POLL_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_POLL", "15"))
+
+
+def wait_for_idle_window(
+    budget_sec: float,
+    load1_counts: bool = True,
+    poll_sec: float = IDLE_POLL_SEC,
+    snapshot=load_snapshot,
+    loadavg=None,
+    sleep=None,
+    clock=None,
+) -> dict:
+    """Poll until one poll_sec window satisfies the idle thresholds, or the
+    budget runs out. Returns {"went_idle", "waited_sec", "polls"} for the
+    artifact's idle_waits record. Pure-injectable (snapshot/loadavg/sleep/
+    clock) so the polling rule is pytest-covered without real sleeps.
+
+    load1 participates only when `load1_counts` (first attempt): on retries
+    the 1-min loadavg is polluted by our own just-finished Spark tasks, the
+    same rule as idle_verdict."""
+    loadavg = loadavg or os.getloadavg
+    sleep = sleep or time.sleep
+    clock = clock or time.monotonic
+    t0 = clock()
+    polls: list[dict] = []
+    while True:
+        pre = snapshot()
+        sleep(poll_sec)
+        post = snapshot()
+        waited = clock() - t0
+        if pre is None or post is None:
+            # no /proc/stat: the load gate is vacuous on this platform, so
+            # don't burn the budget polling a signal that cannot exist
+            return {"went_idle": True, "waited_sec": round(waited, 1),
+                    "polls": polls, "note": "no load signal on this platform"}
+        shares = external_shares(pre, post)
+        load1 = loadavg()[0]
+        ok = (
+            shares["external_cpu_share"] <= IDLE_EXT_SHARE_MAX
+            and shares["iowait_share"] <= IDLE_IOWAIT_SHARE_MAX
+            and (not load1_counts or load1 <= IDLE_LOAD1_MAX)
+        )
+        polls.append(
+            {
+                "external_cpu_share": shares["external_cpu_share"],
+                "iowait_share": shares["iowait_share"],
+                "load1": round(load1, 2),
+                "idle": ok,
+            }
+        )
+        del polls[:-40]  # bound the artifact record
+        if ok:
+            return {"went_idle": True, "waited_sec": round(waited, 1), "polls": polls}
+        if waited + poll_sec > budget_sec:
+            return {"went_idle": False, "waited_sec": round(waited, 1), "polls": polls}
 
 
 def timing_attempt(spark, first: bool) -> dict:
@@ -499,15 +564,28 @@ def main() -> None:
     run_one(spark, "a5_agg_suite", SF_DIR)
     run_one(spark, "pipeline_ingest_e2e", SF_DIR)
 
-    # Idle-gated refresh: retry the whole timing pass (bounded, linear
-    # backoff) until an attempt's window was idle; commit the first idle
-    # attempt, else per-query minima with full attempt history.
+    # Idle-gated refresh: before each timing pass, opportunistically WAIT
+    # (shared budget) for an idle poll window; then run the pass. Commit the
+    # first idle attempt, else per-query minima with full attempt history.
     attempts: list[dict] = []
+    idle_waits: list[dict] = []
+    wait_budget = IDLE_WAIT_BUDGET_SEC
     for i in range(MAX_BENCH_ATTEMPTS):
+        if wait_budget >= IDLE_POLL_SEC:
+            w = wait_for_idle_window(wait_budget, load1_counts=(i == 0))
+            wait_budget -= max(w["waited_sec"], IDLE_POLL_SEC)
+            idle_waits.append({"attempt": i + 1, **w})
+            if not w["went_idle"]:
+                print(
+                    f"# idle-wait budget exhausted before attempt {i + 1} "
+                    f"(box never quieted) — proceeding under load",
+                    file=sys.stderr,
+                )
         attempts.append(timing_attempt(spark, first=(i == 0)))
         if attempts[-1]["load"]["box_idle"]:
             break
-        if i + 1 < MAX_BENCH_ATTEMPTS:
+        if i + 1 < MAX_BENCH_ATTEMPTS and wait_budget < IDLE_POLL_SEC:
+            # budget gone: fall back to the blind linear backoff
             print(
                 f"# attempt {i + 1} not idle "
                 f"({'; '.join(attempts[-1]['load']['non_idle_reasons'])}) — "
@@ -517,6 +595,7 @@ def main() -> None:
             time.sleep(ATTEMPT_BACKOFF_SEC * (i + 1))
     merged = merge_attempts(attempts)
     timings, sampling, load_detail = merged["timings"], merged["sampling"], merged["load"]
+    load_detail["idle_waits"] = idle_waits
     box_idle, load_reasons = load_detail["box_idle"], load_detail["non_idle_reasons"]
     total = round(sum(timings.values()), 3)
 

@@ -207,3 +207,86 @@ def test_tree_counts_reaped_children():
     post = load_snapshot()
     # the child is dead at the post sample; its CPU must appear in tree
     assert post["tree"] > pre["tree"]
+
+
+# --- opportunistic idle-window mode (round-10: VERDICT r9 item 4) -----------
+
+from bench import wait_for_idle_window  # noqa: E402
+
+
+def _fake_env(ext_shares, load1s):
+    """Deterministic snapshot/loadavg/sleep/clock fakes: each poll window i
+    reads external share ext_shares[i] (iowait 0, no kernel/tree activity)
+    and loadavg load1s[i]. The clock advances only via sleep."""
+    state = {"t": 0.0, "i": -1}
+
+    def snapshot():
+        # pre-snapshot of window i+1: advance the window index
+        if state.get("phase", "pre") == "pre":
+            state["i"] += 1
+            state["phase"] = "post"
+            return {"busy": 0.0, "iowait": 0.0, "total": 1000.0 * state["i"],
+                    "tree": 0.0, "kthread": 0.0}
+        state["phase"] = "pre"
+        i = min(state["i"], len(ext_shares) - 1)
+        base = 1000.0 * state["i"]
+        return {"busy": 100.0 * ext_shares[i], "iowait": 0.0,
+                "total": base + 100.0, "tree": 0.0, "kthread": 0.0}
+
+    def loadavg():
+        i = min(state["i"], len(load1s) - 1)
+        return (load1s[i], 0.0, 0.0)
+
+    def sleep(s):
+        state["t"] += s
+
+    def clock():
+        return state["t"]
+
+    return snapshot, loadavg, sleep, clock
+
+
+def test_idle_wait_returns_on_first_quiet_window():
+    snap, la, sl, ck = _fake_env([0.5, 0.3, 0.01], [0.2, 0.2, 0.2])
+    w = wait_for_idle_window(600.0, load1_counts=True, poll_sec=15.0,
+                             snapshot=snap, loadavg=la, sleep=sl, clock=ck)
+    assert w["went_idle"] is True
+    assert len(w["polls"]) == 3
+    assert [p["idle"] for p in w["polls"]] == [False, False, True]
+    assert w["waited_sec"] == 45.0
+
+
+def test_idle_wait_budget_exhaustion_reports_not_idle():
+    snap, la, sl, ck = _fake_env([0.5] * 10, [0.2] * 10)
+    w = wait_for_idle_window(40.0, load1_counts=True, poll_sec=15.0,
+                             snapshot=snap, loadavg=la, sleep=sl, clock=ck)
+    assert w["went_idle"] is False
+    assert w["waited_sec"] <= 40.0
+    assert all(p["idle"] is False for p in w["polls"])
+
+
+def test_idle_wait_load1_only_counts_on_first_attempt():
+    # shares quiet but loadavg high (our own decaying tasks): a retry
+    # attempt must accept the window, the first attempt must not
+    snap, la, sl, ck = _fake_env([0.01, 0.01], [25.0, 25.0])
+    w = wait_for_idle_window(20.0, load1_counts=False, poll_sec=15.0,
+                             snapshot=snap, loadavg=la, sleep=sl, clock=ck)
+    assert w["went_idle"] is True and w["waited_sec"] == 15.0
+    snap, la, sl, ck = _fake_env([0.01, 0.01], [25.0, 25.0])
+    w = wait_for_idle_window(20.0, load1_counts=True, poll_sec=15.0,
+                             snapshot=snap, loadavg=la, sleep=sl, clock=ck)
+    assert w["went_idle"] is False
+
+
+def test_idle_wait_vacuous_without_proc_stat():
+    w = wait_for_idle_window(600.0, poll_sec=15.0, snapshot=lambda: None,
+                             loadavg=lambda: (0.0,), sleep=lambda s: None,
+                             clock=time.monotonic)
+    assert w["went_idle"] is True and "note" in w
+
+
+def test_idle_wait_poll_record_is_bounded():
+    snap, la, sl, ck = _fake_env([0.5] * 100, [0.2] * 100)
+    w = wait_for_idle_window(100 * 15.0 - 1, load1_counts=True, poll_sec=15.0,
+                             snapshot=snap, loadavg=la, sleep=sl, clock=ck)
+    assert len(w["polls"]) <= 40
