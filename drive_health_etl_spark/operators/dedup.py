@@ -1997,15 +1997,17 @@ def dedup_suffix_lcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality classes exactly as in KMR prefix doubling, except the class
     id is computed directly because documents are scan-resident strings)
     and hash-aggregates by fingerprint, testing for a class with >= 2
-    distinct docs. The SEED runs every rung of a geometric grid
-    (8, 16, ..., min(max_len, rung cap)) as one fused scan-shaped job —
-    the distributed twin of the oracle's `rg` relation — and pins
-    lo = best shared rung, hi = 2*best (the next rung was tested and
-    failed; L* < 2*best), with the position FRONTIER collapsed to the
-    positions whose best-rung prefix is shared (a position can start an
-    L-repeat, L > r, only if its r-prefix is already shared). The seed
-    replaced r9's cold-start probes, which materialized one frontier row
-    per corpus character for the first ~4 rounds (VERDICT r9 item 2).
+    distinct docs. The search first BISECTS A GEOMETRIC RUNG GRID
+    (8, 16, ..., min(max_len, rung cap) — the oracle's rung ladder) by
+    rung INDEX, reusing the position FRONTIER across probes (a position
+    can start an L-repeat, L > r, only if its r-prefix is already shared),
+    pinning lo = best shared rung and hi = 2*best (bisection ends on
+    adjacent indices, so the next rung was tested and failed). Only probes
+    taken before any rung succeeds scan full corpus positions — at most
+    log2(#rungs) of them — where r9's cold start materialized one frontier
+    row per corpus character for ~4 rounds (VERDICT r9 item 2); a fused
+    all-rungs-in-one-job seed was tried and rejected (#rungs x corpus rows
+    of near-unique keys through one shuffle — 2.4x the sf1 wall).
     The remaining window (lo, hi) then resolves EXHAUSTIVELY in one job —
     every candidate length for every frontier position, when
     |frontier| * window fits the one-shot budget — or by per-round
@@ -2045,8 +2047,13 @@ def dedup_suffix_lcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", "text", F.length("text").alias("n")),
     )
-    row = docs.agg(F.max("n").alias("m"), F.count("*").alias("c")).first()
-    max_n, n_docs = (row["m"] or 0), row["c"]
+    # corpus stats are a dataset property like the cached docs relation
+    # itself: fit-cache them so warm calls skip the stats job
+    stats = _SUBTREE_CACHE.get_or_build(
+        (spark.sparkContext.applicationId, sf_dir, "lcs_stats"),
+        lambda: tuple(docs.agg(F.max("n"), F.count("*")).first()),
+    )
+    max_n, n_docs = (stats[0] or 0), stats[1]
     empty = spark.createDataFrame(
         [(0, 0, 0)], "lcs_len int, n_repeats bigint, n_docs bigint"
     )
@@ -2081,61 +2088,97 @@ def dedup_suffix_lcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             shared.unpersist()
             return empty
         grp = shared.filter(F.col("ln") == lstar).select("gc")
-        rep = grp.agg(F.count("*").alias("n_repeats"))
-        dc = (
+        # one Expand aggregation: distinct contents + distinct docs in one job
+        return (
             lad.filter(F.col("ln") == lstar)
             .join(grp, "gc", "left_semi")
-            .agg(F.count_distinct("doc_id").alias("n_docs"))
-        )
-        return rep.crossJoin(dc).select(
-            F.lit(int(lstar)).cast("int").alias("lcs_len"), "n_repeats", "n_docs"
+            .agg(
+                F.count_distinct("gc").alias("n_repeats"),
+                F.count_distinct("doc_id").alias("n_docs"),
+            )
+            .select(
+                F.lit(int(lstar)).cast("int").alias("lcs_len"),
+                "n_repeats", "n_docs",
+            )
         )
 
-    # --- seed: one multi-rung fingerprint job (the oracle's rung grid,
-    # distributed). Rung-r fingerprints exist for every position whose full
-    # r-gram fits; a position starting an L*-repeat has suffix length
-    # >= L* >= r, so for every rung r <= L* its r-gram is the shared run's
-    # prefix — the best (largest) shared rung therefore pins
-    # lo = best <= L* and its positions are a superset of the L*-starting
-    # positions: the exact frontier invariant the bisection needs, computed
-    # in one scan instead of the first ~4 full-corpus probe rounds.
+    # --- rung-ladder bisection seed. Rung-r fingerprints exist for every
+    # position whose full r-gram fits; a position starting an L*-repeat has
+    # suffix length >= L* >= r, so for every rung r <= L* its r-gram is the
+    # shared run's prefix — the best (largest) shared rung pins
+    # lo = best <= L* with its positions a SUPERSET of the L*-starting
+    # positions: the exact frontier invariant the window search needs. The
+    # grid is probed by BINARY SEARCH OVER RUNG INDICES with the frontier
+    # reused across probes: only probes taken before any rung has succeeded
+    # scan full corpus positions (<= log2(#rungs) of them, worst case —
+    # r9's cold start ran ~4 full-position rounds routinely); every later
+    # probe runs over the current frontier, which collapses toward
+    # duplicated-run positions as the rung grows. A fused
+    # all-rungs-in-one-job seed was tried first and REJECTED: it shuffles
+    # sum_r positions_r ~ #rungs x corpus rows of near-unique (r, fp) keys
+    # (partial aggregation never combines random hashes) — 2.4x the sf1
+    # wall of this ladder search.
     rungs = []
     r = 8
     while r <= min(max_n, _LCS_RUNG_CAP):
         rungs.append(r)
         r *= 2
-    rungs_csv = ", ".join(str(r) for r in rungs)
 
-    def rung_grams(only_r=None):
-        base = docs.filter(F.col("n") >= (only_r or 8))
-        if only_r is None:
-            base = base.select(
-                "doc_id", "text", "n",
-                F.explode(F.expr(f"filter(array({rungs_csv}), r -> r <= n)")).alias("r"),
+    def _probe(L: int, frontier):
+        """shared(L) over `frontier` (None = all corpus positions).
+        Returns (shrunk_frontier_or_None, its_count). ONE action per call:
+        the eager localCheckpoint materializes the shrunk frontier (an
+        empty result IS the "not shared" verdict); the count reads the
+        checkpoint. localCheckpoint, not persist: each round's frontier
+        plan would otherwise nest the whole previous round's plan —
+        exponential plan trees by round ~10 (the pagerank lesson; old
+        blocks are freed by the ContextCleaner as rounds drop refs)."""
+        if frontier is None:
+            base = docs.filter(F.col("n") >= L).select(
+                "doc_id", "text",
+                F.expr(f"explode(sequence(1, n - {L} + 1))").alias("i"),
             )
         else:
-            base = base.select("doc_id", "text", "n", F.lit(only_r).alias("r"))
-        return base.select(
-            "doc_id", "r",
-            F.expr("explode(sequence(1, n - r + 1))").alias("i"),
-            "text",
-        ).select(
-            "doc_id", "r", "i",
-            F.expr("xxhash64(substring(text, i, r))").alias("fp"),
+            base = (
+                frontier.join(d_txt, "doc_id")
+                .filter(F.col("n") - F.col("i") + 1 >= L)
+                .select("doc_id", "i", "text")
+            )
+        test = base.select(
+            "doc_id", "i",
+            F.expr(f"xxhash64(substring(text, i, {L}))").alias("fp"),
+        ).persist()
+        hit = (
+            test.groupBy("fp")
+            .agg(F.count_distinct("doc_id").alias("nd"))
+            .filter(F.col("nd") >= 2)
+            .select("fp")
         )
+        nxt = test.join(hit, "fp", "left_semi").select("doc_id", "i").localCheckpoint()
+        test.unpersist()
+        cnt = nxt.count()
+        return (nxt, cnt) if cnt else (None, 0)
 
-    shared = (
-        rung_grams()
-        .groupBy("r", "fp")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("r", "fp")
-        .persist()  # tiny: shared CLASSES, not positions
-    )
-    best_row = shared.agg(F.max("r")).first()
-    best = best_row[0] or 0
-    if best == 0:
-        shared.unpersist()
+    def _fits_oneshot(cnt: int, lo_: int, hi_: int) -> bool:
+        w = hi_ - lo_ - 1
+        return (w >= 1 and cnt * w <= _LCS_ONESHOT_ROWS
+                and cnt * w * hi_ <= _LCS_ONESHOT_CHARS)
+
+    lo_idx, hi_idx = -1, len(rungs)
+    frontier, f_cnt = None, 0
+    while hi_idx - lo_idx > 1:
+        if frontier is not None and _fits_oneshot(
+            f_cnt, rungs[lo_idx],
+            rungs[hi_idx] if hi_idx < len(rungs) else max_n + 1,
+        ):
+            break  # remaining window is cheaper to resolve exhaustively
+        mid_idx = (lo_idx + hi_idx) // 2
+        nf, cnt = _probe(rungs[mid_idx], frontier)
+        if nf is not None:
+            lo_idx, frontier, f_cnt = mid_idx, nf, cnt
+        else:
+            hi_idx = mid_idx
+    if lo_idx == -1:
         # No shared 8-gram: L* < 8. One-shot direct ladder over L in [1, 7]
         # (content-grouped — no fingerprints at these widths).
         lad = (
@@ -2158,42 +2201,40 @@ def dedup_suffix_lcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             sm.unpersist()
             return empty
         grp = sm.filter(F.col("ln") == lstar).select("gc")
-        rep = grp.agg(F.count("*").alias("n_repeats"))
-        dc = (
+        return (
             lad.filter(F.col("ln") == lstar)
             .join(grp, "gc", "left_semi")
-            .agg(F.count_distinct("doc_id").alias("n_docs"))
-        )
-        return rep.crossJoin(dc).select(
-            F.lit(int(lstar)).cast("int").alias("lcs_len"), "n_repeats", "n_docs"
+            .agg(
+                F.count_distinct("gc").alias("n_repeats"),
+                F.count_distinct("doc_id").alias("n_docs"),
+            )
+            .select(
+                F.lit(int(lstar)).cast("int").alias("lcs_len"),
+                "n_repeats", "n_docs",
+            )
         )
 
-    # localCheckpoint (not persist): each round's frontier plan would
-    # otherwise nest the whole previous round's plan — exponential plan
-    # trees by round ~10 (the pagerank lesson; eager checkpoint truncates
-    # lineage and old blocks are freed by the ContextCleaner as rounds
-    # drop their references).
-    frontier = (
-        rung_grams(only_r=best)
-        .join(shared.filter(F.col("r") == best).select("fp"), "fp", "left_semi")
-        .select("doc_id", "i")
-        .localCheckpoint()
-    )
-    shared.unpersist()
-    f_cnt = frontier.count()
-    lo = best
-    # hi is proven: the next rung 2*best was IN the tested grid and not
-    # shared (so L* < 2*best), unless it fell outside the grid — beyond
-    # max_n (then L* <= max_n trivially) or beyond the rung cap (then the
-    # bisection below does the honest work).
-    hi = 2 * best if (2 * best <= max_n and 2 * best <= _LCS_RUNG_CAP) else max_n + 1
+    lo = rungs[lo_idx]
+    # hi is proven either way the loop ended: hi_idx was only ever set by a
+    # FAILED probe at rungs[hi_idx] (so L* < rungs[hi_idx]); when no probed
+    # rung failed, the grid stopped at max_n (L* <= max_n trivially) or at
+    # the rung cap (the window bisection below does the honest work).
+    hi = rungs[hi_idx] if hi_idx < len(rungs) else max_n + 1
 
-    if (hi - lo > 1
-            and f_cnt * (hi - lo - 1) <= _LCS_ONESHOT_ROWS
-            and f_cnt * (hi - lo - 1) * hi <= _LCS_ONESHOT_CHARS):
+    # Window bisection runs only while the one-shot budget rejects the
+    # window; the frontier shrinks every successful probe, so the search
+    # always hands off to the exhaustive job once it is cheap.
+    while hi - lo > 1 and not _fits_oneshot(f_cnt, lo, hi):
+        mid = (lo + hi) // 2
+        nf, cnt = _probe(mid, frontier)
+        if nf is not None:
+            frontier, f_cnt, lo = nf, cnt, mid
+        else:
+            hi = mid
+    if hi - lo > 1:
         # One-shot exhaustive probe: every candidate length in (lo, hi) for
         # every frontier position, one scan + one hash agg — replaces the
-        # entire bisection loop when the seed has collapsed the frontier.
+        # tail of the bisection once the frontier has collapsed.
         sh = (
             frontier.join(d_txt, "doc_id")
             .filter(F.col("n") - F.col("i") + 1 >= lo + 1)
@@ -2208,34 +2249,6 @@ def dedup_suffix_lcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .first()[0]
         )
         lo = int(sh) if sh else lo
-    else:
-        while hi - lo > 1:
-            mid = (lo + hi) // 2
-            # ONE action per round: the eager localCheckpoint materializes
-            # the shrunk frontier (probe + shrink fused — an empty result
-            # IS the "not shared" verdict); the count reads the checkpoint.
-            test = (
-                frontier.join(d_txt, "doc_id")
-                .filter(F.col("n") - F.col("i") + 1 >= mid)
-                .select(
-                    "doc_id", "i",
-                    F.expr(f"xxhash64(substring(text, i, {mid}))").alias("fp"),
-                )
-                .persist()
-            )
-            hit = (
-                test.groupBy("fp")
-                .agg(F.count_distinct("doc_id").alias("nd"))
-                .filter(F.col("nd") >= 2)
-                .select("fp")
-            )
-            nxt = test.join(hit, "fp", "left_semi").select("doc_id", "i").localCheckpoint()
-            test.unpersist()
-            if nxt.count():
-                frontier = nxt
-                lo = mid
-            else:
-                hi = mid
     if lo == 0:
         return empty
     sharedg = (
@@ -2249,13 +2262,16 @@ def dedup_suffix_lcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nd") >= 2)
         .select("gc")
     )
-    rep = grp.agg(F.count("*").alias("n_repeats"))
-    dc = (
+    # one Expand aggregation replaces the r9 two-agg scalar crossJoin:
+    # n_repeats = distinct shared contents, n_docs = distinct docs holding
+    # one — both over the semi-joined positions, single job
+    return (
         sharedg.join(grp, "gc", "left_semi")
-        .agg(F.count_distinct("doc_id").alias("n_docs"))
-    )
-    return rep.crossJoin(dc).select(
-        F.lit(lo).cast("int").alias("lcs_len"), "n_repeats", "n_docs"
+        .agg(
+            F.count_distinct("gc").alias("n_repeats"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .select(F.lit(lo).cast("int").alias("lcs_len"), "n_repeats", "n_docs")
     )
 
 

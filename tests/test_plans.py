@@ -104,7 +104,6 @@ def test_whole_stage_codegen_in_hot_paths(spark, sf_dir):
 # LSH/IVF variants are the scale paths that avoid it.
 BNLJ_BY_DESIGN = {
     "dedup_cdc_chunks",  # 1-row totals x 1-row distinct-stats scalar crossJoin
-    "dedup_suffix_lcs",  # 1-row repeat-count x 1-row doc-count scalar crossJoin
     "sim_cosine_topk",
     "sim_ann_binary",  # signature scan: 16-byte/vec broadcast BNLJ replaces the float BNLJ
     "sim_binary_quality",  # composes sim_cosine_topk + sim_ann_binary
@@ -528,16 +527,16 @@ BENCH_PLAN_FINGERPRINTS = {
         "broadcast_exchange": 1,
         "BroadcastHashJoin": 1,
     },
-    # Suffix-LCS readout (the bisection probes are bounded driver rounds
+    # Suffix-LCS readout (the rung/window probes are bounded driver rounds
     # over a checkpointed frontier — this pins the steady-state readout):
-    # content groupBy + two count-distinct aggs + scalar crossJoin; the
-    # frontier scan is the localCheckpoint, the text side broadcasts
+    # content groupBy + ONE Expand aggregation (distinct contents +
+    # distinct docs in one job; the r9 two-agg scalar crossJoin is gone);
+    # the frontier scan is the localCheckpoint, the text side broadcasts
     "dedup_suffix_lcs": {
-        "shuffle_exchange": 8,
-        "broadcast_exchange": 4,
-        "BroadcastHashJoin": 3,
+        "shuffle_exchange": 5,
+        "broadcast_exchange": 2,
+        "BroadcastHashJoin": 2,
         "SortMergeJoin": 1,
-        "BroadcastNestedLoopJoin": 1,
     },
     # DP counts: one map-side-combinable aggregate; noise is scalar math
     "dq_dp_counts": {"shuffle_exchange": 1},
