@@ -35,11 +35,37 @@ import time
 import uuid
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F
 
+from bench import external_shares, load_snapshot  # noqa: E402 (repo root)
+from scale_probe import probe_load_cell  # noqa: E402 (tools dir)
 from drive_health_etl_spark.session import get_spark, shuffle_partitions
 from drive_health_etl_spark.sources.tables import load_table
+
+
+def _measured(fn, spark, sf_dir, batches):
+    """Run one probe cell bracketed by its own machine-load window; returns
+    (wall, state, shares_or_None) — the same self-annotation discipline as
+    scale_probe rows (round-10: the first r10 stream regen shipped a table
+    whose every row was 2-4x inflated by a contended window, and nothing in
+    the table said so)."""
+    pre = load_snapshot()
+    wall, state = fn(spark, sf_dir, batches)
+    post = load_snapshot()
+    shares = external_shares(pre, post) if pre is not None and post is not None else None
+    return wall, state, shares
+
+
+def _row_load_cell(cells: list[dict | None]) -> str:
+    """One load cell per table ROW: the row's WORST window (max external
+    share), so a single contended cell flags the whole row."""
+    real = [s for s in cells if s is not None]
+    if not real:
+        return "-"
+    worst = max(real, key=lambda s: s["external_cpu_share"] + s["iowait_share"])
+    return probe_load_cell(worst)
 
 MARK_BEGIN = "<!-- STREAM-SCALE:BEGIN -->"
 MARK_END = "<!-- STREAM-SCALE:END -->"
@@ -373,26 +399,30 @@ def main() -> None:
     spark = get_spark("stream-scale-probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     spark.sparkContext.setLogLevel("ERROR")
 
-    batch_rows = []  # (probe, B, wall, state)
+    batch_rows = []  # (probe, [(B, wall, state)], load_cell)
     for name, fn in PROBES.items():
-        per_b = []
+        per_b, loads = [], []
         for b in BATCH_COUNTS:
-            wall, state = fn(spark, "/root/testdata/sf0.01", b)
+            wall, state, shares = _measured(fn, spark, "/root/testdata/sf0.01", b)
             per_b.append((b, wall, state))
-            print(f"[batches] {name} B={b}: {wall:.2f}s state={state}")
-        batch_rows.append((name, per_b))
+            loads.append(shares)
+            print(f"[batches] {name} B={b}: {wall:.2f}s state={state} "
+                  f"load={probe_load_cell(shares)}")
+        batch_rows.append((name, per_b, _row_load_cell(loads)))
 
-    vol_rows = []  # (probe, [(sf, wall, state)])
+    vol_rows = []  # (probe, [(sf, wall, state)], load_cell)
     for name, fn in PROBES.items():
         sfs = list(VOLUME_SFS)
         if name in DEEP_VOLUME and os.path.isdir(SF1_DIR):
             sfs.append(("1", SF1_DIR))
-        per_sf = []
+        per_sf, loads = [], []
         for label, d in sfs:
-            wall, state = fn(spark, d, VOLUME_BATCHES)
+            wall, state, shares = _measured(fn, spark, d, VOLUME_BATCHES)
             per_sf.append((label, wall, state))
-            print(f"[volume] {name} sf{label}: {wall:.2f}s state={state}")
-        vol_rows.append((name, per_sf))
+            loads.append(shares)
+            print(f"[volume] {name} sf{label}: {wall:.2f}s state={state} "
+                  f"load={probe_load_cell(shares)}")
+        vol_rows.append((name, per_sf, _row_load_cell(loads)))
 
     import math
 
@@ -408,17 +438,21 @@ def main() -> None:
         "rows come from Spark's own `stateOperators[].numRowsTotal` progress",
         "metric (parquet store rows for the corpus dedup, distinct warehouse",
         "idempotency keys for the ingest chain; the SPRT monitor's state is",
-        "two integers by construction).",
+        "two integers by construction). The `load` cell is the row's WORST",
+        "per-cell machine-load window (external-CPU/iowait outside the",
+        "probe's tree, thresholds shared with bench.py) — r10's first regen",
+        "shipped a table whose every row was 2-4x inflated by a contended",
+        "window and nothing in the table said so.",
         "",
-        "| probe | B=2 | B=8 | B=32 | wall ratio B32/B2 | state rows (B=32) |",
-        "|---|---|---|---|---|---|",
+        "| probe | B=2 | B=8 | B=32 | wall ratio B32/B2 | state rows (B=32) | load |",
+        "|---|---|---|---|---|---|---|",
     ]
-    for name, per_b in batch_rows:
+    for name, per_b, load_cell in batch_rows:
         w = {b: wall for b, wall, _ in per_b}
         st = per_b[-1][2]
         lines.append(
             f"| {name} | {w[2]:.2f}s | {w[8]:.2f}s | {w[32]:.2f}s | "
-            f"{w[32] / w[2]:.1f}x | {st} |"
+            f"{w[32] / w[2]:.1f}x | {st} | {load_cell} |"
         )
     lines += [
         "",
@@ -434,10 +468,10 @@ def main() -> None:
         "decade. State rows should track input keys linearly at every",
         "decade.",
         "",
-        "| probe | t@sf0.001 | t@sf0.01 | t@sf0.1 | t@sf1 | slope | slope (sf1) | state@sf0.001 | state@sf0.01 | state@sf0.1 | state@sf1 |",
-        "|---|---|---|---|---|---|---|---|---|---|---|",
+        "| probe | t@sf0.001 | t@sf0.01 | t@sf0.1 | t@sf1 | slope | slope (sf1) | state@sf0.001 | state@sf0.01 | state@sf0.1 | state@sf1 | load |",
+        "|---|---|---|---|---|---|---|---|---|---|---|---|",
     ]
-    for name, per_sf in vol_rows:
+    for name, per_sf, load_cell in vol_rows:
         d = {label: (wall, state) for label, wall, state in per_sf}
         slope = math.log10(d["0.1"][0] / d["0.01"][0])
         if "1" in d:
@@ -448,7 +482,7 @@ def main() -> None:
         lines.append(
             f"| {name} | {d['0.001'][0]:.2f}s | {d['0.01'][0]:.2f}s | "
             f"{d['0.1'][0]:.2f}s | {t1} | {slope:.2f} | {slope1} | "
-            f"{d['0.001'][1]} | {d['0.01'][1]} | {d['0.1'][1]} | {st1} |"
+            f"{d['0.001'][1]} | {d['0.01'][1]} | {d['0.1'][1]} | {st1} | {load_cell} |"
         )
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
