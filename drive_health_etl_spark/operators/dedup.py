@@ -2088,8 +2088,11 @@ def dedup_suffix_lcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             shared.unpersist()
             return empty
         grp = shared.filter(F.col("ln") == lstar).select("gc")
-        # one Expand aggregation: distinct contents + distinct docs in one job
-        return (
+        # one Expand aggregation: distinct contents + distinct docs in one
+        # job. localCheckpoint the 1-row readout so `shared` can be
+        # unpersisted before returning (ADVICE r10: the success path leaked
+        # the persisted blocks for the session's lifetime).
+        res = (
             lad.filter(F.col("ln") == lstar)
             .join(grp, "gc", "left_semi")
             .agg(
@@ -2100,7 +2103,10 @@ def dedup_suffix_lcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(int(lstar)).cast("int").alias("lcs_len"),
                 "n_repeats", "n_docs",
             )
+            .localCheckpoint()
         )
+        shared.unpersist()
+        return res
 
     # --- rung-ladder bisection seed. Rung-r fingerprints exist for every
     # position whose full r-gram fits; a position starting an L*-repeat has
@@ -2201,7 +2207,9 @@ def dedup_suffix_lcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             sm.unpersist()
             return empty
         grp = sm.filter(F.col("ln") == lstar).select("gc")
-        return (
+        # 1-row readout localCheckpointed so `sm` can be unpersisted on the
+        # success path too (ADVICE r10 leak fix, same as the max_n < 8 path).
+        res = (
             lad.filter(F.col("ln") == lstar)
             .join(grp, "gc", "left_semi")
             .agg(
@@ -2212,7 +2220,10 @@ def dedup_suffix_lcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(int(lstar)).cast("int").alias("lcs_len"),
                 "n_repeats", "n_docs",
             )
+            .localCheckpoint()
         )
+        sm.unpersist()
+        return res
 
     lo = rungs[lo_idx]
     # hi is proven either way the loop ended: hi_idx was only ever set by a
@@ -2286,8 +2297,11 @@ def _lcs_bisect_ctes(rounds: int = 21, hi0: int = _LCS_ORACLE_HI0) -> str:
     (rung 2*best was tested and failed, so L* < 2*best — the cap loses
     nothing); when best == max rung that bound is UNPROVEN (ADVICE r9), so
     the cs CTE keeps FULL suffixes and the `lim` guard CTE errors loudly if
-    any document reaches hi0 = 2^21 chars (21 rounds = log2(hi0), so the
-    search converges to hi - lo = 1 and stays exact up to that length)."""
+    any CANDIDATE string reaches hi0 = 2^21 chars (21 rounds = log2(hi0),
+    so the search converges to hi - lo = 1 and stays exact up to that
+    length). The guard measures cs's candidate lengths, not raw document
+    length (ADVICE r10): on the capped best < 1024 branch candidates are
+    <= 2048 chars and a multi-MiB document must NOT trip the error."""
     parts = ["b0 AS (SELECT s, ns, 0 AS lo, %d AS hi FROM pairs)" % hi0]
     for t in range(1, rounds + 1):
         parts.append(
@@ -2301,7 +2315,12 @@ def _lcs_bisect_ctes(rounds: int = 21, hi0: int = _LCS_ORACLE_HI0) -> str:
     return ",\n".join(parts)
 
 
-DEDUP_SUFFIX_LCS_SQL = f"""
+def _suffix_lcs_oracle_sql(rounds: int = 21, hi0: int = _LCS_ORACLE_HI0) -> str:
+    """Build the suffix-lcs oracle with a parameterized bisection range so
+    tests can exercise the `lim` guard cheaply (small hi0) on both the
+    capped and uncapped candidate branches; the registry ships the
+    default rounds=21 / hi0=2^21 instance."""
+    return f"""
 WITH d AS MATERIALIZED (SELECT doc_id, text, len(text) AS n FROM documents),
 rungs AS (SELECT unnest([8, 16, 32, 64, 128, 256, 512, 1024]) AS r),
 rg AS MATERIALIZED (
@@ -2338,13 +2357,6 @@ lsmall AS MATERIALIZED (
 -- and not shared, so L* < 2*best and LCPs never need more. When best ==
 -- max rung (1024) that bound is unproven (ADVICE r9), so keep the FULL
 -- suffix — the lim guard bounds it below the bisection range.
-lim AS MATERIALIZED (
-  SELECT CASE WHEN MAX(n) >= {_LCS_ORACLE_HI0}
-              THEN error('suffix-lcs oracle: document length ' || MAX(n) ||
-                         ' exceeds the unrolled bisection range {_LCS_ORACLE_HI0}')
-              ELSE 1 END AS ok
-  FROM d
-),
 cs AS MATERIALIZED (
   SELECT rg.doc_id,
          CASE WHEN (SELECT r FROM best) < 1024
@@ -2354,6 +2366,20 @@ cs AS MATERIALIZED (
   JOIN d ON d.doc_id = rg.doc_id
   WHERE rg.r = (SELECT r FROM best)
 ),
+-- Guard the bisection range on the ACTUAL candidate strings, not raw doc
+-- length (ADVICE r10): with best < 1024 the candidates are capped at
+-- 2*best <= 2048 chars and the bisection is exact no matter how long the
+-- documents are, so only the uncapped best == 1024 branch can overflow —
+-- and cs's max candidate length captures exactly that (empty cs on the
+-- best = 0 ladder path yields NULL >= hi0 = NULL -> ok, no spurious error
+-- even if DuckDB evaluates lbig's scalar subquery eagerly inside the CASE).
+lim AS MATERIALIZED (
+  SELECT CASE WHEN MAX(len(s)) >= {hi0}
+              THEN error('suffix-lcs oracle: candidate length ' || MAX(len(s)) ||
+                         ' exceeds the unrolled bisection range {hi0}')
+              ELSE 1 END AS ok
+  FROM cs
+),
 adj AS (
   SELECT doc_id, s,
          LEAD(s) OVER (ORDER BY s, doc_id) AS ns,
@@ -2361,11 +2387,11 @@ adj AS (
   FROM cs
 ),
 pairs AS (SELECT s, ns FROM adj WHERE nd2 IS NOT NULL AND nd2 <> doc_id),
-{_lcs_bisect_ctes()},
+{_lcs_bisect_ctes(rounds, hi0)},
 lbig AS MATERIALIZED (
   -- the (SELECT ok FROM lim) factor forces the guard to evaluate exactly
   -- on the path that needs it (best > 0 is the only reader of lbig)
-  SELECT COALESCE(MAX(lo), 0) * (SELECT ok FROM lim) AS l FROM b21
+  SELECT COALESCE(MAX(lo), 0) * (SELECT ok FROM lim) AS l FROM b{rounds}
 ),
 lstar AS MATERIALIZED (
   SELECT CASE WHEN (SELECT r FROM best) > 0
@@ -2383,6 +2409,9 @@ SELECT CAST((SELECT l FROM lstar) AS INTEGER) AS lcs_len,
        (SELECT COUNT(*) FROM grp) AS n_repeats,
        (SELECT COUNT(DISTINCT s.doc_id) FROM sharedg s JOIN grp USING (gc)) AS n_docs
 """
+
+
+DEDUP_SUFFIX_LCS_SQL = _suffix_lcs_oracle_sql()
 
 
 # --- edit-distance similarity join (Ed-Join family) --------------------------

@@ -119,6 +119,7 @@ class FitCache(dict):
         if v is not None:
             return v
         v = build()
+        evicted: list = []
         with self._lock:
             existing = self.get(key)
             if existing is not None:
@@ -126,7 +127,23 @@ class FitCache(dict):
                 v = existing
             else:
                 loser = None
-                self[key] = v
+                super().__setitem__(key, v)
+                # ADVICE r10: the touch() above ran BEFORE the build, so a
+                # concurrent touch-storm can evict this scope while the build
+                # runs; storing then would leave dict contents whose scope is
+                # absent from _scope_order, escaping the max_scopes bound
+                # until the scope is touched again. Re-register (and re-run
+                # the eviction bound) under the same lock as the store so the
+                # two structures can never diverge.
+                s = self._scope(key)
+                if s not in self._scope_order:
+                    self._scope_order.append(s)
+                    while len(self._scope_order) > self._max_scopes:
+                        old = self._scope_order.pop(0)
+                        for k in [k for k in self if self._scope(k) == old]:
+                            evicted.append(super().pop(k))
+        for ev in evicted:
+            _try_unpersist(ev)
         if loser is not None:
             _try_unpersist(loser)
         return v

@@ -504,10 +504,17 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid-literal map, the quadratic term bounded to within-cell pairs
     (k grows with the corpus via the `dedup_semantic_scaled` policy at
     production scale), plus one K-row centroid broadcast join to attach
-    the assigned cell's vector for the centroid-cosine priority. The
-    centroid cosine and pair cosine keep the oracle's exact IEEE operation
-    order (dot / (norm * norm)), so every threshold and priority
-    comparison is bit-identical in both engines."""
+    the assigned cell's vector for the centroid-cosine priority. Parity
+    contract (ADVICE r10): the centroid cosine (native `aggregate` fold —
+    same sequential IEEE op order as DuckDB's list_dot_product) is
+    bit-identical in both engines, so the PRIORITY ordering always agrees;
+    the pair cosine uses `_pdot_udf` (numpy einsum), whose accumulation
+    order can differ from the oracle's sequential fold by ~1 ulp (see
+    `_pdot_udf`'s docstring), so the `>= SEMDEDUP_TAU` verdict matches the
+    oracle only when the cosine clears the threshold with real margin —
+    which the fixture corpus does, and which any tau chosen for a real
+    corpus should (a pair sitting within 1 ulp of tau is semantically a
+    coin flip in either engine)."""
     emb = (
         load_table(spark, sf_dir, "embeddings")
         .repartition(spark.sparkContext.defaultParallelism)

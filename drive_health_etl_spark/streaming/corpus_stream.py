@@ -55,21 +55,6 @@ class CorpusStreamConfig:
     max_files_per_trigger: int | None = 1
 
 
-def _accepted_in_batch(docs: DataFrame) -> DataFrame:
-    """Greedy in-batch LSH dedup: keep a doc iff no band collision with a
-    lower doc_id in the same batch. One shuffle on the band key; the
-    per-bucket min is a map-side-combinable aggregate."""
-    bands = band_keys(signatures_for(docs))
-    bucket_min = bands.groupBy("band", "h1", "h2").agg(F.min("doc_id").alias("keeper"))
-    colliding = (
-        bands.join(bucket_min, ["band", "h1", "h2"])
-        .filter(F.col("doc_id") != F.col("keeper"))
-        .select("doc_id")
-        .distinct()
-    )
-    return docs.join(colliding, "doc_id", "left_anti")
-
-
 def run_corpus_dedup_stream(spark: SparkSession, cfg: CorpusStreamConfig) -> StreamingQuery:
     """Start the dedup-on-arrival stream (availableNow drain; callers pick
     their trigger for continuous mode)."""
@@ -122,7 +107,12 @@ def run_corpus_dedup_stream(spark: SparkSession, cfg: CorpusStreamConfig) -> Str
                 state_parts.append(spark_b.read.parquet(cfg.store_path))
             seeded["done"] = True
         # ONE MinHash pass per batch; everything downstream joins this
-        # slim checkpointed band relation (doc_id, band, h1, h2)
+        # slim checkpointed band relation (doc_id, band, h1, h2). The
+        # greedy in-batch rule lives HERE and only here (the former
+        # `_accepted_in_batch` helper duplicated it unused and was removed,
+        # ADVICE r10): keep a doc iff no band collision with a lower doc_id
+        # in the same batch — one shuffle on the band key, map-side-
+        # combinable per-bucket min.
         allb = band_keys(signatures_for(docs)).localCheckpoint(eager=True)
         bucket_min = allb.groupBy("band", "h1", "h2").agg(F.min("doc_id").alias("keeper"))
         dropped = (

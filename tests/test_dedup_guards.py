@@ -496,3 +496,89 @@ def test_exactsubstr_clean_removes_exactly_the_spans(spark):
     assert rows[2]["cleaned_text"] == docs[2][1]  # unique doc untouched
     assert rows[2]["kept_tokens"] == rows[2]["n_tokens"] == 11
     assert rows[3]["cleaned_text"] == "" and rows[3]["kept_tokens"] == 0
+
+
+def test_suffix_lcs_oracle_lim_guard_scopes_to_uncapped_branch():
+    """ADVICE r10: the bisection-range guard must measure CANDIDATE length,
+    not raw document length. On the capped branch (best < max rung, so
+    candidates are <= 2*best chars) a document longer than hi0 is still
+    exact and must NOT error; only the uncapped best == max-rung branch,
+    where candidates are full suffixes, may trip it."""
+    import duckdb
+    import pandas as pd
+
+    from drive_health_etl_spark.operators.dedup import _suffix_lcs_oracle_sql
+
+    # capped branch: shared run of 10 chars (best rung = 8, candidates
+    # capped at 16 chars) inside documents LONGER than hi0 = 256 — the old
+    # MAX(n)-based guard errored here; the answer stays exact.
+    run = "SHAREDRUN#"  # 10 chars, planted once per doc
+    docs = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["a" * 150 + run + "b" * 150, "c" * 200 + run + "d" * 100],
+    })
+    con = duckdb.connect()
+    con.register("documents", docs)
+    got = con.execute(_suffix_lcs_oracle_sql(rounds=8, hi0=256)).fetchall()
+    # L* = 10 (the planted run; the aaaa/cccc runs are single-doc)
+    assert got == [(10, 1, 2)]
+
+    # uncapped branch: best == 1024 forces full-suffix candidates; with a
+    # candidate >= hi0 the guard must error loudly (silent wrong answers
+    # are the failure mode it exists to prevent).
+    big = "x" + "yz" * 600  # 1201 chars, shared verbatim
+    docs2 = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": [big + "A", big + "B"],
+    })
+    con2 = duckdb.connect()
+    con2.register("documents", docs2)
+    import pytest
+
+    with pytest.raises(Exception, match="exceeds the unrolled bisection range"):
+        con2.execute(_suffix_lcs_oracle_sql(rounds=10, hi0=1024)).fetchall()
+
+
+def test_suffix_lcs_short_ladder_unpersists_on_success(spark, tmp_path, monkeypatch):
+    """ADVICE r10: the two short-repeat ladder paths persisted shared/sm
+    and only unpersisted on the EMPTY-result path; a successful short-LCS
+    call leaked the cached blocks for the session's lifetime. Every persist
+    inside the operator must now be paired with an unpersist, except the
+    deliberate session-scoped fit-cache entry (the docs relation)."""
+    from pyspark.sql import DataFrame
+
+    from drive_health_etl_spark.operators import dedup as D
+    from drive_health_etl_spark.operators.dedup import dedup_suffix_lcs
+
+    persisted: list[int] = []
+    unpersisted: list[int] = []
+    orig_p, orig_u = DataFrame.persist, DataFrame.unpersist
+
+    def track_persist(self, *a, **k):
+        persisted.append(id(self))
+        return orig_p(self, *a, **k)
+
+    def track_unpersist(self, *a, **k):
+        unpersisted.append(id(self))
+        return orig_u(self, *a, **k)
+
+    monkeypatch.setattr(DataFrame, "persist", track_persist)
+    monkeypatch.setattr(DataFrame, "unpersist", track_unpersist)
+
+    for docs in (
+        {1: "abcXYZ", 2: "qqXYZpp", 3: "zzzz"},   # L* = 3: lo_idx == -1 ladder
+        {1: "abXde", 2: "fgXhi"},                  # max_n < 8 one-shot ladder
+    ):
+        D._SUBTREE_CACHE.clear()
+        persisted.clear()
+        unpersisted.clear()
+        rows = [(d, t, "en", "s", len(t)) for d, t in docs.items()]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        res = dedup_suffix_lcs(spark, str(tmp_path))
+        assert res.count() == 1  # SUCCESS path (the leaky one)
+        leaked = set(persisted) - set(unpersisted)
+        # the only surviving persist is the fit-cached docs relation
+        assert len(leaked) <= 1, f"leaked persisted DataFrames: {len(leaked)}"
+    D._SUBTREE_CACHE.clear()

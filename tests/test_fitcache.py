@@ -220,3 +220,33 @@ def test_dedup_subtree_cache_sweep_frees_old_blocks(spark, monkeypatch):
         assert len(D._SUBTREE_CACHE) == 1
     finally:
         D._SUBTREE_CACHE.clear()
+
+
+def test_get_or_build_reregisters_scope_evicted_during_build():
+    """ADVICE r10: touch() runs before the build, so concurrent touches can
+    evict the building scope mid-build; the store must re-register the
+    scope (and re-apply the bound) so dict contents and _scope_order never
+    diverge and the entry stays under LRU control."""
+    c = FitCache(scope_len=2, max_scopes=2)
+
+    def build():
+        # while "sfA" builds, two other scopes touch in and evict it
+        c.touch(("app", "sfB", "k"))
+        c.touch(("app", "sfC", "k"))
+        assert ("app", "sfA") not in c._scope_order
+        return FakeDF()
+
+    v = c.get_or_build(("app", "sfA", "k"), build)
+    with c._lock:
+        # stored entry's scope is back in the LRU list...
+        assert ("app", "sfA") in c._scope_order
+        # ...the bound still holds (oldest of B/C was evicted to make room)
+        assert len(c._scope_order) <= 2
+        assert {c._scope(k) for k in c} <= set(c._scope_order)
+    assert c[("app", "sfA", "k")] is v
+    # and a later scope storm can actually evict it (it is LRU-tracked)
+    e1, e2 = FakeDF(), FakeDF()
+    c.get_or_build(("app", "sfD", "k"), lambda: e1)
+    c.get_or_build(("app", "sfE", "k"), lambda: e2)
+    assert ("app", "sfA", "k") not in c
+    assert not v.persisted
