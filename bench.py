@@ -121,6 +121,7 @@ HEADLINE = [
     "retrieval_rrf_fusion",
     "lake_time_travel",
     "text_bpe_train",
+    "text_bpe_encode",
     "emb_gram_topk",
     "emb_jl_projection",
     "w11_interval_concurrency",

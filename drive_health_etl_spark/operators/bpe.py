@@ -33,10 +33,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from drive_health_etl_spark.operators.fitcache import FitCache
 from drive_health_etl_spark.operators.text import TOKENS_SQL, tokens_col
 from drive_health_etl_spark.sources.tables import load_table
 
 BPE_ROUNDS = 3
+
+# (applicationId, sf_dir) -> trained merge rows; values are tiny lists, the
+# scope-LRU bound just keeps a long-lived multi-dataset driver tidy
+_MERGE_CACHE = FitCache(scope_len=2)
 
 
 def _pair_counts(s_df: DataFrame) -> DataFrame:
@@ -59,37 +64,53 @@ def _token_total(s_df: DataFrame) -> int:
     return s_df.select(F.sum(F.size(toks)).alias("n")).collect()[0]["n"]
 
 
+def _train_merges(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """Run the ``BPE_ROUNDS`` training loop; return one
+    (round, w1, w2, pair_count, tokens_after) tuple per executed round.
+    Fit-cached per (session, dataset): `text_bpe_train` reports these rows
+    and `text_bpe_encode` applies the (w1, w2) merge table, and the two
+    must never re-run the iterative loop twice in one session. The cached
+    value is a plain list (bounded: BPE_ROUNDS rows of short strings), so
+    FitCache's best-effort unpersist is a no-op on eviction."""
+    key = (spark.sparkContext.applicationId, sf_dir, "bpe_merges")
+
+    def build() -> list[tuple]:
+        docs = load_table(spark, sf_dir, "documents")
+        s_df = docs.select(
+            F.concat(F.lit(" "), F.concat_ws(" ", tokens_col()), F.lit(" ")).alias("s")
+        ).localCheckpoint(eager=True)
+
+        rows = []
+        for rnd in range(1, BPE_ROUNDS + 1):
+            top = (
+                _pair_counts(s_df)
+                .orderBy(F.col("c").desc(), F.col("w1").asc(), F.col("w2").asc())
+                .limit(1)
+                .collect()  # bounded: one row per round
+            )
+            if not top:  # corpus empty or no pairs left — nothing to merge
+                break
+            best = top[0]
+            w1, w2, c = best["w1"], best["w2"], best["c"]
+            s_df = s_df.select(
+                F.replace(
+                    F.col("s"), F.lit(f" {w1} {w2} "), F.lit(f" {w1}~{w2} ")
+                ).alias("s")
+            ).localCheckpoint(eager=True)  # truncate lineage each round
+            rows.append((rnd, w1, w2, c, _token_total(s_df)))
+        return rows
+
+    return _MERGE_CACHE.get_or_build(key, build)
+
+
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train ``BPE_ROUNDS`` merges; emit one row per round: the merged pair,
     its corpus frequency when selected, and the corpus token total after
     applying the merge (which verifies every rewrite, not just the
     selection)."""
-    docs = load_table(spark, sf_dir, "documents")
-    s_df = docs.select(
-        F.concat(F.lit(" "), F.concat_ws(" ", tokens_col()), F.lit(" ")).alias("s")
-    ).localCheckpoint(eager=True)
-
-    rows = []
-    for rnd in range(1, BPE_ROUNDS + 1):
-        top = (
-            _pair_counts(s_df)
-            .orderBy(F.col("c").desc(), F.col("w1").asc(), F.col("w2").asc())
-            .limit(1)
-            .collect()  # bounded: one row per round
-        )
-        if not top:  # corpus empty or no adjacent pairs left — nothing to merge
-            break
-        best = top[0]
-        w1, w2, c = best["w1"], best["w2"], best["c"]
-        s_df = s_df.select(
-            F.replace(
-                F.col("s"), F.lit(f" {w1} {w2} "), F.lit(f" {w1}~{w2} ")
-            ).alias("s")
-        ).localCheckpoint(eager=True)  # truncate lineage each round
-        rows.append((rnd, w1, w2, c, _token_total(s_df)))
-
     return spark.createDataFrame(
-        rows, "round int, w1 string, w2 string, pair_count long, tokens_after long"
+        _train_merges(spark, sf_dir),
+        "round int, w1 string, w2 string, pair_count long, tokens_after long",
     )
 
 
@@ -139,6 +160,150 @@ def _bpe_train_sql() -> str:
 TEXT_BPE_TRAIN_SQL = _bpe_train_sql()
 
 
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained BPE merge table to the corpus — the missing half
+    of the tokenizer loop (`text_bpe_train` FITS the merges; a training
+    pipeline then has to ENCODE every document with them). Per document:
+    token counts before/after the merges, how many emitted tokens are
+    merged units, and the frequency-ranked token-ID sequence — the ids are
+    proven order-exactly via an md5 digest of the comma-joined sequence
+    plus its sum, keeping the driver-compared schema scalar (the driver's
+    value hash is defined over scalar cells).
+
+    Application semantics are exactly training's rewrite: each learned
+    (w1, w2) is applied IN RANK ORDER as a literal left-to-right
+    non-overlapping replacement of " w1 w2 " with " w1~w2 " on the
+    space-delimited token string — one narrow JVM `replace` map per merge
+    rank, no shuffle, no Python in the row path. Token IDs come from the
+    post-merge vocabulary ranked by (count DESC, token ASC), id = rank-1;
+    the id assignment is a `transform` over a BROADCAST LITERAL map
+    (vocab is budget-bounded in any real tokenizer — here base vocab + one
+    entry per merge — so the map literal is enum-sized; the same bounded
+    collect pattern as the corpus-mix enum broadcasts).
+
+    Scale shape: train is the fit-cached iterative loop (shared with
+    `text_bpe_train`, one run per session/dataset); encode itself is ONE
+    scan — R chained narrow replaces, a split, and per-row array exprs —
+    plus one vocab^2-bounded count aggregate for the ranking. Nothing is
+    quadratic and nothing shuffles per document except the single vocab
+    count (map-side combinable).
+
+    Oracle: the same unrolled training CTEs as TEXT_BPE_TRAIN_SQL carrying
+    doc_id through the rewrites, then the identical vocab ranking and id
+    digest in DuckDB — both engines learn from the data and must agree end
+    to end. Reference parity: north-star extension (BASELINE.json "text
+    analysis"); the shape mirrors the reference's payload-normalize step
+    (/root/reference/src/phone.js:36-56) — a learned table applied
+    row-wise at scale."""
+    merges = _train_merges(spark, sf_dir)
+
+    docs = load_table(spark, sf_dir, "documents")
+    enc = docs.select(
+        "doc_id",
+        F.concat(F.lit(" "), F.concat_ws(" ", tokens_col()), F.lit(" ")).alias("s"),
+        F.size(tokens_col()).cast("int").alias("n_tokens_base"),
+    )
+    for _rnd, w1, w2, _c, _n in merges:
+        enc = enc.withColumn(
+            "s", F.replace(F.col("s"), F.lit(f" {w1} {w2} "), F.lit(f" {w1}~{w2} "))
+        )
+    toks = F.filter(F.split(F.trim("s"), r"\s+"), lambda x: x != F.lit(""))
+    enc = enc.select("doc_id", "n_tokens_base", toks.alias("toks"))
+
+    # vocab ranking: one bounded count aggregate; the collect is capped by
+    # construction (base vocab + BPE_ROUNDS merge units)
+    vocab = (
+        enc.select(F.explode("toks").alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("t").asc())
+        .collect()
+    )
+    id_map = F.create_map(
+        *[x for i, r in enumerate(vocab) for x in (F.lit(r["t"]), F.lit(i))]
+    ) if vocab else F.create_map()
+
+    ids = F.transform(F.col("toks"), lambda x: F.element_at(id_map, x))
+    return enc.select(
+        "doc_id",
+        "n_tokens_base",
+        F.size("toks").cast("int").alias("n_tokens"),
+        F.size(F.filter(F.col("toks"), lambda x: x.contains("~"))).cast("int").alias("n_merged"),
+        F.md5(F.concat_ws(",", F.transform(ids, lambda i: i.cast("string")))).alias("ids_sig"),
+        F.coalesce(F.aggregate(ids, F.lit(0).cast("long"), lambda acc, i: acc + i), F.lit(0).cast("long")).alias("ids_sum"),
+    )
+
+
+def _bpe_encode_sql() -> str:
+    """Unrolled training rounds (the TEXT_BPE_TRAIN_SQL discipline) with
+    doc_id carried through every rewrite, then vocab ranking + id digest."""
+    parts = [
+        "WITH d0 AS MATERIALIZED (SELECT doc_id, "
+        # COALESCE: DuckDB's array_to_string is NULL (not '') on an empty
+        # list, and an empty document must encode to zero tokens, not NULLs
+        f"' ' || COALESCE(array_to_string({TOKENS_SQL}, ' '), '') || ' ' AS s, "
+        f"CAST(len({TOKENS_SQL}) AS INT) AS n_tokens_base FROM documents)"
+    ]
+    prev = "d0"
+    for rnd in range(1, BPE_ROUNDS + 1):
+        parts.append(f"""
+l{rnd} AS (
+  SELECT list_filter(regexp_split_to_array(trim(s), '\\s+'), x -> x <> '') AS l
+  FROM {prev}
+),
+p{rnd} AS (
+  SELECT p[1] AS w1, p[2] AS w2, COUNT(*) AS c
+  FROM (
+    SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS p
+    FROM l{rnd} WHERE len(l) >= 2
+  )
+  WHERE p[2] IS NOT NULL
+  GROUP BY 1, 2
+),
+b{rnd} AS (SELECT w1, w2 FROM p{rnd} ORDER BY c DESC, w1 ASC, w2 ASC LIMIT 1),
+d{rnd} AS MATERIALIZED (
+  -- LEFT JOIN + CASE, not a cross join: when a round finds no pair (b is
+  -- empty) documents must pass through UNCHANGED, matching the Spark
+  -- loop's early break — a cross join would drop every row instead
+  SELECT doc_id, n_tokens_base,
+         CASE WHEN b.w1 IS NULL THEN s
+              ELSE replace(s, ' ' || b.w1 || ' ' || b.w2 || ' ',
+                              ' ' || b.w1 || '~' || b.w2 || ' ') END AS s
+  FROM {prev} LEFT JOIN b{rnd} b ON TRUE
+)""")
+        prev = f"d{rnd}"
+    parts.append(f"""
+enc AS MATERIALIZED (
+  SELECT doc_id, n_tokens_base,
+         list_filter(regexp_split_to_array(trim(s), '\\s+'), x -> x <> '') AS toks
+  FROM {prev}
+),
+vocab AS MATERIALIZED (
+  SELECT t, CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, t ASC) - 1 AS INT) AS id
+  FROM (SELECT unnest(toks) AS t FROM enc) GROUP BY t
+),
+pos AS (
+  SELECT e.doc_id, e.toks[r.i] AS t, r.i
+  FROM enc e, UNNEST(range(1, len(e.toks) + 1)) AS r(i)
+),
+idseq AS (
+  SELECT p.doc_id, list(v.id ORDER BY p.i) AS ids
+  FROM pos p JOIN vocab v ON v.t = p.t GROUP BY p.doc_id
+)
+SELECT e.doc_id,
+       e.n_tokens_base,
+       CAST(len(e.toks) AS INT) AS n_tokens,
+       CAST(len(list_filter(e.toks, x -> contains(x, '~'))) AS INT) AS n_merged,
+       md5(COALESCE(array_to_string(i.ids, ','), '')) AS ids_sig,
+       CAST(COALESCE(list_sum(i.ids), 0) AS BIGINT) AS ids_sum
+FROM enc e LEFT JOIN idseq i USING (doc_id)""")
+    return ",".join(parts)
+
+
+TEXT_BPE_ENCODE_SQL = _bpe_encode_sql()
+
+
 QUERIES: dict[str, tuple] = {
     "text_bpe_train": (text_bpe_train, TEXT_BPE_TRAIN_SQL),
+    "text_bpe_encode": (text_bpe_encode, TEXT_BPE_ENCODE_SQL),
 }

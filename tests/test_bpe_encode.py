@@ -1,0 +1,105 @@
+"""text_bpe_encode semantics: the applied merge table must reproduce the
+training rewrite exactly, ids must follow the (count DESC, token ASC)
+vocab ranking, and the digest must capture sequence ORDER (not just the
+multiset). Oracle parity on the real corpus is tests/oracle_check.py's
+job; these fixtures pin the hand-computable cases."""
+
+from __future__ import annotations
+
+import hashlib
+
+from drive_health_etl_spark.operators import bpe as B
+
+
+def _write_docs(spark, tmp_path, docs: dict[int, str]) -> str:
+    rows = [(d, t, "en", "s", len(t)) for d, t in docs.items()]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_bpe_encode_hand_computed(spark, tmp_path):
+    # corpus engineered so all three merge rounds are forced:
+    #   r1: (a, b) x4 -> a~b        r2: (a~b, c) x3 -> a~b~c
+    #   r3: best remaining pair
+    docs = {
+        1: "a b c a b c x",
+        2: "a b c a b y",
+        3: "z z",
+    }
+    sf = _write_docs(spark, tmp_path, docs)
+    B._MERGE_CACHE.clear()
+    merges = B._train_merges(spark, sf)
+    assert [(m[1], m[2]) for m in merges][:2] == [("a", "b"), ("a~b", "c")]
+
+    got = {r["doc_id"]: r for r in B.text_bpe_encode(spark, sf).collect()}
+    assert got[1]["n_tokens_base"] == 7 and got[3]["n_tokens_base"] == 2
+
+    # replay the merge table in pure Python (literal left-to-right
+    # non-overlapping replace, rank order) and re-derive everything
+    def encode(text: str) -> list[str]:
+        s = " " + " ".join(text.split()) + " "
+        for _r, w1, w2, _c, _n in merges:
+            s = s.replace(f" {w1} {w2} ", f" {w1}~{w2} ")
+        return s.split()
+
+    toks = {d: encode(t) for d, t in docs.items()}
+    freq: dict[str, int] = {}
+    for ts in toks.values():
+        for t in ts:
+            freq[t] = freq.get(t, 0) + 1
+    vocab = {t: i for i, t in enumerate(sorted(freq, key=lambda t: (-freq[t], t)))}
+    for d, ts in toks.items():
+        ids = [vocab[t] for t in ts]
+        assert got[d]["n_tokens"] == len(ts)
+        assert got[d]["n_merged"] == sum("~" in t for t in ts)
+        assert got[d]["ids_sum"] == sum(ids)
+        want_sig = hashlib.md5(",".join(map(str, ids)).encode()).hexdigest()
+        assert got[d]["ids_sig"] == want_sig, f"doc {d}: id sequence diverged"
+    B._MERGE_CACHE.clear()
+
+
+def test_bpe_encode_digest_is_order_sensitive(spark, tmp_path, monkeypatch):
+    # two docs with the SAME token multiset in different order must get
+    # different ids_sig (equal ids_sum makes the sum an honest weak check);
+    # rounds pinned to 0 so merges don't rewrite the planted permutation
+    monkeypatch.setattr(B, "BPE_ROUNDS", 0)
+    docs = {1: "p q r", 2: "r q p"}
+    sf = _write_docs(spark, tmp_path, docs)
+    B._MERGE_CACHE.clear()
+    rows = {r["doc_id"]: r for r in B.text_bpe_encode(spark, sf).collect()}
+    assert rows[1]["ids_sum"] == rows[2]["ids_sum"]
+    assert rows[1]["ids_sig"] != rows[2]["ids_sig"]
+    B._MERGE_CACHE.clear()
+
+
+def test_bpe_encode_no_pairs_and_empty_docs(spark, tmp_path):
+    # single-token and empty docs: training finds < BPE_ROUNDS merges (or
+    # none) and encode must pass documents through unchanged — in BOTH
+    # engines (the oracle's LEFT JOIN + CASE pass-through branch).
+    import duckdb
+
+    docs = {1: "solo", 2: "", 3: "duo"}
+    sf = _write_docs(spark, tmp_path, docs)
+    B._MERGE_CACHE.clear()
+    assert B._train_merges(spark, sf) == []
+    got = {r["doc_id"]: r for r in B.text_bpe_encode(spark, sf).collect()}
+    assert got[2]["n_tokens"] == 0 and got[2]["ids_sum"] == 0
+    assert got[2]["ids_sig"] == hashlib.md5(b"").hexdigest()
+    assert got[1]["n_tokens"] == 1 and got[1]["n_merged"] == 0
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    oracle = {
+        r[0]: r for r in con.execute(B.TEXT_BPE_ENCODE_SQL).fetchall()
+    }
+    for d in docs:
+        g = got[d]
+        assert oracle[d] == (
+            d, g["n_tokens_base"], g["n_tokens"], g["n_merged"],
+            g["ids_sig"], g["ids_sum"],
+        )
+    B._MERGE_CACHE.clear()

@@ -66,6 +66,7 @@ EMPTY_SAFE = [
     "sql_sugar_suite",
     "sql_udf_suite",
     "text_bpe_train",
+    "text_bpe_encode",
     "emb_gram_topk",
     "asof_next_within",
     "sdp_daily_rollup",

@@ -361,6 +361,10 @@ BENCH_PLAN_FINGERPRINTS = {
     "graph_pagerank": {},
     "corpus_prep_pipeline": {"shuffle_exchange": 3},
     "text_bpe_train": {},
+    # encode: trained merges + vocab ids applied as literal narrow maps —
+    # the returned plan is scan-shaped with ZERO exchanges (the vocab
+    # ranking is a separate bounded count-agg action at build time)
+    "text_bpe_encode": {},
     "sdp_daily_rollup": {},
     "lake_time_travel": {},
     "lake_merge": {},

@@ -118,6 +118,7 @@ PROBES = [
     "sim_ann_pq_adc",
     "emb_pq_stats",
     "text_bpe_train",
+    "text_bpe_encode",
     "layout_hilbert_stats",
     "dedup_lsh_scurve",
     "multimodal_png_stats",
@@ -162,6 +163,7 @@ PROBES = [
 DEEP_PROBES = [
     "graph_pagerank",
     "text_bpe_train",
+    "text_bpe_encode",
     "layout_hilbert_stats",
     "dedup_lsh_scurve",
     "q1_pricing_summary",
@@ -280,6 +282,33 @@ _ROW_RE = re.compile(r"^\|\s*(?P<name>[A-Za-z0-9_]+)\s*\|")
 
 # ---------------------------------------------------------------------------
 # Pure merge logic (unit-tested without Spark: tests/test_scale_probe.py)
+
+
+_FIRST_TABLE_HEAD_PREFIX = "| query | t@sf0.001 |"
+
+
+def parse_first_rows(md_text: str) -> dict[str, str]:
+    """Extract the FIRST-decade table's good rows as {query: row_line} —
+    the carry source for `--first-only` (same drop-PROBE-ERROR policy as
+    the deep parser). The table ends at the second-decade header."""
+    head = md_text.split(DEEP_HEADER, 1)[0]
+    rows: dict[str, str] = {}
+    in_table = False
+    for line in head.splitlines():
+        if line.startswith(_FIRST_TABLE_HEAD_PREFIX):
+            in_table = True
+            continue
+        if in_table:
+            if not line.startswith("|"):
+                if line.strip():
+                    break
+                continue
+            if line.startswith("|---"):
+                continue
+            name = line.split("|")[1].strip()
+            if name and "PROBE-ERROR" not in line:
+                rows[name] = line.rstrip()
+    return rows
 
 
 def parse_deep_rows(md_text: str) -> dict[str, str]:
@@ -485,7 +514,23 @@ def _ensure_session(spark, cpus: int):
 def main() -> None:
     argv = sys.argv[1:]
     deep_only: set[str] | None = None
-    if argv and argv[0] == "--deep-only":
+    first_only: set[str] | None = None
+    if argv and argv[0] == "--first-only":
+        # Incremental mode for ADDING/refreshing a few first-decade rows:
+        # probes only the named queries (plus their deep rows when listed
+        # in DEEP_PROBES) and carries every other committed row verbatim —
+        # the same fail-safe contract as --deep-only.
+        first_only = set(argv[1:])
+        unknown = first_only - set(PROBES)
+        if unknown:
+            sys.exit(f"--first-only names not in PROBES: {sorted(unknown)}")
+        deep_only = first_only & set(DEEP_PROBES)
+        if not os.path.isdir(SF1_DIR):
+            # without sf1 the deep section would be silently dropped from
+            # the rewrite — same abort-without-write contract as --deep-only
+            sys.exit(f"--first-only requires {SF1_DIR} (run tools/make_scale_slice.py) "
+                     "— aborting WITHOUT writing SCALING.md")
+    elif argv and argv[0] == "--deep-only":
         deep_only = set(argv[1:])
         unknown = deep_only - set(DEEP_PROBES)
         if unknown:
@@ -510,9 +555,21 @@ def main() -> None:
     spark = _fresh_session(cpus)
 
     rows = []
-    if deep_only is None:
+    first_rows_out: list[str] = []
+    if deep_only is None or first_only is not None:
+        prev_first = parse_first_rows(old)
+        if first_only is not None and not prev_first:
+            sys.exit("--first-only needs an existing SCALING.md first-decade table")
+        n_probed = 0
         try:
-            for i, name in enumerate(PROBES):
+            for name in PROBES:
+                if first_only is not None and name not in first_only:
+                    prev = prev_first.get(name)
+                    if prev is not None:
+                        first_rows_out.append(prev)
+                    continue
+                i = n_probed
+                n_probed += 1
                 if i and i % RECYCLE_EVERY_FIRST == 0:
                     print(f"[scale_probe] recycling session after {RECYCLE_EVERY_FIRST} probes")
                     try:
@@ -541,6 +598,10 @@ def main() -> None:
                 slope = math.log10(ts["0.1"] / ts["0.01"]) if ts["0.01"] > 0 else float("nan")
                 verdict = "linear-or-better" if slope <= 1.05 else "SUPER-LINEAR"
                 rows.append((name, ts["0.001"], ts["0.01"], ts["0.1"], slope, verdict, load_cell))
+                first_rows_out.append(
+                    f"| {name} | {ts['0.001']:.2f}s | {ts['0.01']:.2f}s | "
+                    f"{ts['0.1']:.2f}s | {slope:.2f} | {verdict} | {load_cell} |"
+                )
                 print(f"{name}: {ts['0.001']:.2f}/{ts['0.01']:.2f}/{ts['0.1']:.2f}s "
                       f"slope={slope:.2f} load={load_cell}")
             # fresh session for the sf1 phase: the first decade leaves ~30k
@@ -574,16 +635,16 @@ def main() -> None:
             "| query | t@sf0.001 | t@sf0.01 | t@sf0.1 | slope | verdict | load |",
             "|---|---|---|---|---|---|---|",
         ]
-        out += [
-            f"| {n} | {a:.2f}s | {b:.2f}s | {c:.2f}s | {s:.2f} | {v} | {lc} |"
-            for n, a, b, c, s, v, lc in rows
-        ]
+        out += first_rows_out
     else:
         # carry the committed first-decade section verbatim
         if DEEP_HEADER not in old:
             sys.exit("--deep-only needs an existing SCALING.md with a second-decade section")
         out = old.split(DEEP_HEADER, 1)[0].rstrip("\n").splitlines()
-    n_bad = sum(1 for r in rows if r[5] == "SUPER-LINEAR")
+    n_bad = (sum(1 for r in rows if r[5] == "SUPER-LINEAR")
+             + sum(1 for line in first_rows_out
+                   if "SUPER-LINEAR" in line
+                   and not any(r[0] == line.split("|")[1].strip() for r in rows)))
 
     if os.path.isdir(SF1_DIR):
         out += [
@@ -697,9 +758,13 @@ def main() -> None:
     # Preserve the streaming-scale section (tools/stream_scale_probe.py owns
     # the block between its markers).
     stream_block = ""
-    b, e = "<!-- STREAM-SCALE:BEGIN -->", "<!-- STREAM-SCALE:END -->"
-    if b in old and e in old:
-        stream_block = "\n" + old[old.index(b): old.index(e) + len(e)] + "\n"
+    b = "<!-- STREAM-SCALE:BEGIN -->"
+    if b in old:
+        # carry from the stream markers to EOF: hand-written analysis
+        # sections may follow the marker block and must survive a rewrite
+        # (round 11: the r10 per-batch fixed-cost breakdown was dropped by
+        # the end-marker slice)
+        stream_block = "\n" + old[old.index(b):].rstrip("\n") + "\n"
     with open(md_path, "w") as f:
         f.write("\n".join(out) + "\n" + stream_block)
     print(f"wrote SCALING.md ({len(rows)} probes, {n_bad} super-linear)")
