@@ -657,6 +657,16 @@ def main() -> None:
             "sim_ann_binary": "production (1-bit sign sketch, Hamming prefilter + exact rerank)",
         },
     }
+    # Fold the committed cross-round A/B (tools/ab_probe.py) into the
+    # detail artifact so the drift-vs-host-variance methodology and its
+    # verdict travel with every bench file (VERDICT r10 item 1).
+    ab_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "ABCHECK.json")
+    if os.path.exists(ab_path):
+        try:
+            with open(ab_path) as f:
+                detail["cross_round_ab"] = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            pass
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
