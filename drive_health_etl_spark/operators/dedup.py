@@ -1741,7 +1741,17 @@ def dedup_suffix_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
     a reimplementation. Spark counts fingerprint classes: an xxhash64
     collision would merge two grams (expected ~1e-6 at sf1's ~1.5e7
     positions over the 2^64 space); the oracle's raw-gram counts would
-    catch exactly that."""
+    catch exactly that.
+
+    Measured data-linear floor (round 11): the sf0.1 -> sf1 slope sits at
+    ~1.0 because the operator's work is a constant number of hashes and
+    one shuffled row PER CORPUS POSITION PER RUNG — scan-shaped cost with
+    nothing amortizable, so wall tracks data exactly. A shuffle-volume cut
+    was tried and REJECTED: `array_distinct` on each rung's id array
+    before the explode (collapsing within-segment repeats pre-shuffle)
+    measured 2.2x SLOWER at sf1 (interleaved same-session pairs, 9.4-9.9 s
+    -> 20-22 s) — the per-row hash-set build costs more than the removed
+    shuffle rows save on this corpus's low within-segment repeat rate."""
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )

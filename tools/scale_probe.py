@@ -657,7 +657,11 @@ def main() -> None:
             " near-dup/ANN candidate growth stays a data-linear property)."
             " `slope` here = log10(t_sf1 / t_sf0.1): the decade where fixed"
             " per-query costs are fully amortized — the closest local proxy"
-            " for cluster-scale growth.",
+            " for cluster-scale growth. `dedup_suffix_doubling`'s ~1.0 slope"
+            " is its measured data-linear floor: constant hashes + one"
+            " shuffled row per corpus position per rung, nothing amortizable"
+            " (an array_distinct pre-shuffle cut was measured 2.2x slower"
+            " and rejected — see the operator docstring).",
             "",
             DEEP_TABLE_HEAD,
             "|---|---|---|---|---|---|---|",
