@@ -234,19 +234,65 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_encode_sql() -> str:
-    """Unrolled training rounds (the TEXT_BPE_TRAIN_SQL discipline) with
-    doc_id carried through every rewrite, then vocab ranking + id digest."""
+def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merge-aware vocabulary as a first-class artifact: one row per
+    post-merge token with its corpus frequency and the id
+    `text_bpe_encode` assigns (rank by count DESC, token ASC, id =
+    rank-1). This is the lookup table a downstream consumer ships with the
+    encoded corpus — and an independent oracle check of the ranking that
+    encode's digest exercises only in aggregate. Bounded output: base
+    vocab + one entry per learned merge (any real tokenizer's vocab is
+    budget-bounded), so the single count aggregate is the only shuffle."""
+    merges = _train_merges(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    enc = docs.select(
+        F.concat(F.lit(" "), F.concat_ws(" ", tokens_col()), F.lit(" ")).alias("s")
+    )
+    for _rnd, w1, w2, _c, _n in merges:
+        enc = enc.withColumn(
+            "s", F.replace(F.col("s"), F.lit(f" {w1} {w2} "), F.lit(f" {w1}~{w2} "))
+        )
+    toks = F.filter(F.split(F.trim("s"), r"\s+"), lambda x: x != F.lit(""))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("count").desc(), F.col("token").asc())
+    return (
+        enc.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("count"))
+        # single-partition window is CORRECT here: its input is the
+        # budget-bounded vocab relation, never corpus rows
+        .select("token", "count", (F.row_number().over(w) - 1).alias("id"))
+        .withColumn("is_merged", F.col("token").contains("~"))
+    )
+
+
+def _bpe_vocab_sql() -> str:
     parts = [
         "WITH d0 AS MATERIALIZED (SELECT doc_id, "
-        # COALESCE: DuckDB's array_to_string is NULL (not '') on an empty
-        # list, and an empty document must encode to zero tokens, not NULLs
         f"' ' || COALESCE(array_to_string({TOKENS_SQL}, ' '), '') || ' ' AS s, "
-        f"CAST(len({TOKENS_SQL}) AS INT) AS n_tokens_base FROM documents)"
+        "0 AS n_tokens_base FROM documents)"
     ]
     prev = "d0"
     for rnd in range(1, BPE_ROUNDS + 1):
-        parts.append(f"""
+        parts.append(_encode_round_sql(prev, rnd))
+        prev = f"d{rnd}"
+    parts.append(f"""
+tok AS (
+  SELECT unnest(list_filter(regexp_split_to_array(trim(s), '\\s+'), x -> x <> '')) AS token
+  FROM {prev}
+)
+SELECT token, COUNT(*) AS count,
+       CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token ASC) - 1 AS INT) AS id,
+       contains(token, '~') AS is_merged
+FROM tok GROUP BY token""")
+    return ",".join(parts)
+
+
+def _encode_round_sql(prev: str, rnd: int) -> str:
+    """One unrolled merge round carrying doc_id through the rewrite —
+    shared by the encode and vocab oracles."""
+    return f"""
 l{rnd} AS (
   SELECT list_filter(regexp_split_to_array(trim(s), '\\s+'), x -> x <> '') AS l
   FROM {prev}
@@ -270,7 +316,22 @@ d{rnd} AS MATERIALIZED (
               ELSE replace(s, ' ' || b.w1 || ' ' || b.w2 || ' ',
                               ' ' || b.w1 || '~' || b.w2 || ' ') END AS s
   FROM {prev} LEFT JOIN b{rnd} b ON TRUE
-)""")
+)"""
+
+
+def _bpe_encode_sql() -> str:
+    """Unrolled training rounds (the TEXT_BPE_TRAIN_SQL discipline) with
+    doc_id carried through every rewrite, then vocab ranking + id digest."""
+    parts = [
+        "WITH d0 AS MATERIALIZED (SELECT doc_id, "
+        # COALESCE: DuckDB's array_to_string is NULL (not '') on an empty
+        # list, and an empty document must encode to zero tokens, not NULLs
+        f"' ' || COALESCE(array_to_string({TOKENS_SQL}, ' '), '') || ' ' AS s, "
+        f"CAST(len({TOKENS_SQL}) AS INT) AS n_tokens_base FROM documents)"
+    ]
+    prev = "d0"
+    for rnd in range(1, BPE_ROUNDS + 1):
+        parts.append(_encode_round_sql(prev, rnd))
         prev = f"d{rnd}"
     parts.append(f"""
 enc AS MATERIALIZED (
@@ -301,9 +362,11 @@ FROM enc e LEFT JOIN idseq i USING (doc_id)""")
 
 
 TEXT_BPE_ENCODE_SQL = _bpe_encode_sql()
+TEXT_BPE_VOCAB_SQL = _bpe_vocab_sql()
 
 
 QUERIES: dict[str, tuple] = {
     "text_bpe_train": (text_bpe_train, TEXT_BPE_TRAIN_SQL),
     "text_bpe_encode": (text_bpe_encode, TEXT_BPE_ENCODE_SQL),
+    "text_bpe_vocab": (text_bpe_vocab, TEXT_BPE_VOCAB_SQL),
 }

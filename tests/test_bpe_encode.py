@@ -57,6 +57,13 @@ def test_bpe_encode_hand_computed(spark, tmp_path):
         assert got[d]["ids_sum"] == sum(ids)
         want_sig = hashlib.md5(",".join(map(str, ids)).encode()).hexdigest()
         assert got[d]["ids_sig"] == want_sig, f"doc {d}: id sequence diverged"
+
+    # text_bpe_vocab must publish exactly the id map encode used
+    vrows = B.text_bpe_vocab(spark, sf).collect()
+    assert {(r["token"], r["id"]) for r in vrows} == set(vocab.items())
+    assert {r["token"]: r["count"] for r in vrows} == freq
+    for r in vrows:
+        assert r["is_merged"] == ("~" in r["token"])
     B._MERGE_CACHE.clear()
 
 

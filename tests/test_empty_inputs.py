@@ -67,6 +67,7 @@ EMPTY_SAFE = [
     "sql_udf_suite",
     "text_bpe_train",
     "text_bpe_encode",
+    "text_bpe_vocab",
     "emb_gram_topk",
     "asof_next_within",
     "sdp_daily_rollup",
