@@ -212,6 +212,7 @@ def run_one(spark, name: str, sf_dir: str) -> float:
 IDLE_LOAD1_MAX = 1.0        # pre-run 1-min loadavg above this = box not idle
 IDLE_EXT_SHARE_MAX = 0.05   # >5% of machine CPU spent outside our tree
 IDLE_IOWAIT_SHARE_MAX = 0.05
+IDLE_STEAL_SHARE_MAX = 0.05  # hypervisor steal: the box itself ran slow
 
 
 def parse_proc_stat(text: str) -> dict[str, float]:
@@ -223,7 +224,12 @@ def parse_proc_stat(text: str) -> dict[str, float]:
     vals = [float(x) for x in parts[1:]] + [0.0] * 10
     idle, iowait = vals[3], vals[4]
     total = sum(vals[:10])
-    return {"busy": total - idle - iowait, "iowait": iowait, "total": total}
+    # steal (field 8) is hypervisor time the vCPU wanted but didn't get —
+    # counted inside busy, owned by NO local process. Reported separately:
+    # a steal burst inflates every wall clock while the external-CPU signal
+    # stays quiet (round 11: a probe window ran 8-20x slow at ext 5-11%).
+    return {"busy": total - idle - iowait, "iowait": iowait, "total": total,
+            "steal": vals[7]}
 
 
 def _read_proc_stat() -> dict[str, float] | None:
@@ -326,13 +332,19 @@ def external_shares(pre: dict[str, float], post: dict[str, float]) -> dict[str, 
     as kernel_cpu_share — and (b) in iowait."""
     total = post["total"] - pre["total"]
     if total <= 0:
-        return {"external_cpu_share": 0.0, "iowait_share": 0.0, "kernel_cpu_share": 0.0}
+        return {"external_cpu_share": 0.0, "iowait_share": 0.0,
+                "kernel_cpu_share": 0.0, "steal_share": 0.0}
     kth = max(0.0, post.get("kthread", 0.0) - pre.get("kthread", 0.0))
-    ext = (post["busy"] - pre["busy"]) - (post["tree"] - pre["tree"]) - kth
+    steal = max(0.0, post.get("steal", 0.0) - pre.get("steal", 0.0))
+    # steal sits inside busy but is neither ours nor a competing process —
+    # split it out of the external share and report it on its own (it
+    # invalidates timings for a different reason: the box itself was slow)
+    ext = (post["busy"] - pre["busy"]) - (post["tree"] - pre["tree"]) - kth - steal
     return {
         "external_cpu_share": round(max(0.0, ext) / total, 4),
         "iowait_share": round(max(0.0, post["iowait"] - pre["iowait"]) / total, 4),
         "kernel_cpu_share": round(kth / total, 4),
+        "steal_share": round(steal / total, 4),
     }
 
 
@@ -355,6 +367,10 @@ def idle_verdict(
         )
     if shares["iowait_share"] > IDLE_IOWAIT_SHARE_MAX:
         reasons.append(f"iowait share {shares['iowait_share']:.1%} > {IDLE_IOWAIT_SHARE_MAX:.0%}")
+    if shares.get("steal_share", 0.0) > IDLE_STEAL_SHARE_MAX:
+        reasons.append(
+            f"hypervisor steal share {shares['steal_share']:.1%} > {IDLE_STEAL_SHARE_MAX:.0%}"
+        )
     return (not reasons, reasons)
 
 
@@ -418,6 +434,7 @@ def wait_for_idle_window(
         ok = (
             shares["external_cpu_share"] <= IDLE_EXT_SHARE_MAX
             and shares["iowait_share"] <= IDLE_IOWAIT_SHARE_MAX
+            and shares.get("steal_share", 0.0) <= IDLE_STEAL_SHARE_MAX
             and (not load1_counts or load1 <= IDLE_LOAD1_MAX)
         )
         polls.append(

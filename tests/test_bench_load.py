@@ -75,7 +75,8 @@ def test_external_share_clamps_negative():
 def test_external_share_zero_window():
     pre = post = {"busy": 1.0, "iowait": 0.0, "total": 1.0, "tree": 0.0}
     s = external_shares(pre, post)
-    assert s == {"external_cpu_share": 0.0, "iowait_share": 0.0, "kernel_cpu_share": 0.0}
+    assert s == {"external_cpu_share": 0.0, "iowait_share": 0.0,
+                 "kernel_cpu_share": 0.0, "steal_share": 0.0}
 
 
 def test_idle_verdict_flag_rule():
@@ -97,7 +98,7 @@ def test_idle_verdict_flag_rule():
 def test_live_snapshot_shape():
     snap = load_snapshot()
     assert snap is not None  # linux container: /proc is there
-    assert set(snap) == {"busy", "iowait", "total", "tree", "kthread"}
+    assert set(snap) == {"busy", "iowait", "total", "tree", "kthread", "steal"}
     assert snap["total"] > snap["busy"] >= 0
 
 
@@ -290,3 +291,41 @@ def test_idle_wait_poll_record_is_bounded():
     w = wait_for_idle_window(100 * 15.0 - 1, load1_counts=True, poll_sec=15.0,
                              snapshot=snap, loadavg=la, sleep=sl, clock=ck)
     assert len(w["polls"]) <= 40
+
+
+def test_parse_proc_stat_reports_steal():
+    # steal (field 8) must surface separately — it sits inside busy but
+    # belongs to no local process
+    s = parse_proc_stat("cpu 100 0 50 700 40 5 5 100 0 0\n")
+    assert s["steal"] == 100.0
+    assert s["busy"] == 1000.0 - 700.0 - 40.0  # steal still counted in busy
+
+
+def test_external_share_splits_out_steal():
+    # round 11: a probe window ran 8-20x slow while external CPU read only
+    # 5-11% — hypervisor steal inflates walls without foreign processes.
+    # Steal must not masquerade as external CPU AND must flag on its own.
+    from bench import IDLE_STEAL_SHARE_MAX, idle_verdict
+
+    pre = {"busy": 0.0, "iowait": 0.0, "total": 0.0, "tree": 0.0,
+           "kthread": 0.0, "steal": 0.0}
+    post = {"busy": 500.0, "iowait": 0.0, "total": 1000.0, "tree": 200.0,
+            "kthread": 0.0, "steal": 250.0}
+    s = external_shares(pre, post)
+    assert s["steal_share"] == 0.25
+    assert s["external_cpu_share"] == round(50.0 / 1000.0, 4)  # 500-200-250
+    idle, why = idle_verdict(0.0, s)
+    assert not idle and any("steal" in r for r in why)
+    assert IDLE_STEAL_SHARE_MAX < 0.25
+
+
+def test_probe_load_cell_annotates_steal():
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    from scale_probe import probe_load_cell
+
+    quiet = {"external_cpu_share": 0.01, "iowait_share": 0.0, "steal_share": 0.01}
+    assert probe_load_cell(quiet) == "idle"
+    stolen = {"external_cpu_share": 0.02, "iowait_share": 0.0, "steal_share": 0.3}
+    cell = probe_load_cell(stolen)
+    assert "steal 30%" in cell

@@ -358,9 +358,18 @@ def probe_load_cell(shares: dict[str, float] | None) -> str:
     if shares is None:
         return "-"
     ext, io = shares["external_cpu_share"], shares["iowait_share"]
-    if ext <= IDLE_EXT_SHARE_MAX and io <= IDLE_IOWAIT_SHARE_MAX:
+    steal = shares.get("steal_share", 0.0)
+    from bench import IDLE_STEAL_SHARE_MAX
+
+    if (ext <= IDLE_EXT_SHARE_MAX and io <= IDLE_IOWAIT_SHARE_MAX
+            and steal <= IDLE_STEAL_SHARE_MAX):
         return "idle"
-    return f"ext {ext:.0%}, io {io:.0%}"
+    cell = f"ext {ext:.0%}, io {io:.0%}"
+    if steal > IDLE_STEAL_SHARE_MAX:
+        # hypervisor contention: the box itself ran slow — a different
+        # invalidation than a competing local process
+        cell += f", steal {steal:.0%}"
+    return cell
 
 
 def pad_row_cells(row: str, want_cells: int = DEEP_N_CELLS) -> str:

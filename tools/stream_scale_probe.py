@@ -64,7 +64,8 @@ def _row_load_cell(cells: list[dict | None]) -> str:
     real = [s for s in cells if s is not None]
     if not real:
         return "-"
-    worst = max(real, key=lambda s: s["external_cpu_share"] + s["iowait_share"])
+    worst = max(real, key=lambda s: (s["external_cpu_share"] + s["iowait_share"]
+                                     + s.get("steal_share", 0.0)))
     return probe_load_cell(worst)
 
 MARK_BEGIN = "<!-- STREAM-SCALE:BEGIN -->"
