@@ -110,3 +110,69 @@ def test_bpe_encode_no_pairs_and_empty_docs(spark, tmp_path):
             g["ids_sig"], g["ids_sum"],
         )
     B._MERGE_CACHE.clear()
+
+
+def _py_bpe(docs: dict[int, str], rounds: int):
+    """Pure-Python third implementation of the whole tokenizer loop (the
+    DuckDB oracle is the second): greedy pair training with the exact
+    (count DESC, w1 ASC, w2 ASC) tie-break and literal left-to-right
+    non-overlapping replace, then encode + vocab ranking + digests."""
+    s = {d: " " + " ".join(t.split()) + " " for d, t in docs.items()}
+    merges = []
+    for _ in range(rounds):
+        counts: dict[tuple, int] = {}
+        for v in s.values():
+            toks = v.split()
+            for a, b in zip(toks, toks[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+        if not counts:
+            break
+        (w1, w2), _c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((w1, w2))
+        s = {d: v.replace(f" {w1} {w2} ", f" {w1}~{w2} ") for d, v in s.items()}
+    toks = {d: v.split() for d, v in s.items()}
+    freq: dict[str, int] = {}
+    for ts in toks.values():
+        for t in ts:
+            freq[t] = freq.get(t, 0) + 1
+    vocab = {t: i for i, t in enumerate(sorted(freq, key=lambda t: (-freq[t], t)))}
+    out = {}
+    for d, ts in toks.items():
+        ids = [vocab[t] for t in ts]
+        out[d] = (
+            len(docs[d].split()), len(ts), sum("~" in t for t in ts),
+            hashlib.md5(",".join(map(str, ids)).encode()).hexdigest(), sum(ids),
+        )
+    return merges, vocab, freq, out
+
+
+def test_bpe_loop_matches_python_reference_on_random_corpora(spark, tmp_path):
+    """Seeded randomized cross-check of train + encode + vocab against the
+    pure-Python reference: tiny alphabets force adversarial shapes —
+    overlapping runs ("a a a a": the literal-scan consume rule), repeated
+    tie-broken pair counts, singleton and empty documents."""
+    import random
+
+    rng = random.Random(1117)
+    alpha = ["a", "b", "c", "aa", "b~x"]  # incl. a token containing the joiner
+    for trial in range(6):
+        n_docs = rng.randint(2, 7)
+        docs = {}
+        for d in range(1, n_docs + 1):
+            n_tok = rng.choice([0, 1, rng.randint(2, 30)])
+            docs[d] = " ".join(rng.choice(alpha) for _ in range(n_tok))
+        sf = _write_docs(spark, tmp_path / f"t{trial}", docs)
+        B._MERGE_CACHE.clear()
+        want_merges, want_vocab, want_freq, want = _py_bpe(docs, B.BPE_ROUNDS)
+        got_merges = [(m[1], m[2]) for m in B._train_merges(spark, sf)]
+        assert got_merges == want_merges, f"trial {trial}: merge table diverged"
+        got = {
+            r["doc_id"]: (r["n_tokens_base"], r["n_tokens"], r["n_merged"],
+                          r["ids_sig"], r["ids_sum"])
+            for r in B.text_bpe_encode(spark, sf).collect()
+        }
+        assert got == want, f"trial {trial}: encode diverged (docs={docs})"
+        vrows = B.text_bpe_vocab(spark, sf).collect()
+        assert {(r["token"], r["id"]) for r in vrows} == set(want_vocab.items())
+        assert {r["token"]: r["count"] for r in vrows} == want_freq
+    B._MERGE_CACHE.clear()
