@@ -122,6 +122,7 @@ HEADLINE = [
     "lake_time_travel",
     "text_bpe_train",
     "text_bpe_encode",
+    "text_bpe_subword_encode",
     "emb_gram_topk",
     "emb_jl_projection",
     "w11_interval_concurrency",

@@ -26,6 +26,13 @@ loop with the pair-count aggregation distributed; R is the vocab budget.
 
 Reference parity: north-star extension (BASELINE.json "text analysis");
 complements `text_bpe_token_count` (applying a tokenizer) with TRAINING one.
+
+Two granularities, one loop: the word-level queries (`text_bpe_train` /
+`text_bpe_encode` / `text_bpe_vocab`) run the merge loop over whitespace
+tokens corpus-wide; the subword queries (`text_bpe_subword_*`) run the
+SAME loop at character level inside words (Sennrich et al. ACL'16) off
+the vocab-bounded word-frequency table — see the subword section below
+for why that formulation is the 100 TB shape.
 """
 
 from __future__ import annotations
@@ -370,3 +377,262 @@ QUERIES: dict[str, tuple] = {
     "text_bpe_encode": (text_bpe_encode, TEXT_BPE_ENCODE_SQL),
     "text_bpe_vocab": (text_bpe_vocab, TEXT_BPE_VOCAB_SQL),
 }
+
+
+# --- subword (character-level) BPE ------------------------------------------
+#
+# The word-level loop above merges WORDS into phrases; real tokenizers run
+# the same merge loop INSIDE words, starting from characters (Sennrich,
+# Haddow & Birch ACL'16, "Neural machine translation of rare words with
+# subword units"). Their key observation is also the 100 TB scale story:
+# merges never cross word boundaries, so training needs only the WORD
+# FREQUENCY TABLE — one map-side-combinable corpus scan reduces 100 TB of
+# text to a vocab-bounded (word, count) relation, and every merge round is
+# then a loop over that tiny weighted table. The driver-side merge loop
+# below is the same bounded-metadata pattern as the k-means centroid fetch
+# and the word-level BPE best-pair fetch: the data that reaches the driver
+# is bounded by the tokenizer's vocab budget, never by corpus size.
+
+SUBWORD_ROUNDS = 8
+_EOW = "</w>"  # end-of-word marker symbol (the paper's </w>)
+
+
+def _spell(word: str) -> str:
+    return " " + " ".join(word) + f" {_EOW} "
+
+
+def _train_subword(spark: SparkSession, sf_dir: str):
+    """Fit the subword merge table. Returns (merge_rows, spell) where
+    merge_rows = [(round, left, right, merged, pair_count, symbols_after)]
+    and spell maps each corpus word to its final symbol sequence. Both are
+    vocab-bounded; fit-cached per (session, dataset). The merge rewrite is
+    the same literal left-to-right non-overlapping replace as the
+    word-level loop (" a b " -> " ab "), so the unrolled DuckDB oracle is
+    exact by the identical-replace-semantics argument."""
+    key = (spark.sparkContext.applicationId, sf_dir, "bpe_subword")
+
+    def build():
+        docs = load_table(spark, sf_dir, "documents")
+        wc_rows = (
+            docs.select(F.explode(tokens_col()).alias("w"))
+            .groupBy("w")
+            .agg(F.count("*").alias("wc"))
+            .collect()  # bounded: the corpus word vocabulary
+        )
+        words = {r["w"]: int(r["wc"]) for r in wc_rows}
+        spelled = {w: _spell(w) for w in words}
+        merges = []
+        for rnd in range(1, SUBWORD_ROUNDS + 1):
+            counts: dict[tuple, int] = {}
+            for w, s in spelled.items():
+                syms = s.split()
+                for a, b in zip(syms, syms[1:]):
+                    counts[(a, b)] = counts.get((a, b), 0) + words[w]
+            if not counts:
+                break
+            (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            spelled = {
+                w: s.replace(f" {a} {b} ", f" {a}{b} ") for w, s in spelled.items()
+            }
+            n_after = sum(words[w] * len(s.split()) for w, s in spelled.items())
+            merges.append((rnd, a, b, a + b, c, n_after))
+        return merges, {w: s.split() for w, s in spelled.items()}
+
+    return _MERGE_CACHE.get_or_build(key, build)
+
+
+def text_bpe_subword_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level BPE training (Sennrich et al. ACL'16): one row per
+    merge round — the merged symbol pair, its corpus-weighted frequency at
+    selection, and the weighted corpus symbol total after the rewrite
+    (verifying every rewrite corpus-wide, the word-level train's
+    discipline). Scale shape: ONE corpus scan (map-side-combinable word
+    counts); every round then touches only the vocab-bounded weighted word
+    table."""
+    merges, _spelled = _train_subword(spark, sf_dir)
+    return spark.createDataFrame(
+        merges,
+        "round int, left string, right string, merged string, "
+        "pair_count long, symbols_after long",
+    )
+
+
+def text_bpe_subword_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode every document with the trained subword merges: per doc the
+    word/char/subword counts and the ORDER-exact md5 digest (+ sum) of the
+    subword-id sequence, ids from the corpus-weighted subword vocabulary
+    (count DESC, symbol ASC, id = rank-1). The word -> subword-ids map is
+    a vocab-bounded broadcast literal, so the whole encode is ONE narrow
+    scan — per-row split + map lookup + flatten + digest, no shuffle, no
+    Python in the row path (the fit above is the only driver-side work).
+    A document's subword sequence is its words' symbol sequences
+    concatenated in order, exactly the paper's greedy segmentation."""
+    merges, spelled = _train_subword(spark, sf_dir)
+
+    sub_counts: dict[str, int] = {}
+    docs = load_table(spark, sf_dir, "documents")
+    wc_rows = (
+        docs.select(F.explode(tokens_col()).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+        .collect()
+    )
+    wcounts = {r["w"]: int(r["wc"]) for r in wc_rows}
+    for w, syms in spelled.items():
+        for s in syms:
+            sub_counts[s] = sub_counts.get(s, 0) + wcounts[w]
+    vocab = {
+        s: i
+        for i, s in enumerate(
+            sorted(sub_counts, key=lambda s: (-sub_counts[s], s))
+        )
+    }
+    word_ids = {w: [vocab[s] for s in syms] for w, syms in spelled.items()}
+
+    toks = tokens_col()
+    if word_ids:
+        id_map = F.create_map(
+            *[
+                x
+                for w, ids in sorted(word_ids.items())
+                for x in (F.lit(w), F.array(*[F.lit(i) for i in ids]))
+            ]
+        )
+        ids = F.flatten(F.transform(toks, lambda w: F.element_at(id_map, w)))
+    else:
+        # empty corpus: no vocab, no map — every doc encodes to zero ids
+        # (an argless create_map is an untypable map<null,null>)
+        ids = F.expr("CAST(array() AS array<int>)")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_words"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        ).alias("n_chars"),
+        F.size(ids).cast("int").alias("n_subwords"),
+        F.md5(F.concat_ws(",", F.transform(ids, lambda i: i.cast("string")))).alias("sub_sig"),
+        F.coalesce(
+            F.aggregate(ids, F.lit(0).cast("long"), lambda acc, i: acc + i),
+            F.lit(0).cast("long"),
+        ).alias("sub_sum"),
+    )
+
+
+def _subword_round_sql(prev: str, rnd: int) -> str:
+    """One unrolled weighted merge round over the spelled word table."""
+    return f"""
+sl{rnd} AS (
+  SELECT word, wc, list_filter(regexp_split_to_array(trim(s), '\\s+'), x -> x <> '') AS l
+  FROM {prev}
+),
+sp{rnd} AS (
+  SELECT p[1] AS a, p[2] AS b, SUM(wc) AS c
+  FROM (
+    SELECT wc, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS p
+    FROM sl{rnd} WHERE len(l) >= 2
+  )
+  WHERE p[2] IS NOT NULL
+  GROUP BY 1, 2
+),
+sb{rnd} AS (SELECT a, b, c FROM sp{rnd} ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+sw{rnd} AS MATERIALIZED (
+  SELECT word, wc,
+         CASE WHEN b.a IS NULL THEN s
+              ELSE replace(s, ' ' || b.a || ' ' || b.b || ' ',
+                              ' ' || b.a || b.b || ' ') END AS s
+  FROM {prev} LEFT JOIN sb{rnd} b ON TRUE
+)"""
+
+
+_SUBWORD_SPELL_SQL = (
+    "' ' || array_to_string(list_transform(range(1, len(word) + 1), "
+    "i -> substr(word, CAST(i AS INT), 1)), ' ') || ' " + _EOW + " '"
+)
+
+
+def _subword_base_sql() -> str:
+    return (
+        "WITH w0 AS MATERIALIZED (SELECT t AS word, COUNT(*) AS wc FROM "
+        f"(SELECT unnest({TOKENS_SQL}) AS t FROM documents) GROUP BY t),\n"
+        f"sw0 AS (SELECT word, wc, {_SUBWORD_SPELL_SQL} AS s FROM w0)"
+    )
+
+
+def _bpe_subword_train_sql() -> str:
+    parts = [_subword_base_sql()]
+    selects = []
+    for rnd in range(1, SUBWORD_ROUNDS + 1):
+        parts.append(_subword_round_sql(f"sw{rnd - 1}", rnd))
+        selects.append(
+            f"SELECT CAST({rnd} AS INT) AS round, a AS left, b AS right, "
+            f"a || b AS merged, CAST(c AS BIGINT) AS pair_count, "
+            f"(SELECT CAST(SUM(wc * len(list_filter(regexp_split_to_array(trim(s), "
+            f"'\\s+'), x -> x <> ''))) AS BIGINT) FROM sw{rnd}) AS symbols_after "
+            f"FROM sb{rnd}"
+        )
+    return ",".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def _bpe_subword_encode_sql() -> str:
+    parts = [_subword_base_sql()]
+    for rnd in range(1, SUBWORD_ROUNDS + 1):
+        parts.append(_subword_round_sql(f"sw{rnd - 1}", rnd))
+    parts.append(f"""
+spellf AS MATERIALIZED (
+  SELECT word, wc, list_filter(regexp_split_to_array(trim(s), '\\s+'), x -> x <> '') AS syms
+  FROM sw{SUBWORD_ROUNDS}
+),
+subct AS (
+  SELECT sym, SUM(wc) AS c FROM (
+    SELECT wc, unnest(syms) AS sym FROM spellf
+  ) GROUP BY sym
+),
+svocab AS MATERIALIZED (
+  SELECT sym, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, sym ASC) - 1 AS INT) AS id
+  FROM subct
+),
+wids AS MATERIALIZED (
+  -- word -> its subword-id list, symbol order preserved
+  SELECT f.word, list(v.id ORDER BY sp.j) AS ids
+  FROM spellf f,
+       UNNEST(range(1, len(f.syms) + 1)) AS sp(j)
+  JOIN svocab v ON v.sym = f.syms[sp.j]
+  GROUP BY f.word
+),
+dtok AS MATERIALIZED (
+  SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+),
+dwords AS (
+  SELECT d.doc_id, d.toks[t.i] AS word, t.i
+  FROM dtok d, UNNEST(range(1, len(d.toks) + 1)) AS t(i)
+),
+dids AS (
+  SELECT dw.doc_id, flatten(list(w.ids ORDER BY dw.i)) AS ids
+  FROM dwords dw JOIN wids w USING (word)
+  GROUP BY dw.doc_id
+),
+dchars AS (
+  SELECT doc_id, CAST(COALESCE(SUM(len(word)), 0) AS BIGINT) AS n_chars
+  FROM dwords GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(d.toks) AS INT) AS n_words,
+       CAST(COALESCE(c.n_chars, 0) AS BIGINT) AS n_chars,
+       CAST(COALESCE(len(i.ids), 0) AS INT) AS n_subwords,
+       md5(COALESCE(array_to_string(i.ids, ','), '')) AS sub_sig,
+       CAST(COALESCE(list_sum(i.ids), 0) AS BIGINT) AS sub_sum
+FROM dtok d
+LEFT JOIN dids i USING (doc_id)
+LEFT JOIN dchars c USING (doc_id)""")
+    return ",".join(parts)
+
+
+TEXT_BPE_SUBWORD_TRAIN_SQL = _bpe_subword_train_sql()
+TEXT_BPE_SUBWORD_ENCODE_SQL = _bpe_subword_encode_sql()
+
+QUERIES.update(
+    {
+        "text_bpe_subword_train": (text_bpe_subword_train, TEXT_BPE_SUBWORD_TRAIN_SQL),
+        "text_bpe_subword_encode": (text_bpe_subword_encode, TEXT_BPE_SUBWORD_ENCODE_SQL),
+    }
+)

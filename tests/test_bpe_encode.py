@@ -176,3 +176,76 @@ def test_bpe_loop_matches_python_reference_on_random_corpora(spark, tmp_path):
         assert {(r["token"], r["id"]) for r in vrows} == set(want_vocab.items())
         assert {r["token"]: r["count"] for r in vrows} == want_freq
     B._MERGE_CACHE.clear()
+
+
+def _py_subword(docs: dict[int, str], rounds: int):
+    """Pure-Python reference for the subword loop (third implementation):
+    weighted word-frequency training per Sennrich et al., literal replace,
+    greedy segmentation, weighted vocab ranking."""
+    words: dict[str, int] = {}
+    for t in docs.values():
+        for w in t.split():
+            words[w] = words.get(w, 0) + 1
+    spelled = {w: " " + " ".join(w) + " </w> " for w in words}
+    merges = []
+    for rnd in range(1, rounds + 1):
+        counts: dict[tuple, int] = {}
+        for w, s in spelled.items():
+            syms = s.split()
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + words[w]
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        spelled = {w: s.replace(f" {a} {b} ", f" {a}{b} ") for w, s in spelled.items()}
+        n_after = sum(words[w] * len(s.split()) for w, s in spelled.items())
+        merges.append((rnd, a, b, a + b, c, n_after))
+    syms_of = {w: s.split() for w, s in spelled.items()}
+    sub_counts: dict[str, int] = {}
+    for w, syms in syms_of.items():
+        for s in syms:
+            sub_counts[s] = sub_counts.get(s, 0) + words[w]
+    vocab = {s: i for i, s in enumerate(sorted(sub_counts, key=lambda s: (-sub_counts[s], s)))}
+    out = {}
+    for d, t in docs.items():
+        ws = t.split()
+        ids = [vocab[s] for w in ws for s in syms_of[w]]
+        out[d] = (
+            len(ws), sum(len(w) for w in ws), len(ids),
+            hashlib.md5(",".join(map(str, ids)).encode()).hexdigest(), sum(ids),
+        )
+    return merges, out
+
+
+def test_bpe_subword_matches_python_reference(spark, tmp_path):
+    """Hand + randomized cross-check of the character-level loop: repeated
+    chars inside words (the consume rule at char level), single-char
+    words, empty docs, and weighted tie-breaks."""
+    import random
+
+    fixed = {1: "aaa ab aaa", 2: "b ab aaa", 3: ""}
+    rng = random.Random(2311)
+    alpha = "abc"
+    corpora = [fixed] + [
+        {
+            d: " ".join(
+                "".join(rng.choice(alpha) for _ in range(rng.randint(1, 6)))
+                for _ in range(rng.choice([0, 1, rng.randint(2, 12)]))
+            )
+            for d in range(1, rng.randint(2, 6) + 1)
+        }
+        for _ in range(4)
+    ]
+    for trial, docs in enumerate(corpora):
+        sf = _write_docs(spark, tmp_path / f"s{trial}", docs)
+        B._MERGE_CACHE.clear()
+        want_merges, want = _py_subword(docs, B.SUBWORD_ROUNDS)
+        got_merges, _sp = B._train_subword(spark, sf)
+        assert [tuple(m) for m in got_merges] == want_merges, f"trial {trial}"
+        got = {
+            r["doc_id"]: (r["n_words"], r["n_chars"], r["n_subwords"],
+                          r["sub_sig"], r["sub_sum"])
+            for r in B.text_bpe_subword_encode(spark, sf).collect()
+        }
+        assert got == want, f"trial {trial}: subword encode diverged ({docs})"
+    B._MERGE_CACHE.clear()

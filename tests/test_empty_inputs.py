@@ -68,6 +68,8 @@ EMPTY_SAFE = [
     "text_bpe_train",
     "text_bpe_encode",
     "text_bpe_vocab",
+    "text_bpe_subword_train",
+    "text_bpe_subword_encode",
     "emb_gram_topk",
     "asof_next_within",
     "sdp_daily_rollup",

@@ -365,6 +365,9 @@ BENCH_PLAN_FINGERPRINTS = {
     # the returned plan is scan-shaped with ZERO exchanges (the vocab
     # ranking is a separate bounded count-agg action at build time)
     "text_bpe_encode": {},
+    # subword encode: vocab-bounded literal word->ids map applied in one
+    # narrow scan (fit is driver-side over the word-frequency table)
+    "text_bpe_subword_encode": {},
     "sdp_daily_rollup": {},
     "lake_time_travel": {},
     "lake_merge": {},
