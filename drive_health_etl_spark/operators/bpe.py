@@ -457,20 +457,29 @@ def text_bpe_subword_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def text_bpe_subword_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Encode every document with the trained subword merges: per doc the
+UNK_ID = -1  # id for a word absent from the fit vocabulary (stream OOV)
+
+
+def subword_encoder(spark: SparkSession, fit_sf_dir: str):
+    """Fit the subword tokenizer on ``fit_sf_dir`` and return a pure
+    function DataFrame -> DataFrame applying it: per input doc the
     word/char/subword counts and the ORDER-exact md5 digest (+ sum) of the
     subword-id sequence, ids from the corpus-weighted subword vocabulary
     (count DESC, symbol ASC, id = rank-1). The word -> subword-ids map is
-    a vocab-bounded broadcast literal, so the whole encode is ONE narrow
-    scan — per-row split + map lookup + flatten + digest, no shuffle, no
-    Python in the row path (the fit above is the only driver-side work).
+    a vocab-bounded broadcast literal, so applying the encoder is ONE
+    narrow scan — per-row split + map lookup + flatten + digest, no
+    shuffle, no Python in the row path. A word outside the fit vocabulary
+    (possible when encoding a DIFFERENT corpus, e.g. a stream of new
+    documents) contributes the single UNK_ID — the classic <unk> token;
+    a production variant would char-segment OOV words with the learned
+    merges, which the bounded map cannot express JVM-side.
+
     A document's subword sequence is its words' symbol sequences
     concatenated in order, exactly the paper's greedy segmentation."""
-    merges, spelled = _train_subword(spark, sf_dir)
+    merges, spelled = _train_subword(spark, fit_sf_dir)
 
     sub_counts: dict[str, int] = {}
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, fit_sf_dir, "documents")
     wc_rows = (
         docs.select(F.explode(tokens_col()).alias("w"))
         .groupBy("w")
@@ -498,24 +507,42 @@ def text_bpe_subword_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for x in (F.lit(w), F.array(*[F.lit(i) for i in ids]))
             ]
         )
-        ids = F.flatten(F.transform(toks, lambda w: F.element_at(id_map, w)))
+        ids = F.flatten(
+            F.transform(
+                toks,
+                lambda w: F.coalesce(
+                    F.element_at(id_map, w), F.array(F.lit(UNK_ID))
+                ),
+            )
+        )
     else:
-        # empty corpus: no vocab, no map — every doc encodes to zero ids
-        # (an argless create_map is an untypable map<null,null>)
-        ids = F.expr("CAST(array() AS array<int>)")
-    return docs.select(
-        "doc_id",
-        F.size(toks).cast("int").alias("n_words"),
-        F.aggregate(
-            toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
-        ).alias("n_chars"),
-        F.size(ids).cast("int").alias("n_subwords"),
-        F.md5(F.concat_ws(",", F.transform(ids, lambda i: i.cast("string")))).alias("sub_sig"),
-        F.coalesce(
-            F.aggregate(ids, F.lit(0).cast("long"), lambda acc, i: acc + i),
-            F.lit(0).cast("long"),
-        ).alias("sub_sum"),
-    )
+        # empty fit corpus: no vocab, no map — in-vocab words cannot exist,
+        # every input word is UNK (an argless create_map is untypable)
+        ids = F.transform(toks, lambda _w: F.lit(UNK_ID))
+
+    def encode(in_docs: DataFrame) -> DataFrame:
+        return in_docs.select(
+            "doc_id",
+            F.size(toks).cast("int").alias("n_words"),
+            F.aggregate(
+                toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+            ).alias("n_chars"),
+            F.size(ids).cast("int").alias("n_subwords"),
+            F.md5(F.concat_ws(",", F.transform(ids, lambda i: i.cast("string")))).alias("sub_sig"),
+            F.coalesce(
+                F.aggregate(ids, F.lit(0).cast("long"), lambda acc, i: acc + i),
+                F.lit(0).cast("long"),
+            ).alias("sub_sum"),
+        )
+
+    return encode
+
+
+def text_bpe_subword_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode every document with the subword merges trained on the SAME
+    corpus (no OOV by construction; see `subword_encoder` for the encode
+    semantics and scale shape)."""
+    return subword_encoder(spark, sf_dir)(load_table(spark, sf_dir, "documents"))
 
 
 def _subword_round_sql(prev: str, rnd: int) -> str:

@@ -494,7 +494,9 @@ def st_lake_merge_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 from drive_health_etl_spark.streaming.corpus_stream import (
     _st_corpus_dedup_sql,
     st_corpus_dedup,
+    st_corpus_tokenize,
 )
+from drive_health_etl_spark.operators.bpe import TEXT_BPE_SUBWORD_ENCODE_SQL as _SUBWORD_ENC_SQL
 from drive_health_etl_spark.streaming.sprt_stream import (
     ST_SPRT_MONITOR_SQL,
     st_sprt_monitor,
@@ -506,6 +508,9 @@ from drive_health_etl_spark.streaming.media_stream import (
 
 _MERGED: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "st_corpus_dedup": (st_corpus_dedup, _st_corpus_dedup_sql()),
+    # tokenization is row-local and batch-invariant: the streaming twin
+    # shares the batch subword-encode oracle verbatim (full value hash)
+    "st_corpus_tokenize": (st_corpus_tokenize, _SUBWORD_ENC_SQL),
     "st_media_decode": (st_media_decode, ST_MEDIA_DECODE_SQL),
     "st_sprt_monitor": (st_sprt_monitor, ST_SPRT_MONITOR_SQL),
     "st_lake_merge_stream": (st_lake_merge_stream, _snapshots.LAKE_MERGE_SQL),

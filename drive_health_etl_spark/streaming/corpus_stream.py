@@ -243,3 +243,92 @@ UNION ALL
 SELECT doc_id, source FROM documents
 WHERE doc_id >= (SELECT h FROM half) AND doc_id NOT IN (SELECT doc_id FROM drop2)
 """
+
+
+# --- tokenize-on-arrival -----------------------------------------------------
+
+
+@dataclass
+class TokenizeStreamConfig:
+    input_path: str  # spool of parquet files with DOCS_SCHEMA
+    output_path: str  # encoded-documents sink
+    checkpoint_path: str
+    fit_sf_dir: str  # corpus the subword tokenizer was trained on
+    max_files_per_trigger: int | None = 1
+
+
+def run_corpus_tokenize_stream(spark: SparkSession, cfg: TokenizeStreamConfig) -> StreamingQuery:
+    """Tokenize documents ON ARRIVAL with a tokenizer trained offline — the
+    production shape: the subword merge table is fit ONCE (offline, on the
+    reference corpus; here at stream start via the session fit cache) and
+    every micro-batch applies it as a vocab-bounded broadcast-literal map,
+    one narrow scan per batch, no per-batch fitting and no state store at
+    all (tokenization is stateless row-local work). Words outside the fit
+    vocabulary get UNK_ID, the stream-vs-batch difference a drifting
+    corpus would surface (`operators/bpe.py:subword_encoder`).
+
+    Exactly-once OUTPUT despite foreachBatch's at-least-once replay: each
+    batch writes (overwrite) its own ``batch=<id>`` directory, keyed by
+    the checkpoint's deterministic batch_id — a crash between the sink
+    write and the checkpoint commit replays the batch into the SAME
+    directory instead of appending duplicates (the standard idempotent-
+    foreachBatch pattern; the dedup stream gets the same property from
+    its band-store self-fencing instead)."""
+    from drive_health_etl_spark.operators.bpe import subword_encoder
+
+    encode = subword_encoder(spark, cfg.fit_sf_dir)
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        encode(batch).write.mode("overwrite").parquet(
+            f"{cfg.output_path}/batch={batch_id}"
+        )
+
+    stream = spark.readStream.schema(DOCS_SCHEMA)
+    if cfg.max_files_per_trigger:
+        stream = stream.option("maxFilesPerTrigger", cfg.max_files_per_trigger)
+    return (
+        stream.format("parquet")
+        .load(cfg.input_path)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", cfg.checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def st_corpus_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable twin: spool the documents table as two micro-batch
+    files, drain the tokenize-on-arrival stream (fit corpus = the same
+    sf_dir, so no OOV), and return the encoded rows. Tokenization is
+    row-local and batch-invariant, so the oracle is EXACTLY the batch
+    subword-encode SQL — a streaming query with a full value-hash oracle,
+    not a rows-only proxy."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from drive_health_etl_spark.session import shuffle_partitions
+    from drive_health_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    half = docs.count() // 2
+    base = tempfile.mkdtemp(prefix=f"dhe_tok_stream_{uuid.uuid4().hex[:8]}_")
+    src = f"{base}/spool"
+    docs.filter(F.col("doc_id") < half).coalesce(1).write.mode("append").parquet(src)
+    docs.filter(F.col("doc_id") >= half).coalesce(1).write.mode("append").parquet(src)
+    cfg = TokenizeStreamConfig(
+        input_path=src,
+        output_path=f"{base}/encoded",
+        checkpoint_path=f"{base}/ckpt",
+        fit_sf_dir=sf_dir,
+    )
+    with shuffle_partitions(spark, 8):
+        q = run_corpus_tokenize_stream(spark, cfg)
+        q.awaitTermination()
+    out = (
+        spark.read.parquet(cfg.output_path)
+        .drop("batch")  # partition-discovery column from the idempotent sink
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out

@@ -140,3 +140,58 @@ def test_streaming_dedup_restart_seeds_state_from_store(spark, sf_dir, tmp_path)
     expected = _expected_greedy(spark, [b1, dups.unionByName(fresh)])
     assert got == expected
     assert set(first) <= set(got)
+
+
+def test_tokenize_stream_matches_batch_and_replay_idempotent(spark, tmp_path):
+    """Tokenize-on-arrival must equal the batch subword encode exactly
+    (row-local, batch-invariant), and a REPLAYED batch must not duplicate
+    output rows (the idempotent batch=<id> overwrite sink)."""
+    from drive_health_etl_spark.operators.bpe import (
+        _MERGE_CACHE,
+        subword_encoder,
+        text_bpe_subword_encode,
+    )
+    from drive_health_etl_spark.streaming.corpus_stream import (
+        TokenizeStreamConfig,
+        run_corpus_tokenize_stream,
+    )
+
+    docs = {1: "hello world", 2: "world world hi", 3: ""}
+    rows = [(d, t, "en", "s", len(t)) for d, t in docs.items()]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    _MERGE_CACHE.clear()
+
+    cfg = TokenizeStreamConfig(
+        input_path=f"{sf}/spool",
+        output_path=f"{sf}/encoded",
+        checkpoint_path=f"{sf}/ckpt",
+        fit_sf_dir=sf,
+    )
+    from drive_health_etl_spark.sources.tables import load_table
+
+    d = load_table(spark, sf, "documents")
+    d.filter("doc_id < 2").coalesce(1).write.mode("append").parquet(cfg.input_path)
+    d.filter("doc_id >= 2").coalesce(1).write.mode("append").parquet(cfg.input_path)
+    q = run_corpus_tokenize_stream(spark, cfg)
+    q.awaitTermination()
+
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(cfg.output_path).drop("batch").collect()
+    )
+    want = sorted(tuple(r) for r in text_bpe_subword_encode(spark, sf).collect())
+    assert got == want
+
+    # simulate an at-least-once replay of batch 0: same batch_id, same
+    # directory — output must be unchanged, not doubled
+    encode = subword_encoder(spark, sf)
+    encode(d.filter("doc_id < 2")).write.mode("overwrite").parquet(
+        f"{cfg.output_path}/batch=0"
+    )
+    again = sorted(
+        tuple(r) for r in spark.read.parquet(cfg.output_path).drop("batch").collect()
+    )
+    assert again == want
+    _MERGE_CACHE.clear()

@@ -89,6 +89,7 @@ DEEP_VOLUME = (
     "st_stateful_counters",
     "st_stream_stream_join",
     "st_sprt_monitor",
+    "st_corpus_tokenize",
 )
 
 
@@ -367,6 +368,41 @@ def probe_media_decode(spark, sf_dir: str, n_batches: int):
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+
+def probe_corpus_tokenize(spark, sf_dir: str, n_batches: int):
+    from drive_health_etl_spark.streaming.corpus_stream import (
+        TokenizeStreamConfig,
+        run_corpus_tokenize_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    base = tempfile.mkdtemp(prefix=f"dhe_sprobe_tok_{uuid.uuid4().hex[:6]}_")
+    src = _spool(docs, n_batches, ["doc_id"])
+    cfg = TokenizeStreamConfig(
+        input_path=src,
+        output_path=f"{base}/encoded",
+        checkpoint_path=f"{base}/ckpt",
+        fit_sf_dir=sf_dir,
+    )
+    try:
+        t0 = time.perf_counter()
+        with shuffle_partitions(spark, 8):
+            q = run_corpus_tokenize_stream(spark, cfg)
+            q.awaitTermination()
+        wall = time.perf_counter() - t0
+        # stateless by design: "state" reported is the fit vocabulary size
+        # (the only cross-batch artifact, bounded by the tokenizer budget)
+        from drive_health_etl_spark.operators.bpe import _train_subword
+
+        state = len(_train_subword(spark, sf_dir)[1])
+        return wall, state
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(base, ignore_errors=True)
+
+
 PROBES = {
     "st_ingest_stream": probe_ingest_stream,
     "st_media_decode": probe_media_decode,
@@ -375,6 +411,7 @@ PROBES = {
     "st_stream_dedup": probe_stream_dedup,
     "st_sprt_monitor": probe_sprt_monitor,
     "st_corpus_dedup": probe_corpus_dedup,
+    "st_corpus_tokenize": probe_corpus_tokenize,
 }
 
 
