@@ -123,6 +123,7 @@ HEADLINE = [
     "text_bpe_train",
     "text_bpe_encode",
     "text_bpe_subword_encode",
+    "text_wordpiece_encode",
     "emb_gram_topk",
     "emb_jl_projection",
     "w11_interval_concurrency",

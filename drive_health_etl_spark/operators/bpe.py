@@ -460,7 +460,7 @@ def text_bpe_subword_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 UNK_ID = -1  # id for a word absent from the fit vocabulary (stream OOV)
 
 
-def subword_encoder(spark: SparkSession, fit_sf_dir: str):
+def subword_encoder(spark: SparkSession, fit_sf_dir: str, fit=None):
     """Fit the subword tokenizer on ``fit_sf_dir`` and return a pure
     function DataFrame -> DataFrame applying it: per input doc the
     word/char/subword counts and the ORDER-exact md5 digest (+ sum) of the
@@ -475,8 +475,13 @@ def subword_encoder(spark: SparkSession, fit_sf_dir: str):
     merges, which the bounded map cannot express JVM-side.
 
     A document's subword sequence is its words' symbol sequences
-    concatenated in order, exactly the paper's greedy segmentation."""
-    merges, spelled = _train_subword(spark, fit_sf_dir)
+    concatenated in order, exactly the paper's greedy segmentation.
+
+    ``fit`` overrides the merge table: pass another trainer's
+    (merge_rows, spell) — e.g. `_train_wordpiece` — to reuse the whole
+    id-ranking + literal-map apply path for a different merge-selection
+    rule (the apply semantics are selection-rule-independent)."""
+    merges, spelled = fit if fit is not None else _train_subword(spark, fit_sf_dir)
 
     sub_counts: dict[str, int] = {}
     docs = load_table(spark, fit_sf_dir, "documents")
@@ -600,14 +605,16 @@ def _bpe_subword_train_sql() -> str:
     return ",".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
 
 
-def _bpe_subword_encode_sql() -> str:
-    parts = [_subword_base_sql()]
-    for rnd in range(1, SUBWORD_ROUNDS + 1):
-        parts.append(_subword_round_sql(f"sw{rnd - 1}", rnd))
-    parts.append(f"""
+def _subword_readout_sql(final: str | None = None) -> str:
+    """Vocab ranking + per-doc id-digest readout over the final spelled
+    word table — shared by the BPE-subword and WordPiece encode oracles
+    (the readout is selection-rule-independent, like the Spark apply
+    path it mirrors)."""
+    final = final or f"sw{SUBWORD_ROUNDS}"
+    return f"""
 spellf AS MATERIALIZED (
   SELECT word, wc, list_filter(regexp_split_to_array(trim(s), '\\s+'), x -> x <> '') AS syms
-  FROM sw{SUBWORD_ROUNDS}
+  FROM {final}
 ),
 subct AS (
   SELECT sym, SUM(wc) AS c FROM (
@@ -650,16 +657,173 @@ SELECT d.doc_id,
        CAST(COALESCE(list_sum(i.ids), 0) AS BIGINT) AS sub_sum
 FROM dtok d
 LEFT JOIN dids i USING (doc_id)
-LEFT JOIN dchars c USING (doc_id)""")
+LEFT JOIN dchars c USING (doc_id)"""
+
+
+def _bpe_subword_encode_sql() -> str:
+    parts = [_subword_base_sql()]
+    for rnd in range(1, SUBWORD_ROUNDS + 1):
+        parts.append(_subword_round_sql(f"sw{rnd - 1}", rnd))
+    parts.append(_subword_readout_sql())
     return ",".join(parts)
 
 
 TEXT_BPE_SUBWORD_TRAIN_SQL = _bpe_subword_train_sql()
 TEXT_BPE_SUBWORD_ENCODE_SQL = _bpe_subword_encode_sql()
 
+# --- WordPiece ---------------------------------------------------------------
+#
+# Same character-level merge machinery, different SELECTION RULE: WordPiece
+# (Schuster & Nakajima ICASSP'12; the BERT tokenizer's trainer) picks the
+# pair maximizing count(ab) / (count(a) * count(b)) — the likelihood gain
+# of merging under a unigram LM — instead of raw frequency. Rare-but-
+# predictive pairs win over frequent-but-independent ones. The score is a
+# single IEEE division of exactly-representable integer counts, so the
+# selection (and therefore the whole merge table) is bit-identical across
+# Spark-driver Python and the DuckDB oracle.
+
+
+def _train_wordpiece(spark: SparkSession, sf_dir: str):
+    """Fit the WordPiece merge table; returns (merge_rows, spell) with
+    merge_rows = [(round, left, right, merged, pair_count, score,
+    symbols_after)]. Same vocab-bounded word-frequency formulation and
+    fit-cache discipline as `_train_subword`."""
+    key = (spark.sparkContext.applicationId, sf_dir, "wordpiece")
+
+    def build():
+        docs = load_table(spark, sf_dir, "documents")
+        wc_rows = (
+            docs.select(F.explode(tokens_col()).alias("w"))
+            .groupBy("w")
+            .agg(F.count("*").alias("wc"))
+            .collect()
+        )
+        words = {r["w"]: int(r["wc"]) for r in wc_rows}
+        spelled = {w: _spell(w) for w in words}
+        merges = []
+        for rnd in range(1, SUBWORD_ROUNDS + 1):
+            counts: dict[tuple, int] = {}
+            sym_counts: dict[str, int] = {}
+            for w, s in spelled.items():
+                syms = s.split()
+                for sym in syms:
+                    sym_counts[sym] = sym_counts.get(sym, 0) + words[w]
+                for a, b in zip(syms, syms[1:]):
+                    counts[(a, b)] = counts.get((a, b), 0) + words[w]
+            if not counts:
+                break
+            (a, b), c = min(
+                counts.items(),
+                key=lambda kv: (
+                    -(kv[1] / (sym_counts[kv[0][0]] * sym_counts[kv[0][1]])),
+                    kv[0],
+                ),
+            )
+            score = c / (sym_counts[a] * sym_counts[b])
+            spelled = {
+                w: s.replace(f" {a} {b} ", f" {a}{b} ") for w, s in spelled.items()
+            }
+            n_after = sum(words[w] * len(s.split()) for w, s in spelled.items())
+            merges.append((rnd, a, b, a + b, c, score, n_after))
+        return merges, {w: s.split() for w, s in spelled.items()}
+
+    return _MERGE_CACHE.get_or_build(key, build)
+
+
+def text_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece training (Schuster & Nakajima ICASSP'12): one row per
+    merge round with the selected pair, its corpus-weighted frequency, the
+    likelihood score count(ab)/(count(a)*count(b)) that picked it, and the
+    weighted symbol total after the rewrite. Compare with
+    `text_bpe_subword_train` on the same corpus to see where likelihood
+    and frequency selection diverge."""
+    merges, _sp = _train_wordpiece(spark, sf_dir)
+    return spark.createDataFrame(
+        merges,
+        "round int, left string, right string, merged string, "
+        "pair_count long, score double, symbols_after long",
+    )
+
+
+def text_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with the WordPiece merges — the whole apply path
+    (id ranking, literal map, digest) is shared with the BPE subword
+    encoder; only the merge-selection rule differs."""
+    return subword_encoder(
+        spark, sf_dir, fit=_train_wordpiece(spark, sf_dir)
+    )(load_table(spark, sf_dir, "documents"))
+
+
+def _wordpiece_round_sql(prev: str, rnd: int) -> str:
+    """One unrolled likelihood-scored merge round."""
+    return f"""
+sl{rnd} AS (
+  SELECT word, wc, list_filter(regexp_split_to_array(trim(s), '\\s+'), x -> x <> '') AS l
+  FROM {prev}
+),
+sc{rnd} AS (
+  SELECT sym, SUM(wc) AS c FROM (
+    SELECT wc, unnest(l) AS sym FROM sl{rnd}
+  ) GROUP BY sym
+),
+sp{rnd} AS (
+  SELECT p[1] AS a, p[2] AS b, SUM(wc) AS c
+  FROM (
+    SELECT wc, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS p
+    FROM sl{rnd} WHERE len(l) >= 2
+  )
+  WHERE p[2] IS NOT NULL
+  GROUP BY 1, 2
+),
+sb{rnd} AS (
+  SELECT a, b, c, score FROM (
+    SELECT p.a, p.b, p.c, p.c * 1.0 / (ca.c * cb.c) AS score
+    FROM sp{rnd} p
+    JOIN sc{rnd} ca ON ca.sym = p.a
+    JOIN sc{rnd} cb ON cb.sym = p.b
+  ) ORDER BY score DESC, a ASC, b ASC LIMIT 1
+),
+sw{rnd} AS MATERIALIZED (
+  SELECT word, wc,
+         CASE WHEN b.a IS NULL THEN s
+              ELSE replace(s, ' ' || b.a || ' ' || b.b || ' ',
+                              ' ' || b.a || b.b || ' ') END AS s
+  FROM {prev} LEFT JOIN sb{rnd} b ON TRUE
+)"""
+
+
+def _wordpiece_train_sql() -> str:
+    parts = [_subword_base_sql()]
+    selects = []
+    for rnd in range(1, SUBWORD_ROUNDS + 1):
+        parts.append(_wordpiece_round_sql(f"sw{rnd - 1}", rnd))
+        selects.append(
+            f"SELECT CAST({rnd} AS INT) AS round, a AS left, b AS right, "
+            f"a || b AS merged, CAST(c AS BIGINT) AS pair_count, score, "
+            f"(SELECT CAST(SUM(wc * len(list_filter(regexp_split_to_array(trim(s), "
+            f"'\\s+'), x -> x <> ''))) AS BIGINT) FROM sw{rnd}) AS symbols_after "
+            f"FROM sb{rnd}"
+        )
+    return ",".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def _wordpiece_encode_sql() -> str:
+    parts = [_subword_base_sql()]
+    for rnd in range(1, SUBWORD_ROUNDS + 1):
+        parts.append(_wordpiece_round_sql(f"sw{rnd - 1}", rnd))
+    parts.append(_subword_readout_sql())
+    return ",".join(parts)
+
+
+TEXT_WORDPIECE_TRAIN_SQL = _wordpiece_train_sql()
+TEXT_WORDPIECE_ENCODE_SQL = _wordpiece_encode_sql()
+
+
 QUERIES.update(
     {
         "text_bpe_subword_train": (text_bpe_subword_train, TEXT_BPE_SUBWORD_TRAIN_SQL),
         "text_bpe_subword_encode": (text_bpe_subword_encode, TEXT_BPE_SUBWORD_ENCODE_SQL),
+        "text_wordpiece_train": (text_wordpiece_train, TEXT_WORDPIECE_TRAIN_SQL),
+        "text_wordpiece_encode": (text_wordpiece_encode, TEXT_WORDPIECE_ENCODE_SQL),
     }
 )

@@ -249,3 +249,70 @@ def test_bpe_subword_matches_python_reference(spark, tmp_path):
         }
         assert got == want, f"trial {trial}: subword encode diverged ({docs})"
     B._MERGE_CACHE.clear()
+
+
+def test_wordpiece_matches_python_reference_and_diverges_from_bpe(spark, tmp_path):
+    """WordPiece's likelihood rule cross-checked against a pure-Python
+    reference, on a corpus engineered so likelihood and frequency pick
+    DIFFERENT first merges: 'q u' is rare but q predicts u perfectly,
+    while 'a b' is frequent but both symbols are everywhere."""
+    import random
+
+    docs = {
+        1: "ab ab ab ab qu",
+        2: "ba ab ba qu ab",
+        3: "aa bb ab ba aa",
+    }
+    sf = _write_docs(spark, tmp_path / "wp", docs)
+    B._MERGE_CACHE.clear()
+
+    def py_wordpiece(docs, rounds):
+        words: dict[str, int] = {}
+        for t in docs.values():
+            for w in t.split():
+                words[w] = words.get(w, 0) + 1
+        spelled = {w: " " + " ".join(w) + " </w> " for w in words}
+        merges = []
+        for rnd in range(1, rounds + 1):
+            counts: dict[tuple, int] = {}
+            syms_c: dict[str, int] = {}
+            for w, s in spelled.items():
+                syms = s.split()
+                for sym in syms:
+                    syms_c[sym] = syms_c.get(sym, 0) + words[w]
+                for a, b in zip(syms, syms[1:]):
+                    counts[(a, b)] = counts.get((a, b), 0) + words[w]
+            if not counts:
+                break
+            (a, b), c = min(
+                counts.items(),
+                key=lambda kv: (-(kv[1] / (syms_c[kv[0][0]] * syms_c[kv[0][1]])), kv[0]),
+            )
+            score = c / (syms_c[a] * syms_c[b])
+            spelled = {w: s.replace(f" {a} {b} ", f" {a}{b} ") for w, s in spelled.items()}
+            n_after = sum(words[w] * len(s.split()) for w, s in spelled.items())
+            merges.append((rnd, a, b, a + b, c, score, n_after))
+        return merges
+
+    want = py_wordpiece(docs, B.SUBWORD_ROUNDS)
+    got, _sp = B._train_wordpiece(spark, sf)
+    assert [tuple(m) for m in got] == want
+    # likelihood picks the predictive pair first; frequency would not
+    assert got[0][3] == "qu"
+    bpe_merges, _ = B._train_subword(spark, sf)
+    assert bpe_merges[0][3] != "qu"
+
+    # encode parity with the shared apply path, checked via DuckDB
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    oracle = {r[0]: r for r in con.execute(B.TEXT_WORDPIECE_ENCODE_SQL).fetchall()}
+    for r in B.text_wordpiece_encode(spark, sf).collect():
+        assert oracle[r["doc_id"]] == (
+            r["doc_id"], r["n_words"], r["n_chars"], r["n_subwords"],
+            r["sub_sig"], r["sub_sum"],
+        )
+    B._MERGE_CACHE.clear()

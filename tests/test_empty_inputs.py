@@ -70,6 +70,8 @@ EMPTY_SAFE = [
     "text_bpe_vocab",
     "text_bpe_subword_train",
     "text_bpe_subword_encode",
+    "text_wordpiece_train",
+    "text_wordpiece_encode",
     "emb_gram_topk",
     "asof_next_within",
     "sdp_daily_rollup",

@@ -368,6 +368,7 @@ BENCH_PLAN_FINGERPRINTS = {
     # subword encode: vocab-bounded literal word->ids map applied in one
     # narrow scan (fit is driver-side over the word-frequency table)
     "text_bpe_subword_encode": {},
+    "text_wordpiece_encode": {},
     "sdp_daily_rollup": {},
     "lake_time_travel": {},
     "lake_merge": {},
