@@ -124,6 +124,7 @@ HEADLINE = [
     "text_bpe_encode",
     "text_bpe_subword_encode",
     "text_wordpiece_encode",
+    "text_unigram_encode",
     "emb_gram_topk",
     "emb_jl_projection",
     "w11_interval_concurrency",
@@ -443,6 +444,7 @@ def wait_for_idle_window(
             {
                 "external_cpu_share": shares["external_cpu_share"],
                 "iowait_share": shares["iowait_share"],
+                "steal_share": shares.get("steal_share", 0.0),
                 "load1": round(load1, 2),
                 "idle": ok,
             }

@@ -827,3 +827,258 @@ QUERIES.update(
         "text_wordpiece_encode": (text_wordpiece_encode, TEXT_WORDPIECE_ENCODE_SQL),
     }
 )
+
+
+# --- Unigram LM tokenizer ----------------------------------------------------
+#
+# The third major subword algorithm next to BPE and WordPiece: the unigram
+# language model (Kudo ACL'18, "Subword regularization"; SentencePiece's
+# default). Instead of growing a vocabulary by merges, it ESTIMATES token
+# probabilities over a fixed candidate vocabulary with EM, segmenting each
+# word by Viterbi under the current model. Implemented here as the
+# hard-EM (Viterbi-E-step) variant WITHOUT the pruning schedule — the
+# estimation/segmentation core, documented as such; the candidate vocab is
+# every word substring up to UNI_CAND_MAX chars, seeded by weighted
+# occurrence counts. Same 100 TB formulation as the other subword
+# trainers: one corpus scan reduces everything to the vocab-bounded word
+# frequency table, and EM runs over that.
+#
+# Cross-engine determinism: every Viterbi score is a product of doubles
+# built by the SAME operation sequence in both engines — each factor is
+# one IEEE division usage/total of exactly-representable ints, and the
+# path score multiplies them left to right — so comparisons (and the
+# smallest-last-token-first tie-break on exact float equality) agree
+# bit-for-bit, the wordpiece-score argument extended to products.
+
+UNI_CAND_MAX = 6  # max candidate-token length (chars)
+UNI_EM_ITERS = 2  # unrolled EM iterations (hard-EM)
+UNI_WORD_MAX = 16  # oracle DP unroll bound; the oracle errors loudly above
+
+
+def _uni_viterbi(word: str, p: dict[str, float]) -> list[str]:
+    """Best segmentation of ``word`` under token probabilities ``p``:
+    maximize the left-to-right product of p(token). Ties (exact float
+    equality, including the all-zero-probability regime) break toward the
+    SHORTEST last token — iterate candidate lengths ascending and replace
+    only on strictly greater score, mirroring the oracle's
+    ORDER BY score DESC, l ASC."""
+    L = len(word)
+    best = [1.0] + [-1.0] * L
+    back = [0] * (L + 1)
+    for i in range(1, L + 1):
+        for l in range(1, min(UNI_CAND_MAX, i) + 1):
+            t = word[i - l:i]
+            if t in p:
+                cand = best[i - l] * p[t]
+                if cand > best[i]:
+                    best[i] = cand
+                    back[i] = l
+    toks = []
+    i = L
+    while i > 0:
+        l = back[i]
+        toks.append(word[i - l:i])
+        i -= l
+    return toks[::-1]
+
+
+def _train_unigram(spark: SparkSession, sf_dir: str):
+    """Fit the unigram LM. Returns (usage, spell): final per-token weighted
+    usage counts (the model numerators; total = their sum) and each corpus
+    word's final-model Viterbi segmentation (the E-step of one more
+    iteration, i.e. what encode applies). Vocab-bounded; fit-cached."""
+    key = (spark.sparkContext.applicationId, sf_dir, "unigram")
+
+    def build():
+        docs = load_table(spark, sf_dir, "documents")
+        wc_rows = (
+            docs.select(F.explode(tokens_col()).alias("w"))
+            .groupBy("w")
+            .agg(F.count("*").alias("wc"))
+            .collect()
+        )
+        words = {r["w"]: int(r["wc"]) for r in wc_rows}
+        # seed: weighted substring-occurrence counts
+        usage: dict[str, int] = {}
+        for w, wc in words.items():
+            for i in range(len(w)):
+                for l in range(1, min(UNI_CAND_MAX, len(w) - i) + 1):
+                    t = w[i:i + l]
+                    usage[t] = usage.get(t, 0) + wc
+        for _it in range(UNI_EM_ITERS):
+            total = sum(usage.values())
+            p = {t: u / total for t, u in usage.items()}
+            nxt: dict[str, int] = {}
+            for w, wc in words.items():
+                for t in _uni_viterbi(w, p):
+                    nxt[t] = nxt.get(t, 0) + wc
+            # keep the full candidate support with zero counts: a token
+            # unused this E-step has p = 0 next round but remains a legal
+            # (score-zero) path, matching the oracle's LEFT-JOIN lookups
+            usage = {t: nxt.get(t, 0) for t in usage}
+        total = sum(usage.values())
+        p = {t: u / total for t, u in usage.items()}
+        spell = {w: _uni_viterbi(w, p) for w in words}
+        return words, usage, spell
+
+    return _MERGE_CACHE.get_or_build(key, build)
+
+
+def text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM training (Kudo ACL'18, hard-EM variant): the shipped
+    tokenizer artifact — one row per token USED by the final Viterbi
+    segmentations, with its corpus-weighted usage there, its relative
+    frequency (one exact IEEE division), and the frequency-ranked id
+    `text_unigram_encode` assigns. (The EM-internal probabilities that
+    SELECTED these segmentations are intermediate state; the artifact a
+    pipeline ships is the segmentation vocabulary.)"""
+    words, _usage, spell = _train_unigram(spark, sf_dir)
+    counts: dict[str, int] = {}
+    for w, syms in spell.items():
+        for t in syms:
+            counts[t] = counts.get(t, 0) + words[w]
+    total = sum(counts.values())
+    rows = [
+        (t, c, (c / total) if total else 0.0, i)
+        for i, (t, c) in enumerate(
+            sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        )
+    ]
+    return spark.createDataFrame(
+        rows, "token string, usage long, p double, id int"
+    )
+
+
+def text_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with the unigram model's Viterbi segmentations —
+    the apply path (vocab ranking over the final segmentations, literal
+    word -> ids map, order-exact digest) is the shared subword-encoder
+    machinery, so ids here match `text_unigram_train` by construction."""
+    _words, _usage, spell = _train_unigram(spark, sf_dir)
+    fit = ([], dict(spell))
+    enc = subword_encoder(spark, sf_dir, fit=fit)
+    return enc(load_table(spark, sf_dir, "documents"))
+
+
+def _uni_em_ctes() -> str:
+    """Unrolled EM + final-segmentation CTEs shared by both unigram
+    oracles: word table -> weighted candidate counts -> UNI_EM_ITERS
+    (vocab -> Viterbi DP -> backtrace -> usage) rounds -> one final
+    segmentation pass. The DP unrolls UNI_WORD_MAX positions with a union
+    chain so each position's best-score row can join any of the previous
+    UNI_CAND_MAX positions; the `wlim` guard errors loudly on a word
+    longer than the unroll (the suffix-lcs guard discipline). Viterbi
+    score = left-to-right product of usage/total divisions, tie-broken
+    score DESC then last-token length ASC — bit-identical to
+    `_uni_viterbi`."""
+    W, C = UNI_WORD_MAX, UNI_CAND_MAX
+    parts = [
+        f"w0 AS MATERIALIZED (SELECT t AS word, COUNT(*) AS wc FROM "
+        f"(SELECT unnest({TOKENS_SQL}) AS t FROM documents) GROUP BY t)",
+        f"""wlim AS MATERIALIZED (
+  SELECT CASE WHEN MAX(len(word)) > {W}
+              THEN error('unigram oracle: word length ' || MAX(len(word)) ||
+                         ' exceeds the {W}-position DP unroll')
+              ELSE 1 END AS ok FROM w0)""",
+        f"""u0 AS MATERIALIZED (
+  SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS t, SUM(wc) AS u
+  FROM w0,
+       UNNEST(range(1, len(word) + 1)) AS p(i),
+       UNNEST(range(1, least({C}, len(word) - p.i + 1) + 1)) AS q(l)
+  GROUP BY 1)""",
+        "tot0 AS MATERIALIZED (SELECT SUM(u) * (SELECT ok FROM wlim) AS s FROM u0)",
+    ]
+    for k in range(1, UNI_EM_ITERS + 2):  # EM iters + the final pass
+        prev = k - 1
+        parts.append(
+            f"v{k} AS MATERIALIZED (SELECT t, CAST(u AS DOUBLE) / "
+            f"CAST((SELECT s FROM tot{prev}) AS DOUBLE) AS p FROM u{prev})"
+        )
+        parts.append(f"""sp{k} AS MATERIALIZED (
+  SELECT w.word, CAST(p.i AS INT) AS i, CAST(q.l AS INT) AS l, v.p
+  FROM w0 w,
+       UNNEST(range(1, len(w.word) + 1)) AS p(i),
+       UNNEST(range(1, least({C}, p.i) + 1)) AS q(l)
+  JOIN v{k} v ON v.t = substr(w.word, CAST(p.i AS INT) - CAST(q.l AS INT) + 1, CAST(q.l AS INT)))""")
+        parts.append(
+            f"dp{k}_0 AS MATERIALIZED (SELECT word, 0 AS i, CAST(1.0 AS DOUBLE) AS score, 0 AS l FROM w0)"
+        )
+        parts.append(f"dpu{k}_0 AS MATERIALIZED (SELECT * FROM dp{k}_0)")
+        for i in range(1, W + 1):
+            parts.append(f"""dp{k}_{i} AS MATERIALIZED (
+  SELECT word, {i} AS i, score, l FROM (
+    SELECT word, score, l,
+           ROW_NUMBER() OVER (PARTITION BY word ORDER BY score DESC, l ASC) AS rn
+    FROM (
+      SELECT s.word, d.score * s.p AS score, s.l
+      FROM sp{k} s JOIN dpu{k}_{i - 1} d
+        ON d.word = s.word AND d.i = {i} - s.l
+      WHERE s.i = {i}
+    )
+  ) WHERE rn = 1
+)""")
+            parts.append(
+                f"dpu{k}_{i} AS MATERIALIZED (SELECT * FROM dpu{k}_{i - 1} UNION ALL SELECT * FROM dp{k}_{i})"
+            )
+        parts.append(
+            f"bt{k}_{W} AS MATERIALIZED (SELECT word, CAST(len(word) AS INT) AS pos FROM w0)"
+        )
+        for j in range(W, 0, -1):
+            parts.append(f"""tk{k}_{j} AS MATERIALIZED (
+  SELECT b.word, b.pos, d.l,
+         substr(b.word, b.pos - d.l + 1, d.l) AS token
+  FROM bt{k}_{j} b JOIN dpu{k}_{W} d ON d.word = b.word AND d.i = b.pos
+  WHERE b.pos > 0)""")
+            parts.append(
+                f"bt{k}_{j - 1} AS MATERIALIZED (SELECT word, pos - l AS pos FROM tk{k}_{j})"
+            )
+        seg_union = "\n  UNION ALL ".join(
+            f"SELECT word, pos, token FROM tk{k}_{j}" for j in range(W, 0, -1)
+        )
+        parts.append(f"segs{k} AS MATERIALIZED (\n  {seg_union}\n)")
+        if k <= UNI_EM_ITERS:
+            # usage over the FULL candidate support (zero-usage tokens stay)
+            parts.append(f"""u{k} AS MATERIALIZED (
+  SELECT c.t, CAST(COALESCE(s.u, 0) AS BIGINT) AS u
+  FROM u0 c LEFT JOIN (
+    SELECT g.token AS t, SUM(w.wc) AS u
+    FROM segs{k} g JOIN w0 w USING (word) GROUP BY g.token
+  ) s USING (t))""")
+            parts.append(f"tot{k} AS MATERIALIZED (SELECT SUM(u) AS s FROM u{k})")
+    fin = UNI_EM_ITERS + 1
+    parts.append(f"""spellw AS MATERIALIZED (
+  SELECT w.word, w.wc,
+         ' ' || string_agg(g.token, ' ' ORDER BY g.pos) || ' ' AS s
+  FROM segs{fin} g JOIN w0 w USING (word)
+  GROUP BY w.word, w.wc)""")
+    return ",\n".join(parts)
+
+
+def _unigram_train_sql() -> str:
+    return (
+        "WITH " + _uni_em_ctes() + f""",
+fc AS MATERIALIZED (
+  SELECT g.token AS t, CAST(SUM(w.wc) AS BIGINT) AS c
+  FROM segs{UNI_EM_ITERS + 1} g JOIN w0 w USING (word) GROUP BY g.token
+),
+ftot AS (SELECT SUM(c) AS s FROM fc)
+SELECT t AS token, c AS usage,
+       CAST(c AS DOUBLE) / CAST((SELECT s FROM ftot) AS DOUBLE) AS p,
+       CAST(ROW_NUMBER() OVER (ORDER BY c DESC, t ASC) - 1 AS INT) AS id
+FROM fc"""
+    )
+
+
+def _unigram_encode_sql() -> str:
+    return "WITH " + _uni_em_ctes() + ",\n" + _subword_readout_sql("spellw")
+
+
+TEXT_UNIGRAM_TRAIN_SQL = _unigram_train_sql()
+TEXT_UNIGRAM_ENCODE_SQL = _unigram_encode_sql()
+
+QUERIES.update(
+    {
+        "text_unigram_train": (text_unigram_train, TEXT_UNIGRAM_TRAIN_SQL),
+        "text_unigram_encode": (text_unigram_encode, TEXT_UNIGRAM_ENCODE_SQL),
+    }
+)

@@ -316,3 +316,71 @@ def test_wordpiece_matches_python_reference_and_diverges_from_bpe(spark, tmp_pat
             r["sub_sig"], r["sub_sum"],
         )
     B._MERGE_CACHE.clear()
+
+
+def test_unigram_hand_computed_and_long_word_splits(spark, tmp_path):
+    """Hand-checkable unigram case plus corpora whose words EXCEED the
+    candidate length (forcing real Viterbi splits), cross-checked against
+    the DuckDB oracle directly."""
+    import duckdb
+
+    # single word "ab": seed p uniform over {a, b, ab}; Viterbi picks the
+    # single token (1/3 > 1/9); EM converges to p(ab) = 1
+    sf = _write_docs(spark, tmp_path / "u1", {1: "ab", 2: "ab"})
+    B._MERGE_CACHE.clear()
+    rows = B.text_unigram_train(spark, sf).collect()
+    assert [(r["token"], r["usage"], r["p"], r["id"]) for r in rows] == [("ab", 2, 1.0, 0)]
+    enc = {r["doc_id"]: r for r in B.text_unigram_encode(spark, sf).collect()}
+    assert enc[1]["n_subwords"] == 1 and enc[1]["sub_sum"] == 0
+
+    # words longer than UNI_CAND_MAX must split; oracle must agree exactly
+    import random
+
+    rng = random.Random(47)
+    alpha = "xyz"
+    for trial in range(3):
+        docs = {
+            d: " ".join(
+                "".join(rng.choice(alpha) for _ in range(rng.randint(1, 12)))
+                for _ in range(rng.randint(1, 10))
+            )
+            for d in range(1, rng.randint(2, 5) + 1)
+        }
+        sf = _write_docs(spark, tmp_path / f"u{trial + 2}", docs)
+        B._MERGE_CACHE.clear()
+        got = {
+            r["doc_id"]: (r["n_words"], r["n_chars"], r["n_subwords"],
+                          r["sub_sig"], r["sub_sum"])
+            for r in B.text_unigram_encode(spark, sf).collect()
+        }
+        assert any(g[2] > g[0] for g in got.values()), "no word split — fixture too easy"
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+        )
+        oracle = {
+            r[0]: tuple(r[1:])
+            for r in con.execute(B.TEXT_UNIGRAM_ENCODE_SQL).fetchall()
+        }
+        assert oracle == got, f"trial {trial}: unigram encode diverged ({docs})"
+    B._MERGE_CACHE.clear()
+
+
+def test_unigram_oracle_guards_overlong_words(spark, tmp_path):
+    """A word longer than the DP unroll must make the ORACLE fail loudly
+    (never silently mis-segment); the Spark side handles any length."""
+    import duckdb
+    import pytest
+
+    long_word = "q" * (B.UNI_WORD_MAX + 1)
+    sf = _write_docs(spark, tmp_path, {1: f"ab {long_word}", 2: "ab"})
+    B._MERGE_CACHE.clear()
+    rows = B.text_unigram_encode(spark, sf).collect()  # Spark side: fine
+    assert {r["doc_id"] for r in rows} == {1, 2}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    with pytest.raises(Exception, match="exceeds the .*-position DP unroll"):
+        con.execute(B.TEXT_UNIGRAM_ENCODE_SQL).fetchall()
+    B._MERGE_CACHE.clear()

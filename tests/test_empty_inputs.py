@@ -72,6 +72,8 @@ EMPTY_SAFE = [
     "text_bpe_subword_encode",
     "text_wordpiece_train",
     "text_wordpiece_encode",
+    "text_unigram_train",
+    "text_unigram_encode",
     "emb_gram_topk",
     "asof_next_within",
     "sdp_daily_rollup",

@@ -369,6 +369,7 @@ BENCH_PLAN_FINGERPRINTS = {
     # narrow scan (fit is driver-side over the word-frequency table)
     "text_bpe_subword_encode": {},
     "text_wordpiece_encode": {},
+    "text_unigram_encode": {},
     "sdp_daily_rollup": {},
     "lake_time_travel": {},
     "lake_merge": {},
