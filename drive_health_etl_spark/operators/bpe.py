@@ -397,6 +397,26 @@ SUBWORD_ROUNDS = 8
 _EOW = "</w>"  # end-of-word marker symbol (the paper's </w>)
 
 
+def _word_counts(spark: SparkSession, sf_dir: str) -> dict:
+    """Corpus word-frequency table (bounded by the word vocabulary) —
+    the single scan every subword-family fit reduces to. Fit-cached so
+    the subword/WordPiece/unigram trainers and the encoder's ranking pass
+    share ONE aggregate per (session, dataset) instead of re-scanning."""
+    key = (spark.sparkContext.applicationId, sf_dir, "word_counts")
+
+    def build() -> dict:
+        docs = load_table(spark, sf_dir, "documents")
+        rows = (
+            docs.select(F.explode(tokens_col()).alias("w"))
+            .groupBy("w")
+            .agg(F.count("*").alias("wc"))
+            .collect()
+        )
+        return {r["w"]: int(r["wc"]) for r in rows}
+
+    return _MERGE_CACHE.get_or_build(key, build)
+
+
 def _spell(word: str) -> str:
     return " " + " ".join(word) + f" {_EOW} "
 
@@ -412,14 +432,7 @@ def _train_subword(spark: SparkSession, sf_dir: str):
     key = (spark.sparkContext.applicationId, sf_dir, "bpe_subword")
 
     def build():
-        docs = load_table(spark, sf_dir, "documents")
-        wc_rows = (
-            docs.select(F.explode(tokens_col()).alias("w"))
-            .groupBy("w")
-            .agg(F.count("*").alias("wc"))
-            .collect()  # bounded: the corpus word vocabulary
-        )
-        words = {r["w"]: int(r["wc"]) for r in wc_rows}
+        words = _word_counts(spark, sf_dir)
         spelled = {w: _spell(w) for w in words}
         merges = []
         for rnd in range(1, SUBWORD_ROUNDS + 1):
@@ -484,14 +497,7 @@ def subword_encoder(spark: SparkSession, fit_sf_dir: str, fit=None):
     merges, spelled = fit if fit is not None else _train_subword(spark, fit_sf_dir)
 
     sub_counts: dict[str, int] = {}
-    docs = load_table(spark, fit_sf_dir, "documents")
-    wc_rows = (
-        docs.select(F.explode(tokens_col()).alias("w"))
-        .groupBy("w")
-        .agg(F.count("*").alias("wc"))
-        .collect()
-    )
-    wcounts = {r["w"]: int(r["wc"]) for r in wc_rows}
+    wcounts = _word_counts(spark, fit_sf_dir)
     for w, syms in spelled.items():
         for s in syms:
             sub_counts[s] = sub_counts.get(s, 0) + wcounts[w]
@@ -691,14 +697,7 @@ def _train_wordpiece(spark: SparkSession, sf_dir: str):
     key = (spark.sparkContext.applicationId, sf_dir, "wordpiece")
 
     def build():
-        docs = load_table(spark, sf_dir, "documents")
-        wc_rows = (
-            docs.select(F.explode(tokens_col()).alias("w"))
-            .groupBy("w")
-            .agg(F.count("*").alias("wc"))
-            .collect()
-        )
-        words = {r["w"]: int(r["wc"]) for r in wc_rows}
+        words = _word_counts(spark, sf_dir)
         spelled = {w: _spell(w) for w in words}
         merges = []
         for rnd in range(1, SUBWORD_ROUNDS + 1):
@@ -890,14 +889,7 @@ def _train_unigram(spark: SparkSession, sf_dir: str):
     key = (spark.sparkContext.applicationId, sf_dir, "unigram")
 
     def build():
-        docs = load_table(spark, sf_dir, "documents")
-        wc_rows = (
-            docs.select(F.explode(tokens_col()).alias("w"))
-            .groupBy("w")
-            .agg(F.count("*").alias("wc"))
-            .collect()
-        )
-        words = {r["w"]: int(r["wc"]) for r in wc_rows}
+        words = _word_counts(spark, sf_dir)
         # seed: weighted substring-occurrence counts
         usage: dict[str, int] = {}
         for w, wc in words.items():
