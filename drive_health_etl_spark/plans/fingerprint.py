@@ -50,6 +50,15 @@ def _live_plan(plan: str) -> str:
         if "InMemoryRelation" in line:
             skip_indent = indent
             continue
+        if "InMemoryTableScan" in line:
+            # the scan itself is live, but everything rendered UNDER it is
+            # the cached build plan (executedPlan().toString() inlines it
+            # directly beneath the scan when the cache was materialized by
+            # an AQE query — no InMemoryRelation line in that rendering;
+            # round 11: text_bigram_logprob counted 6 dead shuffles)
+            out.append(line)
+            skip_indent = indent
+            continue
         out.append(line)
     return "\n".join(out)
 

@@ -244,7 +244,9 @@ def test_constant_folded_sampling_fast_path(spark, sf_dir):
 # tools/plan_fingerprints.py after an INTENTIONAL plan change.
 BENCH_PLAN_FINGERPRINTS = {
     "corpus_weighted_sample": {},
-    "quality_ppx_gate": {"shuffle_exchange": 11, "broadcast_exchange": 7, "BroadcastHashJoin": 6, "BroadcastNestedLoopJoin": 1},
+    # r11: composes the cached trigram LM (see text_trigram_kn_logprob);
+    # live plan = scoring join + per-doc agg + NTILE window + bucket agg
+    "quality_ppx_gate": {"shuffle_exchange": 4, "broadcast_exchange": 1, "BroadcastHashJoin": 1},
     "dedup_cdc_chunks": {"shuffle_exchange": 4, "broadcast_exchange": 1, "BroadcastNestedLoopJoin": 1},
     # r9 shuffle collapse: one up-front (k, id) repartition; dedup, shared
     # count, and the semi join run exchange-free off that partitioning
@@ -311,7 +313,9 @@ BENCH_PLAN_FINGERPRINTS = {
     # repartition + (doc, char) count + per-doc sum — no joins anywhere
     "text_char_entropy": {"shuffle_exchange": 3},
     "text_decontaminate": {"shuffle_exchange": 6, "broadcast_exchange": 1, "BroadcastHashJoin": 1},
-    "text_bigram_logprob": {"shuffle_exchange": 6, "broadcast_exchange": 2, "BroadcastHashJoin": 2},
+    # r11: one (g, w1) count shuffle in the cached fit; live plan = scoring
+    # join + per-doc aggregate
+    "text_bigram_logprob": {"shuffle_exchange": 1, "broadcast_exchange": 1, "BroadcastHashJoin": 1},
     "text_url_canonical": {},
     "asof_last_purchase": {"shuffle_exchange": 1},
     "emb_gram_topk": {"shuffle_exchange": 1},
@@ -414,11 +418,14 @@ BENCH_PLAN_FINGERPRINTS = {
     "multimodal_ulaw_stats": {
         "shuffle_exchange": 1,
     },
+    # r11: the five corpus count aggregates + scoring distinct collapsed
+    # into one (g, contexts) count table derived from the cached trigram
+    # relation; the fitted lp table is cached, so the live plan is the
+    # scoring join + per-doc aggregate only
     "text_trigram_kn_logprob": {
-        "shuffle_exchange": 10,
-        "broadcast_exchange": 7,
-        "BroadcastHashJoin": 6,
-        "BroadcastNestedLoopJoin": 1,
+        "shuffle_exchange": 1,
+        "broadcast_exchange": 1,
+        "BroadcastHashJoin": 1,
     },
     "emb_jl_projection": {
         "shuffle_exchange": 1,
