@@ -40,6 +40,12 @@ MAX_SCOPES = 4
 
 
 def _try_unpersist(v) -> None:
+    # Composite entries (e.g. a (DataFrame, count) pair) release each
+    # element — eviction must free every persisted block the entry pinned.
+    if isinstance(v, (tuple, list)):
+        for item in v:
+            _try_unpersist(item)
+        return
     unpersist = getattr(v, "unpersist", None)
     if callable(unpersist):
         try:

@@ -59,6 +59,16 @@ def test_eviction_survives_unpersist_errors():
     assert fresh.persisted
 
 
+def test_composite_tuple_values_unpersist_each_element():
+    # graph's node-set cache stores (DataFrame, count) pairs; eviction must
+    # free the DataFrame's blocks despite the tuple wrapper
+    c = FitCache(scope_len=2, max_scopes=1)
+    df = FakeDF()
+    c.get_or_build(("app", "sfA", "nodes"), lambda: (df, 42))
+    c.get_or_build(("app", "sfB", "x"), lambda: FakeDF())
+    assert not df.persisted
+
+
 def test_non_unpersistable_values_are_just_dropped():
     c = FitCache(scope_len=2, max_scopes=1)
     c.get_or_build(("app", "sfA"), lambda: [1.0, 2.0])  # plain fit weights
