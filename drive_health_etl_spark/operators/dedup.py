@@ -1988,7 +1988,16 @@ _LCS_RUNG_CAP = 1024
 # row count and the hashed-char volume stay small; otherwise bisect (the
 # 100 TB path — a heavily-duplicated corpus keeps a large frontier).
 _LCS_ONESHOT_ROWS = 64_000_000
-_LCS_ONESHOT_CHARS = 8_000_000_000
+# r11 (measured): the exhaustive job hashes ~cnt*w*hi chars, a bisection
+# probe only ~cnt*hi (one length, same frontier) plus one job of fixed
+# overhead — so the one-shot is only worth taking once its volume is
+# within a few dozen probe-equivalents. The old 8e9 budget fired with the
+# window still 321 lengths wide at sf0.1 (6.9e9 chars hashed, 3.1 s, 60%
+# of the query) where one more 19M-char rung probe would first collapse
+# the frontier 37k -> ~600; at 5e8 the search takes that probe and the
+# one-shot drops to ~22M chars (4.4 -> ~2.4 s end to end, same L* — the
+# search is exact along every path, only the probe schedule changes).
+_LCS_ONESHOT_CHARS = 500_000_000
 
 
 def dedup_suffix_lcs(spark: SparkSession, sf_dir: str) -> DataFrame:
