@@ -479,14 +479,13 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle, bounded by C(n_sources, 2) per shingle regardless of corpus
     size (n_sources is config-scale). Output is n_sources^2 rows — driver-
     tiny at any SF."""
-    from drive_health_etl_spark.operators.dedup import shingles_col  # noqa: PLC0415
+    from drive_health_etl_spark.operators.dedup import _shingle_sets  # noqa: PLC0415
 
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # r11: per-source distinct shingles from the shared cached shingle-set
+    # relation (empty-set docs contribute no shingles either way)
     ss = (
-        docs.withColumn("toks", tokens_col())
-        .select("source", F.explode(shingles_col()).alias("shingle"))
+        _shingle_sets(spark, sf_dir)
+        .select("source", F.explode("sh_set").alias("shingle"))
         .distinct()
     )
     counts = ss.groupBy("source").agg(F.count("*").alias("n"))

@@ -134,7 +134,12 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (session, sf_dir) via the family subtree cache — the tokenize+shingle
     pass feeds the Jaccard verify, the containment verify, and the
     prefix-filtering join (docs with zero shingles have no bands/prefixes
-    and cannot be candidates anywhere, so the size>0 filter is uniform)."""
+    and cannot be candidates anywhere, so the size>0 filter is uniform).
+    r11: also carries `source` (for the source-overlap audit) and feeds
+    the LSH quality/scurve/bias eval queries via a doc_id filter — every
+    consumer reaches shingle sets ONLY through shared-shingle pairs or
+    per-source distinct shingles, so the size>0 filter stays invisible
+    to all of them."""
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
@@ -143,7 +148,7 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "sh_sets",
         lambda: docs.withColumn("toks", tokens_col())
-        .select("doc_id", F.array_distinct(shingles_col()).alias("sh_set"))
+        .select("doc_id", "source", F.array_distinct(shingles_col()).alias("sh_set"))
         .filter(F.size("sh_set") > 0),
     )
 
@@ -755,13 +760,12 @@ def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the quadratic term is fenced to 500 docs at any SF; pairs sharing
     zero shingles have Jaccard 0 and can't reach tau. Predictions are the
     production LSH pair generator restricted to the same subset."""
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < _EVAL_N)
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
-    sets_df = docs.withColumn("toks", tokens_col()).select(
-        "doc_id", F.array_distinct(shingles_col()).alias("sh_set")
+    # r11: the eval subset's shingle sets come from the shared cached
+    # relation (one tokenize+shingle pass per session/dataset) — empty-set
+    # docs, absent there, reach no output: every path below goes through
+    # shared-shingle pairs.
+    sets_df = _shingle_sets(spark, sf_dir).filter(F.col("doc_id") < _EVAL_N).select(
+        "doc_id", "sh_set"
     )
     sh = sets_df.select("doc_id", F.explode("sh_set").alias("shingle")).distinct()
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -866,13 +870,12 @@ def dedup_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Counts exact; only the capture-rate division rounds. The quadratic
     pair term stays fenced to the subset (same argument as lsh_quality)."""
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < _EVAL_N)
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
-    sets_df = docs.withColumn("toks", tokens_col()).select(
-        "doc_id", F.array_distinct(shingles_col()).alias("sh_set")
+    # r11: the eval subset's shingle sets come from the shared cached
+    # relation (one tokenize+shingle pass per session/dataset) — empty-set
+    # docs, absent there, reach no output: every path below goes through
+    # shared-shingle pairs.
+    sets_df = _shingle_sets(spark, sf_dir).filter(F.col("doc_id") < _EVAL_N).select(
+        "doc_id", "sh_set"
     )
     sh = sets_df.select("doc_id", F.explode("sh_set").alias("shingle")).distinct()
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -978,13 +981,12 @@ def dedup_minhash_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit behind choosing the signature width. Agreement counts and exact
     Jaccard are integers/exact ratios; the error means sum per-term
     decimal-cast and round 6 dp."""
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < _EVAL_N)
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
-    sets_df = docs.withColumn("toks", tokens_col()).select(
-        "doc_id", F.array_distinct(shingles_col()).alias("sh_set")
+    # r11: the eval subset's shingle sets come from the shared cached
+    # relation (one tokenize+shingle pass per session/dataset) — empty-set
+    # docs, absent there, reach no output: every path below goes through
+    # shared-shingle pairs.
+    sets_df = _shingle_sets(spark, sf_dir).filter(F.col("doc_id") < _EVAL_N).select(
+        "doc_id", "sh_set"
     )
     sh = sets_df.select("doc_id", F.explode("sh_set").alias("shingle")).distinct()
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")

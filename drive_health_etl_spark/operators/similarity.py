@@ -955,6 +955,74 @@ def _pq_codebooks_cached(spark: SparkSession, sf_dir: str, emb: DataFrame) -> li
     return _PQ_CB_CACHE.get_or_build(ckey, lambda: pq_codebooks(emb))
 
 
+_PQ_CODES_CACHE = FitCache()  # keys (appId, sf_dir); scope-LRU bounded
+
+
+def _pq_codes_cached(
+    spark: SparkSession, sf_dir: str, emb: DataFrame,
+    cbs: list[tuple[int, int, list[float]]],
+) -> DataFrame:
+    """The PQ-ENCODED CORPUS — every vector's per-subspace (best squared
+    distance, code) — persisted once per (session, dataset), like the
+    codebooks it derives from. r11: the corpus encode (posexplode to
+    PQ_M subvectors + argmin fold against the broadcast codebook) re-ran
+    per CALL of `_adc_distances` (so twice per ivfpq build: pq_adc and
+    ivfpq both score through it) and again, with the same folds, inside
+    `emb_pq_stats`. A real IVF-PQ index stores codes at indexing time and
+    search never touches the float vectors — materializing them is the
+    index build, not result caching (guide §5: cache what is reused and
+    expensive). Expressions are byte-for-byte the consumers' own folds,
+    so codes/distances are bit-identical whether read from this cache or
+    recomputed. Columns: vec_id, m, d (best squared distance, the MSE
+    numerator), code; consumers project what they need."""
+
+    def build() -> DataFrame:
+        cb_all = _pq_all_cb_df(spark, cbs)
+        slices = F.posexplode(
+            F.array(*[F.slice("e", m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)])
+        ).alias("m", "sv")
+        mycb = F.filter(F.col("pqall"), lambda c: c["m"] == F.col("m"))
+        base = (
+            emb.select("vec_id", slices)
+            .join(F.broadcast(cb_all))
+            .withColumn("svv", _dot(F.col("sv"), F.col("sv")))
+        )
+        best = F.array_min(
+            F.transform(
+                mycb,
+                lambda c: F.struct(
+                    (
+                        F.col("svv")
+                        - F.lit(2.0) * _dot(F.col("sv"), c["cv"])
+                        + _dot(c["cv"], c["cv"])
+                    ).alias("d"),
+                    c["code"].alias("code"),
+                ),
+            )
+        )
+        return (
+            base.select("vec_id", "m", best["d"].alias("d"), best["code"].alias("code"))
+            .persist()
+        )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    return _PQ_CODES_CACHE.get_or_build(key, build)
+
+
+_QID_CACHE = FitCache()  # keys (appId, sf_dir); the demo-query vector id
+
+
+def _qid_cached(spark: SparkSession, sf_dir: str, emb: DataFrame) -> int:
+    """MAX(vec_id) — the deterministic demo-query row every ANN search
+    uses. A dataset scalar (the `_pagerank_nodes` count precedent): each
+    of sim_ann_ivfpq / _adc_distances / sim_adc_quality ran its own
+    one-job collect per BUILD, so one ivfpq sample paid it twice."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    return _QID_CACHE.get_or_build(
+        key, lambda: emb.agg(F.max("vec_id")).collect()[0][0]
+    )
+
+
 def _pq_kmeans_sql_ctes(rounds: int = PQ_ROUNDS) -> str:
     """Unrolled per-subspace Lloyd iterations mirroring pq_codebooks exactly;
     expects a ``sub(vec_id, m, sv)`` CTE in scope, emits ``cb(m, code, cv)``."""
@@ -1009,32 +1077,12 @@ def emb_pq_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
     )
     cbs = _pq_codebooks_cached(spark, sf_dir, emb)
-    sub = emb.select(
-        F.posexplode(
-            F.array(*[F.slice("e", m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)])
-        ).alias("m", "sv")
-    )
-    base = (
-        sub.join(F.broadcast(_pq_all_cb_df(spark, cbs)))
-        .withColumn("svv", _dot(F.col("sv"), F.col("sv")))
-    )
-    best = F.array_min(
-        F.transform(
-            F.filter(F.col("pqall"), lambda c: c["m"] == F.col("m")),
-            lambda c: F.struct(
-                (
-                    F.col("svv")
-                    - F.lit(2.0) * _dot(F.col("sv"), c["cv"])
-                    + _dot(c["cv"], c["cv"])
-                ).alias("d"),
-                c["code"].alias("code"),
-            ),
-        )
-    )
-    allm = base.select(
+    # r11: read the persisted PQ index (identical argmin folds, materialized
+    # once per session/dataset) instead of re-encoding the corpus
+    allm = _pq_codes_cached(spark, sf_dir, emb, cbs).select(
         F.col("m").alias("subspace"),
-        best["d"].alias("sq"),
-        best["code"].alias("code"),
+        F.col("d").alias("sq"),
+        F.col("code"),
     )
     return allm.groupBy("subspace").agg(
         F.count("*").alias("n_vecs"),
@@ -1164,7 +1212,7 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _centroids_cached(spark, sf_dir, emb)
     cmat = _cents_df(spark, cents)
     assigned = _assigned_cached(spark, sf_dir, emb, cents).select("vec_id", "cell")
-    qid = emb.agg(F.max("vec_id")).collect()[0][0]
+    qid = _qid_cached(spark, sf_dir, emb)
     probe = (
         emb.filter(F.col("vec_id") == qid)
         .join(F.broadcast(cmat))
@@ -1228,7 +1276,7 @@ def _adc_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
     )
-    qid = emb.agg(F.max("vec_id")).collect()[0][0]
+    qid = _qid_cached(spark, sf_dir, emb)
     cbs = _pq_codebooks_cached(spark, sf_dir, emb)
     cb_all = _pq_all_cb_df(spark, cbs)
     slices = F.posexplode(
@@ -1243,14 +1291,13 @@ def _adc_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("d"),
         c["code"].alias("code"),
     )
-    base = (
-        emb.filter(F.col("vec_id") != qid)
-        .select("vec_id", slices)
-        .join(F.broadcast(cb_all))
-        .withColumn("svv", _dot(F.col("sv"), F.col("sv")))
+    # r11: the corpus side reads the persisted PQ index (same folds, the
+    # query row filtered AFTER the cached encode — identical row set)
+    codes = (
+        _pq_codes_cached(spark, sf_dir, emb, cbs)
+        .filter(F.col("vec_id") != qid)
+        .select("vec_id", "m", "code")
     )
-    best = F.array_min(F.transform(mycb, dist_struct))
-    codes = base.select("vec_id", "m", best["code"].alias("code"))
     lut = (
         emb.filter(F.col("vec_id") == qid)
         .select(slices)
@@ -1346,7 +1393,7 @@ def sim_adc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
     )
-    qid = emb.agg(F.max("vec_id")).collect()[0][0]
+    qid = _qid_cached(spark, sf_dir, emb)
     q = emb.filter(F.col("vec_id") == qid).select(F.col("e").alias("qe"))
     d2 = (
         _dot(F.col("qe"), F.col("qe"))
@@ -1905,6 +1952,26 @@ FROM pos p JOIN neg n ON n.anchor_id = p.anchor_id
 _BIN_CAND = 200
 
 
+_BIN_SIG_CACHE = FitCache()  # keys (appId, sf_dir); scope-LRU bounded
+
+
+def _binary_sigs_cached(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFrame:
+    """The 1-bit sign-sketch index — (vec_id, sig_lo, sig_hi) — persisted
+    once per (session, dataset). The pack fold (64 conditional shifts per
+    vector) is identical to the inline expression it replaces, so Hamming
+    distances and everything downstream are bit-unchanged."""
+
+    def build() -> DataFrame:
+        return emb.select(
+            "vec_id",
+            _sig_half(F.col("e"), 0).alias("sig_lo"),
+            _sig_half(F.col("e"), 32).alias("sig_hi"),
+        ).persist()
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    return _BIN_SIG_CACHE.get_or_build(key, build)
+
+
 def _sig_half(col: Column, offset: int) -> Column:
     """Pack dims [offset, offset+32) into one bigint: bit i set iff the
     component is positive. Two halves keep every value positive (bit 63 of
@@ -1938,11 +2005,10 @@ def sim_ann_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
     )
-    sigs = emb.select(
-        "vec_id",
-        _sig_half(F.col("e"), 0).alias("sig_lo"),
-        _sig_half(F.col("e"), 32).alias("sig_hi"),
-    )
+    # r11: the packed sign bits are the stored binary index — materialized
+    # once per (session, dataset) like the PQ codes (`_pq_codes_cached`);
+    # the per-call work is only XOR-popcount probing + the top-M rerank
+    sigs = _binary_sigs_cached(spark, sf_dir, emb)
     qsigs = (
         sigs.filter(F.col("vec_id") < N_QUERIES)
         .select(

@@ -110,6 +110,11 @@ BNLJ_BY_DESIGN = {
     "sim_ann_ivf",  # K-constant centroid scoring (broadcast, per k-means round)
     "s9_table_metadata",  # 1-row stats x 1-row count metadata join
     "sim_ann_lsh_multitable",  # 1-row plane-matrix broadcast (keeps 3072 weights out of the expr tree)
+    # r11: the shared LSH index build carries the same 1-row plane-matrix
+    # broadcast; its lineage is visible in every consumer's plan text
+    "sim_lsh_buckets",
+    "sim_ann_lsh",
+    "sim_ann_lsh_multiprobe",
     "text_unigram_logprob",  # 1-row corpus-total broadcast onto the vocab-sized freq table
     "dedup_semantic",  # K-constant centroid scoring (same broadcast as sim_ann_ivf)
     "dedup_semantic_prune",  # same centroid-scoring broadcast, applied to u/v/readout
@@ -288,10 +293,14 @@ BENCH_PLAN_FINGERPRINTS = {
     "text_langid_eval": {"shuffle_exchange": 3},
     "text_bpe_token_count": {},
     "sim_cosine_topk": {"shuffle_exchange": 3, "broadcast_exchange": 1, "BroadcastNestedLoopJoin": 1},
-    "sim_ann_lsh": {"shuffle_exchange": 3, "broadcast_exchange": 1, "BroadcastHashJoin": 1},
-    "sim_ann_lsh_multiprobe": {"shuffle_exchange": 3, "broadcast_exchange": 1, "BroadcastHashJoin": 1},
+    # r11: corpus hash/bucket codes read the persisted LSH index
+    # (_lsh_index_cached) — the per-call corpus re-hash exchanges are gone
+    "sim_ann_lsh": {"shuffle_exchange": 1, "broadcast_exchange": 1, "BroadcastHashJoin": 1},
+    "sim_ann_lsh_multiprobe": {"shuffle_exchange": 1, "broadcast_exchange": 1, "BroadcastHashJoin": 1},
     "sim_mmr_rerank": {"shuffle_exchange": 1},
-    "emb_pq_stats": {"shuffle_exchange": 3, "broadcast_exchange": 1, "BroadcastNestedLoopJoin": 1},
+    # r11: reads the persisted PQ-codes index (argmin encode + codebook
+    # broadcast moved into the one-time cache build)
+    "emb_pq_stats": {"shuffle_exchange": 2},
     "emb_centroid_drift": {"shuffle_exchange": 5, "broadcast_exchange": 1, "BroadcastNestedLoopJoin": 1},
     "sess_stats": {"shuffle_exchange": 1},
     "sess_funnel": {"shuffle_exchange": 3},
@@ -334,7 +343,8 @@ BENCH_PLAN_FINGERPRINTS = {
     "j5b_binned_range_join": {"shuffle_exchange": 2, "broadcast_exchange": 1, "BroadcastHashJoin": 1},
     "layout_zorder_stats": {"shuffle_exchange": 1},
     "layout_hilbert_stats": {"shuffle_exchange": 2},
-    "corpus_source_overlap": {"shuffle_exchange": 11, "broadcast_exchange": 3, "BroadcastHashJoin": 3},
+    # r11: per-source shingles from the cached shingle-set relation
+    "corpus_source_overlap": {"shuffle_exchange": 7, "broadcast_exchange": 3, "BroadcastHashJoin": 3},
     "graph_triangles": {"shuffle_exchange": 6, "broadcast_exchange": 1, "SortMergeJoin": 2, "BroadcastNestedLoopJoin": 1},
     "graph_label_propagation": {},
     "basket_part_pairs": {"shuffle_exchange": 3, "broadcast_exchange": 1, "BroadcastHashJoin": 1},
@@ -351,13 +361,15 @@ BENCH_PLAN_FINGERPRINTS = {
     "graph_bfs_distances": {},
     "sketch_cms_estimate": {"shuffle_exchange": 2, "broadcast_exchange": 1, "BroadcastHashJoin": 1},
     "feat_target_encoding": {"shuffle_exchange": 3, "broadcast_exchange": 2, "BroadcastHashJoin": 1, "BroadcastNestedLoopJoin": 1},
-    "sim_ann_lsh_multitable": {"shuffle_exchange": 6, "broadcast_exchange": 5, "BroadcastHashJoin": 3, "BroadcastNestedLoopJoin": 2},
+    # r11: reads the persisted LSH index; candidate + query sides are
+    # explicit broadcasts (the cached relation has no pre-AQE size stats)
+    "sim_ann_lsh_multitable": {"shuffle_exchange": 2, "broadcast_exchange": 3, "BroadcastHashJoin": 3},
     # r11: cell assignment + norms come from the shared inverted-file cache
     # (_assigned_cached) — the per-query argmax fold and its centroid
     # broadcasts are gone from the steady-state plan
     "sim_ann_ivf": {"shuffle_exchange": 1, "broadcast_exchange": 1, "BroadcastHashJoin": 1},
-    "sim_ann_pq_adc": {"shuffle_exchange": 3, "broadcast_exchange": 3, "BroadcastHashJoin": 1, "BroadcastNestedLoopJoin": 2},
-    "sim_ann_ivfpq": {"shuffle_exchange": 5, "broadcast_exchange": 5, "BroadcastHashJoin": 2, "SortMergeJoin": 1, "BroadcastNestedLoopJoin": 3},
+    "sim_ann_pq_adc": {"shuffle_exchange": 2, "broadcast_exchange": 2, "BroadcastHashJoin": 1, "BroadcastNestedLoopJoin": 1},
+    "sim_ann_ivfpq": {"shuffle_exchange": 4, "broadcast_exchange": 4, "BroadcastHashJoin": 2, "SortMergeJoin": 1, "BroadcastNestedLoopJoin": 2},
     # r11: both SemDeDup halves read assignment/norm/ccos from the shared
     # inverted-file cache — one materialized subtree feeds u/v/readout
     # instead of three argmax+broadcast re-evaluations
@@ -365,7 +377,9 @@ BENCH_PLAN_FINGERPRINTS = {
     "dedup_semantic_prune": {"shuffle_exchange": 3, "broadcast_exchange": 1, "BroadcastHashJoin": 1, "SortMergeJoin": 1},
     "dedup_components": {},
     "dedup_near_pipeline": {"shuffle_exchange": 4, "broadcast_exchange": 1, "BroadcastHashJoin": 1, "SortMergeJoin": 1},
-    "dedup_lsh_scurve": {"shuffle_exchange": 9, "broadcast_exchange": 4, "BroadcastHashJoin": 4},
+    # r11: eval-subset shingle sets read the shared cached relation — the
+    # inline tokenize+shingle re-evaluations and their exchanges are gone
+    "dedup_lsh_scurve": {"shuffle_exchange": 5, "broadcast_exchange": 4, "BroadcastHashJoin": 4},
     "graph_pagerank": {},
     "corpus_prep_pipeline": {"shuffle_exchange": 3},
     "text_bpe_train": {},
@@ -395,7 +409,8 @@ BENCH_PLAN_FINGERPRINTS = {
     "multimodal_jpeg420_stats": {},
     "multimodal_jpeg_prog_stats": {},
     "sim_ann_binary": {
-        "shuffle_exchange": 6,
+        # r11: sign signatures read the persisted binary index
+        "shuffle_exchange": 4,
         "broadcast_exchange": 3,
         "BroadcastHashJoin": 2,
         "BroadcastNestedLoopJoin": 1,
