@@ -143,12 +143,17 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
+    # The library contract (signatures_for, the synthetic-corpus guard tests)
+    # admits bare (doc_id, text) corpora; only the real documents table has
+    # `source`. Carry a null source for the bare shape so the shared relation
+    # keeps one schema either way.
+    src = F.col("source") if "source" in docs.columns else F.lit(None).cast("string")
     return _cached(
         spark,
         sf_dir,
         "sh_sets",
         lambda: docs.withColumn("toks", tokens_col())
-        .select("doc_id", "source", F.array_distinct(shingles_col()).alias("sh_set"))
+        .select("doc_id", src.alias("source"), F.array_distinct(shingles_col()).alias("sh_set"))
         .filter(F.size("sh_set") > 0),
     )
 

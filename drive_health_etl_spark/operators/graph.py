@@ -131,7 +131,14 @@ def _pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # double is bit-identical to evaluating the division per row (verified
     # against the pre-r11 chain: identical rank bits at sf0.1).
     base = 1.0 - PR_DAMPING
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("r"))
+    # n == 0 <=> `nodes` is empty: every per-node scalar below then applies
+    # to zero rows, so any finite placeholder is value-invisible — but the
+    # driver-side division itself must not raise (empty-input contract).
+    # Both scalars stay SINGLE IEEE divisions (the oracle divides once too —
+    # `x * (1/n)` would round twice and drift the low bit).
+    inv_n = 1.0 / n if n else 0.0
+    base_n = base / n if n else 0.0
+    ranks = nodes.select("node", F.lit(inv_n).alias("r"))
     for _ in range(PR_ITERS):
         contrib = (
             ed.join(ranks.select(F.col("node").alias("src"), "r"), "src")
@@ -148,7 +155,7 @@ def _pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "node",
                 (
-                    F.lit(base / n)
+                    F.lit(base_n)
                     + F.lit(PR_DAMPING) * F.coalesce("inflow", F.lit(0.0))
                 ).alias("r"),
             )
