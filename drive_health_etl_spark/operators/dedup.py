@@ -753,6 +753,41 @@ _EVAL_N = 250  # fixed evaluation subset -> bounded all-pairs at any SF; the
 _EVAL_TAU = 0.5  # "true near-dup" ground-truth threshold
 
 
+def _eval_pair_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-shingle pair overlap stats on the fixed evaluation subset:
+    (doc_a, doc_b, n_inter, na, nb) for every subset pair sharing >= 1
+    shingle. r11 (guide §2.4, share one exchange): this exact subtree —
+    explode -> distinct -> inverted-index self-join -> intersection count
+    -> two size joins — was rebuilt identically by all THREE estimator-
+    audit queries (`dedup_lsh_quality`, `dedup_lsh_scurve`,
+    `dedup_minhash_bias`); one persisted copy per (session, dataset) runs
+    it once (measured 2.86 + 2.04 + 1.65 s isolated full-run costs, the
+    subtree being the dominant share of each). Bounded: the subset is
+    _EVAL_N docs, so the relation is at most C(_EVAL_N, 2) slim rows."""
+
+    def build() -> DataFrame:
+        sets_df = _shingle_sets(spark, sf_dir).filter(F.col("doc_id") < _EVAL_N).select(
+            "doc_id", "sh_set"
+        )
+        sh = sets_df.select("doc_id", F.explode("sh_set").alias("shingle")).distinct()
+        a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+        sizes = sets_df.select("doc_id", F.size("sh_set").alias("n_sh"))
+        return inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a"
+        ).join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b"
+        )
+
+    return _cached(spark, sf_dir, "eval_pair_overlap", build)
+
+
 def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured quality of the MinHash-LSH candidate generator: precision
     and recall against EXACT-Jaccard ground truth (pairs with true 3-gram
@@ -765,26 +800,12 @@ def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the quadratic term is fenced to 500 docs at any SF; pairs sharing
     zero shingles have Jaccard 0 and can't reach tau. Predictions are the
     production LSH pair generator restricted to the same subset."""
-    # r11: the eval subset's shingle sets come from the shared cached
-    # relation (one tokenize+shingle pass per session/dataset) — empty-set
-    # docs, absent there, reach no output: every path below goes through
-    # shared-shingle pairs.
-    sets_df = _shingle_sets(spark, sf_dir).filter(F.col("doc_id") < _EVAL_N).select(
-        "doc_id", "sh_set"
-    )
-    sh = sets_df.select("doc_id", F.explode("sh_set").alias("shingle")).distinct()
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    sizes = sets_df.select("doc_id", F.size("sh_set").alias("n_sh"))
+    # r11: ground truth derives from the shared persisted pair-overlap
+    # relation (`_eval_pair_overlap` — one inverted-index join per
+    # session/dataset, shared with the s-curve and bias audits); empty-set
+    # docs, absent from the shingle relation, reach no output either way.
     truth = (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        _eval_pair_overlap(spark, sf_dir)
         .filter(
             F.col("n_inter").cast("double")
             / (F.col("na") + F.col("nb") - F.col("n_inter"))
@@ -875,32 +896,12 @@ def dedup_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Counts exact; only the capture-rate division rounds. The quadratic
     pair term stays fenced to the subset (same argument as lsh_quality)."""
-    # r11: the eval subset's shingle sets come from the shared cached
-    # relation (one tokenize+shingle pass per session/dataset) — empty-set
-    # docs, absent there, reach no output: every path below goes through
-    # shared-shingle pairs.
-    sets_df = _shingle_sets(spark, sf_dir).filter(F.col("doc_id") < _EVAL_N).select(
-        "doc_id", "sh_set"
-    )
-    sh = sets_df.select("doc_id", F.explode("sh_set").alias("shingle")).distinct()
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    sizes = sets_df.select("doc_id", F.size("sh_set").alias("n_sh"))
+    # r11: decile bucketing derives from the shared persisted pair-overlap
+    # relation (`_eval_pair_overlap`, shared with the quality and bias
+    # audits); empty-set docs, absent from the shingle relation, reach no
+    # output either way.
     jac = (
-        inter.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")),
-            "doc_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")),
-            "doc_b",
-        )
+        _eval_pair_overlap(spark, sf_dir)
         .select(
             "doc_a",
             "doc_b",
@@ -986,32 +987,12 @@ def dedup_minhash_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit behind choosing the signature width. Agreement counts and exact
     Jaccard are integers/exact ratios; the error means sum per-term
     decimal-cast and round 6 dp."""
-    # r11: the eval subset's shingle sets come from the shared cached
-    # relation (one tokenize+shingle pass per session/dataset) — empty-set
-    # docs, absent there, reach no output: every path below goes through
-    # shared-shingle pairs.
-    sets_df = _shingle_sets(spark, sf_dir).filter(F.col("doc_id") < _EVAL_N).select(
-        "doc_id", "sh_set"
-    )
-    sh = sets_df.select("doc_id", F.explode("sh_set").alias("shingle")).distinct()
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    sizes = sets_df.select("doc_id", F.size("sh_set").alias("n_sh"))
+    # r11: exact Jaccard derives from the shared persisted pair-overlap
+    # relation (`_eval_pair_overlap`, shared with the quality and s-curve
+    # audits); empty-set docs, absent from the shingle relation, reach no
+    # output either way.
     exact = (
-        inter.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")),
-            "doc_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")),
-            "doc_b",
-        )
+        _eval_pair_overlap(spark, sf_dir)
         .select(
             "doc_a",
             "doc_b",

@@ -181,21 +181,27 @@ def layout_hilbert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_suppkey): per top-2-bit segment of the curve, row count and key
     bounds — the Hilbert twin of ``layout_zorder_stats``, hash-checking the
     full rotate/reflect walk bit-for-bit against the oracle."""
-    # The testdata parquet is one row group -> one scan partition; the
-    # 8-level fold is CPU-heavy, so spread it across cores post-scan.
-    li = load_table(spark, sf_dir, "lineitem").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    li = load_table(spark, sf_dir, "lineitem")
     mask = F.lit((1 << _BITS) - 1)
     base = li.select(
         F.col("l_partkey").bitwiseAND(mask).alias("hx0"),
         F.col("l_suppkey").bitwiseAND(mask).alias("hy0"),
     )
-    keyed = hilbert_key_df(base, "hx0", "hy0", _BITS, out="hkey")
+    # r11 (guide §2.3, aggregate before the expensive work): hkey is a pure
+    # function of the masked (hx0, hy0) pair, whose domain is <= 2^(2*_BITS)
+    # = 65,536 values no matter the corpus size — so count rows per pair
+    # FIRST (a cheap map-side-combinable int agg inside the scan stage),
+    # then run the 8-level rotate/reflect fold once per DISTINCT pair
+    # instead of once per row, and re-aggregate the counts by segment.
+    # Same fold expressions over the same ints -> bit-identical results;
+    # the per-row fold (previously the dominant cost, spread across cores
+    # with an extra repartition exchange) and that exchange are both gone.
+    counts = base.groupBy("hx0", "hy0").agg(F.count("*").alias("n_pair"))
+    keyed = hilbert_key_df(counts, "hx0", "hy0", _BITS, out="hkey")
     return keyed.groupBy(
         F.shiftrightunsigned("hkey", 2 * _BITS - 2).alias("segment")
     ).agg(
-        F.count("*").alias("n_rows"),
+        F.sum("n_pair").alias("n_rows"),
         F.min("hkey").alias("hkey_min"),
         F.max("hkey").alias("hkey_max"),
     )

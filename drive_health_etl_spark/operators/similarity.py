@@ -1880,26 +1880,40 @@ def emb_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "acell",
         F.round(_dot(F.col("ae"), F.col("e")) / (_norm(F.col("ae")) * _norm(F.col("e"))), 6).alias("cos"),
     )
-    w = Window.partitionBy("anchor_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
-    pos = (
-        scored.filter(F.col("cell") == F.col("acell"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("anchor_id", F.col("vec_id").alias("pos_id"), F.col("cos").alias("pos_cos"))
+    # r11 (guide §2.3/§2.4): both top-1s in ONE conditional aggregate over a
+    # single pass of `scored`. The previous two-window form consumed `scored`
+    # twice — the broadcast join and the anchors x corpus cosine map (the
+    # dominant cost) each executed twice — then joined the halves. A struct
+    # max over (cos, -vec_id) IS the (cos DESC, vec_id ASC) row_number()=1
+    # pick: structs compare lexicographically, so max cos wins and a cos tie
+    # resolves to max(-vec_id) = min vec_id. Anchors missing either side
+    # (no other in-cell member / no out-of-cell vector) yield a NULL branch
+    # and are dropped — exactly the old inner join's semantics.
+    top = (
+        scored.groupBy("anchor_id")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("cell") == F.col("acell"),
+                    F.struct(F.col("cos"), (-F.col("vec_id")).alias("nid")),
+                )
+            ).alias("p"),
+            F.max(
+                F.when(
+                    F.col("cell") != F.col("acell"),
+                    F.struct(F.col("cos"), (-F.col("vec_id")).alias("nid")),
+                )
+            ).alias("ng"),
+        )
+        .filter(F.col("p").isNotNull() & F.col("ng").isNotNull())
     )
-    neg = (
-        scored.filter(F.col("cell") != F.col("acell"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("anchor_id", F.col("vec_id").alias("neg_id"), F.col("cos").alias("neg_cos"))
-    )
-    return pos.join(neg, "anchor_id").select(
+    return top.select(
         "anchor_id",
-        "pos_id",
-        "pos_cos",
-        "neg_id",
-        "neg_cos",
-        F.round(F.col("pos_cos") - F.col("neg_cos"), 6).alias("margin"),
+        (-F.col("p.nid")).alias("pos_id"),
+        F.col("p.cos").alias("pos_cos"),
+        (-F.col("ng.nid")).alias("neg_id"),
+        F.col("ng.cos").alias("neg_cos"),
+        F.round(F.col("p.cos") - F.col("ng.cos"), 6).alias("margin"),
     )
 
 

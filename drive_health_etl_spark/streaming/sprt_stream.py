@@ -56,7 +56,11 @@ def st_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     # boundaries. Nothing here ships to the 100-TB path — the monitor's
     # state is two integers and the per-batch agg is map-side combinable.
     w = Window.orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    batched = e.select("x", F.ntile(_SPRT_BATCHES).over(w).alias("b"))
+    # r11 (guide §2.4): persist the NTILE output — the spool loop below
+    # filters it once per batch, and without the persist each write re-ran
+    # the full scan + global sort (_SPRT_BATCHES sorts instead of one;
+    # measured 3.21 -> ~2.5 s full at sf0.1). Freed in the finally block.
+    batched = e.select("x", F.ntile(_SPRT_BATCHES).over(w).alias("b")).persist()
 
     # One explicitly-named file per batch with strictly increasing mtimes:
     # Spark's file source orders new files by modification time, and an
@@ -110,6 +114,7 @@ def st_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             q.awaitTermination()
     finally:
+        batched.unpersist()
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
 

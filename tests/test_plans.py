@@ -377,9 +377,10 @@ BENCH_PLAN_FINGERPRINTS = {
     "dedup_semantic_prune": {"shuffle_exchange": 3, "broadcast_exchange": 1, "BroadcastHashJoin": 1, "SortMergeJoin": 1},
     "dedup_components": {},
     "dedup_near_pipeline": {"shuffle_exchange": 4, "broadcast_exchange": 1, "BroadcastHashJoin": 1, "SortMergeJoin": 1},
-    # r11: eval-subset shingle sets read the shared cached relation — the
-    # inline tokenize+shingle re-evaluations and their exchanges are gone
-    "dedup_lsh_scurve": {"shuffle_exchange": 5, "broadcast_exchange": 4, "BroadcastHashJoin": 4},
+    # r11: decile bucketing reads the shared persisted pair-overlap relation
+    # (_eval_pair_overlap) — the inverted-index self-join, both size joins,
+    # and their exchanges now live in the once-per-dataset cached subtree
+    "dedup_lsh_scurve": {"shuffle_exchange": 2, "broadcast_exchange": 1, "BroadcastHashJoin": 1},
     "graph_pagerank": {},
     "corpus_prep_pipeline": {"shuffle_exchange": 3},
     "text_bpe_train": {},
@@ -402,8 +403,11 @@ BENCH_PLAN_FINGERPRINTS = {
     "dq_k_anonymity": {"shuffle_exchange": 2},
     "stat_ab_welch": {"shuffle_exchange": 1},
     "ts_theil_sen_trend": {"shuffle_exchange": 3, "broadcast_exchange": 1, "BroadcastHashJoin": 1},
-    # r11: anchors/positives/negatives all read the cached inverted file
-    "emb_triplet_mining": {"shuffle_exchange": 2, "broadcast_exchange": 2, "BroadcastHashJoin": 1, "SortMergeJoin": 1, "BroadcastNestedLoopJoin": 1},
+    # r11: anchors/positives/negatives all read the cached inverted file;
+    # both per-anchor top-1s are ONE conditional struct-max aggregate over a
+    # single pass of the anchor-broadcast cosine map (was: two windows each
+    # re-executing the map, then a join — the SMJ/extra BHJ are gone)
+    "emb_triplet_mining": {"shuffle_exchange": 1, "broadcast_exchange": 1, "BroadcastNestedLoopJoin": 1},
     "multimodal_png_stats": {},
     "multimodal_jpeg_stats": {},
     "multimodal_jpeg420_stats": {},
