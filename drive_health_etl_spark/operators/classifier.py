@@ -360,11 +360,21 @@ FT_BUCKETS = 512  # hashed bins: 40-word synthetic vocab + ~1.6k bigrams
 # (measured: D=256 -> 0.984 accuracy, D=512 -> 0.996)
 
 
+_FT_DB_CACHE = FitCache()  # keys (appId, sf_dir); scope-LRU bounded
+
+
 def _ft_db(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, y, b, c): per-doc hashed-gram bucket counts with the
     stopword-rule label carried through the explode (no doc-keyed join).
-    One scan, map-side combinable, localCheckpointed for its two consumers
-    (NB fit + scoring) — the corpus_dsir_select shape."""
+    One scan, map-side combinable, localCheckpointed. r11: cached per
+    (session, dataset) — FOUR registry queries (ft_train/eval/calibration/
+    histcal) each re-ran the identical fit scan + checkpoint; the bucket
+    counts are a fitted artifact exactly like the LR weights above."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    return _FT_DB_CACHE.get_or_build(key, lambda: _build_ft_db(spark, sf_dir))
+
+
+def _build_ft_db(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.types import ArrayType, StringType
 
     docs = load_table(spark, sf_dir, "documents").repartition(

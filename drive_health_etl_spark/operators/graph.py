@@ -472,8 +472,12 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _support_edges(spark, sf_dir)  # checkpointed (src, dst) both ways
     surv = edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
     prev_n = surv.count()
-    sizes = [prev_n]
-    for _ in range(_KCORE_ROUNDS):
+    # r11: only three survivor counts feed the readout (initial for
+    # n_peeled, last two for converged/n_core_nodes) — the early-round
+    # counts were driver jobs whose results nothing read. localCheckpoint
+    # is eager, so each round still materializes exactly as before.
+    sizes: list[int | None] = [prev_n]
+    for i in range(_KCORE_ROUNDS):
         deg = (
             edges.join(surv.select(F.col("node").alias("src")), "src", "left_semi")
             .join(surv.select(F.col("node").alias("dst")), "dst", "left_semi")
@@ -485,7 +489,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("src").alias("node"))
             .localCheckpoint()
         )
-        sizes.append(surv.count())
+        sizes.append(surv.count() if i >= _KCORE_ROUNDS - 2 else None)
     core_edges = (
         edges.join(surv.select(F.col("node").alias("src")), "src", "left_semi")
         .join(surv.select(F.col("node").alias("dst")), "dst", "left_semi")

@@ -2182,18 +2182,20 @@ def emb_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") < _JL_SAMPLE)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
     )
-    ys = [
-        F.aggregate(
-            F.zip_with(
-                F.col("e"),
-                F.array(*[F.lit(float(v)) for v in R[j]]),
-                lambda x, r: x * r,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias(f"y{j}")
-        for j in range(_JL_K)
-    ]
+    # r11 (guide §7.3, driver-side cost): build each projection row as ONE
+    # SQL string parsed once in the JVM. The previous Column-by-Column form
+    # (_JL_K x EMB_DIM F.lit calls wrapped in array/zip_with/aggregate) made
+    # ~1k py4j round-trips per query BUILD — 1.2 s of driver time before any
+    # task ran. Identical expressions after parsing (`1.0D` literals are the
+    # same doubles), so results are bit-identical.
+    def _y_expr(row: list[int]) -> str:
+        arr = ", ".join(f"{float(v)!r}D" for v in row)
+        return (
+            f"aggregate(zip_with(e, array({arr}), (x, r) -> x * r),"
+            " 0.0D, (acc, x) -> acc + x)"
+        )
+
+    ys = [F.expr(_y_expr(R[j])).alias(f"y{j}") for j in range(_JL_K)]
     proj = emb.select("vec_id", "e", F.array(*ys).alias("y"))
     a = proj.select(
         F.col("vec_id").alias("ida"), F.col("e").alias("ea"), F.col("y").alias("ya")
