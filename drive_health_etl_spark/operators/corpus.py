@@ -474,27 +474,39 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-copies of each other (and should be down-weighted in the training
     mix) before any per-document dedup runs.
 
-    Scale: the corpus collapses to DISTINCT (source, shingle) first — one
-    shuffle on the shingle hash; the pair expansion joins source-sets per
-    shingle, bounded by C(n_sources, 2) per shingle regardless of corpus
-    size (n_sources is config-scale). Output is n_sources^2 rows — driver-
-    tiny at any SF."""
+    Scale: ONE shuffle on the shingle — groupBy(shingle).collect_set(source)
+    collapses the corpus to a vocab-sized (shingle, source-set) relation
+    (the set is bounded by n_sources, config-scale), and the pair expansion
+    is an in-row transform over the sorted set (<= C(n_sources, 2) structs
+    per shingle), never a join. r11 (guide §2.4): the previous shape —
+    DISTINCT (source, shingle), then a self-JOIN on shingle, then the pair
+    aggregate — shuffled the vocab three more times (distinct, both join
+    sides re-keyed by shingle, pair agg) for the identical counts
+    (measured 2.21 -> 1.05 s isolated). Output is n_sources^2 rows —
+    driver-tiny at any SF."""
     from drive_health_etl_spark.operators.dedup import _shingle_sets  # noqa: PLC0415
 
-    # r11: per-source distinct shingles from the shared cached shingle-set
-    # relation (empty-set docs contribute no shingles either way)
-    ss = (
+    # r11: per-source shingles from the shared cached shingle-set relation
+    # (empty-set docs contribute no shingles either way); collect_set both
+    # dedups (source, shingle) and groups in the same exchange.
+    srcsets = (
         _shingle_sets(spark, sf_dir)
         .select("source", F.explode("sh_set").alias("shingle"))
-        .distinct()
+        .groupBy("shingle")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
     )
-    counts = ss.groupBy("source").agg(F.count("*").alias("n"))
-    a = ss.select(F.col("source").alias("src_a"), "shingle")
-    b = ss.select(F.col("source").alias("src_b"), "shingle")
+    counts = srcsets.select(F.explode("srcs").alias("source")).groupBy("source").agg(
+        F.count("*").alias("n")
+    )
+    # All (src_a < src_b) pairs of the sorted per-shingle source set, as one
+    # nested transform + flatten — pure in-row expressions, no self-join.
+    pair_structs = F.expr(
+        "flatten(transform(srcs, (s1, i) ->"
+        " transform(slice(srcs, i + 2, size(srcs)), s2 -> struct(s1 AS src_a, s2 AS src_b))))"
+    )
     shared = (
-        a.join(b, "shingle")
-        .filter(F.col("src_a") < F.col("src_b"))
-        .groupBy("src_a", "src_b")
+        srcsets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b"))
         .agg(F.count("*").alias("n_shared"))
     )
     na = counts.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))

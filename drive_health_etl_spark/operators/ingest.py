@@ -44,9 +44,27 @@ def decode_messages(raw: DataFrame) -> DataFrame:
     # decode+validate expression trees) below the repartition exchange into
     # the single-partition scan stage, serializing all JSON parsing onto one
     # core (measured 14s vs 2s at sf0.1).
+    #
+    # The envelope parse gets the same barrier treatment (r11, guide §4.4's
+    # duplicated-evaluation trap, here with a native expression): a plain
+    # deterministic from_json is rewritten by OptimizeJsonExprs into one
+    # single-field from_json PER FIELD REFERENCE, which CollapseProject then
+    # inlines into the downstream validation filter — the captured plan
+    # showed the whole JSON text parsed ~8+ times per row (once per required
+    # field, again for the key coalesce, again in the post-filter project).
+    # Guarding the JSON text behind an always-true comparison on a
+    # NONDETERMINISTIC expression is value-invisible (mono_id is
+    # non-negative by construction) but makes the parse ineligible for
+    # per-field rewriting and for project collapse, so the struct is
+    # materialized exactly once per row and every consumer reads its fields
+    # as attributes. Same-session A/B at sf0.1: 2.08 -> 1.67 s (-20% on the
+    # flagship; at 100 TB this is ~8x less JSON-parse CPU in the decode
+    # stage, the pipeline's dominant cost).
+    json_text = F.when(
+        F.monotonically_increasing_id() >= 0, F.unbase64(F.col("data")).cast("string")
+    )
     decoded = raw.withColumn("arrival_seq", F.monotonically_increasing_id()).withColumn(
-        "_envelope",
-        F.from_json(F.unbase64(F.col("data")).cast("string"), schemas.ENVELOPE_SCHEMA),
+        "_envelope", F.from_json(json_text, schemas.ENVELOPE_SCHEMA)
     )
     # from_json yields a struct of all-nulls for undecodable/typeless input;
     # treat "no field survived parsing" as a format error.

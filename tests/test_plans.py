@@ -343,8 +343,10 @@ BENCH_PLAN_FINGERPRINTS = {
     "j5b_binned_range_join": {"shuffle_exchange": 2, "broadcast_exchange": 1, "BroadcastHashJoin": 1},
     "layout_zorder_stats": {"shuffle_exchange": 1},
     "layout_hilbert_stats": {"shuffle_exchange": 2},
-    # r11: per-source shingles from the cached shingle-set relation
-    "corpus_source_overlap": {"shuffle_exchange": 7, "broadcast_exchange": 3, "BroadcastHashJoin": 3},
+    # r11: per-source shingles from the cached shingle-set relation; the
+    # per-shingle source-pair expansion is collect_set + an in-row transform
+    # (the DISTINCT + shingle-keyed self-join and their exchanges are gone)
+    "corpus_source_overlap": {"shuffle_exchange": 6, "broadcast_exchange": 2, "BroadcastHashJoin": 2},
     "graph_triangles": {"shuffle_exchange": 6, "broadcast_exchange": 1, "SortMergeJoin": 2, "BroadcastNestedLoopJoin": 1},
     "graph_label_propagation": {},
     "basket_part_pairs": {"shuffle_exchange": 3, "broadcast_exchange": 1, "BroadcastHashJoin": 1},
