@@ -456,6 +456,97 @@ def wait_for_idle_window(
             return {"went_idle": False, "waited_sec": round(waited, 1), "polls": polls}
 
 
+# Per-query burst gate (round-12: VERDICT r11 item 2 — the whole-run idle
+# gate passed at 1.4-3.8% average steal while individual queries absorbed
+# 11-15% bursts, shipping burst-hit per-query numbers and a 32c/8c
+# contradiction). A query whose own sample window shows a steal or external
+# burst is re-sampled (bounded); only if EVERY pass is flagged does the
+# per-pass minimum ship, explicitly marked flagged_and_kept.
+PER_QUERY_RESAMPLE_MAX = max(
+    0, int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_RESAMPLES", "2"))
+)
+
+
+def window_flagged(shares: dict | None) -> list[str]:
+    """Reasons a per-query sample window is untrustworthy (same thresholds
+    as the whole-run gate, applied to the query's own window)."""
+    if not shares:
+        return []
+    reasons = []
+    if shares.get("steal_share", 0.0) > IDLE_STEAL_SHARE_MAX:
+        reasons.append(f"steal {shares['steal_share']:.1%}")
+    if shares.get("external_cpu_share", 0.0) > IDLE_EXT_SHARE_MAX:
+        reasons.append(f"external {shares['external_cpu_share']:.1%}")
+    return reasons
+
+
+def sample_query(run, snapshot=load_snapshot, loadavg=None) -> tuple[float, dict]:
+    """One sampling pass: sample until the two SMALLEST samples agree within
+    10% (max 10 samples), report the min. The VM's background load adds
+    multi-second noise to single samples (observed 3.9s-10.8s for the same
+    warm query), and round 3 showed >2x cross-run swings on sub-second
+    queries (dq_psi_drift 0.40<->0.87s) with only 2-3 samples — a
+    reproduced min (two agreeing smallest) is the engine's actual cost.
+    The 10%/10 rule replaced 20%/6 in round 6: the r5 headline moved +6.1%
+    on byte-identical code because the recorded per-query spread was
+    routinely ~1.06-1.13 — the stopping rule must be tighter than the
+    round-over-round delta it is supposed to adjudicate.
+
+    The record carries `first` — the pass's FIRST sample — so per-(session,
+    dataset) fit/index amortization stays visible next to the steady-state
+    min (VERDICT r11 item 3), plus the window's external/steal shares: a
+    query whose window shows a big share was timed on a loaded box."""
+    loadavg = loadavg or os.getloadavg
+    q_snap = snapshot()
+    samples = [run(), run()]
+    while len(samples) < 10:
+        lo1, lo2 = sorted(samples)[:2]
+        if lo2 <= 1.1 * lo1:
+            break
+        samples.append(run())
+    lo1, lo2 = sorted(samples)[:2]
+    # measurement-quality record: spread = how well the reported min was
+    # reproduced (lo2/lo1); residual cross-RUN drift beyond this is VM
+    # background load, not engine behavior
+    rec = {"n": len(samples), "spread": round(lo2 / lo1, 3) if lo1 else 1.0,
+           "first": round(samples[0], 3)}
+    q_post = snapshot()
+    if q_snap is not None and q_post is not None:
+        rec.update(external_shares(q_snap, q_post))
+        rec["load1"] = round(loadavg()[0], 2)
+    return round(min(samples), 3), rec
+
+
+def sample_query_gated(
+    run, snapshot=load_snapshot, loadavg=None, max_resamples=None
+) -> tuple[float, dict]:
+    """Re-sample a query whose window shows a steal/external burst; ship the
+    first CLEAN pass. If every pass is flagged, ship the fastest flagged
+    pass (a min under load is still an upper bound on engine cost) marked
+    flagged_and_kept=true so the artifact is self-identifying."""
+    if max_resamples is None:
+        max_resamples = PER_QUERY_RESAMPLE_MAX
+    passes: list[tuple[float, dict, list[str]]] = []
+    for _ in range(1 + max_resamples):
+        t, rec = sample_query(run, snapshot, loadavg)
+        flags = window_flagged(rec)
+        passes.append((t, rec, flags))
+        if not flags:
+            break
+    t, rec, flags = passes[-1]
+    if flags:  # every pass flagged: keep the fastest, say so
+        t, rec, _ = min(passes, key=lambda p: p[0])
+        rec = dict(rec)
+        rec["flagged_and_kept"] = True
+    if len(passes) > 1 or flags:
+        rec = dict(rec)
+        rec["resamples"] = len(passes) - 1
+        rec["flagged_windows"] = [p[2] for p in passes if p[2]]
+    # `first` is the coldest sample of the attempt: take it from pass 1
+    rec["first"] = passes[0][1]["first"]
+    return t, rec
+
+
 def timing_attempt(spark, first: bool) -> dict:
     """One full timing pass over HEADLINE (plus the extra ingest sample),
     bracketed by its own load window. Returns {"timings", "sampling",
@@ -463,39 +554,12 @@ def timing_attempt(spark, first: bool) -> dict:
     load_pre = os.getloadavg()
     snap_pre = load_snapshot()
 
-    # Sample each query until the two SMALLEST samples agree within 10%
-    # (max 10 samples), then report the min. The VM's background load adds
-    # multi-second noise to single samples (observed 3.9s-10.8s for the same
-    # warm query), and round 3 showed >2x cross-run swings on sub-second
-    # queries (dq_psi_drift 0.40<->0.87s) with only 2-3 samples — a
-    # reproduced min (two agreeing smallest) is the engine's actual cost.
-    # The 10%/10 rule replaced 20%/6 in round 6: the r5 headline moved +6.1%
-    # on byte-identical code because the recorded per-query spread was
-    # routinely ~1.06-1.13 — the stopping rule must be tighter than the
-    # round-over-round delta it is supposed to adjudicate.
     timings: dict[str, float] = {}
     sampling: dict[str, dict] = {}
     for name in HEADLINE:
-        q_snap = load_snapshot()
-        samples = [run_one(spark, name, SF_DIR), run_one(spark, name, SF_DIR)]
-        while len(samples) < 10:
-            lo1, lo2 = sorted(samples)[:2]
-            if lo2 <= 1.1 * lo1:
-                break
-            samples.append(run_one(spark, name, SF_DIR))
-        timings[name] = round(min(samples), 3)
-        lo1, lo2 = sorted(samples)[:2]
-        # measurement-quality record: spread = how well the reported min was
-        # reproduced (lo2/lo1); residual cross-RUN drift beyond this is VM
-        # background load, not engine behavior
-        sampling[name] = {"n": len(samples), "spread": round(lo2 / lo1, 3) if lo1 else 1.0}
-        # per-query machine-load record: loadavg is polluted by our own
-        # tasks, but external_cpu_share/iowait_share are not — a query whose
-        # sample window shows a big external share was timed on a loaded box
-        q_post = load_snapshot()
-        if q_snap is not None and q_post is not None:
-            sampling[name].update(external_shares(q_snap, q_post))
-            sampling[name]["load1"] = round(os.getloadavg()[0], 2)
+        timings[name], sampling[name] = sample_query_gated(
+            lambda name=name: run_one(spark, name, SF_DIR)
+        )
 
     # ingest_rows_per_sec is the headline comparable to the baseline's
     # msgs/min target — take one extra sample (min of 3 total): VM background
@@ -688,9 +752,17 @@ def main() -> None:
                 detail["cross_round_ab"] = json.load(f)
         except (OSError, json.JSONDecodeError):
             pass
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
-    with open(detail_path, "w") as f:
-        json.dump(detail, f, indent=1, sort_keys=True)
+    # Per-cpu-config detail filename (round-12: VERDICT r11 item 2 — the
+    # driver's 8-core scaling run overwrote the 32-core run's detail file,
+    # destroying the primary per-query evidence). The unsuffixed path is
+    # still written as a compatibility copy (tools read it); the suffixed
+    # file is the evidence that survives a multi-config driver run.
+    base_dir = os.path.dirname(os.path.abspath(__file__))
+    detail_name = f"BENCH_DETAIL.c{CPUS}.json"
+    for path in (os.path.join(base_dir, detail_name),
+                 os.path.join(base_dir, "BENCH_DETAIL.json")):
+        with open(path, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
 
     top = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     summary = {
@@ -705,7 +777,7 @@ def main() -> None:
         "production_ann_tier": "sim_ann_lsh_multitable",
         "box_idle": box_idle,
         "queries": top,
-        "detail": "BENCH_DETAIL.json",
+        "detail": detail_name,
     }
     if not box_idle:
         summary["load_warning"] = "; ".join(load_reasons)[:120]

@@ -329,3 +329,90 @@ def test_probe_load_cell_annotates_steal():
     stolen = {"external_cpu_share": 0.02, "iowait_share": 0.0, "steal_share": 0.3}
     cell = probe_load_cell(stolen)
     assert "steal 30%" in cell
+
+
+# --- per-query burst gate + first-sample record (round-12: VERDICT r11 #2/#3)
+
+from bench import (  # noqa: E402
+    IDLE_STEAL_SHARE_MAX,
+    sample_query,
+    sample_query_gated,
+    window_flagged,
+)
+
+
+def _quiet_snapshot():
+    # zero-delta snapshots: shares all read 0.0 (clean window)
+    return {"busy": 0.0, "iowait": 0.0, "total": 1000.0, "tree": 0.0,
+            "kthread": 0.0, "steal": 0.0}
+
+
+def test_window_flagged_thresholds():
+    assert window_flagged(None) == []
+    assert window_flagged({"steal_share": 0.0, "external_cpu_share": 0.0}) == []
+    assert window_flagged({"steal_share": IDLE_STEAL_SHARE_MAX}) == []
+    flags = window_flagged({"steal_share": IDLE_STEAL_SHARE_MAX + 0.01})
+    assert flags and "steal" in flags[0]
+    flags = window_flagged({"external_cpu_share": IDLE_EXT_SHARE_MAX + 0.01})
+    assert flags and "external" in flags[0]
+
+
+def test_sample_query_records_first_sample():
+    # decreasing samples (warming caches): min is the last, first is sample 1
+    seq = iter([3.0, 1.0, 0.5, 0.5])
+    t, rec = sample_query(lambda: next(seq), snapshot=_quiet_snapshot,
+                          loadavg=lambda: (0.0,))
+    assert rec["first"] == 3.0
+    assert t == 0.5
+    assert rec["n"] == 4
+
+
+def test_gated_clean_window_is_single_pass():
+    seq = iter([1.0, 1.0])
+    t, rec = sample_query_gated(lambda: next(seq), snapshot=_quiet_snapshot,
+                                loadavg=lambda: (0.0,), max_resamples=2)
+    assert t == 1.0 and rec["first"] == 1.0
+    assert "flagged_and_kept" not in rec and "resamples" not in rec
+
+
+def _bursty_then_quiet_snapshot(n_bursty_windows):
+    """Snapshot factory: pass k's (pre, post) window shows a 10% steal burst
+    for k < n_bursty_windows, clean afterwards. Pass k's window spans
+    snapshot calls 2k -> 2k+1; cumulative steal jiffies rise by 100 across
+    each bursty window (total rises 1000 per call, busy == tree so the
+    external share stays zero)."""
+    state = {"calls": 0}
+
+    def snap():
+        i = state["calls"]
+        state["calls"] += 1
+        steal = 100.0 * sum(
+            1 for k in range(n_bursty_windows) if i >= 2 * k + 1)
+        return {"busy": 500.0 * i, "iowait": 0.0, "total": 1000.0 * i,
+                "tree": 500.0 * i, "kthread": 0.0, "steal": steal}
+
+    return snap
+
+
+def test_gated_resamples_on_steal_burst_and_ships_clean_pass():
+    # pass 1 window: steal 20% (flagged); pass 2 window: clean
+    times = iter([5.0, 5.0, 1.0, 1.0])
+    t, rec = sample_query_gated(
+        lambda: next(times), snapshot=_bursty_then_quiet_snapshot(1),
+        loadavg=lambda: (0.0,), max_resamples=2)
+    assert t == 1.0
+    assert rec["resamples"] == 1
+    assert rec["flagged_windows"] and "steal" in rec["flagged_windows"][0][0]
+    assert "flagged_and_kept" not in rec
+    assert rec["first"] == 5.0  # coldest sample of the attempt, pass 1
+
+
+def test_gated_all_flagged_keeps_min_and_says_so():
+    times = iter([5.0, 5.0, 3.0, 3.0, 4.0, 4.0])
+    t, rec = sample_query_gated(
+        lambda: next(times), snapshot=_bursty_then_quiet_snapshot(99),
+        loadavg=lambda: (0.0,), max_resamples=2)
+    assert t == 3.0  # fastest flagged pass: upper bound under load
+    assert rec["flagged_and_kept"] is True
+    assert rec["resamples"] == 2
+    assert len(rec["flagged_windows"]) == 3
