@@ -117,18 +117,24 @@ def ensure_worktree(ref: str) -> str:
 def main() -> None:
     argv = sys.argv[1:]
     ref, pairs = DEFAULT_REF, N_PAIRS
+    global RISERS, CONTROLS, QUERIES
     while argv:
         a = argv.pop(0)
         if a == "--ref":
             ref = argv.pop(0)
         elif a == "--pairs":
             pairs = int(argv.pop(0))
+        elif a == "--risers":  # round-12: probe list set per investigation
+            RISERS = argv.pop(0).split(",")
+        elif a == "--controls":
+            CONTROLS = argv.pop(0).split(",")
         else:
             sys.exit(f"unknown arg {a}")
+    QUERIES = RISERS + CONTROLS
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     old_path = ensure_worktree(ref)
-    v_old = Variant(f"r9@{ref}", old_path)
+    v_old = Variant(f"old@{ref}", old_path)
     v_new = Variant("HEAD", ROOT)
     variants = [v_old, v_new]
 
@@ -193,8 +199,8 @@ def main() -> None:
 
     out = {
         "purpose": (
-            "r9-vs-r10 interleaved same-session A/B over the top diffuse "
-            "bench risers + stable controls (VERDICT r10 item 1): one JVM, "
+            "interleaved same-session A/B over the probed risers + stable "
+            "controls: one JVM, "
             "alternating order, both variants warm — deltas here contain "
             "no between-run host window"
         ),
