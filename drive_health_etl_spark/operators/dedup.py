@@ -753,6 +753,29 @@ _EVAL_N = 250  # fixed evaluation subset -> bounded all-pairs at any SF; the
 _EVAL_TAU = 0.5  # "true near-dup" ground-truth threshold
 
 
+def _eval_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle sets of the _EVAL_N-doc evaluation subset ONLY, as its own
+    small cached relation. r12 (VERDICT r11 item 7): the audits previously
+    filtered the full-corpus `_shingle_sets` relation, so a COLD session
+    running only an audit paid a whole-corpus tokenize+shingle for a
+    250-doc evaluation — at 100 TB a real cold-path cost the inline
+    subset build never had. The doc_id predicate now reaches the parquet
+    scan (PushedFilters), and the per-row transforms are identical to
+    `_shingle_sets` (filter-then-shingle == shingle-then-filter row-wise),
+    so every consumer's rows are unchanged."""
+    return _cached(
+        spark,
+        sf_dir,
+        "eval_sh_sets",
+        lambda: load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _EVAL_N)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("toks", tokens_col())
+        .select("doc_id", F.array_distinct(shingles_col()).alias("sh_set"))
+        .filter(F.size("sh_set") > 0),
+    )
+
+
 def _eval_pair_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared-shingle pair overlap stats on the fixed evaluation subset:
     (doc_a, doc_b, n_inter, na, nb) for every subset pair sharing >= 1
@@ -766,9 +789,7 @@ def _eval_pair_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     _EVAL_N docs, so the relation is at most C(_EVAL_N, 2) slim rows."""
 
     def build() -> DataFrame:
-        sets_df = _shingle_sets(spark, sf_dir).filter(F.col("doc_id") < _EVAL_N).select(
-            "doc_id", "sh_set"
-        )
+        sets_df = _eval_shingle_sets(spark, sf_dir)
         sh = sets_df.select("doc_id", F.explode("sh_set").alias("shingle")).distinct()
         a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
         b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

@@ -2,7 +2,7 @@
 
 For each named query: time (a) the DataFrame build (plan construction +
 analysis driver cost), (b) each of N noop-sink executions (guide §1.4), and
-write `.explain("formatted")` to plans/r11/<name>_<tag>.txt so plan claims
+write `.explain("formatted")` to plans/r12/<name>_<tag>.txt so plan claims
 are checkable without running Spark.
 
 Usage:
@@ -31,7 +31,7 @@ def main() -> None:
     ap.add_argument("names", nargs="*")
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--n", type=int, default=3, help="noop executions per query")
-    ap.add_argument("--tag", default=None, help="write plans/r11/<name>_<tag>.txt")
+    ap.add_argument("--tag", default=None, help="write plans/r12/<name>_<tag>.txt")
     ap.add_argument("--top", type=int, default=0, help="profile the K slowest from BENCH_DETAIL")
     args = ap.parse_args()
 
@@ -44,7 +44,7 @@ def main() -> None:
 
     spark = get_spark("dhe-profile")
     spark.sparkContext.setLogLevel("ERROR")
-    plans_dir = os.path.join(REPO, "plans", "r11")
+    plans_dir = os.path.join(REPO, "plans", "r12")
     os.makedirs(plans_dir, exist_ok=True)
 
     rows = []
