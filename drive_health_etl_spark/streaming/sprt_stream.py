@@ -56,11 +56,15 @@ def st_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     # boundaries. Nothing here ships to the 100-TB path — the monitor's
     # state is two integers and the per-batch agg is map-side combinable.
     w = Window.orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    # r11 (guide §2.4): persist the NTILE output — the spool loop below
-    # filters it once per batch, and without the persist each write re-ran
-    # the full scan + global sort (_SPRT_BATCHES sorts instead of one;
-    # measured 3.21 -> ~2.5 s full at sf0.1). Freed in the finally block.
-    batched = e.select("x", F.ntile(_SPRT_BATCHES).over(w).alias("b")).persist()
+    # r12 (guide §2.4, remove repeated passes outright): the spool is ONE
+    # dynamic-partitioned write — a single job computes the scan + global
+    # sort + NTILE once and the lone task (the sort output is one
+    # partition; coalesce(1) pins it) writes every batch's file in one
+    # pass. r11 persisted the NTILE output and filtered it per batch
+    # (_SPRT_BATCHES jobs + a storage copy); both are gone. `pb` is the
+    # directory key (partitionBy consumes it); `b` stays a data column so
+    # the spooled schema is unchanged.
+    batched = e.select("x", F.ntile(_SPRT_BATCHES).over(w).alias("b"))
 
     # One explicitly-named file per batch with strictly increasing mtimes:
     # Spark's file source orders new files by modification time, and an
@@ -70,22 +74,25 @@ def st_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = tempfile.mkdtemp(prefix="dhe_sprt_ckpt_")
     try:
         t0 = int(os.stat(src).st_mtime)
+        stage = os.path.join(src, "_stage_all")
+        (
+            batched.select("x", "b", F.col("b").alias("pb"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .partitionBy("pb")
+            .parquet(stage)
+        )
         for b in range(1, _SPRT_BATCHES + 1):  # one file per batch, in order
-            stage = os.path.join(src, f"_stage_{b}")
-            batched.filter(F.col("b") == b).select("x", "b").coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(stage)
-            parts = glob.glob(os.path.join(stage, "part-*.parquet"))
+            parts = glob.glob(os.path.join(stage, f"pb={b}", "part-*.parquet"))
             if not parts:
                 # An empty micro-batch (no treatment-arm events landed in this
                 # tercile) writes no part file; skip it — the monitor's cum
                 # counters are unchanged by an empty batch anyway.
-                shutil.rmtree(stage, ignore_errors=True)
                 continue
             dst = os.path.join(src, f"batch_{b:03d}.parquet")
             shutil.move(parts[0], dst)
-            shutil.rmtree(stage, ignore_errors=True)
             os.utime(dst, (t0 + b, t0 + b))
+        shutil.rmtree(stage, ignore_errors=True)
 
         stream = (
             spark.readStream.schema("x int, b int")
@@ -114,7 +121,6 @@ def st_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             q.awaitTermination()
     finally:
-        batched.unpersist()
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
 
