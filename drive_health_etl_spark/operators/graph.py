@@ -120,9 +120,24 @@ def _pagerank_nodes(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
     return _EDGE_CACHE.get_or_build(key, build)
 
 
+# Broadcast the node-sized iteration relations (ranks in, contributions out)
+# below this node count — (long, double) rows, so 2M nodes is ~32 MB framed,
+# matching the session's broadcast sizing. The localCheckpointed node/rank
+# relations scan as ExistingRDD with UNKNOWN size stats, so the planner
+# never broadcasts them on its own and every iteration SMJ-shuffled the
+# FULL edge relation by src (r12 measured: 20 Exchange / 12 SortMergeJoin /
+# 0 BroadcastHashJoin for the 3-round chain). Below the threshold each
+# round is one broadcast-hash edge join (edges never shuffle) plus one
+# map-side-combined aggregate; above it (a 100 TB graph with billions of
+# nodes) the shuffle joins return unchanged. The count is already hoisted
+# and cached (`_pagerank_nodes`), so the decision costs nothing.
+_PR_BCAST_NODES = 2_000_000
+
+
 def _pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ed = _weighted_edges(spark, sf_dir)
     nodes, n = _pagerank_nodes(spark, sf_dir)
+    bcast = n <= _PR_BCAST_NODES
     # 1.0 - 0.85 in binary floating point is 0.15000000000000002 — compute the
     # teleport term ONCE in Python and embed the exact double in both engines
     # (a SQL-side `1.0 - 0.85` would go through DuckDB DECIMAL arithmetic and
@@ -140,8 +155,9 @@ def _pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_n = base / n if n else 0.0
     ranks = nodes.select("node", F.lit(inv_n).alias("r"))
     for _ in range(PR_ITERS):
+        rsel = ranks.select(F.col("node").alias("src"), "r")
         contrib = (
-            ed.join(ranks.select(F.col("node").alias("src"), "r"), "src")
+            ed.join(F.broadcast(rsel) if bcast else rsel, "src")
             .groupBy("dst")
             .agg(
                 F.sum((F.col("r") * F.col("w")).cast("decimal(28,18)"))
@@ -149,9 +165,14 @@ def _pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("inflow")
             )
         )
+        # contrib is the RIGHT side of the left-outer join, so broadcasting
+        # it (node-bounded: <= one row per in-degree-positive node) is the
+        # valid BHJ build side; join strategy never changes values, and the
+        # decimal-cast per-term sum keeps the aggregate order-independent.
+        csel = contrib.select(F.col("dst").alias("node"), "inflow")
         ranks = (
             nodes
-            .join(contrib.select(F.col("dst").alias("node"), "inflow"), "node", "left")
+            .join(F.broadcast(csel) if bcast else csel, "node", "left")
             .select(
                 "node",
                 (

@@ -60,3 +60,30 @@ def test_star_contraction_multi_component(spark):
     assert all(got[i] == 100 for i in range(100, 131))
     assert got[500] == got[501] == 500
     assert got[900] == got[901] == got[902] == 900
+
+
+def test_pagerank_chain_broadcasts_below_node_threshold(spark, sf_dir):
+    """r12: below _PR_BCAST_NODES the 3-round rank chain must run as
+    broadcast-hash joins (the edge relation is never shuffled per round)
+    with no sort-merge join; above the threshold the shuffle joins return.
+    The localCheckpointed node/rank relations have no size stats, so
+    without the explicit conditional hint the planner SMJ-shuffled the
+    full edge list every iteration (measured 20 Exchange / 12 SMJ)."""
+    from drive_health_etl_spark.operators import graph as G
+
+    def chain_plan():
+        df = G._pagerank_ranks(spark, sf_dir)
+        return spark.sparkContext._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    plan = chain_plan()
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2 * G.PR_ITERS
+    old = G._PR_BCAST_NODES
+    G._PR_BCAST_NODES = -1  # force the 100 TB path
+    try:
+        big = chain_plan()
+    finally:
+        G._PR_BCAST_NODES = old
+    assert "SortMergeJoin" in big
