@@ -1353,6 +1353,82 @@ _COUNT_FILTER_BUCKETS = 64  # count-filter histogram width (engine-side
 # pruning only — never part of the oracle contract)
 
 
+def _prefix_pre(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rarity-ordered prefix relation (doc_id, n, shingle, pos), cached
+    per (session, dataset). r12 (guide §2.4, the LSH-audit lesson): the
+    candidate self-join consumed this subtree TWICE — side a and side b each
+    re-ran the shingle explode, the vocabulary frequency aggregate (a full
+    corpus shuffle), and the per-doc rank window (another shuffle + sort),
+    because the per-side aliasing defeats ReuseExchange. One persisted copy
+    halves those stages and, like the signature cache, amortizes across
+    repeat calls. Deterministic: (df asc, shingle asc) is a total order.
+    Size: ~(1 - t) of corpus shingle instances + one row per doc, slimmer
+    than the shingle-set relation it derives from."""
+
+    def build() -> DataFrame:
+        sets_df = _shingle_sets(spark, sf_dir)
+        ex = sets_df.select(
+            "doc_id", F.size("sh_set").alias("n"), F.explode("sh_set").alias("shingle")
+        )
+        freq = ex.groupBy("shingle").agg(F.count("*").alias("df"))
+        # The rarity order only needs to be a TOTAL order both engines agree
+        # on — (df asc, shingle asc) is one, used directly as the per-doc
+        # window key. Materializing a global dense rank would mean a
+        # single-partition sort of the whole vocabulary: a scale killer the
+        # tuple key avoids.
+        w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle").asc())
+        # The df map is vocab-sized: broadcast is a win while the vocabulary
+        # fits an executor (~64 MB at the 2M-shingle threshold), but at
+        # 100 TB with an open vocabulary a FORCED broadcast would blow past
+        # broadcast limits — so the hint is conditional on a measured
+        # distinct-shingle count (one cheap agg over the already-persisted
+        # sets, cached per (app, dataset)); above the threshold the
+        # equi-join stays keyed and AQE picks the strategy.
+        vkey = (spark.sparkContext.applicationId, sf_dir)
+        n_vocab = _VOCAB_SIZE_CACHE.get(vkey)
+        if n_vocab is None:
+            n_vocab = freq.count()
+            _VOCAB_SIZE_CACHE[vkey] = n_vocab
+        freq_j = F.broadcast(freq) if n_vocab <= _VOCAB_BROADCAST_MAX else freq
+        return (
+            ex.join(freq_j, "shingle")
+            .withColumn("pos", F.row_number().over(w))
+            .filter(
+                F.col("pos")
+                <= F.col("n") - F.ceil(F.lit(_PREFIX_T) * F.col("n")) + F.lit(1)
+            )
+            .select("doc_id", "n", "shingle", "pos")
+        )
+
+    return _cached(spark, sf_dir, "prefix_pre", build)
+
+
+def _prefix_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-filter histograms (doc_id, n, cnt), cached per (session,
+    dataset). r12: both candidate sides attached this relation, and the old
+    inline expression ran `pmod(xxhash64(s), B)` once per (shingle, bucket)
+    — B string hashes per shingle, per side. The hash now runs ONCE per
+    shingle into an int array and the B bucket counts scan ints
+    (mathematically the same counts, so the pruning decisions — engine-side
+    only, never oracle-visible — are unchanged)."""
+
+    def build() -> DataFrame:
+        hashed = F.expr(
+            f"transform(sh_set, s -> pmod(xxhash64(s), {_COUNT_FILTER_BUCKETS}))"
+        )
+        cnt = F.expr(
+            f"transform(sequence(0, {_COUNT_FILTER_BUCKETS - 1}), b ->"
+            f" size(filter(hashed, h -> h = b)))"
+        )
+        return (
+            _shingle_sets(spark, sf_dir)
+            .select("doc_id", F.size("sh_set").alias("n"), hashed.alias("hashed"))
+            .select("doc_id", "n", cnt.alias("cnt"))
+        )
+
+    return _cached(spark, sf_dir, "prefix_sketch", build)
+
+
 def dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact set-similarity join via PREFIX FILTERING (the PPJoin/AllPairs
     family): for Jaccard >= t, two shingle sets MUST share at least one
@@ -1374,44 +1450,16 @@ def dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Completeness vs the LSH path is itself oracle-checked: this query's
     output is the FULL >= t pair set, so any pair the banded
     `dedup_ngram_jaccard` emits must appear here too."""
-    # The shingle-set relation feeds THREE consumers here (the exploded
-    # prefix path and both verify sides) AND two sibling queries — shared
-    # via _shingle_sets (without it the tokenize+shingle pass re-executed
-    # per consumer: measured 18s -> 11s with a checkpoint, ~2s warm with
-    # the persisted cache; the DuckDB oracle needs AS MATERIALIZED for the
-    # identical reason).
+    # The shingle-set relation feeds the verify sides AND two sibling
+    # queries — shared via _shingle_sets (without it the tokenize+shingle
+    # pass re-executed per consumer: measured 18s -> 11s with a checkpoint,
+    # ~2s warm with the persisted cache; the DuckDB oracle needs
+    # AS MATERIALIZED for the identical reason). r12: the prefix relation
+    # and the count-filter sketch are likewise cached (`_prefix_pre`,
+    # `_prefix_sketch`) — each fed two plan consumers that re-executed the
+    # full subtree per side.
     sets_df = _shingle_sets(spark, sf_dir)
-    ex = sets_df.select(
-        "doc_id", F.size("sh_set").alias("n"), F.explode("sh_set").alias("shingle")
-    )
-    freq = ex.groupBy("shingle").agg(F.count("*").alias("df"))
-    # The rarity order only needs to be a TOTAL order both engines agree on
-    # — (df asc, shingle asc) is one, used directly as the per-doc window
-    # key. Materializing a global dense rank would mean a single-partition
-    # sort of the whole vocabulary: a scale killer the tuple key avoids.
-    w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle").asc())
-    # The df map is vocab-sized: broadcast is a win while the vocabulary
-    # fits an executor (~64 MB at the 2M-shingle threshold), but at 100 TB
-    # with an open vocabulary a FORCED broadcast would blow past broadcast
-    # limits — so the hint is conditional on a measured distinct-shingle
-    # count (one cheap agg over the already-persisted sets, cached per
-    # (app, dataset)); above the threshold the equi-join stays keyed and
-    # AQE picks the strategy.
-    vkey = (spark.sparkContext.applicationId, sf_dir)
-    n_vocab = _VOCAB_SIZE_CACHE.get(vkey)
-    if n_vocab is None:
-        n_vocab = freq.count()
-        _VOCAB_SIZE_CACHE[vkey] = n_vocab
-    freq_j = F.broadcast(freq) if n_vocab <= _VOCAB_BROADCAST_MAX else freq
-    pre = (
-        ex.join(freq_j, "shingle")
-        .withColumn("pos", F.row_number().over(w))
-        .filter(
-            F.col("pos")
-            <= F.col("n") - F.ceil(F.lit(_PREFIX_T) * F.col("n")) + F.lit(1)
-        )
-        .select("doc_id", "n", "shingle", "pos")
-    )
+    pre = _prefix_pre(spark, sf_dir)
     a = pre.select(
         F.col("doc_id").alias("doc_a"), F.col("n").alias("na"),
         F.col("pos").alias("pa"), "shingle",
@@ -1452,13 +1500,7 @@ def dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingles); the count filter kills 99.95% of them (5.54M -> 2.7k)
     # with an int-array join payload instead of the full string shingle
     # sets, leaving the exact array_intersect verify a trivial tail.
-    cnt_col = F.expr(
-        f"transform(sequence(0, {_COUNT_FILTER_BUCKETS - 1}), b ->"
-        f" size(filter(sh_set, s -> pmod(xxhash64(s), {_COUNT_FILTER_BUCKETS}) = b)))"
-    )
-    sketch = sets_df.select(
-        "doc_id", F.size("sh_set").alias("n"), cnt_col.alias("cnt")
-    )
+    sketch = _prefix_sketch(spark, sf_dir)
     ub = F.expr("aggregate(zip_with(ca, cb, (x, y) -> least(x, y)), 0, (acc, v) -> acc + v)")
     # Round-tolerant alpha: this filter is Spark-side ONLY (the oracle has
     # no count filter), and the final accept is round(J, 6) >= t, which

@@ -46,6 +46,19 @@ def _live_plan(plan: str) -> str:
         if skip_indent >= 0:
             if indent > skip_indent:
                 continue
+            # r12: a MATERIALIZED cached relation renders its build as
+            # "AdaptiveSparkPlan isFinalPlan=true" whose "== Final Plan =="
+            # / "== Initial Plan ==" sections DEDENT below the cache
+            # boundary's indent (first seen when a cached relation was
+            # built from another cached relation: dedup_prefix_join's
+            # prefix_pre over sh_sets leaked 9 dead shuffles into the live
+            # count). A fresh, unexecuted outer plan is isFinalPlan=false
+            # and never renders these headers, so any such header is still
+            # cached-build content: keep skipping, re-anchored at the
+            # header's own (dedented) indent.
+            if "== Final Plan ==" in line or "== Initial Plan ==" in line:
+                skip_indent = min(skip_indent, indent)
+                continue
             skip_indent = -1
         if "InMemoryRelation" in line:
             skip_indent = indent

@@ -250,8 +250,11 @@ def test_constant_folded_sampling_fast_path(spark, sf_dir):
 BENCH_PLAN_FINGERPRINTS = {
     "corpus_weighted_sample": {},
     # r11: composes the cached trigram LM (see text_trigram_kn_logprob);
-    # live plan = scoring join + per-doc agg + NTILE window + bucket agg
-    "quality_ppx_gate": {"shuffle_exchange": 4, "broadcast_exchange": 1, "BroadcastHashJoin": 1},
+    # live plan = scoring join + per-doc agg + NTILE window + bucket agg.
+    # r12: 4 -> 2 — the old count included 2 DEAD shuffles leaked from the
+    # materialized LM cache's nested AQE rendering (fingerprint.py fix);
+    # the live shuffles are the per-doc agg + the single-partition NTILE
+    "quality_ppx_gate": {"shuffle_exchange": 2, "broadcast_exchange": 1, "BroadcastHashJoin": 1},
     "dedup_cdc_chunks": {"shuffle_exchange": 4, "broadcast_exchange": 1, "BroadcastNestedLoopJoin": 1},
     # r9 shuffle collapse: one up-front (k, id) repartition; dedup, shared
     # count, and the semi join run exchange-free off that partitioning
@@ -469,13 +472,14 @@ BENCH_PLAN_FINGERPRINTS = {
         "BroadcastNestedLoopJoin": 2,
     },
     "dedup_prefix_join": {
-        # r6: +2 broadcast joins — the count-filter pre-verify attaches the
-        # 64-bucket histograms to both candidate sides (AQE broadcasts the
-        # doc-count-sized sketch relation at test scale; at cluster scale it
-        # is an equi-join on doc_id either way). Shuffle count unchanged.
-        "shuffle_exchange": 4,
-        "broadcast_exchange": 7,
-        "BroadcastHashJoin": 7,
+        # r12: the rarity-ordered prefix relation and the count-filter
+        # sketch are per-dataset cached subtrees (each previously re-ran in
+        # full on BOTH self-join sides: 2x freq shuffle + 2x rank window).
+        # The live plan is candidate BHJ + distinct agg + sketch/verify
+        # joins over InMemoryTableScans; joins broadcast by cached-relation
+        # stats at test scale and stay equi-keyed at cluster scale.
+        "broadcast_exchange": 4,
+        "BroadcastHashJoin": 5,
     },
     "graph_hits": {
         "shuffle_exchange": 8,
@@ -635,3 +639,33 @@ def test_bench_plan_fingerprints(spark, sf_dir, name):
         f"{name}: physical plan changed (expected {BENCH_PLAN_FINGERPRINTS[name]}, "
         f"got {got}). If intentional, regenerate via tools/plan_fingerprints.py"
     )
+
+
+def test_live_plan_skips_nested_materialized_cache_rendering():
+    """r12: a materialized cached relation renders its build as
+    AdaptiveSparkPlan(final) whose '== Final Plan ==' / '== Initial Plan =='
+    sections DEDENT below the cache boundary — the indent-based skip used
+    to resume there and count dead build shuffles as live (dedup_prefix_join
+    leaked 9). Headers inside a skip must extend it, re-anchored at their
+    own indent; live siblings after the cached subtree still resume."""
+    from drive_health_etl_spark.plans.fingerprint import _live_plan
+
+    plan = "\n".join([
+        "Project [a]",
+        "+- BroadcastHashJoin [k], [k2], Inner, BuildRight, false",
+        "   :- InMemoryTableScan [k]",
+        "   :     +- InMemoryRelation [k], StorageLevel(memory)",
+        "   :           +- AdaptiveSparkPlan isFinalPlan=true",
+        "            +- == Final Plan ==",          # dedented nested header
+        "               ResultQueryStage 0",
+        "               +- Exchange hashpartitioning(k, 8)",  # DEAD
+        "            +- == Initial Plan ==",
+        "               +- Exchange hashpartitioning(k, 8)",  # DEAD
+        "   +- BroadcastExchange Mode, [plan_id=1]",          # LIVE sibling
+        "      +- Exchange rangepartitioning(z, 8)",          # LIVE
+    ])
+    live = _live_plan(plan)
+    assert "hashpartitioning" not in live
+    assert "ResultQueryStage" not in live
+    assert "BroadcastExchange" in live
+    assert "rangepartitioning" in live
