@@ -2593,41 +2593,48 @@ def dedup_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("ng", F.size("grams")),
     )
-    g = docs.select("doc_id", "n", F.explode("grams").alias("g"))
-    freq = g.groupBy("g").agg(F.count("*").alias("df"))
     # Signature: the K+1 rarest full Q-chunks per doc (docs with
     # n >= (K+1)*Q — everything smaller is brute-set by the ng <= Q*K test
     # below, see docstring). Chunk hashes are also gram hashes of the same
     # doc, so rarity comes from the gram df relation; the rarest-(K+1)
     # selection is a per-doc slice(array_sort(collect_list)) hash
     # aggregate over <= n/Q structs — no window, no partition-wide sort.
-    ch = docs.filter(F.col("n") >= (k + 1) * q).select(
-        "doc_id",
-        "n",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, n div {q} - 1),"
-                f" j -> xxhash64(substring(text, 1 + j * {q}, {q})))"
-            )
-        ).alias("c"),
-    )
-    sig = (
-        ch.join(freq, ch["c"] == freq["g"])
-        .groupBy("doc_id")
-        .agg(
-            F.first("n").alias("n"),
-            F.slice(
-                F.array_sort(F.collect_list(F.struct("df", F.col("c").alias("c")))),
-                1,
-                k + 1,
-            ).alias("sc"),
+    # r12: the gram document-frequency aggregate (a full gram-instance
+    # shuffle) and this signature are dataset artifacts like the gram
+    # relation itself — cached per (session, dataset, Q), so repeat calls
+    # pay only the candidate probe + verify.
+    def build_sig() -> DataFrame:
+        g = docs.select("doc_id", "n", F.explode("grams").alias("g"))
+        freq = g.groupBy("g").agg(F.count("*").alias("df"))
+        ch = docs.filter(F.col("n") >= (k + 1) * q).select(
+            "doc_id",
+            "n",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, n div {q} - 1),"
+                    f" j -> xxhash64(substring(text, 1 + j * {q}, {q})))"
+                )
+            ).alias("c"),
         )
-    )
-    sig_flat = sig.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("n").alias("la"),
-        F.explode("sc.c").alias("c"),
-    )
+        sig = (
+            ch.join(freq, ch["c"] == freq["g"])
+            .groupBy("doc_id")
+            .agg(
+                F.first("n").alias("n"),
+                F.slice(
+                    F.array_sort(F.collect_list(F.struct("df", F.col("c").alias("c")))),
+                    1,
+                    k + 1,
+                ).alias("sc"),
+            )
+        )
+        return sig.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("n").alias("la"),
+            F.explode("sc.c").alias("c"),
+        )
+
+    sig_flat = _cached(spark, sf_dir, f"edj_sig_q{q}", build_sig)
     # Candidate join: every doc's gram relation probes the signature. The
     # signature is K+1 slim rows per doc — broadcastable until the corpus
     # is huge, after which a plain equi-join on the int64 hash (one

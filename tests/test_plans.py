@@ -561,10 +561,14 @@ BENCH_PLAN_FINGERPRINTS = {
     # broadcast the persisted docs at this SF. No window, no sort, no
     # gram-array shuffle (the r8 count filter is gone with the rarity
     # prefix it served).
+    # r12: the gram-df aggregate + rarest-chunk signature moved into a
+    # per-dataset cached relation (was rebuilt per call: 2 shuffles + a
+    # broadcast); live plan = gram probe against the cached signature +
+    # brute band + one distinct + the two verify joins
     "dedup_edit_join": {
-        "shuffle_exchange": 3,
-        "broadcast_exchange": 5,
-        "BroadcastHashJoin": 5,
+        "shuffle_exchange": 1,
+        "broadcast_exchange": 4,
+        "BroadcastHashJoin": 4,
     },
     # BH-FDR: fact agg + enum-sized hypothesis table; the rank/min windows
     # are single-partition BY DESIGN (m = test family, ~dozens of rows)
