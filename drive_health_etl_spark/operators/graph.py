@@ -493,6 +493,19 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _support_edges(spark, sf_dir)  # checkpointed (src, dst) both ways
     surv = edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
     prev_n = surv.count()
+    # r12: survivor sets are node-sized and only SHRINK round over round,
+    # but they scan as ExistingRDD with unknown size stats, so the planner
+    # sort-merge-shuffled the full edge relation twice per peeling round.
+    # Below the shared node-count broadcast threshold (the PageRank rule —
+    # the initial survivor count bounds every later round) each semi join
+    # broadcasts the survivor side and the edge relation never re-shuffles;
+    # above it the shuffle joins return unchanged.
+    bcast = prev_n <= _PR_BCAST_NODES
+
+    def semi(df, col):
+        side = surv.select(F.col("node").alias(col))
+        return df.join(F.broadcast(side) if bcast else side, col, "left_semi")
+
     # r11: only three survivor counts feed the readout (initial for
     # n_peeled, last two for converged/n_core_nodes) — the early-round
     # counts were driver jobs whose results nothing read. localCheckpoint
@@ -500,8 +513,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes: list[int | None] = [prev_n]
     for i in range(_KCORE_ROUNDS):
         deg = (
-            edges.join(surv.select(F.col("node").alias("src")), "src", "left_semi")
-            .join(surv.select(F.col("node").alias("dst")), "dst", "left_semi")
+            semi(semi(edges, "src"), "dst")
             .groupBy("src")
             .agg(F.count("*").alias("d"))
         )
@@ -511,12 +523,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
         sizes.append(surv.count() if i >= _KCORE_ROUNDS - 2 else None)
-    core_edges = (
-        edges.join(surv.select(F.col("node").alias("src")), "src", "left_semi")
-        .join(surv.select(F.col("node").alias("dst")), "dst", "left_semi")
-        .count()
-        // 2
-    )
+    core_edges = semi(semi(edges, "src"), "dst").count() // 2
     return spark.createDataFrame(
         [
             (
