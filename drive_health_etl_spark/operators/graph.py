@@ -612,9 +612,25 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _EDGE_CACHE.get_or_build(
         (spark.sparkContext.applicationId, sf_dir, "hits_edges"), build_edges
     )
+    # r12: the per-half-iteration score relations are side-sized (one row
+    # per part / per cust) but join against a lineage-free edge relation
+    # with no size stats, so the planner sort-merge-shuffled the full edge
+    # list each half-iteration. Below the shared node-count threshold the
+    # score side broadcasts and edges never re-shuffle (the PageRank rule);
+    # the side counts are dataset artifacts, cached next to the edges.
+    n_part, n_cust = _EDGE_CACHE.get_or_build(
+        (spark.sparkContext.applicationId, sf_dir, "hits_sides"),
+        lambda: tuple(
+            edges.agg(
+                F.count_distinct("part"), F.count_distinct("cust")
+            ).first()
+        ),
+    )
+    bcast = max(n_part, n_cust) <= _PR_BCAST_NODES
+    bb = F.broadcast if bcast else (lambda df: df)
     a1 = edges.groupBy("part").agg(F.count("*").alias("a"))  # Σ h0 = in-degree
     h1 = (
-        edges.join(a1, "part")
+        edges.join(bb(a1), "part")
         .groupBy("cust")
         .agg(F.sum("a").alias("h"))
     )
@@ -622,13 +638,13 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with localCheckpoint or the whole a1->h1->a2 chain re-executes per
     # branch (measured: 26 shuffles -> ~half with the pin).
     a2 = (
-        edges.join(h1, "cust")
+        edges.join(bb(h1), "cust")
         .groupBy("part")
         .agg(F.sum("h").alias("a"))
         .localCheckpoint()
     )
     h2 = (
-        edges.join(a2, "part")
+        edges.join(bb(a2), "part")
         .groupBy("cust")
         .agg(F.sum("a").alias("h"))
     )

@@ -481,10 +481,12 @@ BENCH_PLAN_FINGERPRINTS = {
         "broadcast_exchange": 4,
         "BroadcastHashJoin": 5,
     },
+    # r12: score relations broadcast into the edge joins below the node
+    # threshold (was SMJ over the stat-less checkpointed edges: 8 shuffles)
     "graph_hits": {
-        "shuffle_exchange": 8,
-        "broadcast_exchange": 2,
-        "SortMergeJoin": 2,
+        "shuffle_exchange": 4,
+        "broadcast_exchange": 4,
+        "BroadcastHashJoin": 2,
         "BroadcastNestedLoopJoin": 2,
     },
     "multimodal_qoi_stats": {
