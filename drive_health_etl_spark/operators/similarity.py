@@ -1190,6 +1190,10 @@ FROM dist ORDER BY approx_dist ASC, vec_id ASC LIMIT {_ADC_TOP}
 
 _IVFPQ_PROBE = 2  # cells probed per query
 _IVFPQ_TOP = 10
+# Broadcast the probed-cell candidate fence below this corpus size — slim
+# (vec_id, cell) rows, ~32 MB framed at 2M, matching the session broadcast
+# sizing; a 100 TB corpus falls back to the vec_id equi-join.
+_IVFPQ_BCAST_VECS = 2_000_000
 
 
 def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1252,6 +1256,13 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table is partitioned BY cell so the fence prunes before the scorer —
     # same result, demonstrated here result-first)
     adc = _adc_distances(spark, sf_dir)
+    # r12: the probed-cell fence is at most (probe/cells) of the corpus but
+    # scans stat-less cached relations, so the planner sort-merge-joined it
+    # against the ADC scores. Below the corpus-size threshold (gated on the
+    # cached MAX vec_id — an overestimate of the count, so the fallback is
+    # conservative) the fence broadcasts; above it the equi-join stands.
+    if qid + 1 <= _IVFPQ_BCAST_VECS:
+        cand_ids = F.broadcast(cand_ids)
     w = Window.orderBy(F.col("approx_dist").asc(), F.col("vec_id").asc())
     return (
         adc.join(cand_ids, "vec_id")
