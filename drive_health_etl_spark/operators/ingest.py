@@ -168,7 +168,11 @@ def ingest(raw: DataFrame, audit_rate: float = 1.0, normalize_phones: bool = Tru
     window by idempotency_key — one hash shuffle, the only one in the chain;
     at 100 TB AQE handles skewed keys. Sampling runs *before* phone
     normalization so sampled-out rows never pay the UDF (the reference's
-    early-exit, ``src/handler.js:50-60`` — here it's explicit operator order).
+    early-exit, ``src/handler.js:50-60`` — here it's explicit operator order),
+    and normalization runs *after* dedup so rows dropped as retry duplicates
+    never pay it either — the UDF rewrites only ``payload`` while the dedup
+    partitions/orders on (idempotency_key, message_id, arrival_seq), so the
+    surviving row per key, and hence every output, is identical either way.
     """
     # ingest may receive DataFrames that never went through load_table
     # (fixtures, streams) — make sure workers can import the phone UDF module
@@ -193,8 +197,6 @@ def ingest(raw: DataFrame, audit_rate: float = 1.0, normalize_phones: bool = Tru
     sampled_out = ok.filter(~F.col("sampled")).select("message_id", "idempotency_key")
 
     kept = ok.filter(F.col("sampled"))
-    if normalize_phones:
-        kept = normalize_payload_phones(kept)
 
     # First-write-wins per idempotency key (W1) = BigQuery insertId semantics
     # (``src/bq.js:49``): order by message_id (stable across retries), then
@@ -205,6 +207,8 @@ def ingest(raw: DataFrame, audit_rate: float = 1.0, normalize_phones: bool = Tru
     deduped = (
         kept.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
     )
+    if normalize_phones:
+        deduped = normalize_payload_phones(deduped)
 
     return IngestResult(
         warehouse=to_warehouse_rows(deduped),

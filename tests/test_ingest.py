@@ -115,3 +115,31 @@ def test_ingest_from_events_scales(spark, sf_dir):
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert res.warehouse.count() == n_events  # unique keys, all valid
     assert res.dlq.count() == 0
+
+
+def test_phone_udf_runs_after_dedup(spark):
+    # the pandas UDF rewrites only `payload`; dedup keys/ordering columns are
+    # untouched, so normalization moved below the window (duplicates never pay
+    # the Python boundary). Pin that order: in the executed plan the
+    # ArrowEvalPython node sits ABOVE the window's exchange, and the
+    # warehouse output still carries normalized phones for surviving rows.
+    raw = envelopes.fixture_df(spark)
+    res = ingest(raw, audit_rate=1.0)
+    plan = res.warehouse._jdf.queryExecution().executedPlan().toString()
+    arrow_at = plan.find("ArrowEvalPython")
+    window_at = plan.find("Window")
+    assert arrow_at != -1 and window_at != -1
+    # executedPlan prints top-down: an earlier offset = later in execution
+    assert arrow_at < window_at, "phone UDF must evaluate after the dedup window"
+
+
+def test_decode_messages_parses_envelope_exactly_once(spark):
+    # ADVICE r11: the single-parse guarantee rests on the nondeterministic
+    # guard in decode_messages; pin it so an optimizer change that
+    # re-splits from_json per field reference fails loudly.
+    from drive_health_etl_spark.operators.ingest import decode_messages, validate_envelopes
+
+    raw = envelopes.fixture_df(spark)
+    validated = validate_envelopes(decode_messages(raw))
+    plan = validated._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("from_json") == 1, f"expected exactly 1 from_json, got {plan.count('from_json')}"
