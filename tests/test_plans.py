@@ -373,10 +373,14 @@ BENCH_PLAN_FINGERPRINTS = {
     # (_assigned_cached) — the per-query argmax fold and its centroid
     # broadcasts are gone from the steady-state plan
     "sim_ann_ivf": {"shuffle_exchange": 1, "broadcast_exchange": 1, "BroadcastHashJoin": 1},
-    "sim_ann_pq_adc": {"shuffle_exchange": 2, "broadcast_exchange": 2, "BroadcastHashJoin": 1, "BroadcastNestedLoopJoin": 1},
+    # r12: LUT read from the persisted per-dataset relation — its build
+    # subtree (query-row scan + BNLJ + its exchanges) left the live plan
+    "sim_ann_pq_adc": {"shuffle_exchange": 1, "broadcast_exchange": 1, "BroadcastHashJoin": 1},
     # r12: the probed-cell fence broadcasts into the ADC-score join below
     # the corpus-size gate (was an SMJ over two stat-less relations)
-    "sim_ann_ivfpq": {"shuffle_exchange": 3, "broadcast_exchange": 5, "BroadcastHashJoin": 3, "BroadcastNestedLoopJoin": 2},
+    # r12: the ADC LUT is a persisted per-dataset relation (`_adc_lut_cached`)
+    # — the query-row scan + slice explode + codebook BNLJ dropped per call
+    "sim_ann_ivfpq": {"shuffle_exchange": 2, "broadcast_exchange": 4, "BroadcastHashJoin": 3, "BroadcastNestedLoopJoin": 1},
     # r11: both SemDeDup halves read assignment/norm/ccos from the shared
     # inverted-file cache — one materialized subtree feeds u/v/readout
     # instead of three argmax+broadcast re-evaluations
